@@ -1,0 +1,126 @@
+"""Posting-block codec: delta + fixed-width bit-packed (FOR) blocks, numpy.
+
+Re-derivation of the *capability* of Lucene41's postings format
+(src/Lucene.Net/Codecs/Lucene41/Lucene41PostingsWriter.cs:283-354 — 128-int
+FOR-packed blocks of docID deltas and term frequencies; ForUtil.cs:33-124 —
+per-block bit width) re-designed for columnar storage: each 128-posting block
+is one parquet row carrying two binary payloads plus skip/block-max metadata
+columns. The multi-level skip list (Lucene41SkipWriter.cs:28-75) collapses to
+the flat metadata columns (first_docid/last_docid/max_score_bound) which a
+columnar scan prunes directly — Spark's analogue of Advance().
+
+Wire format per payload:  [width:1 byte][bit-packed big-endian values]
+  width == 0 encodes an all-equal block: the single value follows as 8-byte
+  big-endian (Lucene's all-equal optimization, Lucene41PostingsFormat.cs:38-40).
+docids payload packs deltas: docid[0] - first_docid (==0, elided is NOT done:
+we pack deltas[i] = docid[i] - docid[i-1] for i>=1, n-1 values), tfs payload
+packs raw tf values (n values). Norm bytes ride along raw (1 byte/posting) so
+scoring never joins back to a norms table.
+
+All encode/decode is vectorized numpy — this code runs inside Arrow-batched
+UDFs on executors; there is no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # Lucene41PostingsFormat.cs:375
+
+
+def _pack(values: np.ndarray) -> bytes:
+    """Fixed-width bit-pack non-negative int64 values (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return bytes([0]) + (0).to_bytes(8, "big")
+    mx = int(v.max())
+    if int(v.min()) == mx:
+        return bytes([0]) + mx.to_bytes(8, "big")
+    width = max(1, mx.bit_length())
+    # bit matrix (n, width), MSB first, then packbits
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    return bytes([width]) + np.packbits(bits.reshape(-1)).tobytes()
+
+
+def _unpack(buf: bytes, n: int) -> np.ndarray:
+    """Inverse of _pack; returns int64 array of length n."""
+    width = buf[0]
+    if width == 0:
+        val = int.from_bytes(buf[1:9], "big")
+        return np.full(n, val, dtype=np.int64)
+    raw = np.frombuffer(buf, dtype=np.uint8, offset=1)
+    bits = np.unpackbits(raw)[: n * width].reshape(n, width)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    return (bits.astype(np.uint64) << shifts[None, :]).sum(axis=1).astype(np.int64)
+
+
+def encode_block(docids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """Encode one block (docids strictly ascending). Returns (docids_enc, tfs_enc)."""
+    docids = np.asarray(docids, dtype=np.int64)
+    deltas = np.diff(docids)
+    return _pack(deltas), _pack(np.asarray(tfs, dtype=np.int64))
+
+
+def decode_block(
+    docids_enc: bytes, tfs_enc: bytes, first_docid: int, count: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one block -> (docids ascending int64, tfs int64)."""
+    if count == 1:
+        deltas = np.empty(0, dtype=np.int64)
+    else:
+        deltas = _unpack(docids_enc, count - 1)
+    docids = np.empty(count, dtype=np.int64)
+    docids[0] = first_docid
+    if count > 1:
+        np.cumsum(deltas, out=docids[1:])
+        docids[1:] += first_docid
+    tfs = _unpack(tfs_enc, count)
+    return docids, tfs
+
+
+def block_max_bound(
+    tfs: np.ndarray, norm_bytes: np.ndarray, cache: np.ndarray
+) -> float:
+    """max over block of tf/(tf + cache[norm_byte]) — the term-independent part
+    of the BM25 upper bound (weight multiplies in at query time).
+
+    This is the block-max metadata the north rule requires (absent in Lucene
+    4.8's skip entries — SURVEY.md §4.1); pruning with it is rank-safe.
+    """
+    tf = np.asarray(tfs, dtype=np.float32)
+    norm = cache[np.asarray(norm_bytes, dtype=np.uint8)]
+    return float(np.max(tf / (tf + norm)))
+
+
+def encode_posting_list(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    cache: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> list[dict]:
+    """Split one term's (sorted) postings into encoded block rows.
+
+    Returns list of dicts matching the postings table schema (minus
+    field/term/salt, which the caller adds).
+    """
+    n = len(docids)
+    out = []
+    for b0 in range(0, n, block_size):
+        b1 = min(b0 + block_size, n)
+        d, t, nb = docids[b0:b1], tfs[b0:b1], norm_bytes[b0:b1]
+        de, te = encode_block(d, t)
+        out.append(
+            {
+                "block_no": b0 // block_size,
+                "first_docid": int(d[0]),
+                "last_docid": int(d[-1]),
+                "count": int(b1 - b0),
+                "max_score_bound": block_max_bound(t, nb, cache),
+                "docids_enc": de,
+                "tfs_enc": te,
+                "norms_enc": np.asarray(nb, dtype=np.uint8).tobytes(),
+            }
+        )
+    return out

@@ -1,0 +1,544 @@
+"""Query execution: BM25 top-k over the block-encoded index, Spark-first.
+
+Lifecycle mirrors IndexSearcher.Search (SURVEY.md §3.1):
+ 1. rewrite()  — MultiTermQuery expansion against the terms dict
+                 (MultiTermQuery.cs:65-118; fixpoint IndexSearcher.cs:753-760)
+ 2. weights    — global stats (field_stats/term_stats, counting all docs like
+                 Lucene counts deleted-until-merged) -> frozen float32
+                 weightValue = idf * boost * (k1+1) per clause
+ 3. scoring    — bucket- and term-pruned scan of posting blocks; numpy decode
+                 + vectorized float32 BM25 inside mapInPandas (Arrow batches);
+                 boolean algebra relationally: MUST = match-count filter,
+                 SHOULD = sum, MUST_NOT = left_anti join, minShouldMatch =
+                 count filter (BooleanScorer's bucket table == Catalyst hash
+                 aggregate, BooleanScorer.cs:28-55)
+ 4. collect    — orderBy(score desc, docid asc).limit(k): Spark's
+                 TakeOrderedAndProject is per-partition heaps + driver merge,
+                 exactly TopScoreDocCollector + TopDocs.Merge semantics
+                 (HitQueue.cs:88-100, TopDocs.cs:157-191)
+
+Block-max pruning (north rule; absent in Lucene 4.8 — SURVEY.md §4.1):
+two-phase WAND-style. Phase 1 decodes only the top ceil(k/128) blocks per
+term by stored max_score_bound and computes a lower bound θ on the k-th
+score from partial sums. Phase 2 keeps block b of term t only if
+w_t*bound_b + Σ_{t'≠t} w_t'*maxbound_t' >= θ (ties kept, so rank-identity is
+preserved — asserted in tests). Both phases are plain DataFrame filters on
+block *metadata* columns, so pruned blocks are never even read past the
+parquet row-group footer.
+
+Float32 parity: clause scores are summed in clause order with float32
+accumulation (a sorted-fold in a pandas UDF), matching Lucene's scorer-order
+summation; see oracle.py for the cited arithmetic.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import FloatType
+
+from ..functions.smallfloat import NORM_TABLE
+from ..oracle import idf as idf_f32
+from ..oracle import norm_cache
+from ..plans.query import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    DisMaxQuery,
+    FuzzyQuery,
+    MatchAllQuery,
+    MAX_CLAUSE_COUNT,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+from .codec import BLOCK_SIZE
+from .index_build import load_manifest, term_bucket
+
+SCORE_ROWS_SCHEMA = "docid long, clause int, score float"
+
+
+@dataclass
+class Clause:
+    clause_id: int
+    term: str
+    weight: np.float32  # idf * boost * (k1+1), float32
+
+
+class IndexSearcher:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.manifest = load_manifest(index_dir)
+        self.k1 = float(self.manifest["k1"])
+        self.b = float(self.manifest["b"])
+        self.max_doc = int(self.manifest["max_doc"])
+        self.avgdl = np.float32(self.manifest["avgdl"])
+        self.n_buckets = int(self.manifest["n_buckets"])
+        self._cache256 = norm_cache(self.k1, self.b, self.avgdl)
+        self._df_cache: dict[str, int] = {}
+
+    # -- table accessors -------------------------------------------------------
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(self.manifest["tables"]["postings"])
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.manifest["tables"]["docs"])
+
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(self.manifest["tables"]["term_stats"])
+
+    # -- stats -------------------------------------------------------------------
+    def doc_freqs(self, terms: list[str]) -> dict[str, int]:
+        """df per term (one tiny pruned scan; cached). TermContext.cs:90-145."""
+        missing = [t for t in set(terms) if t not in self._df_cache]
+        if missing:
+            rows = (
+                self.term_stats()
+                .filter(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in set(terms)}
+
+    def weight(self, term: str, boost: float = 1.0) -> np.float32:
+        df = self.doc_freqs([term])[term]
+        if df == 0:
+            return np.float32(0.0)
+        w = np.float32(idf_f32(df, self.max_doc) * np.float32(boost))
+        return np.float32(w * np.float32(np.float32(self.k1) + np.float32(1.0)))
+
+    # -- block scan --------------------------------------------------------------
+    def _blocks_for(self, terms: list[str]) -> DataFrame:
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        return (
+            self.postings()
+            .filter(F.col("bucket").isin(buckets))  # directory partition pruning
+            .filter(F.col("term").isin(list(set(terms))))  # row-group stats pruning
+        )
+
+    def _score_blocks(self, blocks: DataFrame, clauses: list[Clause]) -> DataFrame:
+        """Decode + score blocks -> rows (docid, clause, score:float32)."""
+        by_term: dict[str, list[tuple[int, float]]] = {}
+        for c in clauses:
+            by_term.setdefault(c.term, []).append((c.clause_id, float(c.weight)))
+        cache = self._cache256
+
+        def score_batches(it):
+            from .codec import decode_block  # executor-side import
+
+            for pdf in it:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    docids, tfs = decode_block(
+                        r.docids_enc, r.tfs_enc, r.first_docid, r.count
+                    )
+                    nbytes = np.frombuffer(r.norms_enc, dtype=np.uint8)
+                    freq = tfs.astype(np.float32)
+                    denom = freq + cache[nbytes]  # float32, vectorized
+                    for clause_id, w in by_term[r.term]:
+                        # (weight * freq) / (freq + norm), left-to-right in
+                        # float32 exactly like BM25Similarity.cs:263
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "docid": docids,
+                                    "clause": clause_id,
+                                    "score": (np.float32(w) * freq) / denom,
+                                }
+                            )
+                        )
+                yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                    {"docid": pd.Series(dtype="int64"), "clause": pd.Series(dtype="int32"), "score": pd.Series(dtype="float32")}
+                )
+
+        cols = ["term", "first_docid", "count", "docids_enc", "tfs_enc", "norms_enc"]
+        return blocks.select(cols).mapInPandas(score_batches, SCORE_ROWS_SCHEMA)
+
+    def _docids_of_terms(self, terms: list[str]) -> DataFrame:
+        """Matching docids only (for MUST_NOT / constant score) — no scoring."""
+        if not terms:
+            return self.spark.range(0).select(F.col("id").alias("docid"))
+        return self._decode_docids(self._blocks_for(terms))
+
+    def _decode_docids(self, blocks: DataFrame) -> DataFrame:
+        """Decode docids (only) from block rows -> distinct docid DF."""
+
+        def decode_batches(it):
+            from .codec import decode_block
+
+            for pdf in it:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    docids, _ = decode_block(r.docids_enc, r.tfs_enc, r.first_docid, r.count)
+                    outs.append(pd.DataFrame({"docid": docids}))
+                yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                    {"docid": pd.Series(dtype="int64")}
+                )
+
+        cols = blocks.select("first_docid", "count", "docids_enc", "tfs_enc")
+        return cols.mapInPandas(decode_batches, "docid long").distinct()
+
+    # -- float32 ordered fold ------------------------------------------------------
+    @staticmethod
+    def _fold_scores_udf():
+        """Sum float32 clause scores in clause order (Lucene scorer-order sum)."""
+
+        def fold(arrs: pd.Series) -> pd.Series:
+            out = np.empty(len(arrs), dtype=np.float32)
+            for i, pairs in enumerate(arrs):
+                s = np.float32(0.0)
+                for p in sorted(pairs, key=lambda x: x["clause"]):
+                    s = np.float32(s + np.float32(p["score"]))
+                out[i] = s
+            return pd.Series(out)
+
+        return F.pandas_udf(fold, FloatType())
+
+    # -- rewrite -------------------------------------------------------------------
+    def _multiterm_cond(self, q: Query):
+        """Terms-dict predicate for a MultiTermQuery node, or None."""
+        if isinstance(q, PrefixQuery):
+            return F.col("term").startswith(q.prefix)
+        if isinstance(q, WildcardQuery):
+            rx = "^" + "".join(
+                ".*" if ch == "*" else "." if ch == "?" else "\\" + ch if ch in ".^$+{}[]()|\\" else ch
+                for ch in q.pattern
+            ) + "$"
+            return F.col("term").rlike(rx)
+        if isinstance(q, RegexpQuery):
+            return F.col("term").rlike("^(?:" + q.pattern + ")$")
+        if isinstance(q, TermRangeQuery):
+            cond = F.lit(True)
+            if q.lower is not None:
+                cond = cond & (F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower)
+            if q.upper is not None:
+                cond = cond & (F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper)
+            return cond
+        return None
+
+    def rewrite(self, q: Query) -> Query:
+        """Rewrite fixpoint (IndexSearcher.cs:753-760).
+
+        FuzzyQuery expands to its 50 best terms (boolean constant-score);
+        the other MultiTermQuery kinds stay as-is and are evaluated as a
+        distributed semi-join against the terms dict in scores() — the
+        scale-safe equivalent of Lucene's CONSTANT_SCORE filter rewrite
+        (MultiTermQuery.cs:95): no term list ever hits the driver."""
+        ts = self.term_stats()
+        if isinstance(q, FuzzyQuery):
+            # Lucene uses Damerau-Levenshtein automata; Spark's built-in
+            # levenshtein lacks transpositions — documented divergence.
+            cand = (
+                ts.filter(F.length("term").between(len(q.term) - q.max_edits, len(q.term) + q.max_edits))
+                .withColumn("edits", F.levenshtein(F.col("term"), F.lit(q.term)))
+                .filter(F.col("edits") <= q.max_edits)
+                .orderBy("edits", "term")
+                .limit(50)  # FuzzyQuery maxExpansions default
+            )
+            terms = [r["term"] for r in cand.select("term").collect()]
+            return ConstantScoreQuery(
+                boost=q.boost, query=BooleanQuery(should=tuple(TermQuery(term=t) for t in terms))
+            )
+        elif isinstance(q, BooleanQuery):
+            return BooleanQuery(
+                boost=q.boost,
+                must=tuple(self.rewrite(c) for c in q.must),
+                should=tuple(self.rewrite(c) for c in q.should),
+                must_not=tuple(self.rewrite(c) for c in q.must_not),
+                min_should_match=q.min_should_match,
+            )
+        elif isinstance(q, DisMaxQuery):
+            return DisMaxQuery(
+                boost=q.boost, tie_breaker=q.tie_breaker,
+                queries=tuple(self.rewrite(c) for c in q.queries),
+            )
+        else:
+            return q
+
+    # -- scoring (returns docid/score DF, unordered) --------------------------------
+    def scores(self, q: Query, prune_k: int | None = None) -> DataFrame:
+        """Evaluate a query -> DataFrame(docid long, score float). Unordered.
+
+        prune_k: if set and the query shape allows (pure disjunction / term),
+        applies block-max pruning safe for top-prune_k retrieval.
+        """
+        q = self.rewrite(q)
+        if isinstance(q, MatchAllQuery):
+            return self.docs().select("docid", F.lit(float(np.float32(q.boost))).cast("float").alias("score"))
+        cond = self._multiterm_cond(q)
+        if cond is not None:
+            # CONSTANT_SCORE filter rewrite, distributed: semi-join posting
+            # blocks against the matching slice of the terms dict. Prefix and
+            # range predicates additionally push down to parquet row-group
+            # term min/max stats on the (term-sorted) postings files.
+            matching = F.broadcast(self.term_stats().filter(cond).select("term"))
+            blocks = self.postings().join(matching, "term", "left_semi")
+            if isinstance(q, PrefixQuery):
+                blocks = blocks.filter(
+                    (F.col("term") >= q.prefix) & (F.col("term") < q.prefix + "￿")
+                )
+            docids = self._decode_docids(blocks)
+            return docids.select(
+                "docid", F.lit(float(np.float32(q.boost))).cast("float").alias("score")
+            )
+        if isinstance(q, ConstantScoreQuery):
+            inner = q.query
+            terms = _collect_terms(inner)
+            docids = self._docids_of_terms(terms)
+            return docids.select("docid", F.lit(float(np.float32(q.boost))).cast("float").alias("score"))
+        if isinstance(q, TermQuery):
+            q = BooleanQuery(should=(q,))
+        if isinstance(q, DisMaxQuery):
+            return self._dismax_scores(q)
+        if isinstance(q, BooleanQuery):
+            return self._boolean_scores(q, prune_k)
+        raise TypeError(f"unsupported query node {type(q).__name__}")
+
+    def _term_clauses(self, qs: tuple[Query, ...], start_id: int) -> list[Clause]:
+        out = []
+        for i, sub in enumerate(qs):
+            if not isinstance(sub, TermQuery):
+                raise TypeError("v1 scores nested non-term clauses via scores() recursion")
+            out.append(Clause(start_id + i, sub.term, self.weight(sub.term, sub.boost)))
+        return out
+
+    def _boolean_scores(self, q: BooleanQuery, prune_k: int | None) -> DataFrame:
+        n_must = len(q.must)
+        simple = all(isinstance(c, TermQuery) for c in q.must + q.should)
+        if not simple:
+            return self._boolean_scores_nested(q)
+        must_c = self._term_clauses(q.must, 0)
+        should_c = self._term_clauses(q.should, n_must)
+        clauses = must_c + should_c
+        live = [c for c in clauses if float(c.weight) > 0.0 or c.clause_id < n_must]
+        # a MUST term with df=0 means zero hits
+        if any(float(c.weight) == 0.0 and self.doc_freqs([c.term])[c.term] == 0 for c in must_c):
+            return self.spark.range(0).select(
+                F.col("id").alias("docid"), F.lit(0.0).cast("float").alias("score")
+            )
+        not_terms = []
+        for c in q.must_not:
+            if isinstance(c, TermQuery):
+                not_terms.append(c.term)
+            else:
+                raise TypeError("v1 supports term clauses under MUST_NOT")
+
+        blocks = self._blocks_for([c.term for c in live])
+        pruned = None
+        can_prune = (
+            prune_k is not None
+            and n_must == 0
+            and not not_terms
+            and q.min_should_match <= 1
+            and len(live) > 0
+        )
+        if can_prune:
+            blocks, pruned = self._prune_blocks(blocks, live, prune_k)
+
+        rows = self._score_blocks(blocks, live)
+        msm = q.min_should_match
+        need_should = msm if n_must else max(1, msm) if q.should else 0
+        must_ids = {c.clause_id for c in must_c}
+
+        agg = rows.groupBy("docid").agg(
+            F.sort_array(F.collect_list(F.struct("clause", "score"))).alias("cs"),
+            F.sum(F.when(F.col("clause") < n_must, 1).otherwise(0)).alias("n_must"),
+            F.sum(F.when(F.col("clause") >= n_must, 1).otherwise(0)).alias("n_should"),
+        )
+        cond = F.lit(True)
+        if n_must:
+            cond = cond & (F.col("n_must") == n_must)
+        if need_should:
+            cond = cond & (F.col("n_should") >= need_should)
+        scored = agg.filter(cond).select(
+            "docid", self._fold_scores_udf()(F.col("cs")).alias("score")
+        )
+        if not_terms:
+            scored = scored.join(
+                F.broadcast(self._docids_of_terms(not_terms)), "docid", "left_anti"
+            )
+        return scored
+
+    def _boolean_scores_nested(self, q: BooleanQuery) -> DataFrame:
+        """General path: recursively score sub-queries, combine relationally.
+
+        Mirrors BooleanScorer2's composition of req/opt/prohibited scorers
+        (Search/BooleanScorer2.cs) with joins + an ordered float32 fold."""
+        parts = []
+        for i, sub in enumerate(q.must):
+            parts.append((i, True, self.scores(sub)))
+        for j, sub in enumerate(q.should):
+            parts.append((len(q.must) + j, False, self.scores(sub)))
+        union = None
+        for cid, _req, df in parts:
+            tagged = df.select("docid", F.lit(cid).alias("clause"), "score")
+            union = tagged if union is None else union.unionByName(tagged)
+        n_must = len(q.must)
+        need_should = q.min_should_match if n_must else max(1, q.min_should_match) if q.should else 0
+        agg = union.groupBy("docid").agg(
+            F.sort_array(F.collect_list(F.struct("clause", "score"))).alias("cs"),
+            F.sum(F.when(F.col("clause") < n_must, 1).otherwise(0)).alias("n_must"),
+            F.sum(F.when(F.col("clause") >= n_must, 1).otherwise(0)).alias("n_should"),
+        )
+        cond = F.lit(True)
+        if n_must:
+            cond = cond & (F.col("n_must") == n_must)
+        if need_should:
+            cond = cond & (F.col("n_should") >= need_should)
+        scored = agg.filter(cond).select("docid", self._fold_scores_udf()(F.col("cs")).alias("score"))
+        for sub in q.must_not:
+            scored = scored.join(self.scores(sub).select("docid"), "docid", "left_anti")
+        return scored
+
+    def _dismax_scores(self, q: DisMaxQuery) -> DataFrame:
+        """max + tie*(sum-max) over clause scores (DisjunctionMaxScorer)."""
+        clauses = self._term_clauses(q.queries, 0)
+        rows = self._score_blocks(self._blocks_for([c.term for c in clauses]), clauses)
+        tie = np.float32(q.tie_breaker)
+
+        def dismax_fold(arrs: pd.Series) -> pd.Series:
+            out = np.empty(len(arrs), dtype=np.float32)
+            for i, pairs in enumerate(arrs):
+                vals = [np.float32(p["score"]) for p in sorted(pairs, key=lambda x: x["clause"])]
+                mx = np.float32(max(vals))
+                s = np.float32(0.0)
+                for v in vals:
+                    s = np.float32(s + v)
+                out[i] = np.float32(mx + tie * np.float32(s - mx))
+            return pd.Series(out)
+
+        return (
+            rows.groupBy("docid")
+            .agg(F.sort_array(F.collect_list(F.struct("clause", "score"))).alias("cs"))
+            .select("docid", F.pandas_udf(dismax_fold, FloatType())(F.col("cs")).alias("score"))
+        )
+
+    # -- block-max pruning -----------------------------------------------------------
+    def _prune_blocks(
+        self, blocks: DataFrame, clauses: list[Clause], k: int
+    ) -> tuple[DataFrame, dict]:
+        """Two-phase WAND-style pruning over block metadata. Rank-safe."""
+        w_by_term = {c.term: float(c.weight) for c in clauses}
+        w_expr = F.create_map(
+            *[x for t, w in w_by_term.items() for x in (F.lit(t), F.lit(w))]
+        )
+        meta = blocks.withColumn("ub", w_expr[F.col("term")] * F.col("max_score_bound"))
+
+        # per-term global max upper bound (metadata-only agg, no decode)
+        maxes = {r["term"]: r["mx"] for r in meta.groupBy("term").agg(F.max("ub").alias("mx")).collect()}
+        total_max = sum(maxes.values())
+
+        # phase 1: top ceil(k/BLOCK)+1 blocks per term by bound -> partial θ
+        j = max(1, math.ceil(k / BLOCK_SIZE)) + 1
+        win = Window.partitionBy("term", "salt").orderBy(F.desc("ub"), F.asc("block_no"))
+        probe = meta.withColumn("rk", F.row_number().over(win)).filter(F.col("rk") <= j).drop("rk", "ub")
+        probe_scores = (
+            self._score_blocks(probe, clauses)
+            .groupBy("docid")
+            .agg(F.sum("score").alias("partial"))
+            .orderBy(F.desc("partial"))
+            .limit(k)
+            .collect()
+        )
+        theta = float(probe_scores[-1]["partial"]) if len(probe_scores) >= k else float("-inf")
+        # guard band: partial sums are float64 while true scores fold in
+        # float32 — shave a few ulps so rounding can never prune a true hit
+        if math.isfinite(theta):
+            theta -= abs(theta) * 1e-5
+
+        # phase 2: keep blocks whose optimistic total can reach θ (ties kept)
+        def keep_threshold(term: str) -> float:
+            others = total_max - maxes.get(term, 0.0)
+            return theta - others
+
+        thr_expr = F.create_map(
+            *[x for t in w_by_term for x in (F.lit(t), F.lit(keep_threshold(t)))]
+        )
+        survivors = meta.filter(F.col("ub") >= thr_expr[F.col("term")]).drop("ub")
+        return survivors, {"theta": theta, "per_term_max": maxes}
+
+    # -- public search API --------------------------------------------------------------
+    def search(self, q: Query, k: int = 10, prune: bool = True) -> DataFrame:
+        """Top-k: (docid, score) ordered score desc, docid asc (HitQueue order)."""
+        scored = self.scores(q, prune_k=k if prune else None)
+        return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+    def search_after(self, q: Query, k: int, after_score: float, after_doc: int) -> DataFrame:
+        """Deep paging (IndexSearcher.cs:282-301): hits strictly after cursor."""
+        s = self.scores(q)
+        return (
+            s.filter(
+                (F.col("score") < float(after_score))
+                | ((F.col("score") == float(after_score)) & (F.col("docid") > int(after_doc)))
+            )
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
+
+    def count(self, q: Query) -> int:
+        """TotalHitCountCollector analogue."""
+        return self.scores(q).count()
+
+    def fetch(self, hits: DataFrame) -> DataFrame:
+        """Stored-field fetch: join top-k back to the docs table (SURVEY §1.1)."""
+        return hits.join(self.docs(), "docid", "inner")
+
+    # -- satellite collectors (Grouping / Facets / Sort — SURVEY §2.6) -------------------
+    def group_top_k(self, q: Query, group_col: str = "conv_id", k_per_group: int = 3) -> DataFrame:
+        """Top-k hits per group (Lucene.Net.Grouping two-pass collectors)."""
+        hits = self.fetch(self.scores(q))
+        win = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("docid"))
+        return hits.withColumn("rank_in_group", F.row_number().over(win)).filter(
+            F.col("rank_in_group") <= k_per_group
+        )
+
+    def facet_counts(self, q: Query, facet_col: str = "role") -> DataFrame:
+        """Counts per category over matching docs (Lucene.Net.Facet)."""
+        return self.fetch(self.scores(q)).groupBy(facet_col).agg(F.count("*").alias("count"))
+
+    def sort_by_field(self, q: Query, sort_cols: list[str], k: int = 10, ascending: bool = True) -> DataFrame:
+        """Sort matches by field values (Sort/TopFieldCollector)."""
+        hits = self.fetch(self.scores(q))
+        cols = [F.asc(c) if ascending else F.desc(c) for c in sort_cols]
+        return hits.orderBy(*cols).limit(k)
+
+    def rescore(self, q: Query, rescore_q: Query, n: int = 100, k: int = 10) -> DataFrame:
+        """QueryRescorer: re-rank top-n of q by q's score + rescore_q's score."""
+        first = self.search(q, n).select("docid", F.col("score").alias("first_score"))
+        second = self.scores(rescore_q).select("docid", F.col("score").alias("second_score"))
+        return (
+            first.join(second, "docid", "left")
+            .fillna(0.0, subset=["second_score"])
+            .select("docid", (F.col("first_score") + F.col("second_score")).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
+
+
+def _collect_terms(q: Query) -> list[str]:
+    if isinstance(q, TermQuery):
+        return [q.term]
+    if isinstance(q, BooleanQuery):
+        out = []
+        for c in q.must + q.should:
+            out.extend(_collect_terms(c))
+        return out
+    if isinstance(q, (DisMaxQuery,)):
+        out = []
+        for c in q.queries:
+            out.extend(_collect_terms(c))
+        return out
+    if isinstance(q, ConstantScoreQuery):
+        return _collect_terms(q.query)
+    return []

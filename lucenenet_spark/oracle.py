@@ -1,0 +1,206 @@
+"""Pure-Python/numpy oracle: exact Lucene 4.8 BM25 + boolean semantics.
+
+Single-node, slow, trusted. Every Spark-side result must be rank- AND
+score-identical (float32) to this module. Mirrors the reference's test
+strategy (SURVEY.md §5): the oracle plays the role Lucene's brute-force
+equivalence checks play in TestBoolean2.cs:300 etc.
+
+Semantics ported (behavior, not code):
+- idf = (float)ln(1 + (maxDoc - df + 0.5)/(df + 0.5))      BM25Similarity.cs:67-70
+- avgdl = (float)(sumTotalTermFreq / (double)maxDoc)        BM25Similarity.cs:91-102
+- norm byte = floatToByte315(1/(float)sqrt(fieldLength))    BM25Similarity.cs:110-122
+- cache[b] = k1*((1-b_param) + b_param*NORM_TABLE[b]/avgdl) BM25Similarity.cs:220-233
+- score = idf*(k1+1) * tf / (tf + cache[normByte])          BM25Similarity.cs:246-264
+- boolean score = plain sum of clause scores (coord=1, queryNorm=1 for BM25)
+  Similarity.cs:119-140; ConjunctionScorer.cs:120-126
+- top-k order: score desc, docID asc                        HitQueue.cs:88-100
+- all arithmetic float32 with double->float casts exactly as cited
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .functions.analysis import tokenize_text
+from .functions.smallfloat import NORM_TABLE, encode_norm
+
+
+@dataclass
+class OracleIndex:
+    """In-memory inverted index over a list of texts (docID = list position)."""
+
+    postings: dict[str, list[tuple[int, int]]]  # term -> [(docid, tf)] docid-asc
+    norm_bytes: np.ndarray  # uint8 per doc
+    max_doc: int
+    sum_ttf: int
+    doc_count: int  # docs with at least one token
+    field_lengths: list[int] = field(default_factory=list)
+
+    @property
+    def avgdl(self) -> np.float32:
+        # (float)(sumTotalTermFreq / (double)maxDoc); <=0 -> 1f
+        if self.sum_ttf <= 0:
+            return np.float32(1.0)
+        return np.float32(np.float64(self.sum_ttf) / np.float64(self.max_doc))
+
+
+def build_index(texts: list[str | None]) -> OracleIndex:
+    postings: dict[str, list[tuple[int, int]]] = {}
+    lengths: list[int] = []
+    for docid, text in enumerate(texts):
+        toks = tokenize_text(text)
+        lengths.append(len(toks))
+        for term, tf in sorted(Counter(toks).items()):
+            postings.setdefault(term, []).append((docid, tf))
+    norm_bytes = encode_norm(np.array(lengths, dtype=np.int64))
+    sum_ttf = int(sum(lengths))
+    return OracleIndex(
+        postings=postings,
+        norm_bytes=norm_bytes,
+        max_doc=len(texts),
+        sum_ttf=sum_ttf,
+        doc_count=sum(1 for n in lengths if n > 0),
+        field_lengths=lengths,
+    )
+
+
+def idf(df: int, max_doc: int) -> np.float32:
+    return np.float32(np.log(np.float64(1.0) + (max_doc - df + 0.5) / (df + 0.5)))
+
+
+def norm_cache(k1: float, b: float, avgdl: np.float32) -> np.ndarray:
+    """256-entry float32 cache of the freq-independent BM25 denominator part."""
+    k1f, bf = np.float32(k1), np.float32(b)
+    return (k1f * ((np.float32(1.0) - bf) + bf * NORM_TABLE / avgdl)).astype(np.float32)
+
+
+def term_scores(
+    index: OracleIndex, term: str, k1: float = 1.2, b: float = 0.75, boost: float = 1.0
+) -> dict[int, np.float32]:
+    """docid -> float32 BM25 score for one term (empty if term absent)."""
+    plist = index.postings.get(term)
+    if not plist:
+        return {}
+    t_idf = idf(len(plist), index.max_doc)
+    # weightValue = (idf*boost) * (k1+1), every step in float32
+    # (BM25Stats weight: BM25Similarity.cs:330-335; *(k1+1): :252)
+    weight = np.float32(
+        np.float32(t_idf * np.float32(boost)) * np.float32(np.float32(k1) + np.float32(1.0))
+    )
+    cache = norm_cache(k1, b, index.avgdl)
+    out: dict[int, np.float32] = {}
+    for docid, tf in plist:
+        norm = cache[index.norm_bytes[docid]]
+        freq = np.float32(tf)
+        out[docid] = np.float32(weight * freq / (freq + norm))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Boolean query evaluation (MUST / SHOULD / MUST_NOT + minNrShouldMatch)
+# ---------------------------------------------------------------------------
+
+
+def boolean_scores(
+    index: OracleIndex,
+    must: list[str] = (),
+    should: list[str] = (),
+    must_not: list[str] = (),
+    min_should_match: int = 0,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict[int, np.float32]:
+    """docid -> summed float32 score, Lucene BooleanQuery semantics.
+
+    - MUST: doc matches every clause; clause scores added.
+    - SHOULD: optional unless no MUST clauses (then >=max(1,minShouldMatch) required);
+      with MUST clauses, >= minShouldMatch of them required; matches add score.
+    - MUST_NOT: excludes, contributes no score (ReqExclScorer).
+    Scores accumulate in float32 one clause at a time, like Lucene's scorers.
+    """
+    must_maps = [term_scores(index, t, k1, b) for t in must]
+    should_maps = [term_scores(index, t, k1, b) for t in should]
+    not_docs: set[int] = set()
+    for t in must_not:
+        not_docs.update(term_scores(index, t, k1, b).keys())
+
+    if must:
+        docs = set(must_maps[0].keys())
+        for m in must_maps[1:]:
+            docs &= m.keys()
+    else:
+        need = max(1, min_should_match) if should else 0
+        cnt: Counter[int] = Counter()
+        for m in should_maps:
+            cnt.update(m.keys())
+        docs = {d for d, c in cnt.items() if c >= need}
+
+    if must and should and min_should_match > 0:
+        cnt = Counter()
+        for m in should_maps:
+            cnt.update(m.keys())
+        docs = {d for d in docs if cnt.get(d, 0) >= min_should_match}
+
+    docs -= not_docs
+
+    out: dict[int, np.float32] = {}
+    for d in sorted(docs):
+        s = np.float32(0.0)
+        for m in must_maps:
+            s = np.float32(s + m[d])
+        for m in should_maps:
+            if d in m:
+                s = np.float32(s + m[d])
+        out[d] = s
+    return out
+
+
+def dismax_scores(
+    index: OracleIndex,
+    terms: list[str],
+    tie_breaker: float = 0.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict[int, np.float32]:
+    """DisjunctionMaxQuery: max clause score + tie*(sum of the others).
+
+    Reference: DisjunctionMaxScorer (Search/DisjunctionMaxScorer.cs).
+    """
+    maps = [term_scores(index, t, k1, b) for t in terms]
+    docs: set[int] = set()
+    for m in maps:
+        docs |= m.keys()
+    tie = np.float32(tie_breaker)
+    out = {}
+    for d in docs:
+        scores = [m[d] for m in maps if d in m]
+        mx = np.float32(max(scores))
+        ssum = np.float32(0.0)
+        for s in scores:
+            ssum = np.float32(ssum + s)
+        out[d] = np.float32(mx + tie * np.float32(ssum - mx))
+    return out
+
+
+def top_k(scores: dict[int, np.float32], k: int) -> list[tuple[int, np.float32]]:
+    """(docid, score) ranked score desc then docID asc — HitQueue.cs:88-100."""
+    return sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))[:k]
+
+
+def search_after(
+    scores: dict[int, np.float32], k: int, after_score: float, after_doc: int
+) -> list[tuple[int, np.float32]]:
+    """Deep paging: hits strictly after the (score, docID) cursor.
+
+    Reference: IndexSearcher.cs:282-301 + PagingTopScoreDocCollector.
+    """
+    ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+    out = [
+        (d, s)
+        for d, s in ranked
+        if float(s) < after_score or (float(s) == after_score and d > after_doc)
+    ]
+    return out[:k]

@@ -1,0 +1,152 @@
+"""Classic query-string parser (subset of Lucene's classic syntax).
+
+Grammar supported (reference: Lucene.Net.QueryParser/Classic/QueryParser.cs):
+  term            free text token (analyzed with the index analyzer —
+                  REQUIRED for parity, Util/QueryBuilder.cs)
+  +term / -term   required / prohibited
+  AND OR NOT      boolean operators (default OR, like QueryParser)
+  ( ... )         grouping
+  term^2.5        boost
+  prefix*         PrefixQuery;   wild*card / wi?ld  WildcardQuery
+  /regex/         RegexpQuery
+  term~  term~1   FuzzyQuery (default max_edits 2)
+  [a TO b] {a TO b}  TermRangeQuery (incl/excl bounds)
+
+Phrases ("...") are not supported in v1 (positions are out of scope,
+SURVEY.md §7 non-goals) and raise ValueError.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..functions.analysis import tokenize_text
+from .query import (
+    BooleanQuery,
+    FuzzyQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    simplify,
+)
+
+_TOKEN_SPLIT = re.compile(
+    r"""\s*(\(|\)|\[|\]|\{|\}|AND\b|OR\b|NOT\b|\+|-|/[^/]*/|"[^"]*"|[^\s()\[\]{}]+)"""
+)
+
+
+def _lex(s: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_SPLIT.match(s, pos)
+        if not m:
+            break
+        out.append(m.group(1))
+        pos = m.end()
+    return out
+
+
+def _atom_query(tok: str) -> Query | None:
+    boost = 1.0
+    bm = re.search(r"\^(\d+(?:\.\d+)?)$", tok)
+    if bm:
+        boost = float(bm.group(1))
+        tok = tok[: bm.start()]
+    fuzz = re.search(r"~(\d*)$", tok)
+    if fuzz:
+        base = tok[: fuzz.start()].lower()
+        edits = int(fuzz.group(1)) if fuzz.group(1) else 2
+        return FuzzyQuery(term=base, max_edits=edits, boost=boost)
+    if tok.startswith("/") and tok.endswith("/") and len(tok) > 1:
+        return RegexpQuery(pattern=tok[1:-1], boost=boost)
+    if tok.startswith('"'):
+        raise ValueError("phrase queries need positions — out of scope in v1")
+    if "*" in tok or "?" in tok:
+        low = tok.lower()
+        if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
+            return PrefixQuery(prefix=low[:-1], boost=boost)
+        return WildcardQuery(pattern=low, boost=boost)
+    # plain term: run through the same analyzer as indexing (QueryBuilder.cs)
+    toks = tokenize_text(tok)
+    if not toks:
+        return None  # stopword/empty -> no clause, like the analyzer dropping it
+    if len(toks) == 1:
+        return TermQuery(term=toks[0], boost=boost)
+    return BooleanQuery(should=tuple(TermQuery(term=t) for t in toks), boost=boost)
+
+
+def parse(s: str, default_operator: str = "OR") -> Query:
+    """Parse a classic query string into a Query tree."""
+    toks = _lex(s)
+    pos = 0
+
+    def parse_clauses(depth: int) -> Query:
+        nonlocal pos
+        must: list[Query] = []
+        should: list[Query] = []
+        must_not: list[Query] = []
+        pending_op: str | None = None
+        pending_mod: str | None = None
+
+        def add(q: Query | None):
+            nonlocal pending_op, pending_mod
+            if q is None:
+                pending_op = pending_mod = None
+                return
+            if pending_mod == "+":
+                must.append(q)
+            elif pending_mod == "-":
+                must_not.append(q)
+            elif pending_op == "AND":
+                # classic parser: AND promotes previous+this to required
+                if should:
+                    must.append(should.pop())
+                must.append(q)
+            elif pending_op == "NOT":
+                must_not.append(q)
+            else:
+                if default_operator == "AND" and pending_op != "OR":
+                    must.append(q)
+                else:
+                    should.append(q)
+            pending_op = pending_mod = None
+
+        while pos < len(toks):
+            t = toks[pos]
+            if t == ")":
+                if depth == 0:
+                    raise ValueError("unbalanced )")
+                pos += 1
+                break
+            pos += 1
+            if t == "(":
+                add(parse_clauses(depth + 1))
+            elif t in ("AND", "OR", "NOT"):
+                pending_op = t
+            elif t in ("+", "-"):
+                pending_mod = t
+            elif t in ("[", "{"):
+                lo = toks[pos]
+                assert toks[pos + 1] == "TO", "range syntax: [a TO b]"
+                hi = toks[pos + 2]
+                closer = toks[pos + 3]
+                pos += 4
+                add(
+                    TermRangeQuery(
+                        lower=None if lo == "*" else lo.lower(),
+                        upper=None if hi == "*" else hi.lower(),
+                        include_lower=t == "[",
+                        include_upper=closer == "]",
+                    )
+                )
+            else:
+                add(_atom_query(t))
+        return simplify(
+            BooleanQuery(must=tuple(must), should=tuple(should), must_not=tuple(must_not))
+        )
+
+    q = parse_clauses(0)
+    return q

@@ -1,0 +1,97 @@
+"""Query plan dataclasses — the engine's logical query IR.
+
+Mirrors the reference Query tree (SURVEY.md §2.4) as plain data:
+TermQuery (Search/TermQuery.cs), BooleanQuery clauses MUST/SHOULD/MUST_NOT +
+minNrShouldMatch (Search/BooleanQuery.cs:169-173), DisjunctionMaxQuery,
+ConstantScore/MatchAll, and the MultiTermQuery family (Prefix/Wildcard/
+Regexp/Fuzzy/TermRange — Search/MultiTermQuery.cs:65-118) which `rewrite()`
+expands against the terms dictionary into primitive boolean queries, exactly
+Lucene's rewrite fixpoint (IndexSearcher.cs:753-760).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+MAX_CLAUSE_COUNT = 1024  # BooleanQuery.cs:70
+
+
+@dataclass(frozen=True)
+class Query:
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str = ""
+
+
+@dataclass(frozen=True)
+class MatchAllQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: Query | None = None
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    must: tuple[Query, ...] = ()
+    should: tuple[Query, ...] = ()
+    must_not: tuple[Query, ...] = ()
+    min_should_match: int = 0
+
+
+@dataclass(frozen=True)
+class DisMaxQuery(Query):
+    queries: tuple[Query, ...] = ()
+    tie_breaker: float = 0.0
+
+
+# -- MultiTermQuery family: rewritten against the terms dict -----------------
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    prefix: str = ""
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    pattern: str = ""  # * = any seq, ? = one char (Search/WildcardQuery.cs)
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    pattern: str = ""
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    term: str = ""
+    max_edits: int = 2  # FuzzyQuery.cs defaultMaxEdits
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    lower: str | None = None
+    upper: str | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+def simplify(q: Query) -> Query:
+    """1-clause BooleanQuery -> the clause (BooleanQuery.cs:537 rewrite)."""
+    if (
+        isinstance(q, BooleanQuery)
+        and len(q.must) + len(q.should) == 1
+        and not q.must_not
+        and q.min_should_match <= 1
+    ):
+        inner = (q.must + q.should)[0]
+        if q.boost != 1.0:
+            return type(inner)(**{**inner.__dict__, "boost": inner.boost * q.boost})
+        return inner
+    return q
