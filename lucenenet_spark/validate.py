@@ -1,0 +1,166 @@
+"""CheckIndex-style full-index invariant scan, as a Spark job.
+
+Re-derivation of the reference's CheckIndex validations
+(src/Lucene.Net/Index/CheckIndex.cs:827-838 terms/postings, :920 stats,
+:1626 norms, :1679 stored, :1729 docvalues) against our table layout:
+
+  1. per-term df/ttf recounted from decoded blocks == term_stats
+  2. docID strict monotonicity within each (term, salt) block chain;
+     block metadata (first/last/count) consistent with payloads
+  3. norms coverage: docs table count == max_doc; norm byte re-derivable
+     from field_length
+  4. field stats: max_doc/doc_count/sum_ttf re-derived from docs table
+  5. block-max bounds dominate every decoded score kernel (prune safety)
+
+Everything is distributed (mapInPandas over block rows + aggregations);
+only the tiny per-check verdict rows hit the driver.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .functions.smallfloat import encode_norm
+from .operators.index_build import load_manifest
+from .oracle import norm_cache
+
+
+def check_index(spark: SparkSession, index_dir: str) -> dict:
+    """Run all invariant checks; returns {check: {'ok': bool, ...detail}}."""
+    m = load_manifest(index_dir)
+    postings = spark.read.parquet(m["tables"]["postings"])
+    docs = spark.read.parquet(m["tables"]["docs"])
+    term_stats = spark.read.parquet(m["tables"]["term_stats"])
+    cache = norm_cache(m["k1"], m["b"], np.float32(m["avgdl"]))
+    out: dict[str, dict] = {}
+
+    # -- decode every block once: recount + chain + bound checks ------------
+    def scan_blocks(it):
+        from .operators.codec import decode_block
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                docids, tfs = decode_block(r.docids_enc, r.tfs_enc, r.first_docid, r.count)
+                nb = np.frombuffer(r.norms_enc, dtype=np.uint8)
+                tf32 = tfs.astype(np.float32)
+                kern = tf32 / (tf32 + cache[nb])
+                rows.append(
+                    {
+                        "term": r.term,
+                        "salt": r.salt,
+                        "block_no": r.block_no,
+                        "df": len(docids),
+                        "ttf": int(tfs.sum()),
+                        "mono_ok": bool(np.all(np.diff(docids) > 0)),
+                        "meta_ok": bool(
+                            docids[0] == r.first_docid
+                            and docids[-1] == r.last_docid
+                            and len(docids) == r.count
+                            and len(nb) == r.count
+                        ),
+                        "bound_ok": bool(np.max(kern) <= np.float32(r.max_score_bound)),
+                        "first_docid": int(docids[0]),
+                        "last_docid": int(docids[-1]),
+                        "min_tf": int(tfs.min()),
+                    }
+                )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in [
+                    ("term", "object"), ("salt", "int32"), ("block_no", "int32"),
+                    ("df", "int64"), ("ttf", "int64"), ("mono_ok", "bool"),
+                    ("meta_ok", "bool"), ("bound_ok", "bool"),
+                    ("first_docid", "int64"), ("last_docid", "int64"), ("min_tf", "int64"),
+                ]}
+            )
+
+    scanned = postings.mapInPandas(
+        scan_blocks,
+        "term string, salt int, block_no int, df long, ttf long, mono_ok boolean,"
+        " meta_ok boolean, bound_ok boolean, first_docid long, last_docid long, min_tf long",
+    ).cache()
+
+    flags = scanned.agg(
+        F.sum(F.when(~F.col("mono_ok"), 1).otherwise(0)).alias("bad_mono"),
+        F.sum(F.when(~F.col("meta_ok"), 1).otherwise(0)).alias("bad_meta"),
+        F.sum(F.when(~F.col("bound_ok"), 1).otherwise(0)).alias("bad_bound"),
+        F.sum(F.when(F.col("min_tf") < 1, 1).otherwise(0)).alias("bad_tf"),
+        F.count("*").alias("blocks"),
+    ).collect()[0]
+    out["block_payloads"] = {
+        "ok": flags["bad_mono"] == 0 and flags["bad_meta"] == 0
+        and flags["bad_bound"] == 0 and flags["bad_tf"] == 0,
+        **{k: int(flags[k]) for k in ["bad_mono", "bad_meta", "bad_bound", "bad_tf", "blocks"]},
+    }
+
+    # chain order across blocks of one (term, salt): last_docid[i] < first_docid[i+1]
+    w_chain = (
+        scanned.groupBy("term", "salt")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("block_no", "first_docid", "last_docid"))).alias("ch")
+        )
+        .select(
+            F.exists(
+                F.zip_with(
+                    F.expr("slice(ch, 1, size(ch)-1)"),
+                    F.expr("slice(ch, 2, size(ch)-1)"),
+                    lambda a, b: (a["last_docid"] >= b["first_docid"])
+                    | (a["block_no"] + 1 != b["block_no"]),
+                ),
+                lambda x: x,
+            ).alias("broken")
+        )
+        .agg(F.sum(F.when(F.col("broken"), 1).otherwise(0)).alias("bad_chains"))
+        .collect()[0]
+    )
+    out["block_chains"] = {"ok": w_chain["bad_chains"] == 0, "bad_chains": int(w_chain["bad_chains"])}
+
+    # -- df/ttf recount vs term_stats (CheckIndex.cs:827-838) ----------------
+    recount = scanned.groupBy("term").agg(F.sum("df").alias("df2"), F.sum("ttf").alias("ttf2"))
+    joined = term_stats.join(recount, "term", "full_outer")
+    bad = joined.filter(
+        F.col("df").isNull()
+        | F.col("df2").isNull()
+        | (F.col("df") != F.col("df2"))
+        | (F.col("ttf") != F.col("ttf2"))
+    ).count()
+    out["term_stats"] = {"ok": bad == 0, "mismatched_terms": int(bad)}
+
+    # -- norms + field stats (CheckIndex.cs:920,1626) ------------------------
+    def renorm(lengths: pd.Series) -> pd.Series:
+        return pd.Series(
+            encode_norm(lengths.to_numpy(dtype=np.int64)).astype(np.int16),
+            index=lengths.index,
+        )
+
+    d = docs.withColumn("norm2", F.pandas_udf(renorm, "short")(F.col("field_length")))
+    stats = d.agg(
+        F.count("*").alias("max_doc"),
+        F.sum(F.when(F.col("field_length") > 0, 1).otherwise(0)).alias("doc_count"),
+        F.sum("field_length").alias("sum_ttf"),
+        F.sum(F.when(F.col("norm_byte") != F.col("norm2"), 1).otherwise(0)).alias("bad_norms"),
+        F.countDistinct("docid").alias("distinct_docids"),
+        F.min("docid").alias("min_docid"),
+        F.max("docid").alias("max_docid"),
+    ).collect()[0]
+    out["norms"] = {"ok": stats["bad_norms"] == 0, "bad_norms": int(stats["bad_norms"])}
+    out["docids"] = {
+        # dense 0..max_doc-1 docid space (stable (conv_id, turn_idx) rank)
+        "ok": stats["distinct_docids"] == stats["max_doc"]
+        and stats["min_docid"] == 0
+        and stats["max_docid"] == stats["max_doc"] - 1,
+        "max_doc": int(stats["max_doc"]),
+    }
+    out["field_stats"] = {
+        "ok": int(stats["max_doc"]) == m["max_doc"]
+        and int(stats["doc_count"]) == m["doc_count"]
+        and int(stats["sum_ttf"]) == m["sum_ttf"],
+        "manifest": {k: m[k] for k in ["max_doc", "doc_count", "sum_ttf"]},
+        "recount": {k: int(stats[k]) for k in ["max_doc", "doc_count", "sum_ttf"]},
+    }
+
+    scanned.unpersist()
+    out["ok"] = all(v["ok"] for v in out.values() if isinstance(v, dict))
+    return out

@@ -1,0 +1,92 @@
+"""Posting-block codec round-trip — the BasePostingsFormatTestCase analogue.
+
+The reference round-trips random postings through each codec and verifies
+enumeration + stats (src/Lucene.Net.TestFramework/Index/BasePostingsFormatTestCase.cs).
+Here: property-based round-trip of the delta+bitpack block codec plus the
+block-max metadata invariants.
+"""
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucenenet_spark.functions.smallfloat import NORM_TABLE
+from lucenenet_spark.oracle import norm_cache
+from lucenenet_spark.operators.codec import (
+    BLOCK_SIZE,
+    block_max_bound,
+    decode_block,
+    encode_block,
+    encode_posting_list,
+)
+
+
+@given(
+    docids=st.lists(st.integers(0, 2**40), min_size=1, max_size=300, unique=True),
+    tf_seed=st.integers(0, 2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_block_roundtrip(docids, tf_seed):
+    docids = np.array(sorted(docids), dtype=np.int64)
+    rng = np.random.default_rng(tf_seed)
+    tfs = rng.integers(1, 1000, size=len(docids)).astype(np.int64)
+    de, te = encode_block(docids, tfs)
+    d2, t2 = decode_block(de, te, int(docids[0]), len(docids))
+    np.testing.assert_array_equal(d2, docids)
+    np.testing.assert_array_equal(t2, tfs)
+
+
+def test_all_equal_block_is_tiny():
+    # Lucene's all-equal optimization (Lucene41PostingsFormat.cs:38-40):
+    # constant deltas/tfs must collapse to the 9-byte width-0 payload
+    docids = np.arange(0, 128 * 7, 7, dtype=np.int64)
+    tfs = np.full(128, 3, dtype=np.int64)
+    de, te = encode_block(docids, tfs)
+    assert len(de) == 9 and len(te) == 9
+    d2, t2 = decode_block(de, te, 0, 128)
+    np.testing.assert_array_equal(d2, docids)
+    np.testing.assert_array_equal(t2, tfs)
+
+
+def test_singleton_block():
+    de, te = encode_block(np.array([42], dtype=np.int64), np.array([5], dtype=np.int64))
+    d2, t2 = decode_block(de, te, 42, 1)
+    assert d2.tolist() == [42] and t2.tolist() == [5]
+
+
+def test_encode_posting_list_blocks_and_bounds():
+    n = 300
+    rng = np.random.default_rng(7)
+    docids = np.cumsum(rng.integers(1, 50, size=n)).astype(np.int64)
+    tfs = rng.integers(1, 20, size=n).astype(np.int64)
+    nbytes = rng.integers(100, 130, size=n).astype(np.uint8)
+    cache = norm_cache(1.2, 0.75, np.float32(25.0))
+    rows = encode_posting_list(docids, tfs, nbytes, cache)
+    assert [r["block_no"] for r in rows] == [0, 1, 2]
+    assert [r["count"] for r in rows] == [128, 128, 44]
+    # block chain strictly monotone (CheckIndex invariant)
+    assert rows[0]["last_docid"] < rows[1]["first_docid"]
+    got_d, got_t, got_n = [], [], []
+    for r in rows:
+        d, t = decode_block(r["docids_enc"], r["tfs_enc"], r["first_docid"], r["count"])
+        got_d.append(d)
+        got_t.append(t)
+        got_n.append(np.frombuffer(r["norms_enc"], dtype=np.uint8))
+        # block-max bound really is the max of the per-doc score kernel
+        tf32 = t.astype(np.float32)
+        kern = tf32 / (tf32 + cache[np.frombuffer(r["norms_enc"], dtype=np.uint8)])
+        assert r["max_score_bound"] == float(np.max(kern))
+    np.testing.assert_array_equal(np.concatenate(got_d), docids)
+    np.testing.assert_array_equal(np.concatenate(got_t), tfs)
+    np.testing.assert_array_equal(np.concatenate(got_n), nbytes)
+
+
+def test_block_max_bound_dominates_scores():
+    # bound * weight >= every true score in the block, for any weight >= 0
+    rng = np.random.default_rng(11)
+    tfs = rng.integers(1, 100, size=128).astype(np.int64)
+    nb = rng.integers(1, 256, size=128).astype(np.uint8)
+    cache = norm_cache(1.2, 0.75, np.float32(10.0))
+    bound = block_max_bound(tfs, nb, cache)
+    w = np.float32(3.7)
+    scores = (w * tfs.astype(np.float32)) / (tfs.astype(np.float32) + cache[nb])
+    assert (scores <= np.float32(bound) * w + 1e-6).all()

@@ -1,0 +1,182 @@
+"""Spark engine vs pure-Python oracle: exact rank+float32-score parity.
+
+This is the heart of the suite — the TestBoolean2.cs:300-style equivalence
+check: every query family is run through the distributed engine and must be
+identical (docids AND float32 scores) to the single-node oracle over the
+same corpus with the same docID assignment.
+"""
+import numpy as np
+import pytest
+
+from lucenenet_spark import oracle
+from lucenenet_spark.plans.parser import parse
+from lucenenet_spark.plans.query import (
+    BooleanQuery,
+    DisMaxQuery,
+    FuzzyQuery,
+    MatchAllQuery,
+    PrefixQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+
+from .conftest import hits
+
+TERMS = ["popcorn", "word7", "word42", "rare12", "hello", "common3", "the", "absent_xyz"]
+
+
+def oracle_hits(oidx, k=10, **kw):
+    return oracle.top_k(oracle.boolean_scores(oidx, **kw), k)
+
+
+@pytest.mark.parametrize("term", TERMS)
+def test_term_query_parity(searcher, oracle_index, term):
+    got = hits(searcher.search(TermQuery(term=term), 10))
+    want = oracle.top_k(oracle.term_scores(oracle_index, term), 10)
+    assert got == want
+
+
+def test_term_query_large_k(searcher, oracle_index):
+    got = hits(searcher.search(TermQuery(term="popcorn"), 100))
+    want = oracle.top_k(oracle.term_scores(oracle_index, "popcorn"), 100)
+    assert got == want
+
+
+def test_boolean_and(searcher, oracle_index):
+    q = BooleanQuery(must=(TermQuery(term="popcorn"), TermQuery(term="common3")))
+    assert hits(searcher.search(q, 10)) == oracle_hits(
+        oracle_index, must=["popcorn", "common3"]
+    )
+
+
+def test_boolean_and3(searcher, oracle_index):
+    q = BooleanQuery(
+        must=(TermQuery(term="popcorn"), TermQuery(term="common3"), TermQuery(term="common5"))
+    )
+    assert hits(searcher.search(q, 10)) == oracle_hits(
+        oracle_index, must=["popcorn", "common3", "common5"]
+    )
+
+
+def test_boolean_and_absent_term_empty(searcher, oracle_index):
+    q = BooleanQuery(must=(TermQuery(term="absent_xyz"), TermQuery(term="popcorn")))
+    assert hits(searcher.search(q, 10)) == []
+
+
+@pytest.mark.parametrize("prune", [True, False])
+def test_boolean_or_pruned_and_unpruned(searcher, oracle_index, prune):
+    q = BooleanQuery(
+        should=(TermQuery(term="popcorn"), TermQuery(term="word7"), TermQuery(term="rare12"))
+    )
+    got = hits(searcher.search(q, 10, prune=prune))
+    assert got == oracle_hits(oracle_index, should=["popcorn", "word7", "rare12"])
+
+
+def test_boolean_or_wide(searcher, oracle_index):
+    terms = [f"word{i}" for i in range(16)]
+    q = BooleanQuery(should=tuple(TermQuery(term=t) for t in terms))
+    assert hits(searcher.search(q, 10)) == oracle_hits(oracle_index, should=terms)
+
+
+def test_boolean_mixed(searcher, oracle_index):
+    q = parse("+popcorn word7 -rare12")
+    got = hits(searcher.search(q, 10))
+    want = oracle_hits(oracle_index, must=["popcorn"], should=["word7"], must_not=["rare12"])
+    assert got == want
+
+
+@pytest.mark.parametrize("msm", [2, 3])
+def test_min_should_match(searcher, oracle_index, msm):
+    terms = ["word7", "popcorn", "rare12", "hello"]
+    q = BooleanQuery(should=tuple(TermQuery(term=t) for t in terms), min_should_match=msm)
+    got = hits(searcher.search(q, 10, prune=False))
+    assert got == oracle_hits(oracle_index, should=terms, min_should_match=msm)
+
+
+def test_dismax(searcher, oracle_index):
+    q = DisMaxQuery(queries=(TermQuery(term="word7"), TermQuery(term="popcorn")), tie_breaker=0.3)
+    got = hits(searcher.search(q, 10))
+    assert got == oracle.top_k(oracle.dismax_scores(oracle_index, ["word7", "popcorn"], 0.3), 10)
+
+
+def test_match_all(searcher, oracle_index):
+    got = searcher.search(MatchAllQuery(), oracle_index.max_doc + 10, prune=False)
+    assert got.count() == oracle_index.max_doc
+
+
+def test_count(searcher, oracle_index):
+    assert searcher.count(TermQuery(term="popcorn")) == len(
+        oracle.term_scores(oracle_index, "popcorn")
+    )
+
+
+def test_prefix(searcher, oracle_index):
+    want = {d for t, pl in oracle_index.postings.items() if t.startswith("rare1") for d, _ in pl}
+    assert searcher.count(PrefixQuery(prefix="rare1")) == len(want)
+
+
+def test_wildcard(searcher, oracle_index):
+    want = {
+        d
+        for t, pl in oracle_index.postings.items()
+        if len(t) == 6 and t.startswith("word7")
+        for d, _ in pl
+    }
+    assert searcher.count(WildcardQuery(pattern="word7?")) == len(want)
+
+
+def test_term_range(searcher, oracle_index):
+    want = {
+        d
+        for t, pl in oracle_index.postings.items()
+        if "word10" <= t <= "word20"
+        for d, _ in pl
+    }
+    q = TermRangeQuery(lower="word10", upper="word20")
+    assert searcher.count(q) == len(want)
+
+
+def test_fuzzy(searcher, oracle_index):
+    got = hits(searcher.search(FuzzyQuery(term="popcorm", max_edits=1), 5))
+    # constant-score expansion: all matched docs score 1.0f
+    assert len(got) == 5
+    assert all(s == np.float32(1.0) for _, s in got)
+
+
+def test_search_after(searcher, oracle_index):
+    scores = oracle.boolean_scores(oracle_index, should=["word7", "popcorn"])
+    p1 = oracle.top_k(scores, 5)
+    want = oracle.search_after(scores, 5, float(p1[-1][1]), p1[-1][0])
+    q = BooleanQuery(should=(TermQuery(term="word7"), TermQuery(term="popcorn")))
+    got = hits(searcher.search_after(q, 5, float(p1[-1][1]), p1[-1][0]))
+    assert got == want
+
+
+def test_stopword_query_zero_hits(searcher):
+    assert searcher.count(TermQuery(term="the")) == 0
+
+
+def test_facet_and_grouping(searcher, oracle_index, corpus_pdf):
+    n = searcher.count(TermQuery(term="popcorn"))
+    fc = {r["role"]: r["count"] for r in searcher.facet_counts(TermQuery(term="popcorn")).collect()}
+    assert sum(fc.values()) == n
+    g = searcher.group_top_k(TermQuery(term="popcorn"), "conv_id", 2)
+    pdf = g.toPandas()
+    assert (pdf.groupby("conv_id").size() <= 2).all()
+    assert pdf["rank_in_group"].max() <= 2
+
+
+def test_sort_by_field(searcher, oracle_index):
+    got = searcher.sort_by_field(TermQuery(term="popcorn"), ["ts"], k=5).toPandas()
+    assert list(got["ts"]) == sorted(got["ts"])
+
+
+def test_rescore(searcher, oracle_index):
+    got = hits(searcher.rescore(TermQuery(term="popcorn"), TermQuery(term="word7"), n=50, k=5))
+    first = oracle.term_scores(oracle_index, "popcorn")
+    second = oracle.term_scores(oracle_index, "word7")
+    top_n = oracle.top_k(first, 50)
+    re = {d: float(s) + float(second.get(d, 0.0)) for d, s in top_n}
+    want = sorted(re.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(d, pytest.approx(s, abs=1e-6)) for d, s in got] == want

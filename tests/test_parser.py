@@ -1,0 +1,82 @@
+"""Classic query-string parser unit tests (subset grammar, SURVEY.md §3.2)."""
+import pytest
+
+from lucenenet_spark.plans.parser import parse
+from lucenenet_spark.plans.query import (
+    BooleanQuery,
+    FuzzyQuery,
+    PrefixQuery,
+    RegexpQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+
+
+def test_single_term_simplifies():
+    assert parse("Hello") == TermQuery(term="hello")
+
+
+def test_default_or():
+    q = parse("hello world")
+    assert isinstance(q, BooleanQuery)
+    assert q.should == (TermQuery(term="hello"), TermQuery(term="world"))
+    assert not q.must
+
+
+def test_default_and_operator():
+    q = parse("hello world", default_operator="AND")
+    assert q.must == (TermQuery(term="hello"), TermQuery(term="world"))
+
+
+def test_plus_minus():
+    q = parse("+foo bar -baz")
+    assert q.must == (TermQuery(term="foo"),)
+    assert q.should == (TermQuery(term="bar"),)
+    assert q.must_not == (TermQuery(term="baz"),)
+
+
+def test_and_promotes_both_sides():
+    q = parse("foo AND bar")
+    assert q.must == (TermQuery(term="foo"), TermQuery(term="bar"))
+
+
+def test_not():
+    q = parse("foo NOT bar")
+    assert q.should == (TermQuery(term="foo"),)
+    assert q.must_not == (TermQuery(term="bar"),)
+
+
+def test_grouping():
+    q = parse("+foo (bar baz)")
+    assert q.must == (TermQuery(term="foo"),)
+    inner = q.should[0]
+    assert isinstance(inner, BooleanQuery)
+    assert inner.should == (TermQuery(term="bar"), TermQuery(term="baz"))
+
+
+def test_boost():
+    assert parse("foo^2.5") == TermQuery(term="foo", boost=2.5)
+
+
+def test_prefix_wildcard_regex_fuzzy_range():
+    assert parse("pre*") == PrefixQuery(prefix="pre")
+    assert parse("wi?ld") == WildcardQuery(pattern="wi?ld")
+    assert parse("/ab+c/") == RegexpQuery(pattern="ab+c")
+    assert parse("roam~1") == FuzzyQuery(term="roam", max_edits=1)
+    assert parse("roam~") == FuzzyQuery(term="roam", max_edits=2)
+    r = parse("[alpha TO beta]")
+    assert r == TermRangeQuery(lower="alpha", upper="beta", include_lower=True, include_upper=True)
+    r2 = parse("{alpha TO *}")
+    assert r2 == TermRangeQuery(lower="alpha", upper=None, include_lower=False, include_upper=False)
+
+
+def test_query_text_is_analyzed():
+    # stopwords vanish; uppercase lowered — same analyzer as indexing
+    assert parse("The FOO") == TermQuery(term="foo")
+    assert parse("the of") == BooleanQuery()
+
+
+def test_phrase_rejected():
+    with pytest.raises(ValueError):
+        parse('"exact phrase"')
