@@ -1,38 +1,216 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: build the index over sf0.001 documents (mapped to
+                 the transcript shape) and run a mixed boolean BM25 top-k.
+queries()      — one entry per implemented operator family (SURVEY.md §2).
+oracle_sql()   — float32-exact DuckDB SQL for each query (entry_support.py
+                 emits every arithmetic step with REAL casts in the scorer's
+                 operation order, so scores match bit-for-bit).
 """
-
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucenenet_spark import entry_support as es
+from lucenenet_spark.plans.parser import parse
+from lucenenet_spark.plans.query import (
+    BooleanQuery,
+    DisMaxQuery,
+    MatchAllQuery,
+    PrefixQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+
+# terms chosen from the gate corpus vocabulary (documents.text)
+HOT, MID, T3, T4, T5 = "batch", "stream", "scan", "merge", "small"
+ABSENT, STOP = "zzzqx", "the"
+
+
+def _searcher(spark: SparkSession, sf_dir: str):
+    from lucenenet_spark.operators.search import IndexSearcher
+
+    return IndexSearcher(spark, es.ensure_index(spark, sf_dir))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    s = _searcher(spark, "/root/testdata/sf0.001")
+    hits = s.search(parse(f"+{HOT} {MID} -{T5}"), 10)
+    return s.fetch(hits).select(
+        "docid", "conv_id", "turn_idx", "role", "score"
+    ).orderBy(F.desc("score"), F.asc("docid"))
+
+
+def _q(fn: Callable[..., DataFrame]):
+    return fn
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def topk(q, k=10, prune=True):
+        def run(spark, sf_dir):
+            return _searcher(spark, sf_dir).search(q, k, prune=prune)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return run
+
+    out: dict[str, Callable] = {
+        "term_hot": topk(TermQuery(term=HOT)),
+        "term_mid": topk(TermQuery(term=MID), k=25),
+        "term_absent": topk(TermQuery(term=ABSENT)),
+        "term_stopword": topk(TermQuery(term=STOP)),
+        "bool_and2": topk(BooleanQuery(must=(TermQuery(term=HOT), TermQuery(term=T3)))),
+        "bool_and3": topk(
+            BooleanQuery(must=(TermQuery(term=HOT), TermQuery(term=T3), TermQuery(term=T4))), k=20
+        ),
+        "bool_or5": topk(
+            BooleanQuery(
+                should=tuple(TermQuery(term=t) for t in [HOT, MID, T3, T4, T5])
+            ),
+            k=20,
+        ),
+        "bool_mixed": topk(parse(f"+{HOT} {MID} -{T5}")),
+        "bool_msm2": topk(
+            BooleanQuery(
+                should=tuple(TermQuery(term=t) for t in [HOT, MID, T3, T4]),
+                min_should_match=2,
+            ),
+            k=15,
+            prune=False,
+        ),
+        "dismax": topk(
+            DisMaxQuery(queries=(TermQuery(term=HOT), TermQuery(term=MID)), tie_breaker=0.3),
+            k=15,
+        ),
+        "prefix": topk(PrefixQuery(prefix="sc"), k=100000),
+        "wildcard": topk(WildcardQuery(pattern="sc?n"), k=100000),
+        "term_range": topk(TermRangeQuery(lower="m", upper="t"), k=100000),
+        "match_all": topk(MatchAllQuery(), k=1_000_000, prune=False),
+    }
+
+    def search_after(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        q = TermQuery(term=HOT)
+        p1 = s.search(q, 10).collect()
+        return s.search_after(q, 10, float(p1[-1]["score"]), int(p1[-1]["docid"]))
+
+    def count_hits(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.scores(TermQuery(term=HOT)).agg(F.count("*").alias("n_hits"))
+
+    def facet_role(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return (
+            s.facet_counts(TermQuery(term=HOT), "role")
+            .withColumnRenamed("count", "n")
+            .orderBy("role")
+        )
+
+    def group_top2(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.group_top_k(TermQuery(term=HOT), "conv_id", 2).select(
+            "conv_id", "docid", "score", F.col("rank_in_group").cast("int").alias("rank_in_group")
+        )
+
+    def sort_by_ts(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.sort_by_field(TermQuery(term=HOT), ["ts"], k=15).select(
+            "docid", F.col("ts").cast("string").alias("ts_s")
+        )
+
+    def doclen(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.docs().select(
+            "docid", F.col("field_length").cast("long").alias("len_tokens")
+        )
+
+    def term_stats_top(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return (
+            s.term_stats()
+            .select("term", "df", "ttf")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(20)
+        )
+
+    def norm_hist(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return (
+            s.docs()
+            .groupBy(F.col("norm_byte").cast("int").alias("norm_byte"))
+            .agg(F.count("*").alias("n"))
+            .orderBy("norm_byte")
+        )
+
+    out.update(
+        search_after=search_after,
+        count_hits=count_hits,
+        facet_role=facet_role,
+        group_top2=group_top2,
+        sort_by_ts=sort_by_ts,
+        doclen=doclen,
+        term_stats_top=term_stats_top,
+        norm_hist=norm_hist,
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    P = es.prelude()
+    out = {
+        "term_hot": es.term_sql(HOT),
+        "term_mid": es.term_sql(MID, k=25),
+        "term_absent": es.term_sql(ABSENT),
+        "term_stopword": es.term_sql(STOP),
+        "bool_and2": es.boolean_sql(must=[HOT, T3]),
+        "bool_and3": es.boolean_sql(must=[HOT, T3, T4], k=20),
+        "bool_or5": es.boolean_sql(should=[HOT, MID, T3, T4, T5], k=20),
+        "bool_mixed": es.boolean_sql(must=[HOT], should=[MID], must_not=[T5]),
+        "bool_msm2": es.boolean_sql(should=[HOT, MID, T3, T4], min_should_match=2, k=15),
+        "dismax": es.dismax_sql([HOT, MID], 0.3, k=15),
+        "prefix": es.constant_score_sql("term LIKE 'sc%'", 100000),
+        "wildcard": es.constant_score_sql("regexp_matches(term, '^sc.n$')", 100000),
+        "term_range": es.constant_score_sql("term >= 'm' AND term <= 't'", 100000),
+        "search_after": es.boolean_sql(should=[HOT], k=10, offset=10),
+        "match_all": f"""{P}
+SELECT docid, CAST(CAST(1.0 AS DOUBLE) AS REAL) AS score
+FROM docs ORDER BY docid LIMIT 1000000""",
+        "count_hits": f"""{P}
+SELECT count(*) AS n_hits FROM scored WHERE term = '{HOT}'""",
+        "facet_role": f"""{P}
+SELECT d.role AS role, count(*) AS n
+FROM (SELECT DISTINCT docid FROM scored WHERE term = '{HOT}') h
+JOIN docs d ON h.docid = d.docid
+GROUP BY d.role ORDER BY role""",
+        "group_top2": f"""{P},
+hits AS (
+  SELECT s.docid, s.s AS score, d.conv_id,
+         row_number() OVER (PARTITION BY d.conv_id ORDER BY s.s DESC, s.docid ASC) AS rk
+  FROM scored s JOIN docs d ON s.docid = d.docid
+  WHERE s.term = '{HOT}'
+)
+SELECT conv_id, docid, score, CAST(rk AS INT) AS rank_in_group
+FROM hits WHERE rk <= 2""",
+        "sort_by_ts": f"""{P}
+SELECT s.docid,
+       strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(d.doc_id), '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM scored s JOIN docs d ON s.docid = d.docid
+WHERE s.term = '{HOT}'
+ORDER BY d.doc_id ASC LIMIT 15""",
+        "doclen": f"""{P}
+SELECT docid, CAST(fl AS BIGINT) AS len_tokens FROM lens""",
+        "term_stats_top": f"""{P}
+SELECT term, df, ttf FROM tstats ORDER BY df DESC, term ASC LIMIT 20""",
+        "norm_hist": f"""{P}
+SELECT CAST(v.byte AS INT) AS norm_byte, count(*) AS n
+FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+GROUP BY v.byte ORDER BY norm_byte""",
+    }
+    return out

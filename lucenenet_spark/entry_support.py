@@ -1,0 +1,290 @@
+"""Driver-contract support: documents→transcripts mapping + exact-BM25 DuckDB SQL.
+
+The driver's correctness gate (CORRECTNESS_r{N}.json) runs each Spark query
+side-by-side with an ANSI-SQL oracle on DuckDB over the same parquet tables.
+This module generates SQL that reproduces the engine's scores *bit-exactly in
+float32*: DuckDB REAL arithmetic is IEEE float32 (verified empirically), so
+emitting every intermediate with explicit REAL casts in the same operation
+order as the scorer (BM25Similarity.cs:246-264 — see oracle.py) yields
+identical bits. The byte315 norm quantization (SmallFloat.cs:146-159) enters
+SQL as a ~160-row (fieldLength-run → NORM_TABLE value) lookup generated from
+the same numpy code the engine uses.
+
+Input mapping: the gate tables carry `documents(doc_id, text, ...)`; the
+engine's native input is the transcript shape (BASELINE.json input_hint), so
+both sides derive the SAME deterministic transcript view:
+  conv_id  = 'conv-%08d' % (doc_id div 4)   (4-turn conversations)
+  turn_idx = doc_id % 4
+  role     = [user, assistant, tool][doc_id % 3]
+docID = dense rank over (conv_id, turn_idx) == rank of doc_id — so the SQL
+side can use row_number() over doc_id while the engine runs its real
+two-pass docid assignment over (conv_id, turn_idx).
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.analysis import (
+    ENGLISH_STOP_WORDS,
+    MAX_TOKEN_LENGTH,
+    TOKEN_PATTERN_RE2,
+)
+from .functions.smallfloat import NORM_TABLE, norm_length_byte_boundaries
+
+K1, B = 1.2, 0.75
+
+# ---------------------------------------------------------------------------
+# Spark side: documents -> transcript view, cached index build
+# ---------------------------------------------------------------------------
+
+
+def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        F.format_string("conv-%08d", F.expr("CAST(doc_id DIV 4 AS BIGINT)")).alias("conv_id"),
+        (F.col("doc_id") % 4).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("role"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.when((F.col("doc_id") % 3) == 2, F.col("source")).alias("tool"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"
+        ).alias("ts"),
+    )
+
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, resumably) the index for a gate sf_dir; returns index dir."""
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    from .operators.index_build import IndexBuilder
+
+    # ship the package to python workers even if the driver created the
+    # session without our session.py (spark-submit --py-files equivalent)
+    _add_pyfiles(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join("/tmp/lucenenet_entry", f"idx_{tag}")
+    IndexBuilder(
+        spark, out, k1=K1, b=B, n_buckets=8, n_segments=8, salt_target=2000
+    ).build(transcripts_from_documents(spark, sf_dir), build_id=f"gate-{tag}")
+    _INDEX_CACHE[sf_dir] = out
+    return out
+
+
+def _add_pyfiles(spark: SparkSession) -> None:
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = "/tmp/lucenenet_entry/lucenenet_spark.zip"
+    os.makedirs(os.path.dirname(zpath), exist_ok=True)
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            "lucenenet_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        z.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added, or local mode where PYTHONPATH suffices
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL generation (float32-exact)
+# ---------------------------------------------------------------------------
+
+
+def _f32lit(x) -> str:
+    """A literal that is exactly the given float32 value as DuckDB REAL."""
+    return f"CAST(CAST({float(np.float32(x))!r} AS DOUBLE) AS REAL)"
+
+
+K1P1_32 = _f32lit(np.float32(K1) + np.float32(1.0))  # k1+1 in float32
+K1_32 = _f32lit(K1)
+B_32 = _f32lit(B)
+ONE_MINUS_B_32 = _f32lit(np.float32(1.0) - np.float32(B))
+
+
+def _norm_values_rows(max_len: int = 1 << 20) -> str:
+    """(lo, hi, byte, norm_table_value) rows covering fieldLength 0..max_len."""
+    rows = [f"(0, 0, 255, {_f32lit(NORM_TABLE[255])})"]
+    for byte, lo, hi in norm_length_byte_boundaries(max_len):
+        rows.append(f"({lo}, {hi}, {byte}, {_f32lit(NORM_TABLE[byte])})")
+    return ",\n    ".join(rows)
+
+
+def _tokens_expr(text_expr: str) -> str:
+    stop_list = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    return (
+        f"list_filter(list_transform(regexp_extract_all(COALESCE({text_expr}, ''), "
+        f"'{TOKEN_PATTERN_RE2}'), t -> lower(t)), "
+        f"t -> length(t) <= {MAX_TOKEN_LENGTH} AND t NOT IN ({stop_list}))"
+    )
+
+
+def prelude() -> str:
+    """Shared WITH-clause: docs/toks/lens/stats/postings/weights/ncache/scored.
+
+    Arithmetic mirrors, step for step in REAL:
+      avgdl  = (float)(sum_ttf / (double)max_doc)        BM25Similarity.cs:91-102
+      idf    = (float)ln(1 + (maxDoc - df + .5)/(df+.5)) BM25Similarity.cs:67-70
+      weight = f32(f32(idf * boost) * f32(k1+1))         BM25Similarity.cs:330-335
+      ncache = f32(k1 * f32((1-b) + f32(f32(b*NT)/avgdl))) :220-233
+      score  = f32(f32(weight * tf) / f32(tf + ncache))  :246-264
+    """
+    return f"""WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS docid,
+         doc_id,
+         'conv-' || lpad(CAST(doc_id // 4 AS VARCHAR), 8, '0') AS conv_id,
+         CAST(doc_id % 4 AS INT) AS turn_idx,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         text
+  FROM documents
+),
+toks AS (
+  SELECT docid, {_tokens_expr('text')} AS tokens FROM docs
+),
+lens AS (SELECT docid, len(tokens) AS fl FROM toks),
+fstats AS (
+  SELECT count(*) AS max_doc,
+         COALESCE(sum(fl), 0) AS sum_ttf,
+         CAST(CAST(COALESCE(sum(fl), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS REAL) AS avgdl
+  FROM lens
+),
+posting AS (
+  SELECT docid, tok AS term, count(*) AS tf
+  FROM (SELECT docid, unnest(tokens) AS tok FROM toks)
+  GROUP BY docid, tok
+),
+tstats AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM posting GROUP BY term),
+normv(lo, hi, byte, nt) AS (
+  VALUES
+    {_norm_values_rows()}
+),
+ncache AS (
+  SELECT l.docid,
+         CAST({K1_32} * CAST({ONE_MINUS_B_32} + CAST(CAST({B_32} * v.nt AS REAL) / f.avgdl AS REAL) AS REAL) AS REAL) AS nc
+  FROM lens l
+  JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+  CROSS JOIN fstats f
+),
+weights AS (
+  SELECT t.term,
+         CAST(CAST(ln(CAST(1.0 AS DOUBLE) + (CAST(f.max_doc AS DOUBLE) - CAST(t.df AS DOUBLE) + 0.5) / (CAST(t.df AS DOUBLE) + 0.5)) AS REAL) * {K1P1_32} AS REAL) AS w
+  FROM tstats t CROSS JOIN fstats f
+),
+scored AS (
+  SELECT p.docid, p.term, p.tf,
+         CAST(CAST(w.w * CAST(p.tf AS REAL) AS REAL) / CAST(CAST(p.tf AS REAL) + n.nc AS REAL) AS REAL) AS s
+  FROM posting p
+  JOIN weights w ON p.term = w.term
+  JOIN ncache n ON p.docid = n.docid
+)"""
+
+
+def _fold(cols: list[str]) -> str:
+    """Ordered float32 fold: f32(...f32(f32(c0 + c1) + c2)...) with 0f for
+    missing clauses (adding +0.0f is an exact no-op on non-negative scores)."""
+    acc = f"COALESCE({cols[0]}, CAST(0.0 AS REAL))"
+    for c in cols[1:]:
+        acc = f"CAST({acc} + COALESCE({c}, CAST(0.0 AS REAL)) AS REAL)"
+    return acc
+
+
+def _pivot(terms: list[str]) -> str:
+    """Per-doc clause pivot CTE body over `scored` for the given clause terms."""
+    cases = ",\n       ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}" for i, t in enumerate(terms)
+    )
+    in_list = ", ".join(f"'{t}'" for t in dict.fromkeys(terms))
+    return (
+        f"SELECT docid,\n       {cases}\n"
+        f"  FROM scored WHERE term IN ({in_list}) GROUP BY docid"
+    )
+
+
+def boolean_sql(
+    must: list[str] = (),
+    should: list[str] = (),
+    must_not: list[str] = (),
+    min_should_match: int = 0,
+    k: int = 10,
+    offset: int = 0,
+) -> str:
+    """Top-k BooleanQuery SQL, float32-identical to the engine's scorer."""
+    terms = list(must) + list(should)
+    n_must = len(must)
+    conds = [f"s{i} IS NOT NULL" for i in range(n_must)]
+    need = (
+        min_should_match
+        if n_must
+        else (max(1, min_should_match) if should else 0)
+    )
+    if need:
+        n_should_expr = " + ".join(
+            f"(CASE WHEN s{n_must + j} IS NOT NULL THEN 1 ELSE 0 END)"
+            for j in range(len(should))
+        )
+        conds.append(f"({n_should_expr}) >= {need}")
+    if must_not:
+        nt = ", ".join(f"'{t}'" for t in must_not)
+        conds.append(
+            f"docid NOT IN (SELECT docid FROM scored WHERE term IN ({nt}))"
+        )
+    where = " AND ".join(conds) if conds else "TRUE"
+    fold = _fold([f"s{i}" for i in range(len(terms))])
+    off = f" OFFSET {offset}" if offset else ""
+    return f"""{prelude()},
+pivoted AS (
+  {_pivot(terms)}
+)
+SELECT docid, {fold} AS score
+FROM pivoted
+WHERE {where}
+ORDER BY score DESC, docid ASC
+LIMIT {k}{off}"""
+
+
+def term_sql(term: str, k: int = 10) -> str:
+    return boolean_sql(should=[term], k=k)
+
+
+def dismax_sql(terms: list[str], tie_breaker: float, k: int = 10) -> str:
+    tie = _f32lit(tie_breaker)
+    cols = [f"s{i}" for i in range(len(terms))]
+    zero = "CAST(0.0 AS REAL)"
+    mx = f"GREATEST({', '.join(f'COALESCE({c}, {zero})' for c in cols)})"
+    ssum = _fold(cols)
+    score = f"CAST({mx} + CAST({tie} * CAST({ssum} - {mx} AS REAL) AS REAL) AS REAL)"
+    return f"""{prelude()},
+pivoted AS (
+  {_pivot(terms)}
+)
+SELECT docid, {score} AS score
+FROM pivoted
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+
+
+def constant_score_sql(term_cond: str, k: int) -> str:
+    """Docids of terms matching a terms-dict predicate, constant score 1.0f."""
+    return f"""{prelude()}
+SELECT DISTINCT docid, CAST(CAST(1.0 AS DOUBLE) AS REAL) AS score
+FROM posting
+WHERE {term_cond}
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
