@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Workload:
+ 1. gate build  — index the $SPARK_GRAFT_SF_DIR documents table (mapped to
+    the transcript shape), end to end with stats/encode/commit.
+ 2. synthetic build — index a distributed deterministic transcript corpus
+    (~BENCH_CONVS conversations, scaled by sf) and report turns/sec: the
+    BASELINE.json index-build-throughput metric.
+ 3. query latencies — BM25 top-k families over the synthetic index
+    (hot/mid/rare term, AND, OR, minShouldMatch, dismax, prefix), the
+    BASELINE.json query-latency metric.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_CONVS (override synthetic conversation count),
+     BENCH_SKIP_GATE=1 (scaling runs: synthetic workload only).
+"""
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.1
+    n_convs = int(os.environ.get("BENCH_CONVS", str(int(400_000 * sf))))
+    skip_gate = os.environ.get("BENCH_SKIP_GATE") == "1"
+
+    from lucenenet_spark.session import get_spark
+    from lucenenet_spark.datagen import transcripts_spark_dist
+    from lucenenet_spark.operators.index_build import IndexBuilder
+    from lucenenet_spark.operators.search import IndexSearcher
+    from lucenenet_spark.plans.query import (
+        BooleanQuery,
+        DisMaxQuery,
+        PrefixQuery,
+        TermQuery,
+    )
+
+    spark = get_spark("bench", cores=cpus)
+    timings: dict[str, float] = {}
+    extras: dict = {"cpus": cpus, "sf": sf}
+    t_all = time.time()
+
+    # -- 1. gate-corpus build ------------------------------------------------
+    if not skip_gate:
+        from lucenenet_spark import entry_support as es
+
+        gate_out = "/tmp/bench_idx_gate"
+        shutil.rmtree(gate_out, ignore_errors=True)
+        t0 = time.time()
+        IndexBuilder(spark, gate_out, n_buckets=8, n_segments=8, salt_target=2000).build(
+            es.transcripts_from_documents(spark, sf_dir), build_id="bench-gate"
+        )
+        timings["build_gate"] = round(time.time() - t0, 2)
+
+    # -- 2. synthetic transcript build (the throughput number) ---------------
+    synth_out = f"/tmp/bench_idx_synth_{cpus}"
+    shutil.rmtree(synth_out, ignore_errors=True)
+    corpus = transcripts_spark_dist(spark, n_convs, partitions=cpus * 2)
+    t0 = time.time()
+    builder = IndexBuilder(
+        spark, synth_out, n_buckets=cpus, n_segments=cpus * 2, salt_target=200_000
+    )
+    manifest = builder.build(corpus, build_id=f"bench-{cpus}")
+    build_s = time.time() - t0
+    timings["build_synthetic"] = round(build_s, 2)
+    extras["turns"] = manifest["max_doc"]
+    extras["sum_tokens"] = manifest["sum_ttf"]
+    extras["turns_per_sec"] = round(manifest["max_doc"] / build_s, 1)
+    extras["tokens_per_sec"] = round(manifest["sum_ttf"] / build_s, 1)
+
+    # -- 3. query latencies ---------------------------------------------------
+    s = IndexSearcher(spark, synth_out)
+    T = TermQuery
+    queries = {
+        "q_term_hot": T(term="popcorn"),
+        "q_term_mid": T(term="word7"),
+        "q_term_rare": T(term="rare123"),
+        "q_and2": BooleanQuery(must=(T(term="popcorn"), T(term="word7"))),
+        "q_or5": BooleanQuery(
+            should=tuple(T(term=t) for t in ["popcorn", "word7", "word8", "word9", "rare5"])
+        ),
+        "q_msm2": BooleanQuery(
+            should=tuple(T(term=t) for t in ["word7", "word8", "word9", "popcorn"]),
+            min_should_match=2,
+        ),
+        "q_dismax": DisMaxQuery(
+            queries=(T(term="popcorn"), T(term="word7")), tie_breaker=0.3
+        ),
+        "q_prefix": PrefixQuery(prefix="rare12"),
+    }
+    s.search(T(term="word3"), 10).collect()  # warm the scan path once
+    for name, q in queries.items():
+        t0 = time.time()
+        rows = s.search(q, 10).collect()
+        timings[name] = round(time.time() - t0, 3)
+        extras.setdefault("hits", {})[name] = len(rows)
+
+    total = round(time.time() - t_all, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build+topk_query wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

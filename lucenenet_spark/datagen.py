@@ -101,6 +101,67 @@ def generate_transcripts(n_turns: int, seed: int = 42) -> pd.DataFrame:
     )
 
 
+def transcripts_spark_dist(
+    spark, n_conversations: int, seed: int = 42, partitions: int | None = None
+):
+    """Fully distributed deterministic corpus: no driver-side materialization.
+
+    Each conversation is generated on executors from a seed derived from its
+    conversation number, so the corpus is identical regardless of partitioning
+    or cluster size — the property that makes N-vs-4N scaling runs comparable.
+    Avg ~26 post-stop tokens/turn, ~5.5 turns/conv (zipf-ish 1..40).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    partitions = partitions or spark.sparkContext.defaultParallelism * 2
+    base = spark.range(0, n_conversations, 1, partitions)
+
+    def gen(it):
+        words, probs = _vocab(np.random.default_rng(seed))
+        cum = np.cumsum(probs)
+        for pdf in it:
+            out = []
+            for conv in pdf["id"].to_numpy():
+                rng = np.random.default_rng((seed, int(conv)))
+                ln = int(min(40, max(1, rng.zipf(1.6))))
+                tlens = np.minimum(500, 1 + rng.geometric(0.04, size=ln))
+                # inverse-CDF sampling (much faster than rng.choice w/ probs)
+                toks = words[np.searchsorted(cum, rng.random(int(tlens.sum())))]
+                bounds = np.concatenate([[0], np.cumsum(tlens)])
+                texts = [
+                    " ".join(toks[bounds[i] : bounds[i + 1]]) for i in range(ln)
+                ]
+                hot = rng.random(ln) < 0.20
+                texts = [t + " popcorn" if h else t for t, h in zip(texts, hot)]
+                ts0 = np.datetime64("2026-01-01T00:00:00") + np.timedelta64(
+                    int(conv) * 3600, "s"
+                )
+                tss = ts0 + np.cumsum(rng.integers(1, 90, size=ln)).astype(
+                    "timedelta64[s]"
+                )
+                for i in range(ln):
+                    role = _ROLES[i % 3]
+                    out.append(
+                        (
+                            f"conv-{int(conv):010d}",
+                            i,
+                            role,
+                            texts[i],
+                            _TOOLS[i % len(_TOOLS)] if role == "tool" else None,
+                            tss[i],
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            )
+
+    return base.mapInPandas(
+        gen,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
 def transcripts_spark(spark, n_turns: int, seed: int = 42, partitions: int = 8):
     """Spark DataFrame of the deterministic corpus with the exact input schema."""
     from pyspark.sql.types import (

@@ -74,6 +74,15 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
     _add_pyfiles(spark)
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     out = os.path.join("/tmp/lucenenet_entry", f"idx_{tag}")
+    # stale-format guard: a cached index from an older layout must rebuild
+    mpath = os.path.join(out, "_manifest.json")
+    if os.path.exists(mpath):
+        import json
+        import shutil
+
+        with open(mpath) as f:
+            if json.load(f).get("format_version") != 2:
+                shutil.rmtree(out, ignore_errors=True)
     IndexBuilder(
         spark, out, k1=K1, b=B, n_buckets=8, n_segments=8, salt_target=2000
     ).build(transcripts_from_documents(spark, sf_dir), build_id=f"gate-{tag}")

@@ -60,7 +60,7 @@ from ..plans.query import (
     WildcardQuery,
 )
 from .codec import BLOCK_SIZE
-from .index_build import load_manifest, term_bucket
+from .index_build import docs_view, load_manifest, term_bucket
 
 SCORE_ROWS_SCHEMA = "docid long, clause int, score float"
 
@@ -73,7 +73,9 @@ class Clause:
 
 
 class IndexSearcher:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self, spark: SparkSession, index_dir: str, prune_min_postings: int = 1 << 16
+    ):
         self.spark = spark
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
@@ -83,33 +85,46 @@ class IndexSearcher:
         self.avgdl = np.float32(self.manifest["avgdl"])
         self.n_buckets = int(self.manifest["n_buckets"])
         self._cache256 = norm_cache(self.k1, self.b, self.avgdl)
-        self._df_cache: dict[str, int] = {}
+        # term -> (df, max_block_bound); one pruned term_stats scan per term
+        self._stats_cache: dict[str, tuple[int, float]] = {}
+        # below this many candidate postings, block-max pruning costs more
+        # (2 extra jobs) than the decode it saves — scan-and-score instead
+        self.prune_min_postings = prune_min_postings
 
     # -- table accessors -------------------------------------------------------
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.manifest["tables"]["postings"])
+        # block_no >= 0 excludes the per-partition checkpoint meta rows
+        return self.spark.read.parquet(self.manifest["tables"]["postings"]).filter(
+            F.col("block_no") >= 0
+        )
 
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(self.manifest["tables"]["docs"])
+        return docs_view(self.spark, self.manifest)
 
     def term_stats(self) -> DataFrame:
         return self.spark.read.parquet(self.manifest["tables"]["term_stats"])
 
     # -- stats -------------------------------------------------------------------
-    def doc_freqs(self, terms: list[str]) -> dict[str, int]:
-        """df per term (one tiny pruned scan; cached). TermContext.cs:90-145."""
-        missing = [t for t in set(terms) if t not in self._df_cache]
+    def term_meta(self, terms: list[str]) -> dict[str, tuple[int, float]]:
+        """(df, max_block_bound) per term (one tiny pruned scan; cached).
+
+        The stats role of TermContext.cs:90-145 plus the WAND per-term upper
+        bound, precomputed at build time so planning needs no metadata job."""
+        missing = [t for t in set(terms) if t not in self._stats_cache]
         if missing:
             rows = (
                 self.term_stats()
                 .filter(F.col("term").isin(missing))
-                .select("term", "df")
+                .select("term", "df", "max_bound")
                 .collect()
             )
-            found = {r["term"]: int(r["df"]) for r in rows}
+            found = {r["term"]: (int(r["df"]), float(r["max_bound"])) for r in rows}
             for t in missing:
-                self._df_cache[t] = found.get(t, 0)
-        return {t: self._df_cache[t] for t in set(terms)}
+                self._stats_cache[t] = found.get(t, (0, 0.0))
+        return {t: self._stats_cache[t] for t in set(terms)}
+
+    def doc_freqs(self, terms: list[str]) -> dict[str, int]:
+        return {t: m[0] for t, m in self.term_meta(terms).items()}
 
     def weight(self, term: str, boost: float = 1.0) -> np.float32:
         df = self.doc_freqs([term])[term]
@@ -189,21 +204,26 @@ class IndexSearcher:
         cols = blocks.select("first_docid", "count", "docids_enc", "tfs_enc")
         return cols.mapInPandas(decode_batches, "docid long").distinct()
 
-    # -- float32 ordered fold ------------------------------------------------------
+    # -- float32 ordered fold (pure Catalyst, whole-stage codegen) --------------
+    # Spark FloatType addition is IEEE float32 (verified bit-exact vs numpy),
+    # and adding +0.0f is an exact identity on the non-negative BM25 scores,
+    # so the Lucene scorer-order sum = pivot per clause + nested float adds.
     @staticmethod
-    def _fold_scores_udf():
-        """Sum float32 clause scores in clause order (Lucene scorer-order sum)."""
+    def _pivot_agg(rows: DataFrame, n_clauses: int) -> DataFrame:
+        return rows.groupBy("docid").agg(
+            *[
+                F.max(F.when(F.col("clause") == i, F.col("score"))).alias(f"s{i}")
+                for i in range(n_clauses)
+            ]
+        )
 
-        def fold(arrs: pd.Series) -> pd.Series:
-            out = np.empty(len(arrs), dtype=np.float32)
-            for i, pairs in enumerate(arrs):
-                s = np.float32(0.0)
-                for p in sorted(pairs, key=lambda x: x["clause"]):
-                    s = np.float32(s + np.float32(p["score"]))
-                out[i] = s
-            return pd.Series(out)
-
-        return F.pandas_udf(fold, FloatType())
+    @staticmethod
+    def _fold_expr(n_clauses: int):
+        zero = F.lit(0.0).cast("float")
+        acc = F.coalesce(F.col("s0"), zero)
+        for i in range(1, n_clauses):
+            acc = acc + F.coalesce(F.col(f"s{i}"), zero)  # float32 each step
+        return acc.alias("score")
 
     # -- rewrite -------------------------------------------------------------------
     def _multiterm_cond(self, q: Query):
@@ -313,7 +333,15 @@ class IndexSearcher:
             out.append(Clause(start_id + i, sub.term, self.weight(sub.term, sub.boost)))
         return out
 
+    def _empty_hits(self) -> DataFrame:
+        return self.spark.range(0).select(
+            F.col("id").alias("docid"), F.lit(0.0).cast("float").alias("score")
+        )
+
     def _boolean_scores(self, q: BooleanQuery, prune_k: int | None) -> DataFrame:
+        if not q.must and not q.should:
+            # clause-less query (e.g. all terms were stopwords) matches nothing
+            return self._empty_hits()
         n_must = len(q.must)
         simple = all(isinstance(c, TermQuery) for c in q.must + q.should)
         if not simple:
@@ -335,35 +363,42 @@ class IndexSearcher:
                 raise TypeError("v1 supports term clauses under MUST_NOT")
 
         blocks = self._blocks_for([c.term for c in live])
-        pruned = None
+        # adaptive block-max pruning: only worth its 2 extra (tiny) jobs when
+        # the candidate posting volume is large; below the threshold a single
+        # scan-and-score pass is strictly faster. Rank-safe either way.
+        total_df = sum(self.doc_freqs([c.term])[c.term] for c in live)
         can_prune = (
             prune_k is not None
             and n_must == 0
             and not not_terms
             and q.min_should_match <= 1
             and len(live) > 0
+            and total_df >= self.prune_min_postings
         )
         if can_prune:
-            blocks, pruned = self._prune_blocks(blocks, live, prune_k)
+            blocks, _ = self._prune_blocks(blocks, live, prune_k)
 
         rows = self._score_blocks(blocks, live)
         msm = q.min_should_match
         need_should = msm if n_must else max(1, msm) if q.should else 0
-        must_ids = {c.clause_id for c in must_c}
 
-        agg = rows.groupBy("docid").agg(
-            F.sort_array(F.collect_list(F.struct("clause", "score"))).alias("cs"),
-            F.sum(F.when(F.col("clause") < n_must, 1).otherwise(0)).alias("n_must"),
-            F.sum(F.when(F.col("clause") >= n_must, 1).otherwise(0)).alias("n_should"),
-        )
+        # single-clause fast path: no clause combination -> no groupBy shuffle;
+        # rows are already (docid, score). TermScorer's direct path.
+        if len(live) == 1 and n_must <= 1 and need_should <= 1 and not not_terms:
+            return rows.select("docid", "score")
+
+        n_total = len(clauses)
+        agg = self._pivot_agg(rows, n_total)
         cond = F.lit(True)
-        if n_must:
-            cond = cond & (F.col("n_must") == n_must)
+        for i in range(n_must):
+            cond = cond & F.col(f"s{i}").isNotNull()
         if need_should:
-            cond = cond & (F.col("n_should") >= need_should)
-        scored = agg.filter(cond).select(
-            "docid", self._fold_scores_udf()(F.col("cs")).alias("score")
-        )
+            matched = None
+            for j in range(n_must, n_total):
+                c = F.when(F.col(f"s{j}").isNotNull(), 1).otherwise(0)
+                matched = c if matched is None else matched + c
+            cond = cond & (matched >= need_should)
+        scored = agg.filter(cond).select("docid", self._fold_expr(n_total))
         if not_terms:
             scored = scored.join(
                 F.broadcast(self._docids_of_terms(not_terms)), "docid", "left_anti"
@@ -375,6 +410,8 @@ class IndexSearcher:
 
         Mirrors BooleanScorer2's composition of req/opt/prohibited scorers
         (Search/BooleanScorer2.cs) with joins + an ordered float32 fold."""
+        if not q.must and not q.should:
+            return self._empty_hits()
         parts = []
         for i, sub in enumerate(q.must):
             parts.append((i, True, self.scores(sub)))
@@ -385,44 +422,41 @@ class IndexSearcher:
             tagged = df.select("docid", F.lit(cid).alias("clause"), "score")
             union = tagged if union is None else union.unionByName(tagged)
         n_must = len(q.must)
+        n_total = len(parts)
         need_should = q.min_should_match if n_must else max(1, q.min_should_match) if q.should else 0
-        agg = union.groupBy("docid").agg(
-            F.sort_array(F.collect_list(F.struct("clause", "score"))).alias("cs"),
-            F.sum(F.when(F.col("clause") < n_must, 1).otherwise(0)).alias("n_must"),
-            F.sum(F.when(F.col("clause") >= n_must, 1).otherwise(0)).alias("n_should"),
-        )
+        agg = self._pivot_agg(union, n_total)
         cond = F.lit(True)
-        if n_must:
-            cond = cond & (F.col("n_must") == n_must)
+        for i in range(n_must):
+            cond = cond & F.col(f"s{i}").isNotNull()
         if need_should:
-            cond = cond & (F.col("n_should") >= need_should)
-        scored = agg.filter(cond).select("docid", self._fold_scores_udf()(F.col("cs")).alias("score"))
+            matched = None
+            for j in range(n_must, n_total):
+                c = F.when(F.col(f"s{j}").isNotNull(), 1).otherwise(0)
+                matched = c if matched is None else matched + c
+            cond = cond & (matched >= need_should)
+        scored = agg.filter(cond).select("docid", self._fold_expr(n_total))
         for sub in q.must_not:
             scored = scored.join(self.scores(sub).select("docid"), "docid", "left_anti")
         return scored
 
     def _dismax_scores(self, q: DisMaxQuery) -> DataFrame:
-        """max + tie*(sum-max) over clause scores (DisjunctionMaxScorer)."""
+        """max + tie*(sum-max) over clause scores (DisjunctionMaxScorer).
+
+        Pure-Catalyst float32: greatest() for the max, nested float adds for
+        the ordered sum, then mx + tie*(sum-mx) — each op single-precision,
+        matching the oracle's numpy float32 chain bit for bit."""
         clauses = self._term_clauses(q.queries, 0)
         rows = self._score_blocks(self._blocks_for([c.term for c in clauses]), clauses)
-        tie = np.float32(q.tie_breaker)
-
-        def dismax_fold(arrs: pd.Series) -> pd.Series:
-            out = np.empty(len(arrs), dtype=np.float32)
-            for i, pairs in enumerate(arrs):
-                vals = [np.float32(p["score"]) for p in sorted(pairs, key=lambda x: x["clause"])]
-                mx = np.float32(max(vals))
-                s = np.float32(0.0)
-                for v in vals:
-                    s = np.float32(s + v)
-                out[i] = np.float32(mx + tie * np.float32(s - mx))
-            return pd.Series(out)
-
-        return (
-            rows.groupBy("docid")
-            .agg(F.sort_array(F.collect_list(F.struct("clause", "score"))).alias("cs"))
-            .select("docid", F.pandas_udf(dismax_fold, FloatType())(F.col("cs")).alias("score"))
-        )
+        n = len(clauses)
+        agg = self._pivot_agg(rows, n)
+        zero = F.lit(0.0).cast("float")
+        cols = [F.coalesce(F.col(f"s{i}"), zero) for i in range(n)]
+        mx = cols[0] if n == 1 else F.greatest(*cols)
+        ssum = cols[0]
+        for c in cols[1:]:
+            ssum = ssum + c  # float32 each step
+        tie = F.lit(float(np.float32(q.tie_breaker))).cast("float")
+        return agg.select("docid", (mx + tie * (ssum - mx)).alias("score"))
 
     # -- block-max pruning -----------------------------------------------------------
     def _prune_blocks(
@@ -435,8 +469,10 @@ class IndexSearcher:
         )
         meta = blocks.withColumn("ub", w_expr[F.col("term")] * F.col("max_score_bound"))
 
-        # per-term global max upper bound (metadata-only agg, no decode)
-        maxes = {r["term"]: r["mx"] for r in meta.groupBy("term").agg(F.max("ub").alias("mx")).collect()}
+        # per-term global max upper bound — precomputed in term_stats at build
+        # time (no metadata job here)
+        tm = self.term_meta(list(w_by_term))
+        maxes = {t: w * tm[t][1] for t, w in w_by_term.items()}
         total_max = sum(maxes.values())
 
         # phase 1: top ceil(k/BLOCK)+1 blocks per term by bound -> partial θ

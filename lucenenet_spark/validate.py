@@ -23,15 +23,17 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .functions.smallfloat import encode_norm
-from .operators.index_build import load_manifest
+from .operators.index_build import docs_view, load_manifest
 from .oracle import norm_cache
 
 
 def check_index(spark: SparkSession, index_dir: str) -> dict:
     """Run all invariant checks; returns {check: {'ok': bool, ...detail}}."""
     m = load_manifest(index_dir)
-    postings = spark.read.parquet(m["tables"]["postings"])
-    docs = spark.read.parquet(m["tables"]["docs"])
+    postings = spark.read.parquet(m["tables"]["postings"]).filter(
+        F.col("block_no") >= 0
+    )
+    docs = docs_view(spark, m)
     term_stats = spark.read.parquet(m["tables"]["term_stats"])
     cache = norm_cache(m["k1"], m["b"], np.float32(m["avgdl"]))
     out: dict[str, dict] = {}

@@ -39,10 +39,10 @@ def test_manifests_agree(index_dir, index_dir_1seg):
         assert a[k] == b[k], k
 
 
-def test_docids_stable_order(spark, index_dir, corpus_pdf):
+def test_docids_stable_order(searcher, index_dir, corpus_pdf):
     """docid == dense rank over (conv_id, turn_idx) — the per-row invariant."""
     docs = (
-        spark.read.parquet(os.path.join(index_dir, "docs"))
+        searcher.docs()
         .select("docid", "conv_id", "turn_idx")
         .orderBy("docid")
         .toPandas()

@@ -73,6 +73,19 @@ def test_boolean_or_pruned_and_unpruned(searcher, oracle_index, prune):
     assert got == oracle_hits(oracle_index, should=["popcorn", "word7", "rare12"])
 
 
+def test_forced_block_max_prune_is_rank_safe(spark, index_dir, oracle_index):
+    """prune_min_postings=0 forces the WAND path even on tiny corpora; results
+    must stay identical to the oracle (ties kept — north-rule safety claim)."""
+    from lucenenet_spark.operators.search import IndexSearcher
+
+    s = IndexSearcher(spark, index_dir, prune_min_postings=0)
+    for terms in [["popcorn"], ["popcorn", "word7", "hello"], ["word7", "common3"]]:
+        q = BooleanQuery(should=tuple(TermQuery(term=t) for t in terms))
+        for k in [1, 3, 10]:
+            got = hits(s.search(q, k, prune=True))
+            assert got == oracle_hits(oracle_index, k=k, should=terms), (terms, k)
+
+
 def test_boolean_or_wide(searcher, oracle_index):
     terms = [f"word{i}" for i in range(16)]
     q = BooleanQuery(should=tuple(TermQuery(term=t) for t in terms))
@@ -155,6 +168,12 @@ def test_search_after(searcher, oracle_index):
 
 def test_stopword_query_zero_hits(searcher):
     assert searcher.count(TermQuery(term="the")) == 0
+
+
+def test_empty_boolean_query_zero_hits(searcher):
+    # all-stopword query text parses to a clause-less BooleanQuery
+    assert searcher.count(parse("the of and")) == 0
+    assert hits(searcher.search(BooleanQuery(), 10)) == []
 
 
 def test_facet_and_grouping(searcher, oracle_index, corpus_pdf):
