@@ -88,6 +88,116 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
+def salt_expr(hot: dict[str, int], max_doc: int):
+    """Salt column for skewed hot terms: contiguous docid ranges.
+
+    salt = docid * n_salts // max_doc for terms in `hot` (term -> n_salts),
+    0 otherwise — splits a hot posting list into docid-sorted sub-lists that
+    parallel encode tasks handle independently."""
+    hot = {t: n for t, n in hot.items() if n > 1}
+    if not hot:
+        return F.lit(0)
+    hot_items = list(hot.items())
+    terms_lit = F.array(*[F.lit(t) for t, _ in hot_items])
+    salts_lit = F.array(*[F.lit(n) for _, n in hot_items])
+    pos = F.array_position(terms_lit, F.col("term"))
+    return F.when(
+        pos > 0,
+        (
+            F.col("docid") * F.element_at(salts_lit, pos.cast("int")) / F.lit(max_doc)
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+
+
+def make_encode_partition(cache: np.ndarray, n_buckets: int, block: int, lineage: str):
+    """Partition function: (term, salt, docid, tf, norm_byte) rows -> encoded
+    posting-block rows + one checkpoint meta row. Input partitions are hash-
+    partitioned on (term, salt); a single numpy lexsort finds group boundaries
+    (no per-group pandas overhead). Shared by the initial build and the
+    segment-merge re-encode (SegmentMerger analogue)."""
+
+    def encode_partition(it):
+        bufs: list[pd.DataFrame] = []
+        for pdf in it:
+            if len(pdf):
+                bufs.append(pdf)
+        if not bufs:
+            return
+        gt0 = time.time()
+        pdf = pd.concat(bufs, ignore_index=True) if len(bufs) > 1 else bufs[0]
+        order = np.lexsort(
+            (pdf["docid"].to_numpy(), pdf["salt"].to_numpy(), pdf["term"].to_numpy())
+        )
+        terms = pdf["term"].to_numpy()[order]
+        salts = pdf["salt"].to_numpy()[order]
+        docids = pdf["docid"].to_numpy()[order]
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
+        norms = pdf["norm_byte"].to_numpy()[order].astype(np.uint8)
+        change = np.nonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1]))[0]
+        bounds = np.concatenate([[0], change + 1, [len(terms)]])
+        out_rows = []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            term = terms[b0]
+            rows = encode_posting_list(
+                docids[b0:b1], tfs[b0:b1], norms[b0:b1], cache, block
+            )
+            bucket = term_bucket(term, n_buckets)
+            for i, r in enumerate(rows):
+                r["field"] = FIELD
+                r["term"] = term
+                r["salt"] = int(salts[b0])
+                r["bucket"] = bucket
+                r["sum_tf"] = int(
+                    tfs[b0 + i * block : min(b0 + (i + 1) * block, b1)].sum()
+                )
+            out_rows.extend(rows)
+        out = pd.DataFrame(out_rows)[POSTINGS_COLS]
+        elapsed = time.time() - gt0
+        yield out
+        # per-partition checkpoint meta row (lineage + rate metrics)
+        meta = {
+            "stage": "encode",
+            "postings": int(len(pdf)),
+            "blocks": int(len(out)),
+            "elapsed_sec": round(elapsed, 3),
+            "postings_per_sec": round(len(pdf) / max(elapsed, 1e-9), 1),
+            "lineage": lineage,
+        }
+        yield pd.DataFrame(
+            [
+                {
+                    "field": "meta",
+                    "term": json.dumps(meta),
+                    "salt": -1,
+                    "block_no": -1,
+                    "first_docid": -1,
+                    "last_docid": -1,
+                    "count": 0,
+                    "sum_tf": 0,
+                    "max_score_bound": 0.0,
+                    "docids_enc": b"",
+                    "tfs_enc": b"",
+                    "norms_enc": b"",
+                    "bucket": -1,
+                }
+            ]
+        )[POSTINGS_COLS]
+
+    return encode_partition
+
+
+def write_postings(encoded: DataFrame, path: str, n_buckets: int) -> None:
+    """Read-optimized layout: bucket directories, term-sorted files, so a
+    query prunes to |buckets(query terms)| dirs then row-group min/max."""
+    (
+        encoded.repartition(n_buckets, "bucket")
+        .sortWithinPartitions("term", "salt", "block_no")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 class IndexBuilder:
     def __init__(
         self,
@@ -293,113 +403,12 @@ class IndexBuilder:
                 F.explode("term_counts").alias("term", "tf"),
             )
         )
-        if hot:
-            hot_items = list(hot.items())
-            terms_lit = F.array(*[F.lit(t) for t, _ in hot_items])
-            salts_lit = F.array(*[F.lit(n) for _, n in hot_items])
-            pos = F.array_position(terms_lit, F.col("term"))
-            flat = flat.withColumn(
-                "salt",
-                F.when(
-                    pos > 0,
-                    (
-                        F.col("docid")
-                        * F.element_at(salts_lit, pos.cast("int"))
-                        / F.lit(max_doc)
-                    ).cast("int"),
-                ).otherwise(F.lit(0)),
-            )
-        else:
-            flat = flat.withColumn("salt", F.lit(0))
-
-        def encode_partition(it):
-            lineage = json.dumps(
-                {"build_id": build_id, "stage": "encode", "max_doc": max_doc}
-            )
-            bufs: list[pd.DataFrame] = []
-            for pdf in it:
-                if len(pdf):
-                    bufs.append(pdf)
-            if not bufs:
-                return
-            gt0 = time.time()
-            pdf = pd.concat(bufs, ignore_index=True) if len(bufs) > 1 else bufs[0]
-            # group boundaries over (term, salt) after a single stable sort
-            order = np.lexsort(
-                (
-                    pdf["docid"].to_numpy(),
-                    pdf["salt"].to_numpy(),
-                    pdf["term"].to_numpy(),
-                )
-            )
-            terms = pdf["term"].to_numpy()[order]
-            salts = pdf["salt"].to_numpy()[order]
-            docids = pdf["docid"].to_numpy()[order]
-            tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
-            norms = pdf["norm_byte"].to_numpy()[order].astype(np.uint8)
-            change = np.nonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1]))[0]
-            bounds = np.concatenate([[0], change + 1, [len(terms)]])
-            out_rows = []
-            for b0, b1 in zip(bounds[:-1], bounds[1:]):
-                term = terms[b0]
-                rows = encode_posting_list(
-                    docids[b0:b1], tfs[b0:b1], norms[b0:b1], cache, block
-                )
-                bucket = term_bucket(term, n_buckets)
-                for i, r in enumerate(rows):
-                    r["field"] = FIELD
-                    r["term"] = term
-                    r["salt"] = int(salts[b0])
-                    r["bucket"] = bucket
-                    r["sum_tf"] = int(
-                        tfs[b0 + i * block : min(b0 + (i + 1) * block, b1)].sum()
-                    )
-                out_rows.extend(rows)
-            out = pd.DataFrame(out_rows)[POSTINGS_COLS]
-            elapsed = time.time() - gt0
-            yield out
-            # per-partition checkpoint meta row (lineage + rate metrics)
-            meta = {
-                "stage": "encode",
-                "postings": int(len(pdf)),
-                "blocks": int(len(out)),
-                "elapsed_sec": round(elapsed, 3),
-                "postings_per_sec": round(len(pdf) / max(elapsed, 1e-9), 1),
-                "lineage": lineage,
-            }
-            yield pd.DataFrame(
-                [
-                    {
-                        "field": "meta",
-                        "term": json.dumps(meta),
-                        "salt": -1,
-                        "block_no": -1,
-                        "first_docid": -1,
-                        "last_docid": -1,
-                        "count": 0,
-                        "sum_tf": 0,
-                        "max_score_bound": 0.0,
-                        "docids_enc": b"",
-                        "tfs_enc": b"",
-                        "norms_enc": b"",
-                        "bucket": -1,
-                    }
-                ]
-            )[POSTINGS_COLS]
-
-        encoded = (
-            flat.repartition(n_shuffle, "term", "salt")
-            .mapInPandas(encode_partition, POSTINGS_DDL)
+        flat = flat.withColumn("salt", salt_expr(hot, max_doc))
+        lineage = json.dumps({"build_id": build_id, "stage": "encode", "max_doc": max_doc})
+        encoded = flat.repartition(n_shuffle, "term", "salt").mapInPandas(
+            make_encode_partition(cache, n_buckets, block, lineage), POSTINGS_DDL
         )
-        # read-optimized layout: bucket directories, term-sorted files, so a
-        # query prunes to |buckets(query terms)| dirs then row-group min/max
-        (
-            encoded.repartition(n_buckets, "bucket")
-            .sortWithinPartitions("term", "salt", "block_no")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(self._p("postings"))
-        )
+        write_postings(encoded, self._p("postings"), n_buckets)
         return self._mark_stage(
             "postings", {"build_id": build_id, "elapsed": round(time.time() - t0, 2)}
         )
@@ -527,6 +536,13 @@ class IndexBuilder:
             "sum_ttf": stats_info["sum_ttf"],
             "avgdl": stats_info["avgdl"],
             "offsets": staging_info["offsets"],
+            "stagings": [
+                {
+                    "path": self._p("staging"),
+                    "offsets": staging_info["offsets"],
+                    "docbase": 0,
+                }
+            ],
             "hot_terms": staging_info["hot_terms"],
             "tables": {
                 "staging": self._p("staging"),
@@ -559,15 +575,26 @@ def load_manifest(index_dir: str) -> dict:
 
 
 def docs_view(spark: SparkSession, manifest: dict) -> DataFrame:
-    """The docs 'table': column-pruned staging + on-the-fly stable docid."""
-    offsets = {int(k): v for k, v in manifest["offsets"].items()}
-    pairs = [x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
-    m = F.create_map(*pairs) if pairs else F.create_map()
-    return (
-        spark.read.parquet(manifest["tables"]["staging"])
-        .filter(F.col("local_rank") >= 0)
-        .select(
-            (F.element_at(m, F.col("pid")) + F.col("local_rank")).alias("docid"),
-            *DOC_COLS,
+    """The docs 'table': column-pruned staging scan(s) + on-the-fly stable docid.
+
+    A merged index references the staging tables of its source segments (each
+    with a docbase) instead of rewriting the heavy text data — the stored-
+    fields analogue of Lucene's merge keeping doc data per segment file."""
+    stagings = manifest.get("stagings") or [
+        {"path": manifest["tables"]["staging"], "offsets": manifest["offsets"], "docbase": 0}
+    ]
+    out = None
+    for sg in stagings:
+        offsets = {int(k): v + int(sg.get("docbase", 0)) for k, v in sg["offsets"].items()}
+        pairs = [x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+        m = F.create_map(*pairs) if pairs else F.create_map()
+        df = (
+            spark.read.parquet(sg["path"])
+            .filter(F.col("local_rank") >= 0)
+            .select(
+                (F.element_at(m, F.col("pid")) + F.col("local_rank")).alias("docid"),
+                *DOC_COLS,
+            )
         )
-    )
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -73,36 +73,91 @@ class Clause:
 
 
 class IndexSearcher:
+    """Searcher over one or more index segments.
+
+    Multi-segment semantics mirror the reference exactly: per-segment docIDs
+    are shifted by a cumulative docBase (AtomicReaderContext.cs:36,44-48),
+    term/collection stats are summed ACROSS segments before weights freeze
+    (TermContext.cs:90-145, IndexSearcher.cs:1089-1115), and the global top-k
+    orderBy subsumes TopDocs.Merge (TopDocs.cs:157-191). Block-max pruning is
+    only enabled on single-segment (compacted) indexes: stored bounds were
+    computed against the segment's own avgdl, which is not a valid upper bound
+    under merged global stats — compaction re-derives them.
+    """
+
     def __init__(
-        self, spark: SparkSession, index_dir: str, prune_min_postings: int = 1 << 16
+        self,
+        spark: SparkSession,
+        index_dir: str | list[str],
+        prune_min_postings: int = 1 << 16,
     ):
         self.spark = spark
-        self.index_dir = index_dir
-        self.manifest = load_manifest(index_dir)
+        dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+        if not dirs:
+            raise ValueError("at least one index segment required")
+        self.index_dir = dirs[0]
+        self.segments = []
+        docbase = 0
+        for d in dirs:
+            m = load_manifest(d)
+            self.segments.append({"dir": d, "manifest": m, "docbase": docbase})
+            docbase += int(m["max_doc"])
+        self.manifest = self.segments[0]["manifest"]
         self.k1 = float(self.manifest["k1"])
         self.b = float(self.manifest["b"])
-        self.max_doc = int(self.manifest["max_doc"])
-        self.avgdl = np.float32(self.manifest["avgdl"])
-        self.n_buckets = int(self.manifest["n_buckets"])
+        assert all(
+            float(s["manifest"]["k1"]) == self.k1 and float(s["manifest"]["b"]) == self.b
+            for s in self.segments
+        ), "segments indexed with different BM25 parameters"
+        self.max_doc = docbase
+        sum_ttf = sum(int(s["manifest"]["sum_ttf"]) for s in self.segments)
+        self.avgdl = (
+            np.float32(np.float64(sum_ttf) / np.float64(self.max_doc))
+            if sum_ttf > 0
+            else np.float32(1.0)
+        )
         self._cache256 = norm_cache(self.k1, self.b, self.avgdl)
         # term -> (df, max_block_bound); one pruned term_stats scan per term
         self._stats_cache: dict[str, tuple[int, float]] = {}
         # below this many candidate postings, block-max pruning costs more
         # (2 extra jobs) than the decode it saves — scan-and-score instead
         self.prune_min_postings = prune_min_postings
+        self._prunable = len(self.segments) == 1
 
     # -- table accessors -------------------------------------------------------
     def postings(self) -> DataFrame:
         # block_no >= 0 excludes the per-partition checkpoint meta rows
-        return self.spark.read.parquet(self.manifest["tables"]["postings"]).filter(
-            F.col("block_no") >= 0
-        )
+        out = None
+        for s in self.segments:
+            df = (
+                self.spark.read.parquet(s["manifest"]["tables"]["postings"])
+                .filter(F.col("block_no") >= 0)
+                .withColumn("docbase", F.lit(s["docbase"]))
+            )
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def docs(self) -> DataFrame:
-        return docs_view(self.spark, self.manifest)
+        out = None
+        for s in self.segments:
+            df = docs_view(self.spark, s["manifest"])
+            if s["docbase"]:
+                df = df.withColumn("docid", F.col("docid") + F.lit(s["docbase"]))
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(self.manifest["tables"]["term_stats"])
+        out = None
+        for s in self.segments:
+            df = self.spark.read.parquet(s["manifest"]["tables"]["term_stats"])
+            out = df if out is None else out.unionByName(df)
+        if len(self.segments) > 1:
+            out = out.groupBy("field", "term").agg(
+                F.sum("df").alias("df"),
+                F.sum("ttf").alias("ttf"),
+                F.max("max_bound").alias("max_bound"),
+            )
+        return out
 
     # -- stats -------------------------------------------------------------------
     def term_meta(self, terms: list[str]) -> dict[str, tuple[int, float]]:
@@ -135,12 +190,20 @@ class IndexSearcher:
 
     # -- block scan --------------------------------------------------------------
     def _blocks_for(self, terms: list[str]) -> DataFrame:
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
-        return (
-            self.postings()
-            .filter(F.col("bucket").isin(buckets))  # directory partition pruning
-            .filter(F.col("term").isin(list(set(terms))))  # row-group stats pruning
-        )
+        tset = list(set(terms))
+        out = None
+        for s in self.segments:
+            nb = int(s["manifest"]["n_buckets"])
+            buckets = sorted({term_bucket(t, nb) for t in tset})
+            df = (
+                self.spark.read.parquet(s["manifest"]["tables"]["postings"])
+                .filter(F.col("bucket").isin(buckets))  # dir partition pruning
+                .filter(F.col("term").isin(tset))  # row-group stats pruning
+                .filter(F.col("block_no") >= 0)
+                .withColumn("docbase", F.lit(s["docbase"]))
+            )
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def _score_blocks(self, blocks: DataFrame, clauses: list[Clause]) -> DataFrame:
         """Decode + score blocks -> rows (docid, clause, score:float32)."""
@@ -158,6 +221,8 @@ class IndexSearcher:
                     docids, tfs = decode_block(
                         r.docids_enc, r.tfs_enc, r.first_docid, r.count
                     )
+                    if r.docbase:
+                        docids = docids + r.docbase  # leafDocBase shift
                     nbytes = np.frombuffer(r.norms_enc, dtype=np.uint8)
                     freq = tfs.astype(np.float32)
                     denom = freq + cache[nbytes]  # float32, vectorized
@@ -177,7 +242,7 @@ class IndexSearcher:
                     {"docid": pd.Series(dtype="int64"), "clause": pd.Series(dtype="int32"), "score": pd.Series(dtype="float32")}
                 )
 
-        cols = ["term", "first_docid", "count", "docids_enc", "tfs_enc", "norms_enc"]
+        cols = ["term", "first_docid", "count", "docids_enc", "tfs_enc", "norms_enc", "docbase"]
         return blocks.select(cols).mapInPandas(score_batches, SCORE_ROWS_SCHEMA)
 
     def _docids_of_terms(self, terms: list[str]) -> DataFrame:
@@ -196,12 +261,12 @@ class IndexSearcher:
                 outs = []
                 for r in pdf.itertuples(index=False):
                     docids, _ = decode_block(r.docids_enc, r.tfs_enc, r.first_docid, r.count)
-                    outs.append(pd.DataFrame({"docid": docids}))
+                    outs.append(pd.DataFrame({"docid": docids + r.docbase}))
                 yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
                     {"docid": pd.Series(dtype="int64")}
                 )
 
-        cols = blocks.select("first_docid", "count", "docids_enc", "tfs_enc")
+        cols = blocks.select("first_docid", "count", "docids_enc", "tfs_enc", "docbase")
         return cols.mapInPandas(decode_batches, "docid long").distinct()
 
     # -- float32 ordered fold (pure Catalyst, whole-stage codegen) --------------
@@ -369,6 +434,7 @@ class IndexSearcher:
         total_df = sum(self.doc_freqs([c.term])[c.term] for c in live)
         can_prune = (
             prune_k is not None
+            and self._prunable
             and n_must == 0
             and not not_terms
             and q.min_should_match <= 1

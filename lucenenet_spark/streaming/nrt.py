@@ -1,0 +1,142 @@
+"""Near-real-time indexing over Structured Streaming.
+
+Lucene 4.8's streaming story is NRT search (SURVEY.md §2.8): flush small
+segments often (DirectoryReader.OpenIfChanged, Index/DirectoryReader.cs:172-174;
+SearcherManager), publish atomically via segments_N generations
+(Index/SegmentInfos.cs:55-75,296-297), and let the background merge scheduler
+compact (ConcurrentMergeScheduler + TieredMergePolicy.cs:73-87).
+
+Spark mapping:
+  readStream -> foreachBatch: each micro-batch is built into an immutable
+  delta segment (a full mini-index via IndexBuilder), then registered in
+  segments.json with a monotonically increasing generation — an atomic
+  rename, exactly the segments_N contract. When the segment count exceeds
+  max_segments, the batch triggers compaction (merge_segments) and the
+  registration swaps all sources for the merged segment in ONE generation.
+
+Late/out-of-order data: a turn arriving after its conversation's earlier
+turns were indexed simply lands in a later segment with a later docid —
+the same behavior as Lucene (docids are arrival-ordered), fixed up by
+re-sorting at compaction only if the application requires it.
+
+Reopen-after-commit (OpenIfChanged) == constructing a fresh IndexSearcher
+over the current segments list; segment immutability makes this safe while
+a stream is appending.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.index_build import IndexBuilder
+from ..operators.merge import merge_segments
+from ..operators.search import IndexSearcher
+
+
+class NRTIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        max_segments: int = 8,
+        n_buckets: int = 8,
+        n_segments: int = 8,
+        salt_target: int = 1 << 20,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.max_segments = max_segments
+        self.n_buckets = n_buckets
+        self.n_segments = n_segments
+        self.salt_target = salt_target
+        self.k1, self.b = k1, b
+        os.makedirs(os.path.join(base_dir, "segments"), exist_ok=True)
+
+    # -- segments_N analogue --------------------------------------------------
+    def _gen_path(self) -> str:
+        return os.path.join(self.base_dir, "segments.json")
+
+    def read_generation(self) -> dict:
+        p = self._gen_path()
+        if not os.path.exists(p):
+            return {"generation": 0, "segments": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _publish(self, segments: list[str]) -> dict:
+        """Atomic generation bump — the segments_N two-phase commit."""
+        gen = self.read_generation()["generation"] + 1
+        state = {"generation": gen, "segments": segments, "committed_at": time.time()}
+        tmp = self._gen_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._gen_path())
+        return state
+
+    def segments(self) -> list[str]:
+        return self.read_generation()["segments"]
+
+    # -- batch processing ------------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch target: build + publish one delta segment, maybe merge.
+
+        Idempotent on streaming retries: a segment whose manifest already
+        exists is re-registered, not rebuilt (IndexBuilder stages are also
+        individually resumable below that)."""
+        seg_dir = os.path.join(self.base_dir, "segments", f"seg-{batch_id:010d}")
+        IndexBuilder(
+            self.spark,
+            seg_dir,
+            k1=self.k1,
+            b=self.b,
+            n_buckets=self.n_buckets,
+            n_segments=self.n_segments,
+            salt_target=self.salt_target,
+        ).build(batch_df, build_id=f"nrt-{batch_id}")
+        segs = self.segments()
+        if seg_dir not in segs:
+            segs = segs + [seg_dir]
+            self._publish(segs)
+        self.maybe_merge()
+
+    def maybe_merge(self) -> str | None:
+        """TieredMergePolicy (degenerate single-tier): compact when the
+        segment count exceeds max_segments; swap sources for the merged
+        segment in one atomic generation."""
+        state = self.read_generation()
+        segs = state["segments"]
+        if len(segs) <= self.max_segments:
+            return None
+        out = os.path.join(self.base_dir, "compact", f"gen-{state['generation']:010d}")
+        merge_segments(
+            self.spark,
+            segs,
+            out,
+            n_buckets=max(self.n_buckets, 8),
+            salt_target=self.salt_target,
+            build_id=f"compact-{state['generation']}",
+        )
+        self._publish([out])
+        return out
+
+    # -- public API ------------------------------------------------------------
+    def start(self, stream_df: DataFrame, checkpoint_dir: str, **trigger):
+        """Attach to a streaming DataFrame of transcript rows."""
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**trigger)
+            .start()
+        )
+
+    def searcher(self, **kw) -> IndexSearcher:
+        """Fresh reader over the current generation (OpenIfChanged analogue)."""
+        segs = self.segments()
+        if not segs:
+            raise RuntimeError("no segments committed yet")
+        return IndexSearcher(self.spark, segs, **kw)

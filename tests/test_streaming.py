@@ -1,0 +1,115 @@
+"""NRT streaming: micro-batches -> delta segments -> compaction, with exact
+search parity against the one-shot batch build over the same corpus.
+
+Chunks arrive in conv_id order (one file per micro-batch via
+maxFilesPerTrigger=1, oldest-first), so streamed docids coincide with the
+batch build's and parity is exact including tie-breaks — the NRT analogue of
+the TestTopDocsMerge oracle.
+"""
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucenenet_spark.operators.search import IndexSearcher
+from lucenenet_spark.plans.query import BooleanQuery, TermQuery
+from lucenenet_spark.streaming.nrt import NRTIndex
+from lucenenet_spark.validate import check_index
+
+from .conftest import N_DOCS, hits
+
+SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string,"
+    " ts timestamp"
+)
+
+QUERIES = [
+    TermQuery(term="popcorn"),
+    BooleanQuery(must=(TermQuery(term="popcorn"), TermQuery(term="common3"))),
+    BooleanQuery(should=(TermQuery(term="word7"), TermQuery(term="popcorn"))),
+]
+
+
+@pytest.fixture(scope="module")
+def stream_source(spark, corpus_pdf, tmp_path_factory):
+    """3 parquet files, one conv-range chunk each, mtimes strictly increasing."""
+    src = tmp_path_factory.mktemp("stream_src")
+    convs = sorted(corpus_pdf["conv_id"].unique())
+    cut1, cut2 = convs[len(convs) // 3], convs[2 * len(convs) // 3]
+    chunks = [
+        corpus_pdf[corpus_pdf["conv_id"] < cut1],
+        corpus_pdf[(corpus_pdf["conv_id"] >= cut1) & (corpus_pdf["conv_id"] < cut2)],
+        corpus_pdf[corpus_pdf["conv_id"] >= cut2],
+    ]
+    for i, ch in enumerate(chunks):
+        p = str(src / f"chunk-{i}.parquet")
+        spark.createDataFrame(ch).coalesce(1).write.parquet(p + ".dir")
+        # single data file per chunk, deterministic arrival order via mtime
+        part = next(
+            f for f in os.listdir(p + ".dir") if f.startswith("part-")
+        )
+        os.rename(os.path.join(p + ".dir", part), p)
+        t = time.time() + i * 10
+        os.utime(p, (t, t))
+    for f in os.listdir(src):
+        if f.endswith(".dir"):
+            import shutil
+
+            shutil.rmtree(os.path.join(src, f))
+    return str(src)
+
+
+@pytest.fixture(scope="module")
+def nrt(spark, stream_source, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("nrt") / "idx")
+    ckpt = str(tmp_path_factory.mktemp("nrt") / "ckpt")
+    idx = NRTIndex(
+        spark, base, max_segments=8, n_buckets=4, n_segments=4, salt_target=60
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_source)
+    )
+    q = idx.start(stream, ckpt, availableNow=True)
+    q.awaitTermination(300)
+    return idx
+
+
+def test_three_delta_segments(nrt):
+    assert len(nrt.segments()) == 3
+    assert nrt.read_generation()["generation"] == 3
+
+
+def test_streamed_equals_batch(nrt, searcher):
+    s = nrt.searcher()
+    assert s.max_doc == searcher.max_doc == N_DOCS
+    assert s.avgdl == searcher.avgdl
+    for q in QUERIES:
+        assert hits(s.search(q, 20)) == hits(searcher.search(q, 20)), q
+
+
+def test_compaction_generation_swap(nrt, searcher):
+    nrt.max_segments = 2
+    merged = nrt.maybe_merge()
+    assert merged is not None
+    assert nrt.segments() == [merged]
+    s = nrt.searcher()
+    assert s._prunable  # compaction restores block-max pruning
+    for q in QUERIES:
+        assert hits(s.search(q, 20)) == hits(searcher.search(q, 20)), q
+    report = check_index(nrt.spark, merged)
+    assert report["ok"], report
+
+
+def test_batch_idempotent_on_retry(nrt, spark):
+    """Re-running a processed batch (streaming retry) must not duplicate."""
+    seg0 = nrt.segments()[0]
+    before = nrt.read_generation()["generation"]
+    # simulate retry of an already-built segment id
+    df = spark.createDataFrame([], SCHEMA)
+    if seg0.endswith("seg-0000000000"):
+        nrt.process_batch(df, 0)  # build() resumes to no-op; no re-register
+        assert nrt.segments().count(seg0) == 1
+        assert nrt.read_generation()["generation"] == before
