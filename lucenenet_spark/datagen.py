@@ -102,7 +102,11 @@ def generate_transcripts(n_turns: int, seed: int = 42) -> pd.DataFrame:
 
 
 def transcripts_spark_dist(
-    spark, n_conversations: int, seed: int = 42, partitions: int | None = None
+    spark,
+    n_conversations: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    mean_tokens: int = 25,
 ):
     """Fully distributed deterministic corpus: no driver-side materialization.
 
@@ -125,7 +129,9 @@ def transcripts_spark_dist(
             for conv in pdf["id"].to_numpy():
                 rng = np.random.default_rng((seed, int(conv)))
                 ln = int(min(40, max(1, rng.zipf(1.6))))
-                tlens = np.minimum(500, 1 + rng.geometric(0.04, size=ln))
+                tlens = np.minimum(
+                    20 * mean_tokens, 1 + rng.geometric(1.0 / mean_tokens, size=ln)
+                )
                 # inverse-CDF sampling (much faster than rng.choice w/ probs)
                 toks = words[np.searchsorted(cum, rng.random(int(tlens.sum())))]
                 bounds = np.concatenate([[0], np.cumsum(tlens)])

@@ -6,35 +6,42 @@ Spark-first re-derivation of Lucene's ingestion lifecycle (SURVEY.md §3.3):
   -------------------------------------+------------------------------------------
   DocumentsWriterPerThread (DWPT)      | one range partition in mapInPandas
   DocInverter/TermsHash per-doc loop   | vectorized tokenize+count in the UDF
-  FreqProxTermsWriter in-RAM postings  | staging table (doc rows + term_counts map)
+  FreqProxTermsWriter in-RAM postings  | per-partition partial posting lists (binary)
   flush sort + Lucene41PostingsWriter  | repartition(term,salt)+sort+mapInPandas encode
   NormsConsumer                        | norm_byte column (byte315, numpy)
   segments_N two-phase commit          | atomic _manifest.json rename
   per-thread flush checkpointing       | per-partition checkpoint rows, lineage+rate
 
-Pass structure — the thing that matters at 100 TB (each "pass" reads the heavy
-text/term data; everything else is narrow-column or metadata-only):
+Pass structure — the thing that matters at 100 TB (ONE pass over the text,
+ONE compact shuffle, everything else metadata-only):
 
-  pass 1 (text):    range-partition by (conv_id, turn_idx), sort within
-                    partitions (Spark external sort, spill-safe), tokenize +
-                    per-doc term counts + norm bytes, write staging. Stable
-                    docIDs WITHOUT a global sort: docid = offset[pid] +
-                    local_rank, offsets from per-partition counts carried in
-                    meta rows (driver prefix-sum over <=n_segments ints).
-                    Hot-term detection rides along: each partition reports its
-                    top terms by local df in its meta row — no extra pass.
-  pass 2 (explode): staging -> (term, docid, tf, norm) rows, salted
-                    repartition by hash(term, salt), sorted, block-encoded via
-                    sliced numpy (no per-group pandas overhead), write postings.
-  metadata only:    term_stats = per-term sums over postings BLOCK METADATA
-                    (parquet prunes the binary payload columns); field_stats =
-                    narrow agg over staging; docs "table" = column-pruned VIEW
-                    of staging (no rewrite).
+  pass 1 (text):  stream each input partition through a single mapInPandas:
+                  tokenize, norm bytes, doc rows out, and the partition's
+                  ENTIRE partial inverted index (term -> docid/tf/norm arrays,
+                  the in-RAM DWPT) accumulated in unboxed buffers and flushed
+                  as binary partial rows into the same staging table. If the
+                  input is already clustered by (conv_id, turn_idx) — verified
+                  cheaply, with in-stream order checks and auto-fallback —
+                  there is NO shuffle at all; otherwise one range exchange.
+                  Stable dense docIDs need no global sort: docid = offset[pid]
+                  + local_rank with offsets from a driver prefix-sum over one
+                  count per partition. Hot-term detection rides along as
+                  per-partition top-term sketches in the checkpoint meta rows.
+  shuffle:        partial rows only (~|vocab| rows per partition, raw int32/
+                  uint8 payloads — two orders of magnitude fewer rows than
+                  exploded postings) hash-partitioned by (term, salt); the
+                  reduce concatenates partials in first_docid order (ranges
+                  are disjoint, so NO per-posting sort) and block-encodes.
+                  Per-(term,salt) stat rows (the terms dictionary) are
+                  materialized inside the same write (block_no = -2).
+  metadata only:  field_stats from ingest meta sums (no job); docs "table" is
+                  a column-pruned VIEW of staging (no rewrite); commit reads
+                  just the checkpoint meta rows.
 
-Skew: terms whose estimated df exceeds salt_target are split into contiguous
-docid ranges (salt = docid * n_salts // max_doc), so no single encode group
-exceeds ~salt_target postings regardless of term hotness; sub-lists stay
-docid-sorted and block chains simply interleave by salt at query time.
+Skew: hot terms (df above salt_target, estimated from the ingest sketches)
+are salted by source-partition range rank, so their sub-lists stay
+docid-contiguous, no single reduce group exceeds ~salt_target postings, and
+block chains simply interleave by salt at query time.
 
 Resumability: each stage is gated on its marker file (stage output is
 deterministic and idempotent); re-running a build skips completed stages.
@@ -66,11 +73,23 @@ from .codec import BLOCK_SIZE, encode_posting_list
 
 FIELD = "text"
 
+# One staging table, three row kinds discriminated by local_rank:
+#   >= 0  doc row (stored fields + norms; docid = offset[pid] + local_rank)
+#   -1    per-partition checkpoint meta row (counts, ranges, rates, sketches)
+#   -2    partial posting list row: one term's postings WITHIN this partition
+#         as raw little-endian arrays (docids = local ranks int64, tfs int32,
+#         norm bytes uint8). Written in the same single text pass — the
+#         in-RAM DWPT partial index flushed to columnar storage. Downstream
+#         encode reads ONLY these binary blobs (np.frombuffer — zero
+#         per-object Arrow conversion, which profiling showed dominates).
 STAGING_DDL = (
     "pid int, local_rank long, conv_id string, turn_idx int, role string,"
     " tool string, ts timestamp, field_length int, norm_byte short,"
-    " term_counts map<string,int>, meta string"
+    " meta string, term string, pcount int, first_local long,"
+    " docids binary, tfs binary, norms binary"
 )
+
+_STAGING_COLS = [c.strip().split()[0] for c in STAGING_DDL.split(",")]
 
 POSTINGS_DDL = (
     "field string, term string, salt int, block_no int, first_docid long,"
@@ -88,35 +107,61 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
-def salt_expr(hot: dict[str, int], max_doc: int):
-    """Salt column for skewed hot terms: contiguous docid ranges.
-
-    salt = docid * n_salts // max_doc for terms in `hot` (term -> n_salts),
-    0 otherwise — splits a hot posting list into docid-sorted sub-lists that
-    parallel encode tasks handle independently."""
-    hot = {t: n for t, n in hot.items() if n > 1}
-    if not hot:
-        return F.lit(0)
-    hot_items = list(hot.items())
-    terms_lit = F.array(*[F.lit(t) for t, _ in hot_items])
-    salts_lit = F.array(*[F.lit(n) for _, n in hot_items])
-    pos = F.array_position(terms_lit, F.col("term"))
-    return F.when(
-        pos > 0,
-        (
-            F.col("docid") * F.element_at(salts_lit, pos.cast("int")) / F.lit(max_doc)
-        ).cast("int"),
-    ).otherwise(F.lit(0))
+def term_stats_view(spark: SparkSession, postings_path: str) -> DataFrame:
+    """Terms dictionary derived from the stat rows (block_no = -2) embedded in
+    the postings table: (field, term, df, ttf, max_bound). One row per
+    (term, salt) group is aggregated here; term-predicate filters push through
+    the aggregation to the parquet scan (bucket dirs + row-group term stats)."""
+    return (
+        spark.read.parquet(postings_path)
+        .filter(F.col("block_no") == -2)
+        .groupBy("term")
+        .agg(
+            F.sum("count").alias("df"),
+            F.sum("sum_tf").alias("ttf"),
+            F.max("max_score_bound").alias("max_bound"),
+        )
+        .select(F.lit(FIELD).alias("field"), "term", "df", "ttf", "max_bound")
+    )
 
 
-def make_encode_partition(cache: np.ndarray, n_buckets: int, block: int, lineage: str):
-    """Partition function: (term, salt, docid, tf, norm_byte) rows -> encoded
-    posting-block rows + one checkpoint meta row. Input partitions are hash-
-    partitioned on (term, salt); a single numpy lexsort finds group boundaries
-    (no per-group pandas overhead). Shared by the initial build and the
-    segment-merge re-encode (SegmentMerger analogue)."""
+# Partial posting lists — the DWPT partial-index / map-side-combine stage.
+# One row = one (term, salt) sub-list from ONE source partition, carrying raw
+# little-endian arrays. ~100x fewer, ~30x denser rows than exploded
+# (term, docid, tf) triples, so the term shuffle stops being row-overhead-bound.
+PARTIALS_DDL = (
+    "term string, salt int, count int, first_docid long,"
+    " docids binary, tfs binary, norms binary, pid int"
+)
 
-    def encode_partition(it):
+
+def split_salts(docids: np.ndarray, n_salts: int, max_doc: int) -> list[tuple[int, int, int]]:
+    """(salt, start, end) slices of a docid-sorted array under the contiguous
+    range salting salt = docid * n_salts // max_doc."""
+    if n_salts <= 1:
+        return [(0, 0, len(docids))]
+    salts = (docids * n_salts // max(max_doc, 1)).astype(np.int64)
+    change = np.nonzero(salts[1:] != salts[:-1])[0]
+    bounds = np.concatenate([[0], change + 1, [len(docids)]])
+    return [
+        (int(salts[b0]), int(b0), int(b1)) for b0, b1 in zip(bounds[:-1], bounds[1:])
+    ]
+
+
+def make_merge_encode(
+    cache: np.ndarray,
+    n_buckets: int,
+    block: int,
+    lineage: str,
+    offset_map: dict[int, int] | None = None,
+):
+    """Reduce side: merge each (term, salt)'s partials (disjoint docid ranges
+    -> order partials by first_docid and CONCATENATE, no per-posting sort) and
+    block-encode. The term-aligned merge of Lucene's SegmentMerger, as a
+    shuffle + numpy concat. offset_map maps a partial's pid to the docid
+    offset added to its locally-ranked ids (None = ids already global)."""
+
+    def merge_encode(it):
         bufs: list[pd.DataFrame] = []
         for pdf in it:
             if len(pdf):
@@ -125,22 +170,45 @@ def make_encode_partition(cache: np.ndarray, n_buckets: int, block: int, lineage
             return
         gt0 = time.time()
         pdf = pd.concat(bufs, ignore_index=True) if len(bufs) > 1 else bufs[0]
+        codes, uniques = pd.factorize(pdf["term"], sort=False)
         order = np.lexsort(
-            (pdf["docid"].to_numpy(), pdf["salt"].to_numpy(), pdf["term"].to_numpy())
+            (pdf["first_docid"].to_numpy(), pdf["salt"].to_numpy(), codes)
         )
-        terms = pdf["term"].to_numpy()[order]
+        codes = codes[order]
         salts = pdf["salt"].to_numpy()[order]
-        docids = pdf["docid"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
-        norms = pdf["norm_byte"].to_numpy()[order].astype(np.uint8)
-        change = np.nonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1]))[0]
-        bounds = np.concatenate([[0], change + 1, [len(terms)]])
+        d_bins = pdf["docids"].to_numpy()[order]
+        t_bins = pdf["tfs"].to_numpy()[order]
+        n_bins = pdf["norms"].to_numpy()[order]
+        pids = pdf["pid"].to_numpy()[order]
+        change = np.nonzero((codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1]))[0]
+        bounds = np.concatenate([[0], change + 1, [len(codes)]])
+        uniques = np.asarray(uniques)
         out_rows = []
+        postings = 0
         for b0, b1 in zip(bounds[:-1], bounds[1:]):
-            term = terms[b0]
-            rows = encode_posting_list(
-                docids[b0:b1], tfs[b0:b1], norms[b0:b1], cache, block
+            term = uniques[codes[b0]]
+            if offset_map is None:
+                # merge path: ids are already global int64
+                docids = np.concatenate(
+                    [np.frombuffer(d_bins[i], dtype=np.int64) for i in range(b0, b1)]
+                )
+            else:
+                # build path: int32 local ranks + per-pid offset
+                docids = np.concatenate(
+                    [
+                        np.frombuffer(d_bins[i], dtype=np.int32).astype(np.int64)
+                        + offset_map[int(pids[i])]
+                        for i in range(b0, b1)
+                    ]
+                )
+            tfs = np.concatenate(
+                [np.frombuffer(t_bins[i], dtype=np.int32) for i in range(b0, b1)]
+            ).astype(np.int64)
+            norms = np.concatenate(
+                [np.frombuffer(n_bins[i], dtype=np.uint8) for i in range(b0, b1)]
             )
+            postings += len(docids)
+            rows = encode_posting_list(docids, tfs, norms, cache, block)
             bucket = term_bucket(term, n_buckets)
             for i, r in enumerate(rows):
                 r["field"] = FIELD
@@ -148,19 +216,40 @@ def make_encode_partition(cache: np.ndarray, n_buckets: int, block: int, lineage
                 r["salt"] = int(salts[b0])
                 r["bucket"] = bucket
                 r["sum_tf"] = int(
-                    tfs[b0 + i * block : min(b0 + (i + 1) * block, b1)].sum()
+                    tfs[i * block : min((i + 1) * block, len(tfs))].sum()
                 )
             out_rows.extend(rows)
+            # term-stats row (block_no = -2): df/ttf/max-bound for this
+            # (term, salt) group, materialized in the SAME write — the terms
+            # dictionary needs no separate aggregation job, and reads prune
+            # to it via the bucket dir + term row-group stats
+            out_rows.append(
+                {
+                    "field": FIELD,
+                    "term": term,
+                    "salt": int(salts[b0]),
+                    "block_no": -2,
+                    "first_docid": int(docids[0]),
+                    "last_docid": int(docids[-1]),
+                    "count": int(len(docids)),
+                    "sum_tf": int(tfs.sum()),
+                    "max_score_bound": max(r["max_score_bound"] for r in rows),
+                    "docids_enc": b"",
+                    "tfs_enc": b"",
+                    "norms_enc": b"",
+                    "bucket": bucket,
+                }
+            )
         out = pd.DataFrame(out_rows)[POSTINGS_COLS]
         elapsed = time.time() - gt0
         yield out
         # per-partition checkpoint meta row (lineage + rate metrics)
         meta = {
             "stage": "encode",
-            "postings": int(len(pdf)),
+            "postings": int(postings),
             "blocks": int(len(out)),
             "elapsed_sec": round(elapsed, 3),
-            "postings_per_sec": round(len(pdf) / max(elapsed, 1e-9), 1),
+            "postings_per_sec": round(postings / max(elapsed, 1e-9), 1),
             "lineage": lineage,
         }
         yield pd.DataFrame(
@@ -183,7 +272,7 @@ def make_encode_partition(cache: np.ndarray, n_buckets: int, block: int, lineage
             ]
         )[POSTINGS_COLS]
 
-    return encode_partition
+    return merge_encode
 
 
 def write_postings(encoded: DataFrame, path: str, n_buckets: int) -> None:
@@ -210,6 +299,7 @@ class IndexBuilder:
         salt_target: int = 1 << 20,
         block_size: int = BLOCK_SIZE,
         top_terms_per_partition: int = 256,
+        input_clustered: bool | None = None,
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -219,6 +309,9 @@ class IndexBuilder:
         self.salt_target = salt_target
         self.block_size = block_size
         self.top_terms = top_terms_per_partition
+        # None = auto-detect via a narrow-column range check; True = trust the
+        # input's partitioning (still verified post-hoc); False = force shuffle
+        self.input_clustered = input_clustered
 
     # -- paths / markers -----------------------------------------------------
     def _p(self, name: str) -> str:
@@ -239,25 +332,92 @@ class IndexBuilder:
         return info
 
     # -- stage 1: ingest (the single text pass) ------------------------------
+    def _input_is_clustered(self, transcripts: DataFrame) -> bool:
+        """True iff the input's existing partitions hold non-overlapping
+        (conv_id, turn_idx) ranges — a narrow-column check (parquet reads just
+        two columns). When it holds, the heavy text shuffle + sort is skipped
+        entirely: at 100 TB this is the difference between shuffling the whole
+        corpus and shuffling nothing, and conversation logs are typically
+        written clustered by conv_id."""
+        rows = (
+            transcripts.select(
+                F.spark_partition_id().alias("pid"), "conv_id", "turn_idx"
+            )
+            .groupBy("pid")
+            .agg(
+                F.min(F.struct("conv_id", "turn_idx")).alias("lo"),
+                F.max(F.struct("conv_id", "turn_idx")).alias("hi"),
+            )
+            .collect()
+        )
+        spans = sorted(
+            ((r["lo"][0], r["lo"][1]), (r["hi"][0], r["hi"][1])) for r in rows
+        )
+        return all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
     def ingest(self, transcripts: DataFrame, build_id: str) -> dict:
         info = self._stage_info("staging")
         if info is not None:
             return info
         t0 = time.time()
         top_terms = self.top_terms
-        input_lineage = json.dumps({"build_id": build_id, "source": "transcripts"})
+
+        clustered = (
+            self._input_is_clustered(transcripts)
+            if self.input_clustered is None
+            else self.input_clustered
+        )
+        input_lineage = json.dumps(
+            {"build_id": build_id, "source": "transcripts", "clustered": clustered}
+        )
+
+        def _frame(cols: dict, n: int) -> pd.DataFrame:
+            data = {c: cols.get(c) for c in _STAGING_COLS}
+            for c, v in data.items():
+                if v is None:
+                    data[c] = pd.Series([None] * n, dtype="object")
+            return pd.DataFrame(data)[_STAGING_COLS]
 
         def ingest_partition(it):
+            # STREAMING doc rows (pipelined with the JVM read/write) while the
+            # per-partition partial posting lists accumulate in unboxed
+            # array('q'/'i'/'B') buffers — the in-RAM DWPT. Order is VERIFIED
+            # with vectorized comparisons, never re-sorted: the clustered fast
+            # path gets it from the input files, the fallback from the JVM
+            # range+sort exchange. Violation = hard error (builder falls back).
+            from array import array
+
+            gt0 = time.time()
             rank = 0
             pid = -1
             postings = 0
-            local_df: Counter[str] = Counter()
-            gt0 = time.time()
+            sum_len = 0
+            doc_count = 0
+            lo = hi = None
+            prev_key = None
+            store: dict[str, tuple] = {}
             for pdf in it:
                 n = len(pdf)
                 if n == 0:
                     continue
                 pid = int(pdf["pid"].iloc[0])
+                conv = pdf["conv_id"].to_numpy()
+                turn = pdf["turn_idx"].to_numpy()
+                same = conv[1:] == conv[:-1]
+                ok = np.all(
+                    (conv[1:] > conv[:-1]) | (same & (turn[1:] > turn[:-1]))
+                )
+                first_key = (conv[0], int(turn[0]))
+                if not ok or (prev_key is not None and first_key <= prev_key):
+                    raise ValueError(
+                        "input rows not in (conv_id, turn_idx) order within a "
+                        "partition — rebuild with input_clustered=False to "
+                        "force the range-shuffle path"
+                    )
+                prev_key = (conv[-1], int(turn[-1]))
+                if lo is None:
+                    lo = [str(first_key[0]), first_key[1]]
+                hi = [str(prev_key[0]), prev_key[1]]
                 token_counts = []
                 lengths = np.empty(n, dtype=np.int32)
                 for i, text in enumerate(pdf["text"].to_numpy()):
@@ -268,66 +428,130 @@ class IndexBuilder:
                         cnt[t] = cnt.get(t, 0) + 1
                     token_counts.append(cnt)
                     postings += len(cnt)
-                    local_df.update(cnt.keys())
-                out = pd.DataFrame(
+                norm_bytes = encode_norm(lengths)
+                for i, cnt in enumerate(token_counts):
+                    docid = rank + i
+                    nb = int(norm_bytes[i])
+                    for t, tf in cnt.items():
+                        e = store.get(t)
+                        if e is None:
+                            # local ranks fit int32 (a partition never holds
+                            # 2^31 rows) — halves the dominant staging payload
+                            e = store[t] = (array("i"), array("i"), array("B"))
+                        e[0].append(docid)
+                        e[1].append(tf)
+                        e[2].append(nb)
+                sum_len += int(lengths.sum())
+                doc_count += int((lengths > 0).sum())
+                yield _frame(
                     {
                         "pid": np.full(n, pid, dtype=np.int32),
                         "local_rank": rank + np.arange(n, dtype=np.int64),
-                        "conv_id": pdf["conv_id"].to_numpy(),
-                        "turn_idx": pdf["turn_idx"].to_numpy(),
-                        "role": pdf["role"].to_numpy(),
-                        "tool": pdf["tool"].to_numpy(),
-                        "ts": pdf["ts"].to_numpy(),
+                        "conv_id": pdf["conv_id"],
+                        "turn_idx": pdf["turn_idx"],
+                        "role": pdf["role"],
+                        "tool": pdf["tool"],
+                        "ts": pdf["ts"],
                         "field_length": lengths,
-                        "norm_byte": encode_norm(lengths).astype(np.int16),
-                        "term_counts": token_counts,
-                        "meta": None,
-                    }
+                        "norm_byte": norm_bytes.astype(np.int16),
+                    },
+                    n,
                 )
                 rank += n
-                yield out
-            if pid >= 0:
-                elapsed = time.time() - gt0
-                meta = {
-                    "stage": "ingest",
-                    "pid": pid,
-                    "rows": rank,
-                    "postings": postings,
-                    "elapsed_sec": round(elapsed, 3),
-                    "postings_per_sec": round(postings / max(elapsed, 1e-9), 1),
-                    "top_terms": dict(
-                        sorted(local_df.items(), key=lambda kv: -kv[1])[:top_terms]
-                    ),
-                    "lineage": input_lineage,
-                }
-                yield pd.DataFrame(
+            if pid < 0:
+                return
+            # flush the partial index: one row per term, raw array payloads
+            terms = list(store.keys())
+            for c0 in range(0, len(terms), 65536):
+                chunk = terms[c0 : c0 + 65536]
+                yield _frame(
                     {
-                        "pid": [pid],
-                        "local_rank": [-1],
-                        "conv_id": [None],
-                        "turn_idx": [None],
-                        "role": [None],
-                        "tool": [None],
-                        "ts": [None],
-                        "field_length": [0],
-                        "norm_byte": [0],
-                        "term_counts": [{}],
-                        "meta": [json.dumps(meta)],
-                    }
+                        "pid": np.full(len(chunk), pid, dtype=np.int32),
+                        "local_rank": np.full(len(chunk), -2, dtype=np.int64),
+                        "field_length": np.zeros(len(chunk), dtype=np.int32),
+                        "norm_byte": np.zeros(len(chunk), dtype=np.int16),
+                        "term": chunk,
+                        "pcount": np.array(
+                            [len(store[t][0]) for t in chunk], dtype=np.int32
+                        ),
+                        "first_local": np.array(
+                            [store[t][0][0] for t in chunk], dtype=np.int64
+                        ),
+                        "docids": [store[t][0].tobytes() for t in chunk],
+                        "tfs": [store[t][1].tobytes() for t in chunk],
+                        "norms": [store[t][2].tobytes() for t in chunk],
+                    },
+                    len(chunk),
                 )
-
-        staged = (
-            transcripts.repartitionByRange(self.n_segments, "conv_id", "turn_idx")
-            .sortWithinPartitions("conv_id", "turn_idx")
-            .withColumn("pid", F.spark_partition_id())
-            .select(
-                "pid", "conv_id", "turn_idx", "role", "text", "tool", "ts"
+            elapsed = time.time() - gt0
+            meta = {
+                "stage": "ingest",
+                "pid": pid,
+                "rows": rank,
+                "lo": lo,
+                "hi": hi,
+                "postings": postings,
+                "sum_len": sum_len,
+                "doc_count": doc_count,
+                "elapsed_sec": round(elapsed, 3),
+                "postings_per_sec": round(postings / max(elapsed, 1e-9), 1),
+                "top_terms": dict(
+                    sorted(
+                        ((t, len(e[0])) for t, e in store.items()),
+                        key=lambda kv: -kv[1],
+                    )[:top_terms]
+                ),
+                "lineage": input_lineage,
+            }
+            yield _frame(
+                {
+                    "pid": [pid],
+                    "local_rank": [-1],
+                    "field_length": [0],
+                    "norm_byte": [0],
+                    "meta": [json.dumps(meta)],
+                },
+                1,
             )
-            .mapInPandas(ingest_partition, STAGING_DDL)
-        )
-        staged.write.mode("overwrite").parquet(self._p("staging"))
 
-        # driver-side prefix sum over the tiny meta rows -> docid offsets
+        def run_pass(use_clustered: bool) -> None:
+            src = transcripts
+            if not use_clustered:
+                src = src.repartitionByRange(
+                    self.n_segments, "conv_id", "turn_idx"
+                ).sortWithinPartitions("conv_id", "turn_idx")
+            staged = (
+                src.withColumn("pid", F.spark_partition_id())
+                .select("pid", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+                .mapInPandas(ingest_partition, STAGING_DDL)
+            )
+            staged.write.mode("overwrite").parquet(self._p("staging"))
+
+        conf = self.spark.conf
+        if clustered:
+            # one file split per partition: Spark's size-ordered file packing
+            # would interleave key ranges within a partition. Splits of a
+            # single file remain contiguous, so per-partition order holds.
+            prev_cost = conf.get("spark.sql.files.openCostInBytes", "4194304")
+            conf.set("spark.sql.files.openCostInBytes", str(128 * 1024 * 1024))
+            try:
+                run_pass(True)
+            except Exception:
+                # order verification failed inside the pass — input was not
+                # actually clustered; fall back to the range-shuffle path
+                clustered = False
+                input_lineage = json.dumps(
+                    {"build_id": build_id, "source": "transcripts", "clustered": False,
+                     "note": "clustered fast path failed verification; shuffled"}
+                )
+                run_pass(False)
+            finally:
+                conf.set("spark.sql.files.openCostInBytes", prev_cost)
+        else:
+            run_pass(False)
+
+        # driver-side prefix sum over the tiny meta rows -> docid offsets,
+        # partitions ordered by their (conv_id, turn_idx) range start
         metas = [
             json.loads(r["meta"])
             for r in self.spark.read.parquet(self._p("staging"))
@@ -335,11 +559,17 @@ class IndexBuilder:
             .select("meta")
             .collect()
         ]
-        counts = {m["pid"]: m["rows"] for m in metas}
+        metas.sort(key=lambda m: (m["lo"][0], m["lo"][1]))
+        # range disjointness must hold or docids would not be a global rank
+        for a, b in zip(metas, metas[1:]):
+            assert (a["hi"][0], a["hi"][1]) < (b["lo"][0], b["lo"][1]), (
+                "partition key ranges overlap — input neither clustered nor "
+                "range-partitioned; rebuild with input_clustered=False"
+            )
         offsets, acc = {}, 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
+        for m in metas:
+            offsets[m["pid"]] = acc
+            acc += m["rows"]
         # hot-term estimate: sum of per-partition top-term local dfs. A term
         # hot overall is hot in many partitions, so the truncated per-partition
         # sketches cover it; underestimates only delay salting, never break it.
@@ -357,7 +587,18 @@ class IndexBuilder:
                 "build_id": build_id,
                 "n_docs": acc,
                 "offsets": {str(k): v for k, v in offsets.items()},
+                # rank of each pid in key-range order (for partition-granular
+                # hot-term salting) — metas are sorted by range start here
+                "pid_rank": {str(m["pid"]): i for i, m in enumerate(metas)},
+                "sum_ttf": int(sum(m["sum_len"] for m in metas)),
+                "doc_count": int(sum(m["doc_count"] for m in metas)),
                 "hot_terms": hot,
+                # slim per-partition checkpoint info so commit() needs no
+                # staging re-read
+                "metas": [
+                    {k: m[k] for k in ["pid", "rows", "postings", "postings_per_sec", "lineage"]}
+                    for m in metas
+                ],
                 "elapsed": round(time.time() - t0, 2),
             },
         )
@@ -384,9 +625,11 @@ class IndexBuilder:
             return info
         t0 = time.time()
         offsets = {int(k): v for k, v in staging_info["offsets"].items()}
+        pid_rank = {int(k): v for k, v in staging_info["pid_rank"].items()}
+        n_parts = max(len(pid_rank), 1)
         max_doc = int(staging_info["n_docs"])
         hot = {t: n for t, n in staging_info["hot_terms"].items() if n > 1}
-        avgdl = self._avgdl_from_staging(max_doc)
+        avgdl = self._avgdl(staging_info)
         cache = norm_cache(self.k1, self.b, avgdl)
         n_buckets = self.n_buckets
         block = self.block_size
@@ -394,37 +637,65 @@ class IndexBuilder:
             int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")), 8
         )
 
-        flat = (
+        # the partial posting lists were flushed during ingest; this stage is
+        # a pure shuffle of compact binary rows + numpy merge-encode — no
+        # per-object Arrow conversion anywhere on the hot path.
+        partials = (
             self.spark.read.parquet(self._p("staging"))
-            .filter(F.col("local_rank") >= 0)
-            .select(
-                self._docid_expr(offsets),
-                "norm_byte",
-                F.explode("term_counts").alias("term", "tf"),
-            )
+            .filter(F.col("local_rank") == -2)
+            .select("pid", "term", "pcount", "first_local", "docids", "tfs", "norms")
         )
-        flat = flat.withColumn("salt", salt_expr(hot, max_doc))
+        off_expr = F.create_map(
+            *[x for p, o in offsets.items() for x in (F.lit(p), F.lit(o))]
+        )
+        # partition-granular hot-term salting: every partial is one partition's
+        # docid-contiguous sub-list, so salt = pid_range_rank * n_salts //
+        # n_partitions keeps salt groups docid-contiguous with zero splitting
+        rank_expr = F.create_map(
+            *[x for p, r in pid_rank.items() for x in (F.lit(p), F.lit(r))]
+        )
+        if hot:
+            hot_expr = F.create_map(
+                *[x for t, s in hot.items() for x in (F.lit(t), F.lit(s))]
+            )
+            salt_col = F.when(
+                hot_expr[F.col("term")].isNotNull(),
+                (
+                    F.element_at(rank_expr, F.col("pid"))
+                    * hot_expr[F.col("term")]
+                    / F.lit(n_parts)
+                ).cast("int"),
+            ).otherwise(F.lit(0))
+        else:
+            salt_col = F.lit(0)
+        partials = partials.select(
+            "term",
+            salt_col.alias("salt"),
+            F.col("pcount").alias("count"),
+            (F.element_at(off_expr, F.col("pid")) + F.col("first_local")).alias(
+                "first_docid"
+            ),
+            "docids",
+            "tfs",
+            "norms",
+            "pid",
+        )
         lineage = json.dumps({"build_id": build_id, "stage": "encode", "max_doc": max_doc})
-        encoded = flat.repartition(n_shuffle, "term", "salt").mapInPandas(
-            make_encode_partition(cache, n_buckets, block, lineage), POSTINGS_DDL
+        encoded = partials.repartition(n_shuffle, "term", "salt").mapInPandas(
+            make_merge_encode(cache, n_buckets, block, lineage, offsets), POSTINGS_DDL
         )
         write_postings(encoded, self._p("postings"), n_buckets)
         return self._mark_stage(
             "postings", {"build_id": build_id, "elapsed": round(time.time() - t0, 2)}
         )
 
-    def _avgdl_from_staging(self, max_doc: int) -> np.float32:
-        # narrow-column agg (field_length only); float math per BM25Similarity.cs:91-102
-        s = (
-            self.spark.read.parquet(self._p("staging"))
-            .filter(F.col("local_rank") >= 0)
-            .agg(F.sum("field_length").alias("s"))
-            .collect()[0]["s"]
-        )
-        self._sum_ttf = int(s or 0)
-        if self._sum_ttf <= 0:
+    @staticmethod
+    def _avgdl(staging_info: dict) -> np.float32:
+        # from ingest meta sums (no job); float math per BM25Similarity.cs:91-102
+        s, md = int(staging_info["sum_ttf"]), int(staging_info["n_docs"])
+        if s <= 0:
             return np.float32(1.0)
-        return np.float32(np.float64(self._sum_ttf) / np.float64(max_doc))
+        return np.float32(np.float64(s) / np.float64(md))
 
     # -- stage 3: metadata-only stats tables ----------------------------------
     def compute_stats(self, build_id: str, staging_info: dict) -> dict:
@@ -433,53 +704,26 @@ class IndexBuilder:
             return info
         t0 = time.time()
         max_doc = int(staging_info["n_docs"])
-        # term_stats from postings block METADATA (binary cols pruned by parquet)
-        postings = self.spark.read.parquet(self._p("postings")).filter(
-            F.col("block_no") >= 0
-        )
-        (
-            postings.groupBy("term")
-            .agg(
-                F.sum("count").alias("df"),
-                F.sum("sum_tf").alias("ttf"),
-                # per-term global block-max bound: lets the query planner prune
-                # without any metadata-collect job (WAND upper bounds)
-                F.max("max_score_bound").alias("max_bound"),
-            )
-            .select(F.lit(FIELD).alias("field"), "term", "df", "ttf", "max_bound")
-            .repartition(max(self.n_buckets // 4, 1))
-            .write.mode("overwrite")
-            .parquet(self._p("term_stats"))
-        )
-        # field stats: narrow agg over staging
-        st = (
-            self.spark.read.parquet(self._p("staging"))
-            .filter(F.col("local_rank") >= 0)
-            .agg(
-                F.count("*").alias("max_doc"),
-                F.sum(F.when(F.col("field_length") > 0, 1).otherwise(0)).alias(
-                    "doc_count"
-                ),
-                F.sum("field_length").alias("sum_ttf"),
-            )
-            .collect()[0]
-        )
-        sum_ttf = int(st["sum_ttf"] or 0)
+        # the terms dictionary is materialized as stat rows INSIDE the
+        # postings write (block_no = -2) — no aggregation job here.
+        # field stats come free from the ingest meta sums (no extra job)
+        sum_ttf = int(staging_info["sum_ttf"])
+        doc_count = int(staging_info["doc_count"])
         avgdl = (
             float(np.float32(np.float64(sum_ttf) / np.float64(max_doc)))
             if sum_ttf > 0
             else 1.0
         )
         self.spark.createDataFrame(
-            [(FIELD, int(st["max_doc"]), int(st["doc_count"]), sum_ttf, avgdl)],
+            [(FIELD, max_doc, doc_count, sum_ttf, avgdl)],
             "field string, max_doc long, doc_count long, sum_ttf long, avgdl double",
         ).coalesce(1).write.mode("overwrite").parquet(self._p("field_stats"))
         return self._mark_stage(
             "stats",
             {
                 "build_id": build_id,
-                "max_doc": int(st["max_doc"]),
-                "doc_count": int(st["doc_count"]),
+                "max_doc": max_doc,
+                "doc_count": doc_count,
                 "sum_ttf": sum_ttf,
                 "avgdl": avgdl,
                 "elapsed": round(time.time() - t0, 2),
@@ -488,13 +732,8 @@ class IndexBuilder:
 
     # -- stage 4: checkpoints + atomic manifest commit ------------------------
     def commit(self, build_id: str, staging_info: dict, stats_info: dict) -> dict:
-        ingest_metas = [
-            json.loads(r["meta"])
-            for r in self.spark.read.parquet(self._p("staging"))
-            .filter(F.col("local_rank") == -1)
-            .select("meta")
-            .collect()
-        ]
+        # ingest checkpoint metas ride in the stage marker (no staging re-read)
+        ingest_metas = [dict(m, stage="ingest") for m in staging_info["metas"]]
         encode_metas = [
             json.loads(r["term"])
             for r in self.spark.read.parquet(self._p("postings"))
@@ -547,7 +786,6 @@ class IndexBuilder:
             "tables": {
                 "staging": self._p("staging"),
                 "postings": self._p("postings"),
-                "term_stats": self._p("term_stats"),
                 "field_stats": self._p("field_stats"),
                 "build_checkpoints": self._p("build_checkpoints"),
             },
@@ -579,7 +817,11 @@ def docs_view(spark: SparkSession, manifest: dict) -> DataFrame:
 
     A merged index references the staging tables of its source segments (each
     with a docbase) instead of rewriting the heavy text data — the stored-
-    fields analogue of Lucene's merge keeping doc data per segment file."""
+    fields analogue of Lucene's merge keeping doc data per segment file.
+    A merge that applied deletes rewrote (renumbered) docs into an explicit
+    docs table instead (MergeState.DocMap semantics)."""
+    if manifest.get("docs_table"):
+        return spark.read.parquet(manifest["docs_table"])
     stagings = manifest.get("stagings") or [
         {"path": manifest["tables"]["staging"], "offsets": manifest["offsets"], "docbase": 0}
     ]

@@ -34,51 +34,76 @@ from ..oracle import norm_cache
 from .codec import BLOCK_SIZE
 from .index_build import (
     FIELD,
+    PARTIALS_DDL,
     POSTINGS_DDL,
     IndexBuilder,
     load_manifest,
-    make_encode_partition,
-    salt_expr,
+    make_merge_encode,
+    split_salts,
     write_postings,
 )
 
-DECODED_DDL = "term string, docid long, tf long, norm_byte short, salt int"
+
+def _remap(docids: np.ndarray, deleted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """DocMap (MergeState.cs:40-102): keep-mask + renumbered ids.
+
+    new_id = old_id - #deleted_below; deleted ids are dropped. `deleted` is
+    the broadcast sorted global delete set (the liveDocs bitset analogue)."""
+    below = np.searchsorted(deleted, docids, side="left")
+    at = np.searchsorted(deleted, docids, side="right")
+    keep = below == at  # not present in the deleted set
+    return keep, docids - below
 
 
-def _decoded_rows(spark: SparkSession, segments: list[dict]) -> DataFrame:
-    """Union of all segments' postings decoded to (term, docid, tf, norm) rows
-    with docids shifted to the global space."""
+def _decoded_partials(
+    spark: SparkSession,
+    segments: list[dict],
+    deleted: np.ndarray,
+    hot: dict,
+    max_doc: int,
+) -> DataFrame:
+    """Union of all segments' postings decoded to compact PARTIALS rows (one
+    per block, split at new salt boundaries) with docids shifted to the global
+    space and deletes applied/renumbered. Block granularity keeps the merge
+    shuffle at ~postings/128 rows."""
 
     def decode_partition(it):
         from .codec import decode_block
 
         for pdf in it:
-            outs = []
+            rows = []
             for r in pdf.itertuples(index=False):
                 docids, tfs = decode_block(
                     r.docids_enc, r.tfs_enc, r.first_docid, r.count
                 )
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term": r.term,
-                            "docid": docids + r.docbase,
-                            "tf": tfs,
-                            "norm_byte": np.frombuffer(
-                                r.norms_enc, dtype=np.uint8
-                            ).astype(np.int16),
-                            "salt": 0,
-                        }
+                docids = docids + r.docbase
+                norms = np.frombuffer(r.norms_enc, dtype=np.uint8)
+                if deleted.size:
+                    keep, docids = _remap(docids, deleted)
+                    docids, tfs, norms = docids[keep], tfs[keep], norms[keep]
+                if not len(docids):
+                    continue
+                for salt, b0, b1 in split_salts(
+                    docids, hot.get(r.term, 1), max_doc
+                ):
+                    rows.append(
+                        (
+                            r.term,
+                            salt,
+                            int(b1 - b0),
+                            int(docids[b0]),
+                            docids[b0:b1].tobytes(),
+                            tfs[b0:b1].astype(np.int32).tobytes(),
+                            norms[b0:b1].tobytes(),
+                            -1,  # ids already global (offset_map unused)
+                        )
                     )
-                )
-            yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
-                {
-                    "term": pd.Series(dtype="object"),
-                    "docid": pd.Series(dtype="int64"),
-                    "tf": pd.Series(dtype="int64"),
-                    "norm_byte": pd.Series(dtype="int16"),
-                    "salt": pd.Series(dtype="int32"),
-                }
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "term", "salt", "count", "first_docid", "docids", "tfs",
+                    "norms", "pid",
+                ],
             )
 
     out = None
@@ -91,7 +116,7 @@ def _decoded_rows(spark: SparkSession, segments: list[dict]) -> DataFrame:
                 "term", "first_docid", "count", "docids_enc", "tfs_enc",
                 "norms_enc", "docbase",
             )
-            .mapInPandas(decode_partition, DECODED_DDL)
+            .mapInPandas(decode_partition, PARTIALS_DDL)
         )
         out = df if out is None else out.unionByName(df)
     return out
@@ -119,9 +144,65 @@ def merge_segments(
         docbase += int(m["max_doc"])
     first = segments[0]["manifest"]
     k1, b = float(first["k1"]), float(first["b"])
-    max_doc = docbase
-    sum_ttf = sum(int(s["manifest"]["sum_ttf"]) for s in segments)
-    doc_count = sum(int(s["manifest"]["doc_count"]) for s in segments)
+
+    # gather per-segment delete logs -> one sorted global delete set
+    from .deletes import DeleteLog
+
+    del_parts = []
+    for s in segments:
+        arr = DeleteLog(spark, s["dir"]).deleted_array()
+        if arr.size:
+            del_parts.append(arr + s["docbase"])
+    deleted = (
+        np.unique(np.concatenate(del_parts)) if del_parts else np.empty(0, np.int64)
+    )
+
+    docs_union = None
+    if deleted.size:
+        # rewrite docs with MergeState.DocMap renumbering (docid - #deleted
+        # below); postings get the same remap during decode
+        from .index_build import DOC_COLS, docs_view
+
+        for s in segments:
+            df = docs_view(spark, s["manifest"])
+            if s["docbase"]:
+                df = df.withColumn("docid", F.col("docid") + F.lit(s["docbase"]))
+            docs_union = df if docs_union is None else docs_union.unionByName(df)
+        def remap_docid(ser: pd.Series) -> pd.Series:
+            ids = ser.to_numpy(dtype=np.int64)
+            keep, new = _remap(ids, deleted)
+            out = new.astype("float64")
+            out[~keep] = np.nan  # dropped below
+            return pd.Series(out, index=ser.index)
+
+        docs_union = (
+            docs_union.withColumn(
+                "new_docid", F.pandas_udf(remap_docid, "double")(F.col("docid"))
+            )
+            .filter(F.col("new_docid").isNotNull())
+            .select(F.col("new_docid").cast("long").alias("docid"), *DOC_COLS)
+        )
+        import os as _os
+
+        docs_path = _os.path.join(out_dir, "docs")
+        n_ranges = max(len(segments), 2)
+        docs_union.repartitionByRange(n_ranges, "docid").sortWithinPartitions(
+            "docid"
+        ).write.mode("overwrite").parquet(docs_path)
+        docs_tbl = spark.read.parquet(docs_path)
+        st = docs_tbl.agg(
+            F.count("*").alias("max_doc"),
+            F.sum(F.when(F.col("field_length") > 0, 1).otherwise(0)).alias("dc"),
+            F.sum("field_length").alias("st"),
+        ).collect()[0]
+        max_doc = int(st["max_doc"])
+        doc_count = int(st["dc"])
+        sum_ttf = int(st["st"] or 0)
+    else:
+        max_doc = docbase
+        sum_ttf = sum(int(s["manifest"]["sum_ttf"]) for s in segments)
+        doc_count = sum(int(s["manifest"]["doc_count"]) for s in segments)
+
     avgdl = (
         float(np.float32(np.float64(sum_ttf) / np.float64(max_doc)))
         if sum_ttf > 0
@@ -129,10 +210,12 @@ def merge_segments(
     )
     cache = norm_cache(k1, b, np.float32(avgdl))
 
-    # exact merged df from the tiny per-segment term_stats tables -> salt plan
+    # exact merged df from the per-segment terms dictionaries -> salt plan
+    from .index_build import term_stats_view
+
     ts = None
     for s in segments:
-        df = spark.read.parquet(s["manifest"]["tables"]["term_stats"])
+        df = term_stats_view(spark, s["manifest"]["tables"]["postings"])
         ts = df if ts is None else ts.unionByName(df)
     hot_rows = (
         ts.groupBy("term").agg(F.sum("df").alias("df"))
@@ -150,28 +233,13 @@ def merge_segments(
             "docbases": [s["docbase"] for s in segments],
         }
     )
-    flat = _decoded_rows(spark, segments).withColumn("salt", salt_expr(hot, max_doc))
-    encoded = flat.repartition(n_shuffle, "term", "salt").mapInPandas(
-        make_encode_partition(cache, n_buckets, block_size, lineage), POSTINGS_DDL
+    partials = _decoded_partials(spark, segments, deleted, hot, max_doc)
+    encoded = partials.repartition(n_shuffle, "term", "salt").mapInPandas(
+        make_merge_encode(cache, n_buckets, block_size, lineage), POSTINGS_DDL
     )
     write_postings(encoded, os.path.join(out_dir, "postings"), n_buckets)
 
-    # stats tables from the new postings metadata (binary cols pruned)
-    postings = spark.read.parquet(os.path.join(out_dir, "postings")).filter(
-        F.col("block_no") >= 0
-    )
-    (
-        postings.groupBy("term")
-        .agg(
-            F.sum("count").alias("df"),
-            F.sum("sum_tf").alias("ttf"),
-            F.max("max_score_bound").alias("max_bound"),
-        )
-        .select(F.lit(FIELD).alias("field"), "term", "df", "ttf", "max_bound")
-        .repartition(max(n_buckets // 4, 1))
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "term_stats"))
-    )
+    # terms dictionary is embedded in the postings write (block_no = -2 rows)
     spark.createDataFrame(
         [(FIELD, max_doc, doc_count, sum_ttf, avgdl)],
         "field string, max_doc long, doc_count long, sum_ttf long, avgdl double",
@@ -200,7 +268,8 @@ def merge_segments(
         os.path.join(out_dir, "build_checkpoints")
     )
 
-    # merged manifest: postings/stats here, doc stores shared from sources
+    # merged manifest: postings/stats here; doc stores shared from sources
+    # unless deletes forced a renumbering rewrite (docs_table)
     stagings = []
     for s in segments:
         for sg in s["manifest"].get("stagings") or [
@@ -230,13 +299,14 @@ def merge_segments(
         "doc_count": doc_count,
         "sum_ttf": sum_ttf,
         "avgdl": avgdl,
-        "stagings": stagings,
+        "stagings": None if deleted.size else stagings,
+        "docs_table": os.path.join(out_dir, "docs") if deleted.size else None,
+        "n_deletes_applied": int(deleted.size),
         "hot_terms": hot,
         "merged_from": [s["dir"] for s in segments],
         "tables": {
             "staging": stagings[0]["path"],
             "postings": os.path.join(out_dir, "postings"),
-            "term_stats": os.path.join(out_dir, "term_stats"),
             "field_stats": os.path.join(out_dir, "field_stats"),
             "build_checkpoints": os.path.join(out_dir, "build_checkpoints"),
         },

@@ -49,6 +49,7 @@ from ..plans.query import (
     BooleanQuery,
     ConstantScoreQuery,
     DisMaxQuery,
+    FilteredQuery,
     FuzzyQuery,
     MatchAllQuery,
     MAX_CLAUSE_COUNT,
@@ -123,6 +124,7 @@ class IndexSearcher:
         # (2 extra jobs) than the decode it saves — scan-and-score instead
         self.prune_min_postings = prune_min_postings
         self._prunable = len(self.segments) == 1
+        self._live_docs_cache: DataFrame | None | bool = False  # False = unloaded
 
     # -- table accessors -------------------------------------------------------
     def postings(self) -> DataFrame:
@@ -147,9 +149,11 @@ class IndexSearcher:
         return out
 
     def term_stats(self) -> DataFrame:
+        from .index_build import term_stats_view
+
         out = None
         for s in self.segments:
-            df = self.spark.read.parquet(s["manifest"]["tables"]["term_stats"])
+            df = term_stats_view(self.spark, s["manifest"]["tables"]["postings"])
             out = df if out is None else out.unionByName(df)
         if len(self.segments) > 1:
             out = out.groupBy("field", "term").agg(
@@ -180,6 +184,54 @@ class IndexSearcher:
 
     def doc_freqs(self, terms: list[str]) -> dict[str, int]:
         return {t: m[0] for t, m in self.term_meta(terms).items()}
+
+    # -- deletes (liveDocs) ----------------------------------------------------
+    def _deleted_docids(self) -> DataFrame | None:
+        """Union of per-segment delete logs, docbase-shifted to global ids.
+
+        None when no segment has deletes (the common case — zero overhead)."""
+        if self._live_docs_cache is not False:
+            return self._live_docs_cache
+        from .deletes import DeleteLog
+
+        out = None
+        for s in self.segments:
+            d = DeleteLog(self.spark, s["dir"]).deleted()
+            if d is None:
+                continue
+            if s["docbase"]:
+                d = d.select((F.col("docid") + F.lit(s["docbase"])).alias("docid"))
+            out = d if out is None else out.unionByName(d)
+        self._live_docs_cache = out
+        return out
+
+    def _apply_live_docs(self, scored: DataFrame) -> DataFrame:
+        """acceptDocs mask (SegmentReader.cs:100,136,272): deleted docs never
+        match; stats still count them until merged away — exactly Lucene."""
+        dels = self._deleted_docids()
+        if dels is None:
+            return scored
+        return scored.join(F.broadcast(dels), "docid", "left_anti")
+
+    def delete_docids(self, docids: DataFrame) -> None:
+        """Record global docids as deleted, routed to their owning segments."""
+        from .deletes import DeleteLog
+
+        for s in self.segments:
+            base, n = s["docbase"], int(s["manifest"]["max_doc"])
+            local = docids.filter(
+                (F.col("docid") >= base) & (F.col("docid") < base + n)
+            ).select((F.col("docid") - F.lit(base)).alias("docid"))
+            if local.limit(1).count():
+                DeleteLog(self.spark, s["dir"]).delete_docids(local)
+        self._live_docs_cache = False  # invalidate
+
+    def delete_by_term(self, term: str) -> None:
+        """IndexWriter.DeleteDocuments(Term) analogue."""
+        self.delete_docids(self.scores(TermQuery(term=term)).select("docid"))
+
+    def delete_by_query(self, q: Query) -> None:
+        self.delete_docids(self.scores(q).select("docid"))
 
     def weight(self, term: str, boost: float = 1.0) -> np.float32:
         df = self.doc_freqs([term])[term]
@@ -357,7 +409,20 @@ class IndexSearcher:
 
         prune_k: if set and the query shape allows (pure disjunction / term),
         applies block-max pruning safe for top-prune_k retrieval.
+        Deleted docs are masked out (acceptDocs) after scoring.
         """
+        return self._apply_live_docs(self._scores_raw(q, prune_k))
+
+    def _scores_raw(self, q: Query, prune_k: int | None = None) -> DataFrame:
+        if isinstance(q, FilteredQuery):
+            # doc-side predicate: semi-join scores against the filtered docs
+            # view — the predicate pushes down to the typed parquet columns
+            passing = self.docs().filter(F.expr(q.where)).select("docid")
+            # prune_k deliberately NOT propagated: block-max pruning bounds the
+            # unfiltered top-k; a filter could surface docs below that θ
+            return self._scores_raw(q.query, None).join(
+                passing, "docid", "left_semi"
+            )
         q = self.rewrite(q)
         if isinstance(q, MatchAllQuery):
             return self.docs().select("docid", F.lit(float(np.float32(q.boost))).cast("float").alias("score"))

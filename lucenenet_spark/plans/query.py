@@ -50,6 +50,19 @@ class DisMaxQuery(Query):
     tie_breaker: float = 0.0
 
 
+@dataclass(frozen=True)
+class FilteredQuery(Query):
+    """Score `query`, keep only docs passing a doc-side SQL predicate.
+
+    Lucene's FilteredQuery + Filter (Search/FilteredQuery.cs); numeric/date
+    ranges (NumericRangeQuery.cs) are the native case: the predicate pushes
+    down to the docs table's typed columns (conv_id, turn_idx, role, tool,
+    ts, field_length). Scores are the inner query's, unchanged."""
+
+    query: Query | None = None
+    where: str = "true"
+
+
 # -- MultiTermQuery family: rewritten against the terms dict -----------------
 
 

@@ -34,7 +34,9 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
         F.col("block_no") >= 0
     )
     docs = docs_view(spark, m)
-    term_stats = spark.read.parquet(m["tables"]["term_stats"])
+    from .operators.index_build import term_stats_view
+
+    term_stats = term_stats_view(spark, m["tables"]["postings"])
     cache = norm_cache(m["k1"], m["b"], np.float32(m["avgdl"]))
     out: dict[str, dict] = {}
 

@@ -89,31 +89,76 @@ def test_checkpoints_have_lineage_and_rates(spark, index_dir):
     assert cp["lineage"].str.contains("build_id").all()
 
 
+def test_clustered_input_fast_path_identical(
+    spark, index_dir, corpus_pdf, oracle_index, tmp_path
+):
+    """A conv-sorted parquet input takes the no-shuffle ingest path and must
+    produce an index identical in docids, stats, and scores."""
+    from lucenenet_spark.operators.search import IndexSearcher
+
+    src = str(tmp_path / "sorted_src")
+    sorted_df = spark.createDataFrame(corpus_pdf)  # already (conv,turn) sorted
+    sorted_df.repartitionByRange(3, "conv_id", "turn_idx").write.parquet(src)
+    out = str(tmp_path / "idx_fast")
+    b = IndexBuilder(spark, out, n_buckets=4, n_segments=4, salt_target=60)
+    b.build(spark.read.parquet(src), build_id="fast")
+    info = b._stage_info("staging")
+    s = IndexSearcher(spark, out)
+    from lucenenet_spark import oracle as _o
+
+    for term in ["popcorn", "hello", "word7"]:
+        got = hits(s.search(TermQuery(term=term), 15))
+        assert got == _o.top_k(_o.term_scores(oracle_index, term), 15), term
+    docs = s.docs().select("docid", "conv_id").orderBy("docid").toPandas()
+    assert docs["conv_id"].tolist() == corpus_pdf["conv_id"].tolist()
+
+
+def test_unclustered_input_detected_and_shuffled(spark, corpus_pdf, tmp_path):
+    """Round-robin partitioned input must fail the cluster check and still
+    build correctly through the range-shuffle path."""
+    from lucenenet_spark.operators.index_build import IndexBuilder as IB
+
+    shuffled = spark.createDataFrame(
+        corpus_pdf.sample(frac=1.0, random_state=7)
+    ).repartition(5)
+    b = IB(spark, str(tmp_path / "x"), n_segments=4)
+    assert not b._input_is_clustered(shuffled)
+
+
 def test_check_index_passes(spark, index_dir):
     report = check_index(spark, index_dir)
     assert report["ok"], report
 
 
 def test_check_index_catches_corruption(spark, index_dir, tmp_path):
-    """Tamper with term_stats — the validator must notice (CheckIndex.cs:827)."""
+    """Tamper with the embedded terms dictionary (block_no=-2 stat rows) —
+    the validator must notice the df mismatch (CheckIndex.cs:827)."""
+    import json
     import shutil
 
     broken = str(tmp_path / "broken")
     shutil.copytree(index_dir, broken)
-    ts = spark.read.parquet(os.path.join(broken, "term_stats"))
-    bad = ts.withColumn(
-        "df", F.when(F.col("term") == "popcorn", F.col("df") + 1).otherwise(F.col("df"))
+    p = spark.read.parquet(os.path.join(index_dir, "postings"))
+    bad = p.withColumn(
+        "count",
+        F.when(
+            (F.col("block_no") == -2) & (F.col("term") == "popcorn"),
+            F.col("count") + 1,
+        ).otherwise(F.col("count")),
     )
-    bad.write.mode("overwrite").parquet(os.path.join(broken, "term_stats_bad"))
-    shutil.rmtree(os.path.join(broken, "term_stats"))
-    os.rename(os.path.join(broken, "term_stats_bad"), os.path.join(broken, "term_stats"))
+    bad.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(broken, "postings_bad")
+    )
+    shutil.rmtree(os.path.join(broken, "postings"))
+    os.rename(os.path.join(broken, "postings_bad"), os.path.join(broken, "postings"))
     # manifest paths are absolute — rewrite to the copy
-    import json
-
     mpath = os.path.join(broken, "_manifest.json")
     with open(mpath) as f:
         m = json.load(f)
     m["tables"] = {k: v.replace(index_dir, broken) for k, v in m["tables"].items()}
+    m["stagings"] = [
+        dict(sg, path=sg["path"].replace(index_dir, broken)) for sg in m["stagings"]
+    ]
     with open(mpath, "w") as f:
         json.dump(m, f)
     report = check_index(spark, broken)
