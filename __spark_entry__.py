@@ -159,6 +159,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         term_stats_top=term_stats_top,
         norm_hist=norm_hist,
     )
+
+    # -- boosted / filtered / fuzzy retrieval --------------------------------
+    out["boost_should"] = topk(
+        BooleanQuery(should=(TermQuery(term=HOT, boost=2.5), TermQuery(term=MID))),
+        k=15,
+        prune=False,
+    )
+    from lucenenet_spark.plans.query import FilteredQuery, FuzzyQuery
+
+    out["filtered_role"] = topk(
+        FilteredQuery(query=TermQuery(term=HOT), where="role = 'user'"), k=15
+    )
+    out["fuzzy"] = topk(FuzzyQuery(term="batc", max_edits=1), k=20)
+
+    # -- training-data pipeline operators (documents / embeddings tables) ----
+    from lucenenet_spark.pipeline import dedup, multimodal, similarity, textstats
+
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def _emb(spark, sf_dir):
+        return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def _qvec(spark, sf_dir, vid=7):
+        row = _emb(spark, sf_dir).filter(F.col("vec_id") == vid).first()
+        return [float(x) for x in row["embedding"]]
+
+    out["doc_token_stats"] = lambda s, d: textstats.token_stats(_docs(s, d))
+    out["doc_quality"] = lambda s, d: textstats.quality_scores(_docs(s, d))
+    out["doc_lang"] = lambda s, d: textstats.lang_id(_docs(s, d))
+    out["doc_fingerprint"] = lambda s, d: textstats.fingerprints(_docs(s, d))
+
+    def dedup_exact(spark, sf_dir):
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        both = d.unionByName(
+            d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+        return dedup.exact_duplicates(both)
+
+    out["dedup_exact"] = dedup_exact
+    out["dedup_minhash_pairs"] = lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d))
+    out["dedup_jaccard"] = lambda s, d: dedup.jaccard_verify(
+        _docs(s, d), dedup.lsh_candidate_pairs(_docs(s, d))
+    )
+    out["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(
+        _emb(s, d), _qvec(s, d), 10
+    )
+    out["ann_lsh_topk"] = lambda s, d: similarity.lsh_topk(_emb(s, d), _qvec(s, d), 10)
+    out["emb_bucket_hist"] = lambda s, d: similarity.bucket_histogram(_emb(s, d))
+    out["emb_near_dups"] = lambda s, d: similarity.embedding_near_dup_pairs(
+        _emb(s, d), threshold=0.9
+    )
+    # rows-only entries (no SQL oracle — Python-side media/simhash logic)
+    out["doc_simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
+    out["media_features"] = lambda s, d: multimodal.media_features(
+        multimodal.attach_media(_docs(s, d))
+    )
     return out
 
 
@@ -213,4 +270,62 @@ SELECT CAST(v.byte AS INT) AS norm_byte, count(*) AS n
 FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
 GROUP BY v.byte ORDER BY norm_byte""",
     }
+
+    # boosted / filtered / fuzzy
+    out["boost_should"] = es.boosted_should_sql([(HOT, 2.5), (MID, 1.0)], k=15)
+    out["filtered_role"] = es.boolean_sql(
+        should=[HOT],
+        k=15,
+        extra_where="docid IN (SELECT docid FROM docs WHERE role = 'user')",
+    )
+    out["fuzzy"] = es.fuzzy_sql("batc", 1, 20)
+
+    # training-data pipeline oracles
+    from lucenenet_spark.pipeline import dedup as dd
+    from lucenenet_spark.pipeline import textstats as tx
+
+    out["doc_token_stats"] = tx.token_stats_sql()
+    out["doc_quality"] = tx.quality_scores_sql()
+    out["doc_lang"] = tx.lang_id_sql()
+    out["doc_fingerprint"] = tx.fingerprints_sql()
+    out["dedup_exact"] = dd.exact_duplicates_sql(
+        table="(SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents)"
+    )
+    out["dedup_minhash_pairs"] = dd.lsh_candidate_pairs_sql()
+    out["dedup_jaccard"] = dd.jaccard_pairs_sql()
+
+    QV = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 7)"
+    COS = (
+        f"round(list_dot_product(CAST(embedding AS DOUBLE[]), {QV}) / "
+        f"(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "
+        f"sqrt(list_dot_product({QV}, {QV}))), 6)"
+    )
+    BITS = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(3)
+    )
+    QBITS = (
+        "(SELECT "
+        + " + ".join(
+            f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(3)
+        )
+        + " FROM embeddings WHERE vec_id = 7)"
+    )
+    out["ann_cosine_topk"] = (
+        f"SELECT vec_id, {COS} AS cosine FROM embeddings "
+        f"ORDER BY cosine DESC, vec_id ASC LIMIT 10"
+    )
+    out["ann_lsh_topk"] = (
+        f"SELECT vec_id, {COS} AS cosine FROM embeddings "
+        f"WHERE ({BITS}) = {QBITS} "
+        f"ORDER BY cosine DESC, vec_id ASC LIMIT 10"
+    )
+    out["emb_bucket_hist"] = (
+        f"SELECT ({BITS}) AS bucket, count(*) AS n FROM embeddings "
+        f"GROUP BY 1 ORDER BY bucket"
+    )
+    from lucenenet_spark.pipeline.similarity import embedding_near_dup_pairs_sql
+
+    out["emb_near_dups"] = embedding_near_dup_pairs_sql(threshold=0.9)
     return out

@@ -233,6 +233,7 @@ def boolean_sql(
     min_should_match: int = 0,
     k: int = 10,
     offset: int = 0,
+    extra_where: str | None = None,
 ) -> str:
     """Top-k BooleanQuery SQL, float32-identical to the engine's scorer."""
     terms = list(must) + list(should)
@@ -254,6 +255,8 @@ def boolean_sql(
         conds.append(
             f"docid NOT IN (SELECT docid FROM scored WHERE term IN ({nt}))"
         )
+    if extra_where:
+        conds.append(extra_where)
     where = " AND ".join(conds) if conds else "TRUE"
     fold = _fold([f"s{i}" for i in range(len(terms))])
     off = f" OFFSET {offset}" if offset else ""
@@ -285,6 +288,64 @@ pivoted AS (
 )
 SELECT docid, {score} AS score
 FROM pivoted
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+
+
+def _weight_sql(term: str, boost: float) -> str:
+    """Scalar subquery: float32 weight = f32(f32(idf*boost) * (k1+1))."""
+    idf = (
+        "CAST(ln(CAST(1.0 AS DOUBLE) + (CAST(f.max_doc AS DOUBLE) - "
+        "CAST(t.df AS DOUBLE) + 0.5) / (CAST(t.df AS DOUBLE) + 0.5)) AS REAL)"
+    )
+    return (
+        f"(SELECT CAST(CAST({idf} * {_f32lit(boost)} AS REAL) * {K1P1_32} AS REAL) "
+        f"FROM tstats t CROSS JOIN fstats f WHERE t.term = '{term}')"
+    )
+
+
+def boosted_should_sql(clauses: list[tuple[str, float]], k: int = 10) -> str:
+    """Pure-disjunction with per-clause boosts; per-clause weight formula in
+    the scorer's exact float32 operation order."""
+    cls = []
+    for i, (term, boost) in enumerate(clauses):
+        w = _weight_sql(term, boost)
+        cls.append(
+            f"cl{i} AS (SELECT p.docid, "
+            f"CAST(CAST({w} * CAST(p.tf AS REAL) AS REAL) / "
+            f"CAST(CAST(p.tf AS REAL) + n.nc AS REAL) AS REAL) AS s "
+            f"FROM posting p JOIN ncache n ON p.docid = n.docid "
+            f"WHERE p.term = '{term}')"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT docid, {i} AS clause, s FROM cl{i}" for i in range(len(clauses))
+    )
+    pivots = ",\n       ".join(
+        f"MAX(CASE WHEN clause = {i} THEN s END) AS s{i}" for i in range(len(clauses))
+    )
+    fold = _fold([f"s{i}" for i in range(len(clauses))])
+    return f"""{prelude()},
+{','.join(cls)},
+u AS ({unions}),
+pivoted AS (SELECT docid, {pivots} FROM u GROUP BY docid)
+SELECT docid, {fold} AS score
+FROM pivoted
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+
+
+def fuzzy_sql(term: str, max_edits: int = 1, k: int = 10) -> str:
+    """FuzzyQuery constant-score rewrite: 50 best terms by (edits, term)."""
+    lo, hi = len(term) - max_edits, len(term) + max_edits
+    return f"""{prelude()}
+SELECT DISTINCT docid, CAST(CAST(1.0 AS DOUBLE) AS REAL) AS score
+FROM posting
+WHERE term IN (
+  SELECT term FROM (
+    SELECT term, levenshtein(term, '{term}') AS ed
+    FROM tstats WHERE length(term) BETWEEN {lo} AND {hi}
+  ) WHERE ed <= {max_edits} ORDER BY ed, term LIMIT 50
+)
 ORDER BY score DESC, docid ASC
 LIMIT {k}"""
 

@@ -1,0 +1,310 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact:   hash-groupBy on the normalized-content fingerprint (one shuffle
+           of 16-byte keys; the canonical web-scale exact-dedup shape).
+- minhash: shingle -> minhash signature -> LSH banding -> bucket self-join.
+           All pure Catalyst expressions: shingles via transform(sequence),
+           hashes via md5-prefix->int (md5 is identical in Spark and DuckDB,
+           so the oracle SQL reproduces signatures bit-for-bit), band keys
+           via md5 of the signature slice. The candidate-pair join shuffles
+           only (band_key, doc_id) pairs — no O(n^2) anywhere; at 100 TB the
+           band-bucket join is the standard near-dup architecture.
+- jaccard: exact 3-shingle Jaccard verification of candidate pairs (the
+           second, cheap stage over the tiny candidate set).
+- simhash: 64-bit sign-aggregated fingerprint (vectorized pandas UDF over
+           Arrow batches; Hamming-close pairs = near-dups). Engine-side with
+           a pure-Python reference in tests; not SQL-mirrored.
+
+Deterministic hash family: h_i(x) = (A[i] * x + B[i]) mod M (M = 2^31-1),
+x = first-8-hex-digits of md5(shingle) — reproducible everywhere, no RNG.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import raw_tokens, _tokens_sql
+
+M = 2_147_483_647  # 2^31 - 1
+# fixed affine hash family (odd multipliers, arbitrary but frozen)
+A = [769, 1543, 3079, 6151, 12289, 24593, 49157, 98317,
+     196613, 393241, 786433, 1572869, 3145739, 6291469, 12582917, 25165843]
+B = [12, 1234, 5678, 91011, 121314, 151617, 181920, 212223,
+     242526, 272829, 303132, 333435, 363738, 394041, 424344, 454647]
+N_HASH = 16
+SHINGLE = 3
+
+
+# -- exact dedup -------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of documents with identical normalized token streams."""
+    toks = raw_tokens(text_col)
+    keyed = df.select(F.col(id_col), F.md5(F.array_join(toks, " ")).alias("text_hash"))
+    return (
+        keyed.groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_duplicates_sql(table: str = "documents", text: str = "text", id_col: str = "doc_id") -> str:
+    return f"""SELECT md5(array_to_string({_tokens_sql(text)}, ' ')) AS text_hash,
+  count(*) AS n_docs, min({id_col}) AS min_doc_id
+FROM {table}
+GROUP BY 1 HAVING count(*) > 1"""
+
+
+# -- minhash / LSH ------------------------------------------------------------
+
+
+def shingles_col(text_col: str):
+    """Distinct 3-shingle column (native HOFs; short docs fall back to the
+    whole token stream as one shingle)."""
+    toks = raw_tokens(text_col)
+    three = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(SHINGLE - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE)),
+    )
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(
+        F.when(F.size(toks) >= SHINGLE, three).otherwise(whole)
+    )
+
+
+def _shingles_sql(text: str) -> str:
+    toks = _tokens_sql(text)
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {SHINGLE} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {SHINGLE - 1}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {SHINGLE - 1}), ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sig array<long>[N_HASH]) — pure Catalyst, no Python."""
+    hashes = F.transform(
+        shingles_col(text_col),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    def _affine(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(M)
+
+    mins = [
+        F.array_min(F.transform(hashes, _affine(a, b))) for a, b in zip(A, B)
+    ]
+    return df.select(F.col(id_col), F.array(*mins).alias("sig"))
+
+
+def _sig_sql(text: str) -> str:
+    sh = _shingles_sql(text)
+    hashes = (
+        f"list_transform({sh}, s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT))"
+    )
+    mins = ", ".join(
+        f"list_min(list_transform({hashes}, x -> ({a} * x + {b}) % {M}))"
+        for a, b in zip(A, B)
+    )
+    return f"[{mins}]"
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    bands * rows = N_HASH; two docs collide in a band iff that signature
+    slice matches exactly — probability rises sharply with Jaccard."""
+    rows = N_HASH // bands
+    sigs = minhash_signatures(df, text_col, id_col)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(str(j)),
+                F.array_join(
+                    F.transform(
+                        F.slice("sig", j * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ),
+            )
+        ).alias(f"b{j}")
+        for j in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    exploded = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"b{j}") for j in range(bands)])).alias("band_key"),
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(right, "band_key")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_sql(
+    table: str = "documents", text: str = "text", id_col: str = "doc_id", bands: int = 4
+) -> str:
+    rows = N_HASH // bands
+    band_exprs = ",\n    ".join(
+        f"md5(concat('{j}', ',', array_to_string(list_transform("
+        f"list_slice(sig, {j * rows + 1}, {j * rows + rows}), x -> CAST(x AS VARCHAR)), ','))) AS b{j}"
+        for j in range(bands)
+    )
+    bl = ", ".join(f"b{j}" for j in range(bands))
+    return f"""WITH sigs AS (
+  SELECT {id_col}, {_sig_sql(text)} AS sig FROM {table}
+),
+banded AS (
+  SELECT {id_col},
+    {band_exprs}
+  FROM sigs
+),
+exploded AS (
+  SELECT {id_col}, unnest([{bl}]) AS band_key FROM banded
+)
+SELECT DISTINCT l.{id_col} AS id_a, r.{id_col} AS id_b
+FROM exploded l JOIN exploded r ON l.band_key = r.band_key
+WHERE l.{id_col} < r.{id_col}"""
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact 3-shingle Jaccard for candidate pairs; rounded for stable hashes."""
+    sh = df.select(F.col(id_col), shingles_col(text_col).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_sql(
+    table: str = "documents", text: str = "text", id_col: str = "doc_id",
+    bands: int = 4, threshold: float = 0.0,
+) -> str:
+    inner = lsh_candidate_pairs_sql(table, text, id_col, bands)
+    return f"""WITH cand AS ({inner}),
+sh AS (SELECT {id_col} AS id, {_shingles_sql(text)} AS sh FROM {table})
+SELECT c.id_a, c.id_b,
+  round(len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+FROM cand c JOIN sh a ON c.id_a = a.id JOIN sh b ON c.id_b = b.id
+WHERE round(len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= {threshold}"""
+
+
+# -- simhash ------------------------------------------------------------------
+
+
+def simhash64_py(tokens: list[str]) -> int:
+    """Pure-Python reference: 64-bit simhash over md5(token) bits, tf-weighted."""
+    import hashlib
+    from collections import Counter
+
+    acc = np.zeros(64, dtype=np.int64)
+    for tok, tf in Counter(tokens).items():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits == 1, tf, -tf)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash big-endian hex) via a vectorized Arrow UDF."""
+    from ..functions.analysis import TOKEN_PATTERN
+    import re
+
+    rx = re.compile(TOKEN_PATTERN, re.UNICODE)
+
+    def batch(it):
+        import hashlib
+        from collections import Counter
+
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t.lower() for t in rx.findall(text or "")]
+                out.append((did, format(simhash64_py(toks), "016x")))
+            yield pd.DataFrame(out, columns=[id_col, "simhash"])
+
+    return df.select(id_col, text_col).mapInPandas(batch, f"{id_col} long, simhash string")
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, banded by 16-bit chunks
+    (a pair within Hamming<=8 of 64 bits shares >=1 of 4 chunks by pigeonhole
+    when distance < 4... chunk-collision is the standard recall heuristic)."""
+    id_col = kw.get("id_col", "doc_id")
+    s = simhash(df, **kw)
+    chunks = s.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[F.substring("simhash", 1 + 4 * j, 4) for j in range(4)])
+        ).alias("chunk"),
+    ).withColumn("chunk_id", F.substring("chunk", 1, 4))
+    left = chunks.alias("l")
+    right = chunks.alias("r")
+    cand = (
+        left.join(right, "chunk")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("h_a"),
+            F.col("r.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+
+    def ham(it):
+        for pdf in it:
+            a = pdf["h_a"].apply(lambda x: int(x, 16)).to_numpy(dtype=np.uint64)
+            b = pdf["h_b"].apply(lambda x: int(x, 16)).to_numpy(dtype=np.uint64)
+            x = a ^ b
+            d = np.zeros(len(x), dtype=np.int64)
+            for _ in range(64):
+                d += (x & np.uint64(1)).astype(np.int64)
+                x = x >> np.uint64(1)
+            out = pdf[["id_a", "id_b"]].copy()
+            out["hamming"] = d
+            yield out
+
+    return (
+        cand.mapInPandas(ham, "id_a long, id_b long, hamming long")
+        .filter(F.col("hamming") <= max_hamming)
+    )

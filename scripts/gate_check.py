@@ -48,6 +48,10 @@ def main():
             fails.append(name)
             print(f"FAIL {name}: spark error {type(ex).__name__}: {ex}")
             continue
+        if name not in os_:
+            # rows-only entry (no SQL oracle) — mirror the driver's weak check
+            print(f"PASS {name}: {len(got)} rows (rows-only, no oracle) ({time.time()-t0:.1f}s)")
+            continue
         try:
             want = con.sql(os_[name]).df()
         except Exception as ex:

@@ -1,0 +1,204 @@
+"""Training-data-pipeline operators over the real gate tables
+(/root/testdata/sf0.001): text stats, dedup (exact/minhash/simhash),
+similarity search, multimodal plumbing. Each operator is checked against an
+independent pure-Python recomputation.
+"""
+import hashlib
+import math
+import re
+
+import numpy as np
+import pytest
+
+from lucenenet_spark.pipeline import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+TOKEN_RE = re.compile(r"[^\W_]+(?:\.[0-9]+)*", re.UNICODE)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def py_tokens(text):
+    return [t.lower() for t in TOKEN_RE.findall(text or "")]
+
+
+def test_token_stats(docs, docs_pd):
+    got = textstats.token_stats(docs).toPandas().set_index("doc_id").sort_index()
+    for _, row in docs_pd.head(50).iterrows():
+        t = row["text"]
+        assert got.loc[row["doc_id"], "word_tokens"] == len(py_tokens(t))
+        assert got.loc[row["doc_id"], "ws_tokens"] == (len(t.split()) if t.strip() else 0)
+        assert got.loc[row["doc_id"], "n_chars"] == len(t)
+
+
+def test_quality_scores(docs, docs_pd):
+    got = textstats.quality_scores(docs).toPandas().set_index("doc_id").sort_index()
+    stop = textstats.STOPWORDS_LIST
+    for _, row in docs_pd.head(30).iterrows():
+        toks = py_tokens(row["text"])
+        n_stop = sum(1 for t in toks if t in stop)
+        assert got.loc[row["doc_id"], "n_tokens"] == len(toks)
+        assert got.loc[row["doc_id"], "n_stopwords"] == n_stop
+        assert 0.0 <= got.loc[row["doc_id"], "quality"] <= 1.0
+
+
+def test_lang_id_deterministic(docs):
+    got = textstats.lang_id(docs).toPandas()
+    assert set(got["lang_pred"]) <= {"en", "es", "fr", "de", "und"}
+    # markers in this corpus are English stop-ish words -> en dominates
+    assert (got["lang_pred"] == "en").mean() > 0.5
+
+
+def test_fingerprints_match_python(docs, docs_pd):
+    got = textstats.fingerprints(docs).toPandas().set_index("doc_id").sort_index()
+    for _, row in docs_pd.head(30).iterrows():
+        want = hashlib.md5(" ".join(py_tokens(row["text"])).encode()).hexdigest()
+        assert got.loc[row["doc_id"], "fingerprint"] == want
+
+
+def test_exact_duplicates(spark, docs):
+    # plant exact dups: duplicate 3 docs with different doc_ids
+    from pyspark.sql import functions as F
+
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(dup)
+    got = dedup.exact_duplicates(both).toPandas()
+    assert len(got) == 3
+    assert (got["n_docs"] == 2).all()
+    assert (got["min_doc_id"] < 100000).all()
+    # pristine corpus has no dups
+    assert dedup.exact_duplicates(docs).count() == 0
+
+
+def py_minhash_sig(text):
+    toks = py_tokens(text)
+    if len(toks) >= dedup.SHINGLE:
+        sh = {
+            " ".join(toks[i : i + dedup.SHINGLE])
+            for i in range(len(toks) - dedup.SHINGLE + 1)
+        }
+    else:
+        sh = {" ".join(toks)}
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh]
+    return [min((a * h + b) % dedup.M for h in hs) for a, b in zip(dedup.A, dedup.B)]
+
+
+def test_minhash_signatures_match_python(docs, docs_pd):
+    got = (
+        dedup.minhash_signatures(docs).toPandas().set_index("doc_id").sort_index()
+    )
+    for _, row in docs_pd.head(20).iterrows():
+        assert list(got.loc[row["doc_id"], "sig"]) == py_minhash_sig(row["text"])
+
+
+def test_lsh_finds_planted_near_dups(spark, docs):
+    """A doc with one word changed must collide in >= 1 band with its source."""
+    from pyspark.sql import functions as F
+
+    base = docs.limit(5).toPandas()
+    rows = []
+    for _, r in base.iterrows():
+        words = r["text"].split()
+        words[len(words) // 2] = "zzmutated"
+        rows.append((int(r["doc_id"]) + 100000, " ".join(words)))
+    near = spark.createDataFrame(rows, "doc_id long, text string")
+    both = docs.select("doc_id", "text").unionByName(near)
+    pairs = dedup.lsh_candidate_pairs(both).toPandas()
+    planted = {(int(r["doc_id"]), int(r["doc_id"]) + 100000) for _, r in base.iterrows()}
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert planted <= found, planted - found
+    # verification stage: planted pairs have high jaccard
+    ver = dedup.jaccard_verify(both, dedup.lsh_candidate_pairs(both)).toPandas()
+    vmap = {(a, b): j for a, b, j in zip(ver["id_a"], ver["id_b"], ver["jaccard"])}
+    for p in planted:
+        assert vmap[p] > 0.5
+
+
+def test_simhash_matches_reference_and_finds_dups(spark, docs):
+    got = dedup.simhash(docs.limit(20)).toPandas().set_index("doc_id")
+    pdf = docs.limit(20).toPandas()
+    for _, r in pdf.iterrows():
+        want = format(dedup.simhash64_py(py_tokens(r["text"])), "016x")
+        assert got.loc[r["doc_id"], "simhash"] == want
+    # identical docs -> hamming 0
+    from pyspark.sql import functions as F
+
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.limit(50).unionByName(dup)
+    pairs = dedup.simhash_near_pairs(both, max_hamming=0).toPandas()
+    assert {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])} >= {
+        (i, i + 100000) for i in dup.toPandas()["doc_id"] - 100000
+    }
+
+
+def test_cosine_topk_matches_numpy(emb):
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    q = mat[7]
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(cos)), key=lambda i: (-round(cos[i], 6), pdf["vec_id"][i]))
+    want = [(int(pdf["vec_id"][i]), round(float(cos[i]), 6)) for i in order[:10]]
+    got = [
+        (int(r["vec_id"]), float(r["cosine"]))
+        for r in similarity.cosine_topk(emb, [float(x) for x in q], 10).collect()
+    ]
+    assert got == [(i, pytest.approx(c, abs=2e-6)) for i, c in want]
+    assert [g[0] for g in got] == [w[0] for w in want]
+
+
+def test_lsh_topk_subset_of_bucket(emb):
+    pdf = emb.toPandas()
+    q = [float(x) for x in pdf["embedding"][3]]
+    full = similarity.cosine_topk(emb, q, 5).toPandas()
+    approx = similarity.lsh_topk(emb, q, 5).toPandas()
+    # the query's own vector lives in its bucket -> rank-1 must survive
+    assert approx["vec_id"].iloc[0] == full["vec_id"].iloc[0]
+    hist = similarity.bucket_histogram(emb).toPandas()
+    assert hist["n"].sum() == len(pdf)
+    assert len(hist) <= 2**similarity.N_BUCKET_BITS
+
+
+def test_embedding_near_dups(spark, emb):
+    from pyspark.sql import functions as F
+
+    dup = emb.limit(2).withColumn("vec_id", F.col("vec_id") + 100000)
+    both = emb.unionByName(dup)
+    pairs = similarity.embedding_near_dup_pairs(both, threshold=0.999).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert {(int(i), int(i) + 100000) for i in dup.toPandas()["vec_id"] - 100000} <= got
+
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.attach_media(docs.limit(40))
+    assert media.schema.simpleString() == "struct<doc_id:bigint,media_type:string,media:binary>"
+    feats = multimodal.media_features(media).toPandas()
+    assert len(feats) == 40
+    assert set(feats["kind"]) <= set(multimodal.KINDS)
+    assert ((feats["width"] >= 16) & (feats["width"] < 256)).all()
+    # deterministic: same input -> identical features
+    feats2 = multimodal.media_features(media).toPandas()
+    assert feats.sort_values("doc_id").equals(feats2.sort_values("doc_id"))
+    # videos produce sampled frames; non-videos none
+    frames = multimodal.frame_sample(media, every_n=5).toPandas()
+    vids = set(feats[feats["kind"] == "video"]["doc_id"])
+    assert set(frames["doc_id"]) <= vids
+    if len(vids):
+        assert (frames["frame_idx"] % 5 == 0).all()
+
+
+def test_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG\r\n\x1a\n....")
