@@ -589,6 +589,201 @@ class IndexSearcher:
         tie = F.lit(float(np.float32(q.tie_breaker))).cast("float")
         return agg.select("docid", (mx + tie * (ssum - mx)).alias("score"))
 
+    # -- bulk DAAT scorer ------------------------------------------------------------
+    BULK_RANGE = 1 << 17  # docids per dense accumulator (512 KB float32)
+
+    def _try_bulk_topk(self, q: Query, k: int, prune: bool) -> DataFrame | None:
+        """Range-bucketed dense-accumulator scoring for heavy multi-clause
+        queries — Lucene's windowed BooleanScorer bucket table
+        (BooleanScorer.cs:28-55), vectorized and distributed.
+
+        Decoded postings are re-sliced at fixed docid-range boundaries in the
+        map stage and shuffled as BINARY sub-arrays (O(blocks) rows, never one
+        row per posting); each reduce range scatters clause kernels into dense
+        float32/count accumulators IN CLAUSE ORDER (bit-identical to the
+        pivot fold), applies MUST/minShouldMatch/MUST_NOT/liveDocs masks
+        vectorized, and emits only its local top-k — TopScoreDocCollector per
+        partition, merged by the global orderBy. Returns None when the query
+        shape or volume doesn't warrant it."""
+        q = self.rewrite(q)
+        if isinstance(q, DisMaxQuery):
+            if not all(isinstance(c, TermQuery) for c in q.queries):
+                return None
+            clauses = self._term_clauses(q.queries, 0)
+            n_must, need_should, not_terms = 0, 1, []
+            mode = ("dismax", float(np.float32(q.tie_breaker)))
+        elif isinstance(q, BooleanQuery):
+            if not all(
+                isinstance(c, TermQuery) for c in q.must + q.should + q.must_not
+            ):
+                return None
+            n_must = len(q.must)
+            clauses = self._term_clauses(q.must, 0) + self._term_clauses(
+                q.should, n_must
+            )
+            not_terms = [c.term for c in q.must_not]
+            msm = q.min_should_match
+            need_should = msm if n_must else max(1, msm) if q.should else 0
+            mode = ("sum", 0.0)
+        else:
+            return None
+        live = [c for c in clauses if float(c.weight) > 0.0]
+        if len(live) < 2:
+            return None  # single-list path is already shuffle-free
+        if any(
+            float(c.weight) == 0.0 and c.clause_id < n_must for c in clauses
+        ):
+            return self._empty_hits()
+        total_df = sum(self.doc_freqs([c.term])[c.term] for c in live)
+        if total_df < self.prune_min_postings * 4:
+            return None
+        # prohibited terms ride along as extra clause ids
+        n_score = len(clauses)
+        proh = [
+            Clause(n_score + i, t, np.float32(0.0)) for i, t in enumerate(not_terms)
+        ]
+        allc = live + proh
+        blocks = self._blocks_for([c.term for c in allc])
+        if (
+            prune
+            and self._prunable
+            and n_must == 0
+            and not not_terms
+            and need_should <= 1
+            and mode[0] == "sum"
+        ):
+            blocks, _ = self._prune_blocks(blocks, live, k)
+
+        by_term: dict[str, list[tuple[int, float]]] = {}
+        for c in allc:
+            by_term.setdefault(c.term, []).append((c.clause_id, float(c.weight)))
+        cache = self._cache256
+        R = self.BULK_RANGE
+        deleted = self._deleted_array()
+
+        def slice_ranges(it):
+            from .codec import decode_block
+
+            for pdf in it:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    docids, tfs = decode_block(
+                        r.docids_enc, r.tfs_enc, r.first_docid, r.count
+                    )
+                    if r.docbase:
+                        docids = docids + r.docbase
+                    nbytes = np.frombuffer(r.norms_enc, dtype=np.uint8)
+                    freq = tfs.astype(np.float32)
+                    rid = docids // R
+                    change = np.nonzero(rid[1:] != rid[:-1])[0]
+                    bounds = np.concatenate([[0], change + 1, [len(docids)]])
+                    for clause_id, w in by_term[r.term]:
+                        sc = (np.float32(w) * freq) / (freq + cache[nbytes]) \
+                            if w else np.zeros(len(docids), dtype=np.float32)
+                        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                            rows.append(
+                                (
+                                    int(rid[b0]),
+                                    clause_id,
+                                    (docids[b0:b1] - rid[b0] * R)
+                                    .astype(np.uint32)
+                                    .tobytes(),
+                                    sc[b0:b1].tobytes(),
+                                )
+                            )
+                yield pd.DataFrame(
+                    rows, columns=["rid", "clause", "offs", "scores"]
+                )
+
+        tie = np.float32(mode[1])
+        is_dismax = mode[0] == "dismax"
+
+        def reduce_ranges(it):
+            bufs = [p for p in it if len(p)]
+            if not bufs:
+                return
+            pdf = pd.concat(bufs, ignore_index=True) if len(bufs) > 1 else bufs[0]
+            order = np.lexsort((pdf["clause"].to_numpy(), pdf["rid"].to_numpy()))
+            rids = pdf["rid"].to_numpy()[order]
+            cls = pdf["clause"].to_numpy()[order]
+            offs_b = pdf["offs"].to_numpy()[order]
+            sc_b = pdf["scores"].to_numpy()[order]
+            change = np.nonzero(rids[1:] != rids[:-1])[0]
+            bounds = np.concatenate([[0], change + 1, [len(rids)]])
+            out_ids, out_scores = [], []
+            for g0, g1 in zip(bounds[:-1], bounds[1:]):
+                base = int(rids[g0]) * R
+                acc = np.zeros(R, dtype=np.float32)
+                mx = np.zeros(R, dtype=np.float32) if is_dismax else None
+                nm = np.zeros(R, dtype=np.int16)
+                ns = np.zeros(R, dtype=np.int16)
+                banned = np.zeros(R, dtype=bool)
+                for i in range(g0, g1):  # clause-ascending within the range
+                    offs = np.frombuffer(offs_b[i], dtype=np.uint32)
+                    cid = int(cls[i])
+                    if cid >= n_score:
+                        banned[offs] = True
+                        continue
+                    sc = np.frombuffer(sc_b[i], dtype=np.float32)
+                    acc[offs] = acc[offs] + sc  # float32, clause order
+                    if is_dismax:
+                        mx[offs] = np.maximum(mx[offs], sc)
+                        ns[offs] += 1
+                    elif cid < n_must:
+                        nm[offs] += 1
+                    else:
+                        ns[offs] += 1
+                if is_dismax:
+                    mask = ns > 0
+                else:
+                    mask = (nm == n_must) if n_must else (ns > 0)
+                    if need_should:
+                        mask &= ns >= need_should
+                mask &= ~banned
+                if deleted.size:
+                    lo = np.searchsorted(deleted, base)
+                    hi = np.searchsorted(deleted, base + R)
+                    mask[(deleted[lo:hi] - base)] = False
+                cand = np.nonzero(mask)[0]
+                if not len(cand):
+                    continue
+                if is_dismax:
+                    scores = mx[cand] + tie * (acc[cand] - mx[cand])
+                else:
+                    scores = acc[cand]
+                if len(cand) > k:
+                    o = np.lexsort((cand, -scores))[:k]
+                    cand, scores = cand[o], scores[o]
+                out_ids.append(base + cand.astype(np.int64))
+                out_scores.append(scores.astype(np.float32))
+            if out_ids:
+                yield pd.DataFrame(
+                    {
+                        "docid": np.concatenate(out_ids),
+                        "score": np.concatenate(out_scores),
+                    }
+                )
+
+        n_shuffle = max(
+            int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")), 8
+        )
+        cols = [
+            "term", "first_docid", "count", "docids_enc", "tfs_enc",
+            "norms_enc", "docbase",
+        ]
+        sliced = blocks.select(cols).mapInPandas(
+            slice_ranges, "rid long, clause int, offs binary, scores binary"
+        )
+        return sliced.repartition(n_shuffle, "rid").mapInPandas(
+            reduce_ranges, "docid long, score float"
+        )
+
+    def _deleted_array(self) -> np.ndarray:
+        d = self._deleted_docids()
+        if d is None:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(np.array([r["docid"] for r in d.collect()], dtype=np.int64))
+
     # -- block-max pruning -----------------------------------------------------------
     def _prune_blocks(
         self, blocks: DataFrame, clauses: list[Clause], k: int
@@ -638,6 +833,9 @@ class IndexSearcher:
     # -- public search API --------------------------------------------------------------
     def search(self, q: Query, k: int = 10, prune: bool = True) -> DataFrame:
         """Top-k: (docid, score) ordered score desc, docid asc (HitQueue order)."""
+        bulk = self._try_bulk_topk(q, k, prune)
+        if bulk is not None:
+            return bulk.orderBy(F.desc("score"), F.asc("docid")).limit(k)
         scored = self.scores(q, prune_k=k if prune else None)
         return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
 
