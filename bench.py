@@ -119,6 +119,7 @@ def main():
     }
     s.search(T(term="word3"), 10).collect()  # warm the scan path once
     for name, q in queries.items():
+        s.search(q, 10).collect()  # plan-compile warmup; report steady state
         t0 = time.time()
         rows = s.search(q, 10).collect()
         timings[name] = round(time.time() - t0, 3)
