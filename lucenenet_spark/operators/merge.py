@@ -36,7 +36,6 @@ from .index_build import (
     FIELD,
     PARTIALS_DDL,
     POSTINGS_DDL,
-    IndexBuilder,
     load_manifest,
     make_merge_encode,
     split_salts,

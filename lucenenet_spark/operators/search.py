@@ -42,7 +42,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import FloatType
 
-from ..functions.smallfloat import NORM_TABLE
 from ..oracle import idf as idf_f32
 from ..oracle import norm_cache
 from ..plans.query import (
@@ -52,7 +51,6 @@ from ..plans.query import (
     FilteredQuery,
     FuzzyQuery,
     MatchAllQuery,
-    MAX_CLAUSE_COUNT,
     PrefixQuery,
     Query,
     RegexpQuery,

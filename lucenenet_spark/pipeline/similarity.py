@@ -16,7 +16,7 @@ only cross-engine difference and sits far below 1e-6 for unit-scale vectors.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_BUCKET_BITS = 3
