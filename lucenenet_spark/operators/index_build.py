@@ -338,11 +338,25 @@ class IndexBuilder:
         two columns). When it holds, the heavy text shuffle + sort is skipped
         entirely: at 100 TB this is the difference between shuffling the whole
         corpus and shuffling nothing, and conversation logs are typically
-        written clustered by conv_id."""
+        written clustered by conv_id.
+
+        The pid comes from TaskContext inside a mapInPandas (a
+        spark_partition_id() column over an in-memory relation is evaluated
+        at plan time by ConvertToLocalRelation and reads 0 everywhere)."""
+
+        def tag(it):
+            from pyspark import TaskContext
+
+            p = TaskContext.get().partitionId()
+            for pdf in it:
+                if len(pdf):
+                    out = pdf[["conv_id", "turn_idx"]].copy()
+                    out["pid"] = p
+                    yield out
+
         rows = (
-            transcripts.select(
-                F.spark_partition_id().alias("pid"), "conv_id", "turn_idx"
-            )
+            transcripts.select("conv_id", "turn_idx")
+            .mapInPandas(tag, "conv_id string, turn_idx int, pid int")
             .groupBy("pid")
             .agg(
                 F.min(F.struct("conv_id", "turn_idx")).alias("lo"),
@@ -387,9 +401,16 @@ class IndexBuilder:
             # range+sort exchange. Violation = hard error (builder falls back).
             from array import array
 
+            from pyspark import TaskContext
+
             gt0 = time.time()
             rank = 0
-            pid = -1
+            # pid from the task context, NOT a spark_partition_id() column:
+            # Catalyst's ConvertToLocalRelation evaluates projections over
+            # in-memory relations at PLAN time where spark_partition_id()=0
+            # for every row — which would collide all docid offsets
+            pid = TaskContext.get().partitionId()
+            seen_rows = False
             postings = 0
             sum_len = 0
             doc_count = 0
@@ -400,7 +421,7 @@ class IndexBuilder:
                 n = len(pdf)
                 if n == 0:
                     continue
-                pid = int(pdf["pid"].iloc[0])
+                seen_rows = True
                 conv = pdf["conv_id"].to_numpy()
                 turn = pdf["turn_idx"].to_numpy()
                 same = conv[1:] == conv[:-1]
@@ -458,7 +479,7 @@ class IndexBuilder:
                     n,
                 )
                 rank += n
-            if pid < 0:
+            if not seen_rows:
                 return
             # flush the partial index: one row per term, raw array payloads
             terms = list(store.keys())
@@ -521,8 +542,7 @@ class IndexBuilder:
                     self.n_segments, "conv_id", "turn_idx"
                 ).sortWithinPartitions("conv_id", "turn_idx")
             staged = (
-                src.withColumn("pid", F.spark_partition_id())
-                .select("pid", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+                src.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
                 .mapInPandas(ingest_partition, STAGING_DDL)
             )
             staged.write.mode("overwrite").parquet(self._p("staging"))

@@ -103,6 +103,43 @@ def test_compaction_generation_swap(nrt, searcher):
     assert report["ok"], report
 
 
+def test_late_data_scores_unaffected(spark, corpus_pdf, oracle_index, tmp_path):
+    """Late/out-of-order arrival: a conversation's later turns land in a
+    SECOND batch. Docids become arrival-ordered (exactly Lucene's behavior),
+    but BM25 scores depend only on global stats — the hit set and the score
+    multiset must equal the oracle's, with ranks permuted only within
+    equal-score ties."""
+    import numpy as np
+
+    from lucenenet_spark import oracle
+
+    base = str(tmp_path / "late")
+    idx = NRTIndex(spark, base, n_buckets=4, n_segments=4, salt_target=10**9)
+    # batch 1 = even-indexed turns of every conversation; batch 2 = odd ones
+    b1 = corpus_pdf[corpus_pdf["turn_idx"] % 2 == 0]
+    b2 = corpus_pdf[corpus_pdf["turn_idx"] % 2 == 1]
+    idx.process_batch(spark.createDataFrame(b1), 0)
+    idx.process_batch(spark.createDataFrame(b2), 1)
+    s = idx.searcher()
+    assert s.max_doc == len(corpus_pdf)
+    assert s.avgdl == oracle_index.avgdl
+    got = s.search(TermQuery(term="popcorn"), 10**6, prune=False).toPandas()
+    want = oracle.top_k(oracle.term_scores(oracle_index, "popcorn"), 10**6)
+    assert len(got) == len(want)
+    # identical float32 score multisets (docids are arrival-permuted)
+    assert sorted(np.float32(got["score"]).tolist()) == sorted(
+        float(sc) for _, sc in want
+    )
+    # and the docs themselves match: join hits back to (conv_id, turn_idx)
+    fetched = s.fetch(s.scores(TermQuery(term="popcorn"))).toPandas()
+    got_keys = {(c, int(t)) for c, t in zip(fetched["conv_id"], fetched["turn_idx"])}
+    want_keys = {
+        (corpus_pdf["conv_id"].iloc[d], int(corpus_pdf["turn_idx"].iloc[d]))
+        for d, _ in want
+    }
+    assert got_keys == want_keys
+
+
 def test_batch_idempotent_on_retry(nrt, spark):
     """Re-running a processed batch (streaming retry) must not duplicate."""
     seg0 = nrt.segments()[0]
