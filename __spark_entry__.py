@@ -264,7 +264,8 @@ ORDER BY d.doc_id ASC LIMIT 15""",
         "doclen": f"""{P}
 SELECT docid, CAST(fl AS BIGINT) AS len_tokens FROM lens""",
         "term_stats_top": f"""{P}
-SELECT term, df, ttf FROM tstats ORDER BY df DESC, term ASC LIMIT 20""",
+SELECT term, CAST(df AS BIGINT) AS df, CAST(ttf AS BIGINT) AS ttf
+FROM tstats ORDER BY df DESC, term ASC LIMIT 20""",
         "norm_hist": f"""{P}
 SELECT CAST(v.byte AS INT) AS norm_byte, count(*) AS n
 FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
@@ -328,4 +329,9 @@ GROUP BY v.byte ORDER BY norm_byte""",
     from lucenenet_spark.pipeline.similarity import embedding_near_dup_pairs_sql
 
     out["emb_near_dups"] = embedding_near_dup_pairs_sql(threshold=0.9)
+
+    from lucenenet_spark.pipeline import multimodal as mm
+
+    out["doc_simhash"] = dd.simhash_sql()
+    out["media_features"] = mm.media_features_sql()
     return out

@@ -94,18 +94,26 @@ def _add_pyfiles(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = "/tmp/lucenenet_entry/lucenenet_spark.zip"
+    # key the zip on source content so executors never run stale code after
+    # an edit (a fixed path would be reused across rounds/sessions)
+    srcs = sorted(
+        os.path.join(root, fn)
+        for root, _dirs, files in os.walk(pkg_dir)
+        for fn in files
+        if fn.endswith(".py")
+    )
+    h = hashlib.md5()
+    for full in srcs:
+        h.update(full.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    zpath = f"/tmp/lucenenet_entry/lucenenet_spark_{h.hexdigest()[:12]}.zip"
     os.makedirs(os.path.dirname(zpath), exist_ok=True)
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w") as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.join(
-                            "lucenenet_spark", os.path.relpath(full, pkg_dir)
-                        )
-                        z.write(full, rel)
+            for full in srcs:
+                rel = os.path.join("lucenenet_spark", os.path.relpath(full, pkg_dir))
+                z.write(full, rel)
     try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:

@@ -503,6 +503,10 @@ class IndexSearcher:
             and q.min_should_match <= 1
             and len(live) > 0
             and total_df >= self.prune_min_postings
+            # deletes inflate probe θ (a high-scoring deleted doc is masked
+            # only after scoring) — pruning with a delete log could drop
+            # blocks holding live true top-k hits
+            and self._deleted_docids() is None
         )
         if can_prune:
             blocks, _ = self._prune_blocks(blocks, live, prune_k)
@@ -512,8 +516,18 @@ class IndexSearcher:
         need_should = msm if n_must else max(1, msm) if q.should else 0
 
         # single-clause fast path: no clause combination -> no groupBy shuffle;
-        # rows are already (docid, score). TermScorer's direct path.
-        if len(live) == 1 and n_must <= 1 and need_should <= 1 and not not_terms:
+        # rows are already (docid, score). TermScorer's direct path. Only valid
+        # when the minShouldMatch constraint is satisfiable by the live clauses
+        # (a lone MUST clause with need_should>=1 and every SHOULD term df=0
+        # must return empty, which the pivot path gets right).
+        n_live_should = sum(1 for c in live if c.clause_id >= n_must)
+        if (
+            len(live) == 1
+            and n_must <= 1
+            and not not_terms
+            and (need_should == 0 or n_live_should >= need_should)
+            and need_should <= 1
+        ):
             return rows.select("docid", "score")
 
         n_total = len(clauses)
@@ -625,13 +639,19 @@ class IndexSearcher:
             mode = ("sum", 0.0)
         else:
             return None
-        live = [c for c in clauses if float(c.weight) > 0.0]
+        dfs = self.doc_freqs([c.term for c in clauses])
+        # a MUST term with df=0 can never match; but weight can also be 0 with
+        # boost=0 while df>0 — such a clause stays live as a zero-contribution
+        # match constraint (mirrors _boolean_scores / Lucene semantics)
+        if any(dfs[c.term] == 0 and c.clause_id < n_must for c in clauses):
+            return self._empty_hits()
+        live = [
+            c
+            for c in clauses
+            if float(c.weight) > 0.0 or (c.clause_id < n_must and dfs[c.term] > 0)
+        ]
         if len(live) < 2:
             return None  # single-list path is already shuffle-free
-        if any(
-            float(c.weight) == 0.0 and c.clause_id < n_must for c in clauses
-        ):
-            return self._empty_hits()
         total_df = sum(self.doc_freqs([c.term])[c.term] for c in live)
         if total_df < self.prune_min_postings * 4:
             return None
@@ -649,6 +669,7 @@ class IndexSearcher:
             and not not_terms
             and need_should <= 1
             and mode[0] == "sum"
+            and self._deleted_docids() is None  # see can_prune in _boolean_scores
         ):
             blocks, _ = self._prune_blocks(blocks, live, k)
 

@@ -243,6 +243,46 @@ def simhash64_py(tokens: list[str]) -> int:
     return out
 
 
+def simhash_sql(table: str = "documents", text: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB oracle for simhash(): same md5-based 64-bit fingerprint, bit
+    for bit. h = first 8 bytes of md5(token) big-endian (= first 16 hex
+    chars); acc[i] = sum over distinct tokens of (+tf if bit i of h else
+    -tf); output bit i set iff acc[i] > 0; rendered as 16 lowercase hex
+    chars. Docs with zero tokens hash to all-zero."""
+    from ..functions.analysis import TOKEN_PATTERN_RE2
+
+    toks = (
+        f"list_transform(regexp_extract_all(COALESCE({text}, ''), "
+        f"'{TOKEN_PATTERN_RE2}'), t -> lower(t))"
+    )
+    return f"""WITH tf AS (
+  SELECT {id_col}, tok, count(*) AS tf
+  FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {table})
+  GROUP BY 1, 2
+),
+th AS (
+  SELECT {id_col}, tf,
+         CAST('0x' || substring(md5(tok), 1, 16) AS UBIGINT) AS h
+  FROM tf
+),
+bits AS (
+  SELECT {id_col}, g.i,
+         sum(CASE WHEN (h >> g.i) & CAST(1 AS UBIGINT) = CAST(1 AS UBIGINT)
+             THEN tf ELSE -tf END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT {id_col},
+         CAST(sum(CASE WHEN acc > 0
+              THEN CAST(CAST(1 AS UBIGINT) << i AS HUGEINT) ELSE 0 END)
+              AS UBIGINT) AS v
+  FROM bits GROUP BY 1
+)
+SELECT d.{id_col}, lpad(lower(hex(COALESCE(sh.v, 0))), 16, '0') AS simhash
+FROM {table} d LEFT JOIN sh ON d.{id_col} = sh.{id_col}"""
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash big-endian hex) via a vectorized Arrow UDF."""
     from ..functions.analysis import TOKEN_PATTERN
@@ -264,23 +304,30 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(id_col, text_col).mapInPandas(batch, f"{id_col} long, simhash string")
 
 
-def simhash_near_pairs(df: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance, banded by 16-bit chunks
-    (a pair within Hamming<=8 of 64 bits shares >=1 of 4 chunks by pigeonhole
-    when distance < 4... chunk-collision is the standard recall heuristic)."""
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 7, **kw) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, banded by 8-bit chunks.
+
+    Recall contract (pigeonhole): the 64-bit fingerprint is cut into 8
+    chunks of 8 bits; a pair at Hamming distance d <= 7 differs in at most 7
+    chunks, so at least one (position, value) chunk matches and the pair is
+    GUARANTEED to surface as a candidate. Pairs with d > 7 may be missed —
+    hence the default max_hamming=7 keeps the result exactly-complete.
+    The chunk join shuffles (chunk_pos, chunk_value, id) rows only; the exact
+    Hamming verify runs on the candidate set."""
     id_col = kw.get("id_col", "doc_id")
     s = simhash(df, **kw)
+    n_chunks = 8
     chunks = s.select(
         id_col,
         "simhash",
-        F.explode(
-            F.array(*[F.substring("simhash", 1 + 4 * j, 4) for j in range(4)])
-        ).alias("chunk"),
-    ).withColumn("chunk_id", F.substring("chunk", 1, 4))
+        F.posexplode(
+            F.array(*[F.substring("simhash", 1 + 2 * j, 2) for j in range(n_chunks)])
+        ).alias("chunk_pos", "chunk"),
+    )
     left = chunks.alias("l")
     right = chunks.alias("r")
     cand = (
-        left.join(right, "chunk")
+        left.join(right, ["chunk_pos", "chunk"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(
             F.col(f"l.{id_col}").alias("id_a"),

@@ -62,7 +62,8 @@ def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 ki = int(did) % len(KINDS)
                 kinds.append(KINDS[ki])
-                blobs.append(synth_media(str(text).encode(), ki))
+                key = "" if pd.isna(text) else str(text)
+                blobs.append(synth_media(key.encode(), ki))
             out = pdf[[id_col]].copy()
             out["media_type"] = kinds
             out["media"] = blobs
@@ -130,6 +131,41 @@ def media_features(df: DataFrame, media_col: str = "media", id_col: str = "doc_i
         f"{id_col} long, kind string, width int, height int, n_frames int,"
         " n_bytes long, mean_intensity double",
     )
+
+
+def media_features_sql(table: str = "documents", text: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB oracle for attach_media + media_features: every feature is a
+    pure function of md5(text) and doc_id (the SMF1 payload is the 16-byte
+    digest tiled to width*height bytes), so the whole extraction is
+    re-expressible in SQL: b[i] = digest byte i, width/height/fps from
+    b[0..2], mean over the tiled payload = (full_reps*sum(b) +
+    sum(prefix)) / n computed exactly in integers then divided."""
+    digest = f"md5(COALESCE({text}, ''))"
+    b = (
+        f"list_transform(generate_series(1, 16), "
+        f"i -> CAST('0x' || substring({digest}, 2*i - 1, 2) AS INT))"
+    )
+    return f"""WITH feat AS (
+  SELECT {id_col},
+         CASE CAST({id_col} % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         {b} AS b
+  FROM {table}
+),
+dims AS (
+  SELECT {id_col}, kind,
+         16 + b[1] % 240 AS width,
+         16 + b[2] % 240 AS height,
+         1 + b[3] % 30 AS fps,
+         list_sum(b) AS bsum, b
+  FROM feat
+)
+SELECT {id_col}, kind, width, height,
+       CASE WHEN kind = 'video' THEN fps ELSE 1 END AS n_frames,
+       CAST(10 + width * height AS BIGINT) AS n_bytes,
+       round(CAST((width * height // 16) * bsum
+                  + COALESCE(list_sum(list_slice(b, 1, width * height % 16)), 0)
+             AS DOUBLE) / (width * height), 4) AS mean_intensity
+FROM dims"""
 
 
 def frame_sample(df: DataFrame, every_n: int = 5, media_col: str = "media", id_col: str = "doc_id") -> DataFrame:
