@@ -24,6 +24,7 @@ from lucenenet_spark.plans.query import (
     BooleanQuery,
     DisMaxQuery,
     MatchAllQuery,
+    PhraseQuery,
     PrefixQuery,
     TermQuery,
     TermRangeQuery,
@@ -87,6 +88,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dismax": topk(
             DisMaxQuery(queries=(TermQuery(term=HOT), TermQuery(term=MID)), tie_breaker=0.3),
+            k=15,
+        ),
+        "phrase_exact": topk(PhraseQuery(terms=("table", "hash")), k=15),
+        "phrase_sloppy": topk(PhraseQuery(terms=("value", "table"), slop=3), k=15),
+        "field_role_term": topk(TermQuery(term="user", field="role"), k=15),
+        "bool_cross_field": topk(
+            BooleanQuery(
+                must=(TermQuery(term=HOT),),
+                should=(TermQuery(term="user", field="role"),),
+            ),
             k=15,
         ),
         "prefix": topk(PrefixQuery(prefix="sc"), k=100000),
@@ -232,6 +243,10 @@ def oracle_sql() -> dict[str, str]:
         "bool_mixed": es.boolean_sql(must=[HOT], should=[MID], must_not=[T5]),
         "bool_msm2": es.boolean_sql(should=[HOT, MID, T3, T4], min_should_match=2, k=15),
         "dismax": es.dismax_sql([HOT, MID], 0.3, k=15),
+        "phrase_exact": es.phrase_sql(["table", "hash"], k=15),
+        "phrase_sloppy": es.phrase_sql(["value", "table"], slop=3, k=15),
+        "field_role_term": es.kw_term_sql("role", "user", k=15),
+        "bool_cross_field": es.cross_field_sql(HOT, "role", "user", k=15),
         "prefix": es.constant_score_sql("term LIKE 'sc%'", 100000),
         "wildcard": es.constant_score_sql("regexp_matches(term, '^sc.n$')", 100000),
         "term_range": es.constant_score_sql("term >= 'm' AND term <= 't'", 100000),

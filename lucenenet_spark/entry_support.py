@@ -81,7 +81,7 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
         import shutil
 
         with open(mpath) as f:
-            if json.load(f).get("format_version") != 2:
+            if json.load(f).get("format_version") != 3:
                 shutil.rmtree(out, ignore_errors=True)
     IndexBuilder(
         spark, out, k1=K1, b=B, n_buckets=8, n_segments=8, salt_target=2000
@@ -354,6 +354,179 @@ WHERE term IN (
     FROM tstats WHERE length(term) BETWEEN {lo} AND {hi}
   ) WHERE ed <= {max_edits} ORDER BY ed, term LIMIT 50
 )
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+
+
+def _idf_sql(term: str) -> str:
+    """Scalar: float32 idf of a text term (0-df terms never reach this)."""
+    return (
+        "(SELECT CAST(ln(CAST(1.0 AS DOUBLE) + (CAST(f.max_doc AS DOUBLE) - "
+        "CAST(t.df AS DOUBLE) + 0.5) / (CAST(t.df AS DOUBLE) + 0.5)) AS REAL) "
+        f"FROM tstats t CROSS JOIN fstats f WHERE t.term = '{term}')"
+    )
+
+
+def _positions_cte() -> str:
+    """pos(docid, term, pos): analyzed tokens with reference position
+    semantics — every raw tokenizer match occupies a position slot, dropped
+    (stop/too-long) tokens leave gaps (StandardTokenizer skippedPositions +
+    StopFilter increments)."""
+    stop_list = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    return f"""rawtoks AS (
+  SELECT docid,
+         list_transform(regexp_extract_all(COALESCE(text, ''), '{TOKEN_PATTERN_RE2}'),
+                        t -> lower(t)) AS raw
+  FROM docs
+),
+pos AS (
+  SELECT docid, tok AS term, p - 1 AS pos
+  FROM (
+    SELECT docid, unnest(raw) AS tok,
+           unnest(generate_series(1, len(raw))) AS p
+    FROM rawtoks
+  )
+  WHERE length(tok) <= {MAX_TOKEN_LENGTH} AND tok NOT IN ({stop_list})
+)"""
+
+
+def phrase_sql(
+    terms: list[str], offsets: list[int] | None = None, k: int = 10,
+    slop: int = 0, boost: float = 1.0,
+) -> str:
+    """Top-k PhraseQuery SQL, float32-identical to the engine's scorer.
+
+    Exact (slop=0) is fully general. Sloppy (slop>0) runs the ACTUAL
+    SloppyPhraseScorer two-stream merge as a recursive CTE (one state row
+    per doc per step, <= |A|+|B| steps): advance the min stream; on a
+    strict crossing score sloppyFreq(matchLength) and swap streams; else
+    matchLength = min(matchLength, end - newPos); on stream exhaustion
+    score the final matchLength. freq accumulates in float32 (REAL casts
+    per add) exactly like the scorer. n>2 sloppy is engine-side only
+    (pytest-verified vs the Python oracle)."""
+    if offsets is None:
+        offsets = list(range(len(terms)))
+    n = len(terms)
+    if slop > 0 and n != 2:
+        raise NotImplementedError("sloppy phrase oracle SQL covers 2-term phrases")
+    # float32 fold of clause idfs in clause order, then the term weight chain
+    wsum = _idf_sql(terms[0])
+    for t in terms[1:]:
+        wsum = f"CAST({wsum} + {_idf_sql(t)} AS REAL)"
+    w = f"CAST(CAST({wsum} * {_f32lit(boost)} AS REAL) * {K1P1_32} AS REAL)"
+    clauses = "\nUNION ALL\n".join(
+        f"SELECT docid, {i} AS clause, pos - {off} AS bpos "
+        f"FROM pos WHERE term = '{t}'"
+        for i, (t, off) in enumerate(zip(terms, offsets))
+    )
+    if slop == 0:
+        freq_cte = f"""m AS ({clauses}),
+aligned AS (
+  SELECT docid, bpos FROM m GROUP BY docid, bpos
+  HAVING count(DISTINCT clause) = {n}
+),
+pf AS (SELECT docid, CAST(count(*) AS REAL) AS freq FROM aligned GROUP BY docid)"""
+    else:
+        one = "CAST(CAST(1.0 AS DOUBLE) AS REAL)"
+        sc = (
+            f"CASE WHEN ml <= {slop} THEN CAST({one} / CAST(ml + 1 AS REAL) AS REAL) "
+            "ELSE CAST(0.0 AS REAL) END"
+        )
+        freq_cte = f"""m AS ({clauses}),
+plist AS (
+  SELECT docid,
+         list_sort(list(bpos) FILTER (WHERE clause = 0)) AS la,
+         list_sort(list(bpos) FILTER (WHERE clause = 1)) AS lb
+  FROM m GROUP BY docid
+  HAVING count(DISTINCT clause) = 2
+),
+rec AS (
+  SELECT docid, la, lb,
+         CAST(la[1] AS BIGINT) AS pa, CAST(lb[1] AS BIGINT) AS pb,
+         2 AS ia, 2 AS ib,
+         greatest(la[1], lb[1]) AS end_,
+         CASE WHEN la[1] <= lb[1] THEN 1 ELSE 0 END AS is_a,
+         greatest(la[1], lb[1]) - least(la[1], lb[1]) AS ml,
+         CAST(0.0 AS REAL) AS freq,
+         FALSE AS done
+  FROM plist
+  UNION ALL
+  SELECT docid, la, lb,
+         CASE WHEN np IS NOT NULL AND is_a = 1 THEN np ELSE pa END,
+         CASE WHEN np IS NOT NULL AND is_a = 0 THEN np ELSE pb END,
+         CASE WHEN np IS NOT NULL AND is_a = 1 THEN ia + 1 ELSE ia END,
+         CASE WHEN np IS NOT NULL AND is_a = 0 THEN ib + 1 ELSE ib END,
+         greatest(end_, COALESCE(np, end_)),
+         CASE WHEN np IS NULL THEN is_a
+              WHEN np > other THEN 1 - is_a ELSE is_a END,
+         CASE WHEN np IS NULL THEN ml
+              WHEN np > other THEN greatest(end_, np) - other
+              ELSE least(ml, end_ - np) END,
+         CASE WHEN np IS NULL OR np > other
+              THEN CAST(freq + {sc} AS REAL) ELSE freq END,
+         np IS NULL
+  FROM (
+    SELECT *,
+           CASE WHEN is_a = 1
+                THEN (CASE WHEN ia <= len(la) THEN CAST(la[ia] AS BIGINT) END)
+                ELSE (CASE WHEN ib <= len(lb) THEN CAST(lb[ib] AS BIGINT) END)
+           END AS np,
+           CASE WHEN is_a = 1 THEN pb ELSE pa END AS other
+    FROM rec WHERE NOT done
+  ) s
+),
+pf AS (SELECT docid, freq FROM rec WHERE done AND freq > 0)"""
+    p = prelude()
+    if slop > 0:
+        p = "WITH RECURSIVE " + p[len("WITH ") :]
+    return f"""{p},
+{_positions_cte()},
+{freq_cte}
+SELECT p.docid AS docid,
+       CAST(CAST({w} * p.freq AS REAL) / CAST(p.freq + n.nc AS REAL) AS REAL) AS score
+FROM pf p JOIN ncache n ON p.docid = n.docid
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+
+
+def _kw_score_sql(field: str, value: str, boost: float = 1.0) -> str:
+    """Scalar: float32 score of a keyword (omitNorms) field term — constant
+    across matching docs: f32(f32(idf*boost)*(k1+1)) * 1 / (1 + k1)."""
+    idf = (
+        "(SELECT CAST(ln(CAST(1.0 AS DOUBLE) + (CAST(f.max_doc AS DOUBLE) - "
+        f"CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5)) AS REAL) "
+        f"FROM (SELECT count(*) AS df FROM docs WHERE {field} = '{value}') d "
+        "CROSS JOIN fstats f)"
+    )
+    w = f"CAST(CAST({idf} * {_f32lit(boost)} AS REAL) * {K1P1_32} AS REAL)"
+    one = "CAST(CAST(1.0 AS DOUBLE) AS REAL)"
+    return (
+        f"CAST(CAST({w} * {one} AS REAL) / "
+        f"CAST({one} + {K1_32} AS REAL) AS REAL)"
+    )
+
+
+def kw_term_sql(field: str, value: str, k: int = 10) -> str:
+    """Top-k keyword-field TermQuery SQL (field: role/tool on the docs view)."""
+    return f"""{prelude()}
+SELECT docid, {_kw_score_sql(field, value)} AS score
+FROM docs WHERE {field} = '{value}'
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+
+
+def cross_field_sql(text_must: str, field: str, value: str, k: int = 10) -> str:
+    """MUST text term + SHOULD keyword term, f32 clause-order fold."""
+    kw = _kw_score_sql(field, value)
+    return f"""{prelude()},
+pivoted AS (
+  SELECT s.docid, s.s AS s0,
+         CASE WHEN d.{field} = '{value}' THEN {kw} END AS s1
+  FROM scored s JOIN docs d ON s.docid = d.docid
+  WHERE s.term = '{text_must}'
+)
+SELECT docid, {_fold(["s0", "s1"])} AS score
+FROM pivoted
 ORDER BY score DESC, docid ASC
 LIMIT {k}"""
 

@@ -58,6 +58,31 @@ def tokenize_text(text: str | None) -> list[str]:
     return out
 
 
+def tokenize_with_positions(text: str | None) -> tuple[list[str], list[int]]:
+    """Analyzer chain emitting (tokens, positions).
+
+    Position semantics match the reference chain exactly: every token the
+    tokenizer finds occupies one position slot, including tokens the chain
+    then drops — too-long tokens bump skippedPositions
+    (StandardTokenizer.cs:212,236,248) and StopFilter preserves increments
+    (FilteringTokenFilter enablePositionIncrements, mandatory since 4.4) —
+    so the position of an emitted token is its 0-based index over ALL raw
+    tokenizer matches. len(tokens) stays the normed fieldLength."""
+    if not text:
+        return [], []
+    toks: list[str] = []
+    poss: list[int] = []
+    for i, tok in enumerate(_TOKEN_RE.findall(text)):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            continue
+        low = tok.lower()
+        if low in ENGLISH_STOP_WORDS:
+            continue
+        toks.append(low)
+        poss.append(i)
+    return toks, poss
+
+
 def _tokenize_series(texts: pd.Series) -> pd.Series:
     # vectorized-enough: one findall per row, list-comp filtering; all work
     # happens inside a single Arrow batch (no Spark-row-level Python).

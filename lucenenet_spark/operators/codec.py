@@ -93,24 +93,47 @@ def block_max_bound(
     return float(np.max(tf / (tf + norm)))
 
 
+def decode_positions(pos_enc: bytes, n_positions: int) -> np.ndarray:
+    """Decode a block's positions payload -> flat int64 array (length =
+    sum of the block's tfs; split per posting by cumsum(tfs))."""
+    if n_positions == 0:
+        return np.empty(0, dtype=np.int64)
+    return _unpack(pos_enc, n_positions)
+
+
 def encode_posting_list(
     docids: np.ndarray,
     tfs: np.ndarray,
     norm_bytes: np.ndarray,
     cache: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    positions: np.ndarray | None = None,
 ) -> list[dict]:
     """Split one term's (sorted) postings into encoded block rows.
+
+    positions: flat per-occurrence token positions, aligned with the
+    postings via tfs (posting i owns positions[cum_tf[i]:cum_tf[i+1]]) —
+    the DOCS_AND_FREQS_AND_POSITIONS payload
+    (Lucene41PostingsWriter.cs:283-354 writes pos blocks alongside doc
+    blocks). None -> DOCS_AND_FREQS only (pos_enc = b"").
 
     Returns list of dicts matching the postings table schema (minus
     field/term/salt, which the caller adds).
     """
     n = len(docids)
     out = []
+    cum = None
+    if positions is not None:
+        cum = np.concatenate([[0], np.cumsum(np.asarray(tfs, dtype=np.int64))])
     for b0 in range(0, n, block_size):
         b1 = min(b0 + block_size, n)
         d, t, nb = docids[b0:b1], tfs[b0:b1], norm_bytes[b0:b1]
         de, te = encode_block(d, t)
+        if positions is None:
+            pe = b""
+        else:
+            p = positions[cum[b0] : cum[b1]]
+            pe = _pack(np.asarray(p, dtype=np.int64)) if len(p) else b""
         out.append(
             {
                 "block_no": b0 // block_size,
@@ -121,6 +144,7 @@ def encode_posting_list(
                 "docids_enc": de,
                 "tfs_enc": te,
                 "norms_enc": np.asarray(nb, dtype=np.uint8).tobytes(),
+                "pos_enc": pe,
             }
         )
     return out

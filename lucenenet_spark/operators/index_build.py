@@ -66,12 +66,27 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.analysis import tokenize_text
+from ..functions.analysis import tokenize_with_positions
 from ..functions.smallfloat import encode_norm
 from ..oracle import norm_cache
 from .codec import BLOCK_SIZE, encode_posting_list
 
 FIELD = "text"
+
+# keyword (StringField-like) fields indexed alongside the analyzed text
+# field: untokenized exact values, single position 0, omitNorms (Lucene
+# StringField omits norms -> BM25 scores them with norm = k1, b treated as 0,
+# BM25Similarity.cs:262). The `field` column flows through staging/postings
+# so per-field indexing is a data change, not a schema change (SURVEY §1.3).
+DEFAULT_KEYWORD_FIELDS = ("role", "tool")
+
+# separator for (field, term) composite keys in hot-term sketches/salt maps
+FKEY_SEP = "\x1f"
+
+
+def omit_norms_cache(k1: float) -> np.ndarray:
+    """256-entry denominator cache for omitNorms fields: norm = k1 constant."""
+    return np.full(256, np.float32(k1), dtype=np.float32)
 
 # One staging table, three row kinds discriminated by local_rank:
 #   >= 0  doc row (stored fields + norms; docid = offset[pid] + local_rank)
@@ -85,8 +100,8 @@ FIELD = "text"
 STAGING_DDL = (
     "pid int, local_rank long, conv_id string, turn_idx int, role string,"
     " tool string, ts timestamp, field_length int, norm_byte short,"
-    " meta string, term string, pcount int, first_local long,"
-    " docids binary, tfs binary, norms binary"
+    " meta string, field string, term string, pcount int, first_local long,"
+    " docids binary, tfs binary, norms binary, poss binary"
 )
 
 _STAGING_COLS = [c.strip().split()[0] for c in STAGING_DDL.split(",")]
@@ -94,7 +109,8 @@ _STAGING_COLS = [c.strip().split()[0] for c in STAGING_DDL.split(",")]
 POSTINGS_DDL = (
     "field string, term string, salt int, block_no int, first_docid long,"
     " last_docid long, count int, sum_tf long, max_score_bound float,"
-    " docids_enc binary, tfs_enc binary, norms_enc binary, bucket int"
+    " docids_enc binary, tfs_enc binary, norms_enc binary, pos_enc binary,"
+    " bucket int"
 )
 
 POSTINGS_COLS = [c.split()[0] for c in POSTINGS_DDL.split(",")]
@@ -110,18 +126,19 @@ def term_bucket(term: str, n_buckets: int) -> int:
 def term_stats_view(spark: SparkSession, postings_path: str) -> DataFrame:
     """Terms dictionary derived from the stat rows (block_no = -2) embedded in
     the postings table: (field, term, df, ttf, max_bound). One row per
-    (term, salt) group is aggregated here; term-predicate filters push through
-    the aggregation to the parquet scan (bucket dirs + row-group term stats)."""
+    (field, term, salt) group is aggregated here; term-predicate filters push
+    through the aggregation to the parquet scan (bucket dirs + row-group
+    term stats)."""
     return (
         spark.read.parquet(postings_path)
         .filter(F.col("block_no") == -2)
-        .groupBy("term")
+        .groupBy("field", "term")
         .agg(
             F.sum("count").alias("df"),
             F.sum("sum_tf").alias("ttf"),
             F.max("max_score_bound").alias("max_bound"),
         )
-        .select(F.lit(FIELD).alias("field"), "term", "df", "ttf", "max_bound")
+        .select("field", "term", "df", "ttf", "max_bound")
     )
 
 
@@ -130,8 +147,8 @@ def term_stats_view(spark: SparkSession, postings_path: str) -> DataFrame:
 # little-endian arrays. ~100x fewer, ~30x denser rows than exploded
 # (term, docid, tf) triples, so the term shuffle stops being row-overhead-bound.
 PARTIALS_DDL = (
-    "term string, salt int, count int, first_docid long,"
-    " docids binary, tfs binary, norms binary, pid int"
+    "field string, term string, salt int, count int, first_docid long,"
+    " docids binary, tfs binary, norms binary, poss binary, pid int"
 )
 
 
@@ -149,17 +166,22 @@ def split_salts(docids: np.ndarray, n_salts: int, max_doc: int) -> list[tuple[in
 
 
 def make_merge_encode(
-    cache: np.ndarray,
+    caches: dict[str, np.ndarray] | np.ndarray,
     n_buckets: int,
     block: int,
     lineage: str,
     offset_map: dict[int, int] | None = None,
 ):
-    """Reduce side: merge each (term, salt)'s partials (disjoint docid ranges
-    -> order partials by first_docid and CONCATENATE, no per-posting sort) and
-    block-encode. The term-aligned merge of Lucene's SegmentMerger, as a
-    shuffle + numpy concat. offset_map maps a partial's pid to the docid
-    offset added to its locally-ranked ids (None = ids already global)."""
+    """Reduce side: merge each (field, term, salt)'s partials (disjoint docid
+    ranges -> order partials by first_docid and CONCATENATE, no per-posting
+    sort) and block-encode. The term-aligned merge of Lucene's SegmentMerger,
+    as a shuffle + numpy concat. offset_map maps a partial's pid to the docid
+    offset added to its locally-ranked ids (None = ids already global).
+    caches: per-field 256-entry denominator caches for the block-max bounds
+    (a bare ndarray is treated as the text field's, omitNorms fields fall
+    back to a k1-constant cache derived from it)."""
+    if isinstance(caches, np.ndarray):
+        caches = {FIELD: caches}
 
     def merge_encode(it):
         bufs: list[pd.DataFrame] = []
@@ -170,7 +192,9 @@ def make_merge_encode(
             return
         gt0 = time.time()
         pdf = pd.concat(bufs, ignore_index=True) if len(bufs) > 1 else bufs[0]
-        codes, uniques = pd.factorize(pdf["term"], sort=False)
+        codes, uniques = pd.factorize(
+            pdf["field"] + FKEY_SEP + pdf["term"], sort=False
+        )
         order = np.lexsort(
             (pdf["first_docid"].to_numpy(), pdf["salt"].to_numpy(), codes)
         )
@@ -179,6 +203,7 @@ def make_merge_encode(
         d_bins = pdf["docids"].to_numpy()[order]
         t_bins = pdf["tfs"].to_numpy()[order]
         n_bins = pdf["norms"].to_numpy()[order]
+        p_bins = pdf["poss"].to_numpy()[order]
         pids = pdf["pid"].to_numpy()[order]
         change = np.nonzero((codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1]))[0]
         bounds = np.concatenate([[0], change + 1, [len(codes)]])
@@ -186,7 +211,7 @@ def make_merge_encode(
         out_rows = []
         postings = 0
         for b0, b1 in zip(bounds[:-1], bounds[1:]):
-            term = uniques[codes[b0]]
+            field, term = uniques[codes[b0]].split(FKEY_SEP, 1)
             if offset_map is None:
                 # merge path: ids are already global int64
                 docids = np.concatenate(
@@ -207,11 +232,17 @@ def make_merge_encode(
             norms = np.concatenate(
                 [np.frombuffer(n_bins[i], dtype=np.uint8) for i in range(b0, b1)]
             )
+            positions = np.concatenate(
+                [np.frombuffer(p_bins[i], dtype=np.int32) for i in range(b0, b1)]
+            ).astype(np.int64)
             postings += len(docids)
-            rows = encode_posting_list(docids, tfs, norms, cache, block)
+            cache = caches[field]
+            rows = encode_posting_list(
+                docids, tfs, norms, cache, block, positions=positions
+            )
             bucket = term_bucket(term, n_buckets)
             for i, r in enumerate(rows):
-                r["field"] = FIELD
+                r["field"] = field
                 r["term"] = term
                 r["salt"] = int(salts[b0])
                 r["bucket"] = bucket
@@ -220,12 +251,12 @@ def make_merge_encode(
                 )
             out_rows.extend(rows)
             # term-stats row (block_no = -2): df/ttf/max-bound for this
-            # (term, salt) group, materialized in the SAME write — the terms
-            # dictionary needs no separate aggregation job, and reads prune
-            # to it via the bucket dir + term row-group stats
+            # (field, term, salt) group, materialized in the SAME write — the
+            # terms dictionary needs no separate aggregation job, and reads
+            # prune to it via the bucket dir + term row-group stats
             out_rows.append(
                 {
-                    "field": FIELD,
+                    "field": field,
                     "term": term,
                     "salt": int(salts[b0]),
                     "block_no": -2,
@@ -237,6 +268,7 @@ def make_merge_encode(
                     "docids_enc": b"",
                     "tfs_enc": b"",
                     "norms_enc": b"",
+                    "pos_enc": b"",
                     "bucket": bucket,
                 }
             )
@@ -267,6 +299,7 @@ def make_merge_encode(
                     "docids_enc": b"",
                     "tfs_enc": b"",
                     "norms_enc": b"",
+                    "pos_enc": b"",
                     "bucket": -1,
                 }
             ]
@@ -300,6 +333,7 @@ class IndexBuilder:
         block_size: int = BLOCK_SIZE,
         top_terms_per_partition: int = 256,
         input_clustered: bool | None = None,
+        keyword_fields: tuple[str, ...] = DEFAULT_KEYWORD_FIELDS,
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -309,6 +343,7 @@ class IndexBuilder:
         self.salt_target = salt_target
         self.block_size = block_size
         self.top_terms = top_terms_per_partition
+        self.keyword_fields = tuple(keyword_fields)
         # None = auto-detect via a narrow-column range check; True = trust the
         # input's partitioning (still verified post-hoc); False = force shuffle
         self.input_clustered = input_clustered
@@ -392,15 +427,19 @@ class IndexBuilder:
                     data[c] = pd.Series([None] * n, dtype="object")
             return pd.DataFrame(data)[_STAGING_COLS]
 
+        keyword_fields = self.keyword_fields
+
         def ingest_partition(it):
             # STREAMING doc rows (pipelined with the JVM read/write) while the
-            # per-partition partial posting lists accumulate in unboxed
-            # array('q'/'i'/'B') buffers — the in-RAM DWPT. Order is VERIFIED
-            # with vectorized comparisons, never re-sorted: the clustered fast
-            # path gets it from the input files, the fallback from the JVM
-            # range+sort exchange. Violation = hard error (builder falls back).
-            from array import array
-
+            # per-partition partial posting lists accumulate as per-(field,
+            # term) lists of numpy chunks — the in-RAM DWPT. Term counting is
+            # fully vectorized: one findall per row builds flat (term, doc,
+            # pos) arrays, then factorize + lexsort + run-length boundaries
+            # produce per-(term, doc) tfs and position slices with NO
+            # per-token Python dict work. Order is VERIFIED with vectorized
+            # comparisons, never re-sorted: the clustered fast path gets it
+            # from the input files, the fallback from the JVM range+sort
+            # exchange. Violation = hard error (builder falls back).
             from pyspark import TaskContext
 
             gt0 = time.time()
@@ -414,9 +453,11 @@ class IndexBuilder:
             postings = 0
             sum_len = 0
             doc_count = 0
+            kw_sums: dict[str, int] = {f: 0 for f in keyword_fields}
             lo = hi = None
             prev_key = None
-            store: dict[str, tuple] = {}
+            # (field, term) -> list of (docids i32, tfs i32, norms u8, poss i32)
+            store: dict[tuple[str, str], list] = {}
             for pdf in it:
                 n = len(pdf)
                 if n == 0:
@@ -439,29 +480,78 @@ class IndexBuilder:
                 if lo is None:
                     lo = [str(first_key[0]), first_key[1]]
                 hi = [str(prev_key[0]), prev_key[1]]
-                token_counts = []
                 lengths = np.empty(n, dtype=np.int32)
+                term_flat: list[str] = []
+                pos_flat: list[int] = []
                 for i, text in enumerate(pdf["text"].to_numpy()):
-                    toks = tokenize_text(text)
+                    toks, poss = tokenize_with_positions(text)
                     lengths[i] = len(toks)
-                    cnt: dict[str, int] = {}
-                    for t in toks:
-                        cnt[t] = cnt.get(t, 0) + 1
-                    token_counts.append(cnt)
-                    postings += len(cnt)
+                    term_flat.extend(toks)
+                    pos_flat.extend(poss)
                 norm_bytes = encode_norm(lengths)
-                for i, cnt in enumerate(token_counts):
-                    docid = rank + i
-                    nb = int(norm_bytes[i])
-                    for t, tf in cnt.items():
-                        e = store.get(t)
-                        if e is None:
-                            # local ranks fit int32 (a partition never holds
-                            # 2^31 rows) — halves the dominant staging payload
-                            e = store[t] = (array("i"), array("i"), array("B"))
-                        e[0].append(docid)
-                        e[1].append(tf)
-                        e[2].append(nb)
+                total = len(term_flat)
+                if total:
+                    codes, uniques = pd.factorize(
+                        pd.Series(term_flat, dtype="object"), sort=False
+                    )
+                    uniques = np.asarray(uniques)
+                    d_arr = np.repeat(
+                        np.arange(n, dtype=np.int64) + rank, lengths.astype(np.int64)
+                    )
+                    p_arr = np.asarray(pos_flat, dtype=np.int32)
+                    o = np.lexsort((p_arr, d_arr, codes))
+                    c, d, p = codes[o], d_arr[o], p_arr[o]
+                    # (term, doc) group boundaries -> tf runs + pos slices
+                    gchange = np.nonzero((c[1:] != c[:-1]) | (d[1:] != d[:-1]))[0]
+                    gb = np.concatenate([[0], gchange + 1, [total]])
+                    g_tf = np.diff(gb).astype(np.int32)
+                    g_doc = d[gb[:-1]]
+                    g_code = c[gb[:-1]]
+                    g_norm = norm_bytes[(g_doc - rank)]
+                    postings += len(g_code)
+                    tchange = np.nonzero(g_code[1:] != g_code[:-1])[0]
+                    tb = np.concatenate([[0], tchange + 1, [len(g_code)]])
+                    for t0, t1 in zip(tb[:-1], tb[1:]):
+                        term = uniques[g_code[t0]]
+                        store.setdefault((FIELD, term), []).append(
+                            (
+                                # local ranks fit int32 (a partition never
+                                # holds 2^31 rows) — halves the payload
+                                g_doc[t0:t1].astype(np.int32),
+                                g_tf[t0:t1],
+                                g_norm[t0:t1].astype(np.uint8),
+                                p[gb[t0] : gb[t1]],
+                            )
+                        )
+                # keyword fields: untokenized exact values, tf=1, pos=0,
+                # omitNorms (norm byte 0 is ignored by the scorer)
+                for kf in keyword_fields:
+                    if kf not in pdf.columns:
+                        continue
+                    vals = pdf[kf].to_numpy()
+                    valid = np.array(
+                        [isinstance(v, str) and v != "" for v in vals], dtype=bool
+                    )
+                    if not valid.any():
+                        continue
+                    ids = np.nonzero(valid)[0].astype(np.int64) + rank
+                    vs = vals[valid]
+                    o = np.argsort(vs, kind="stable")  # docids stay asc per value
+                    sv, si = vs[o], ids[o]
+                    vchange = np.nonzero(sv[1:] != sv[:-1])[0]
+                    vb = np.concatenate([[0], vchange + 1, [len(sv)]])
+                    kw_sums[kf] += int(len(sv))
+                    postings += len(vb) - 1
+                    for v0, v1 in zip(vb[:-1], vb[1:]):
+                        m = v1 - v0
+                        store.setdefault((kf, sv[v0]), []).append(
+                            (
+                                si[v0:v1].astype(np.int32),
+                                np.ones(m, dtype=np.int32),
+                                np.zeros(m, dtype=np.uint8),
+                                np.zeros(m, dtype=np.int32),
+                            )
+                        )
                 sum_len += int(lengths.sum())
                 doc_count += int((lengths > 0).sum())
                 yield _frame(
@@ -481,26 +571,37 @@ class IndexBuilder:
                 rank += n
             if not seen_rows:
                 return
-            # flush the partial index: one row per term, raw array payloads
-            terms = list(store.keys())
-            for c0 in range(0, len(terms), 65536):
-                chunk = terms[c0 : c0 + 65536]
+            # flush the partial index: one row per (field, term), raw arrays
+            keys = list(store.keys())
+            merged: dict[tuple[str, str], tuple] = {}
+            for key in keys:
+                chunks = store[key]
+                if len(chunks) == 1:
+                    merged[key] = chunks[0]
+                else:
+                    merged[key] = tuple(
+                        np.concatenate([ch[j] for ch in chunks]) for j in range(4)
+                    )
+            for c0 in range(0, len(keys), 65536):
+                chunk = keys[c0 : c0 + 65536]
                 yield _frame(
                     {
                         "pid": np.full(len(chunk), pid, dtype=np.int32),
                         "local_rank": np.full(len(chunk), -2, dtype=np.int64),
                         "field_length": np.zeros(len(chunk), dtype=np.int32),
                         "norm_byte": np.zeros(len(chunk), dtype=np.int16),
-                        "term": chunk,
+                        "field": [k[0] for k in chunk],
+                        "term": [k[1] for k in chunk],
                         "pcount": np.array(
-                            [len(store[t][0]) for t in chunk], dtype=np.int32
+                            [len(merged[k][0]) for k in chunk], dtype=np.int32
                         ),
                         "first_local": np.array(
-                            [store[t][0][0] for t in chunk], dtype=np.int64
+                            [int(merged[k][0][0]) for k in chunk], dtype=np.int64
                         ),
-                        "docids": [store[t][0].tobytes() for t in chunk],
-                        "tfs": [store[t][1].tobytes() for t in chunk],
-                        "norms": [store[t][2].tobytes() for t in chunk],
+                        "docids": [merged[k][0].tobytes() for k in chunk],
+                        "tfs": [merged[k][1].tobytes() for k in chunk],
+                        "norms": [merged[k][2].tobytes() for k in chunk],
+                        "poss": [merged[k][3].tobytes() for k in chunk],
                     },
                     len(chunk),
                 )
@@ -514,11 +615,15 @@ class IndexBuilder:
                 "postings": postings,
                 "sum_len": sum_len,
                 "doc_count": doc_count,
+                "kw_sums": kw_sums,
                 "elapsed_sec": round(elapsed, 3),
                 "postings_per_sec": round(postings / max(elapsed, 1e-9), 1),
                 "top_terms": dict(
                     sorted(
-                        ((t, len(e[0])) for t, e in store.items()),
+                        (
+                            (k[0] + FKEY_SEP + k[1], len(e[0]))
+                            for k, e in merged.items()
+                        ),
                         key=lambda kv: -kv[1],
                     )[:top_terms]
                 ),
@@ -612,6 +717,10 @@ class IndexBuilder:
                 "pid_rank": {str(m["pid"]): i for i, m in enumerate(metas)},
                 "sum_ttf": int(sum(m["sum_len"] for m in metas)),
                 "doc_count": int(sum(m["doc_count"] for m in metas)),
+                "kw_sums": {
+                    f: int(sum(m.get("kw_sums", {}).get(f, 0) for m in metas))
+                    for f in self.keyword_fields
+                },
                 "hot_terms": hot,
                 # slim per-partition checkpoint info so commit() needs no
                 # staging re-read
@@ -650,7 +759,10 @@ class IndexBuilder:
         max_doc = int(staging_info["n_docs"])
         hot = {t: n for t, n in staging_info["hot_terms"].items() if n > 1}
         avgdl = self._avgdl(staging_info)
-        cache = norm_cache(self.k1, self.b, avgdl)
+        caches = {FIELD: norm_cache(self.k1, self.b, avgdl)}
+        kw_cache = omit_norms_cache(self.k1)
+        for kf in self.keyword_fields:
+            caches[kf] = kw_cache
         n_buckets = self.n_buckets
         block = self.block_size
         n_shuffle = max(
@@ -663,7 +775,10 @@ class IndexBuilder:
         partials = (
             self.spark.read.parquet(self._p("staging"))
             .filter(F.col("local_rank") == -2)
-            .select("pid", "term", "pcount", "first_local", "docids", "tfs", "norms")
+            .select(
+                "pid", "field", "term", "pcount", "first_local",
+                "docids", "tfs", "norms", "poss",
+            )
         )
         off_expr = F.create_map(
             *[x for p, o in offsets.items() for x in (F.lit(p), F.lit(o))]
@@ -674,21 +789,23 @@ class IndexBuilder:
         rank_expr = F.create_map(
             *[x for p, r in pid_rank.items() for x in (F.lit(p), F.lit(r))]
         )
+        fkey = F.concat(F.col("field"), F.lit(FKEY_SEP), F.col("term"))
         if hot:
             hot_expr = F.create_map(
                 *[x for t, s in hot.items() for x in (F.lit(t), F.lit(s))]
             )
             salt_col = F.when(
-                hot_expr[F.col("term")].isNotNull(),
+                hot_expr[fkey].isNotNull(),
                 (
                     F.element_at(rank_expr, F.col("pid"))
-                    * hot_expr[F.col("term")]
+                    * hot_expr[fkey]
                     / F.lit(n_parts)
                 ).cast("int"),
             ).otherwise(F.lit(0))
         else:
             salt_col = F.lit(0)
         partials = partials.select(
+            "field",
             "term",
             salt_col.alias("salt"),
             F.col("pcount").alias("count"),
@@ -698,11 +815,12 @@ class IndexBuilder:
             "docids",
             "tfs",
             "norms",
+            "poss",
             "pid",
         )
         lineage = json.dumps({"build_id": build_id, "stage": "encode", "max_doc": max_doc})
-        encoded = partials.repartition(n_shuffle, "term", "salt").mapInPandas(
-            make_merge_encode(cache, n_buckets, block, lineage, offsets), POSTINGS_DDL
+        encoded = partials.repartition(n_shuffle, "field", "term", "salt").mapInPandas(
+            make_merge_encode(caches, n_buckets, block, lineage, offsets), POSTINGS_DDL
         )
         write_postings(encoded, self._p("postings"), n_buckets)
         return self._mark_stage(
@@ -734,8 +852,25 @@ class IndexBuilder:
             if sum_ttf > 0
             else 1.0
         )
+        rows = [(FIELD, max_doc, doc_count, sum_ttf, avgdl)]
+        fields = {
+            FIELD: {
+                "doc_count": doc_count,
+                "sum_ttf": sum_ttf,
+                "avgdl": avgdl,
+                "omit_norms": False,
+            }
+        }
+        for kf, s in (staging_info.get("kw_sums") or {}).items():
+            rows.append((kf, max_doc, int(s), int(s), 1.0))
+            fields[kf] = {
+                "doc_count": int(s),
+                "sum_ttf": int(s),
+                "avgdl": 1.0,
+                "omit_norms": True,
+            }
         self.spark.createDataFrame(
-            [(FIELD, max_doc, doc_count, sum_ttf, avgdl)],
+            rows,
             "field string, max_doc long, doc_count long, sum_ttf long, avgdl double",
         ).coalesce(1).write.mode("overwrite").parquet(self._p("field_stats"))
         return self._mark_stage(
@@ -746,6 +881,7 @@ class IndexBuilder:
                 "doc_count": doc_count,
                 "sum_ttf": sum_ttf,
                 "avgdl": avgdl,
+                "fields": fields,
                 "elapsed": round(time.time() - t0, 2),
             },
         )
@@ -782,9 +918,10 @@ class IndexBuilder:
         ).coalesce(1).write.mode("overwrite").parquet(self._p("build_checkpoints"))
 
         manifest = {
-            "format_version": 2,
+            "format_version": 3,
             "build_id": build_id,
             "field": FIELD,
+            "fields": stats_info.get("fields"),
             "k1": self.k1,
             "b": self.b,
             "block_size": self.block_size,

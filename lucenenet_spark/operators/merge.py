@@ -67,7 +67,7 @@ def _decoded_partials(
     shuffle at ~postings/128 rows."""
 
     def decode_partition(it):
-        from .codec import decode_block
+        from .codec import decode_block, decode_positions
 
         for pdf in it:
             rows = []
@@ -77,16 +77,25 @@ def _decoded_partials(
                 )
                 docids = docids + r.docbase
                 norms = np.frombuffer(r.norms_enc, dtype=np.uint8)
+                poss = decode_positions(r.pos_enc, int(tfs.sum())).astype(np.int32)
+                cum = np.concatenate([[0], np.cumsum(tfs)])
                 if deleted.size:
                     keep, docids = _remap(docids, deleted)
+                    if not keep.all():
+                        # drop the deleted postings' position runs too
+                        pos_keep = np.repeat(keep, tfs)
+                        poss = poss[pos_keep]
                     docids, tfs, norms = docids[keep], tfs[keep], norms[keep]
+                    cum = np.concatenate([[0], np.cumsum(tfs)])
                 if not len(docids):
                     continue
+                hkey = r.field + "\x1f" + r.term
                 for salt, b0, b1 in split_salts(
-                    docids, hot.get(r.term, 1), max_doc
+                    docids, hot.get(hkey, 1), max_doc
                 ):
                     rows.append(
                         (
+                            r.field,
                             r.term,
                             salt,
                             int(b1 - b0),
@@ -94,14 +103,15 @@ def _decoded_partials(
                             docids[b0:b1].tobytes(),
                             tfs[b0:b1].astype(np.int32).tobytes(),
                             norms[b0:b1].tobytes(),
+                            poss[cum[b0] : cum[b1]].tobytes(),
                             -1,  # ids already global (offset_map unused)
                         )
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "term", "salt", "count", "first_docid", "docids", "tfs",
-                    "norms", "pid",
+                    "field", "term", "salt", "count", "first_docid", "docids",
+                    "tfs", "norms", "poss", "pid",
                 ],
             )
 
@@ -112,8 +122,8 @@ def _decoded_partials(
             .filter(F.col("block_no") >= 0)
             .withColumn("docbase", F.lit(s["docbase"]))
             .select(
-                "term", "first_docid", "count", "docids_enc", "tfs_enc",
-                "norms_enc", "docbase",
+                "field", "term", "first_docid", "count", "docids_enc",
+                "tfs_enc", "norms_enc", "pos_enc", "docbase",
             )
             .mapInPandas(decode_partition, PARTIALS_DDL)
         )
@@ -207,7 +217,48 @@ def merge_segments(
         if sum_ttf > 0
         else 1.0
     )
-    cache = norm_cache(k1, b, np.float32(avgdl))
+
+    # per-field stats: text recomputed above; keyword (omitNorms) fields
+    # summed from the source manifests, or recounted from the rewritten docs
+    # table when a delete-merge renumbered
+    from .index_build import FIELD, omit_norms_cache
+
+    kw_fields: list[str] = []
+    for s in segments:
+        for f, info in (s["manifest"].get("fields") or {}).items():
+            if info.get("omit_norms") and f not in kw_fields:
+                kw_fields.append(f)
+    fields = {
+        FIELD: {
+            "doc_count": doc_count,
+            "sum_ttf": sum_ttf,
+            "avgdl": avgdl,
+            "omit_norms": False,
+        }
+    }
+    if deleted.size:
+        for f in kw_fields:
+            cnt = int(
+                docs_tbl.filter(
+                    F.col(f).isNotNull() & (F.col(f) != "")
+                ).count()
+            )
+            fields[f] = {
+                "doc_count": cnt, "sum_ttf": cnt, "avgdl": 1.0, "omit_norms": True,
+            }
+    else:
+        for f in kw_fields:
+            s_cnt = sum(
+                int((s["manifest"].get("fields") or {}).get(f, {}).get("doc_count", 0))
+                for s in segments
+            )
+            fields[f] = {
+                "doc_count": s_cnt, "sum_ttf": s_cnt, "avgdl": 1.0, "omit_norms": True,
+            }
+    caches = {FIELD: norm_cache(k1, b, np.float32(avgdl))}
+    kwc = omit_norms_cache(k1)
+    for f in kw_fields:
+        caches[f] = kwc
 
     # exact merged df from the per-segment terms dictionaries -> salt plan
     from .index_build import term_stats_view
@@ -217,11 +268,14 @@ def merge_segments(
         df = term_stats_view(spark, s["manifest"]["tables"]["postings"])
         ts = df if ts is None else ts.unionByName(df)
     hot_rows = (
-        ts.groupBy("term").agg(F.sum("df").alias("df"))
+        ts.groupBy("field", "term").agg(F.sum("df").alias("df"))
         .filter(F.col("df") > salt_target)
         .collect()
     )
-    hot = {r["term"]: int(math.ceil(r["df"] / salt_target)) for r in hot_rows}
+    hot = {
+        r["field"] + "\x1f" + r["term"]: int(math.ceil(r["df"] / salt_target))
+        for r in hot_rows
+    }
 
     n_shuffle = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 8)
     lineage = json.dumps(
@@ -233,14 +287,17 @@ def merge_segments(
         }
     )
     partials = _decoded_partials(spark, segments, deleted, hot, max_doc)
-    encoded = partials.repartition(n_shuffle, "term", "salt").mapInPandas(
-        make_merge_encode(cache, n_buckets, block_size, lineage), POSTINGS_DDL
+    encoded = partials.repartition(n_shuffle, "field", "term", "salt").mapInPandas(
+        make_merge_encode(caches, n_buckets, block_size, lineage), POSTINGS_DDL
     )
     write_postings(encoded, os.path.join(out_dir, "postings"), n_buckets)
 
     # terms dictionary is embedded in the postings write (block_no = -2 rows)
     spark.createDataFrame(
-        [(FIELD, max_doc, doc_count, sum_ttf, avgdl)],
+        [
+            (f, max_doc, info["doc_count"], info["sum_ttf"], info["avgdl"])
+            for f, info in fields.items()
+        ],
         "field string, max_doc long, doc_count long, sum_ttf long, avgdl double",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "field_stats"))
 
@@ -286,9 +343,10 @@ def merge_segments(
                 }
             )
     manifest = {
-        "format_version": 2,
+        "format_version": 3,
         "build_id": build_id,
         "field": FIELD,
+        "fields": fields,
         "k1": k1,
         "b": b,
         "block_size": block_size,

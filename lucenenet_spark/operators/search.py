@@ -51,6 +51,7 @@ from ..plans.query import (
     FilteredQuery,
     FuzzyQuery,
     MatchAllQuery,
+    PhraseQuery,
     PrefixQuery,
     Query,
     RegexpQuery,
@@ -59,7 +60,14 @@ from ..plans.query import (
     WildcardQuery,
 )
 from .codec import BLOCK_SIZE
-from .index_build import docs_view, load_manifest, term_bucket
+from .index_build import (
+    FIELD,
+    FKEY_SEP,
+    docs_view,
+    load_manifest,
+    omit_norms_cache,
+    term_bucket,
+)
 
 SCORE_ROWS_SCHEMA = "docid long, clause int, score float"
 
@@ -69,6 +77,11 @@ class Clause:
     clause_id: int
     term: str
     weight: np.float32  # idf * boost * (k1+1), float32
+    field: str = FIELD
+
+    @property
+    def key(self) -> tuple[str, str]:
+        return (self.field, self.term)
 
 
 class IndexSearcher:
@@ -116,8 +129,23 @@ class IndexSearcher:
             else np.float32(1.0)
         )
         self._cache256 = norm_cache(self.k1, self.b, self.avgdl)
-        # term -> (df, max_block_bound); one pruned term_stats scan per term
-        self._stats_cache: dict[str, tuple[int, float]] = {}
+        # per-field denominator caches: the analyzed text field uses the
+        # byte315 norm cache; omitNorms keyword fields score with norm = k1
+        # (b treated as 0, BM25Similarity.cs:262) — a constant cache
+        fields_info: dict[str, dict] = {}
+        for s in self.segments:
+            for f, info in (s["manifest"].get("fields") or {}).items():
+                fields_info.setdefault(f, info)
+        if FIELD not in fields_info:
+            fields_info[FIELD] = {"omit_norms": False}
+        self.fields_info = fields_info
+        kwc = omit_norms_cache(self.k1)
+        self._field_caches = {
+            f: (self._cache256 if not info.get("omit_norms") else kwc)
+            for f, info in fields_info.items()
+        }
+        # (field, term) -> (df, max_block_bound); one pruned scan per term
+        self._stats_cache: dict[tuple[str, str], tuple[int, float]] = {}
         # below this many candidate postings, block-max pruning costs more
         # (2 extra jobs) than the decode it saves — scan-and-score instead
         self.prune_min_postings = prune_min_postings
@@ -162,26 +190,45 @@ class IndexSearcher:
         return out
 
     # -- stats -------------------------------------------------------------------
-    def term_meta(self, terms: list[str]) -> dict[str, tuple[int, float]]:
-        """(df, max_block_bound) per term (one tiny pruned scan; cached).
+    @staticmethod
+    def _as_keys(terms) -> list[tuple[str, str]]:
+        """Normalize term refs: 'term' -> (FIELD, term); (field, term) kept."""
+        return [(FIELD, t) if isinstance(t, str) else tuple(t) for t in terms]
+
+    def term_meta(self, terms) -> dict[tuple[str, str], tuple[int, float]]:
+        """(df, max_block_bound) per (field, term) (one pruned scan; cached).
 
         The stats role of TermContext.cs:90-145 plus the WAND per-term upper
         bound, precomputed at build time so planning needs no metadata job."""
-        missing = [t for t in set(terms) if t not in self._stats_cache]
+        keys = set(self._as_keys(terms))
+        missing = [k for k in keys if k not in self._stats_cache]
         if missing:
+            # term isin keeps parquet row-group pruning on the term column;
+            # the (field, term) refinement is a cheap residual filter
             rows = (
                 self.term_stats()
-                .filter(F.col("term").isin(missing))
-                .select("term", "df", "max_bound")
+                .filter(F.col("term").isin([t for _f, t in missing]))
+                .filter(
+                    F.concat_ws(FKEY_SEP, "field", "term").isin(
+                        [f + FKEY_SEP + t for f, t in missing]
+                    )
+                )
+                .select("field", "term", "df", "max_bound")
                 .collect()
             )
-            found = {r["term"]: (int(r["df"]), float(r["max_bound"])) for r in rows}
-            for t in missing:
-                self._stats_cache[t] = found.get(t, (0, 0.0))
-        return {t: self._stats_cache[t] for t in set(terms)}
+            found = {
+                (r["field"], r["term"]): (int(r["df"]), float(r["max_bound"]))
+                for r in rows
+            }
+            for k in missing:
+                self._stats_cache[k] = found.get(k, (0, 0.0))
+        return {k: self._stats_cache[k] for k in keys}
 
-    def doc_freqs(self, terms: list[str]) -> dict[str, int]:
-        return {t: m[0] for t, m in self.term_meta(terms).items()}
+    def doc_freqs(self, terms) -> dict[tuple[str, str], int]:
+        return {k: m[0] for k, m in self.term_meta(terms).items()}
+
+    def _df_of(self, clause: "Clause") -> int:
+        return self.doc_freqs([clause.key])[clause.key]
 
     # -- deletes (liveDocs) ----------------------------------------------------
     def _deleted_docids(self) -> DataFrame | None:
@@ -231,16 +278,19 @@ class IndexSearcher:
     def delete_by_query(self, q: Query) -> None:
         self.delete_docids(self.scores(q).select("docid"))
 
-    def weight(self, term: str, boost: float = 1.0) -> np.float32:
-        df = self.doc_freqs([term])[term]
+    def weight(self, term: str, boost: float = 1.0, field: str = FIELD) -> np.float32:
+        df = self.doc_freqs([(field, term)])[(field, term)]
         if df == 0:
             return np.float32(0.0)
         w = np.float32(idf_f32(df, self.max_doc) * np.float32(boost))
         return np.float32(w * np.float32(np.float32(self.k1) + np.float32(1.0)))
 
     # -- block scan --------------------------------------------------------------
-    def _blocks_for(self, terms: list[str]) -> DataFrame:
-        tset = list(set(terms))
+    def _blocks_for(self, terms) -> DataFrame:
+        """Posting blocks of the given term refs ('term' or (field, term))."""
+        keys = sorted(set(self._as_keys(terms)))
+        tset = sorted({t for _f, t in keys})
+        fkeys = [f + FKEY_SEP + t for f, t in keys]
         out = None
         for s in self.segments:
             nb = int(s["manifest"]["n_buckets"])
@@ -249,6 +299,7 @@ class IndexSearcher:
                 self.spark.read.parquet(s["manifest"]["tables"]["postings"])
                 .filter(F.col("bucket").isin(buckets))  # dir partition pruning
                 .filter(F.col("term").isin(tset))  # row-group stats pruning
+                .filter(F.concat_ws(FKEY_SEP, "field", "term").isin(fkeys))
                 .filter(F.col("block_no") >= 0)
                 .withColumn("docbase", F.lit(s["docbase"]))
             )
@@ -257,10 +308,10 @@ class IndexSearcher:
 
     def _score_blocks(self, blocks: DataFrame, clauses: list[Clause]) -> DataFrame:
         """Decode + score blocks -> rows (docid, clause, score:float32)."""
-        by_term: dict[str, list[tuple[int, float]]] = {}
+        by_key: dict[tuple[str, str], list[tuple[int, float]]] = {}
         for c in clauses:
-            by_term.setdefault(c.term, []).append((c.clause_id, float(c.weight)))
-        cache = self._cache256
+            by_key.setdefault(c.key, []).append((c.clause_id, float(c.weight)))
+        caches = self._field_caches
 
         def score_batches(it):
             from .codec import decode_block  # executor-side import
@@ -275,8 +326,8 @@ class IndexSearcher:
                         docids = docids + r.docbase  # leafDocBase shift
                     nbytes = np.frombuffer(r.norms_enc, dtype=np.uint8)
                     freq = tfs.astype(np.float32)
-                    denom = freq + cache[nbytes]  # float32, vectorized
-                    for clause_id, w in by_term[r.term]:
+                    denom = freq + caches[r.field][nbytes]  # float32, vectorized
+                    for clause_id, w in by_key[(r.field, r.term)]:
                         # (weight * freq) / (freq + norm), left-to-right in
                         # float32 exactly like BM25Similarity.cs:263
                         outs.append(
@@ -292,7 +343,7 @@ class IndexSearcher:
                     {"docid": pd.Series(dtype="int64"), "clause": pd.Series(dtype="int32"), "score": pd.Series(dtype="float32")}
                 )
 
-        cols = ["term", "first_docid", "count", "docids_enc", "tfs_enc", "norms_enc", "docbase"]
+        cols = ["field", "term", "first_docid", "count", "docids_enc", "tfs_enc", "norms_enc", "docbase"]
         return blocks.select(cols).mapInPandas(score_batches, SCORE_ROWS_SCHEMA)
 
     def _docids_of_terms(self, terms: list[str]) -> DataFrame:
@@ -370,7 +421,7 @@ class IndexSearcher:
         distributed semi-join against the terms dict in scores() — the
         scale-safe equivalent of Lucene's CONSTANT_SCORE filter rewrite
         (MultiTermQuery.cs:95): no term list ever hits the driver."""
-        ts = self.term_stats()
+        ts = self.term_stats().filter(F.col("field") == FIELD)
         if isinstance(q, FuzzyQuery):
             # Lucene uses Damerau-Levenshtein automata; Spark's built-in
             # levenshtein lacks transpositions — documented divergence.
@@ -385,6 +436,9 @@ class IndexSearcher:
             return ConstantScoreQuery(
                 boost=q.boost, query=BooleanQuery(should=tuple(TermQuery(term=t) for t in terms))
             )
+        elif isinstance(q, PhraseQuery) and len(q.terms) == 1:
+            # 1-term phrase rewrites to TermQuery (PhraseQuery.cs Rewrite)
+            return TermQuery(term=q.terms[0], field=q.field, boost=q.boost)
         elif isinstance(q, BooleanQuery):
             return BooleanQuery(
                 boost=q.boost,
@@ -430,8 +484,17 @@ class IndexSearcher:
             # blocks against the matching slice of the terms dict. Prefix and
             # range predicates additionally push down to parquet row-group
             # term min/max stats on the (term-sorted) postings files.
-            matching = F.broadcast(self.term_stats().filter(cond).select("term"))
-            blocks = self.postings().join(matching, "term", "left_semi")
+            matching = F.broadcast(
+                self.term_stats()
+                .filter(F.col("field") == FIELD)
+                .filter(cond)
+                .select("term")
+            )
+            blocks = (
+                self.postings()
+                .filter(F.col("field") == FIELD)
+                .join(matching, "term", "left_semi")
+            )
             if isinstance(q, PrefixQuery):
                 blocks = blocks.filter(
                     (F.col("term") >= q.prefix) & (F.col("term") < q.prefix + "￿")
@@ -445,6 +508,8 @@ class IndexSearcher:
             terms = _collect_terms(inner)
             docids = self._docids_of_terms(terms)
             return docids.select("docid", F.lit(float(np.float32(q.boost))).cast("float").alias("score"))
+        if isinstance(q, PhraseQuery):
+            return self._phrase_scores(q)
         if isinstance(q, TermQuery):
             q = BooleanQuery(should=(q,))
         if isinstance(q, DisMaxQuery):
@@ -458,7 +523,14 @@ class IndexSearcher:
         for i, sub in enumerate(qs):
             if not isinstance(sub, TermQuery):
                 raise TypeError("v1 scores nested non-term clauses via scores() recursion")
-            out.append(Clause(start_id + i, sub.term, self.weight(sub.term, sub.boost)))
+            out.append(
+                Clause(
+                    start_id + i,
+                    sub.term,
+                    self.weight(sub.term, sub.boost, sub.field),
+                    field=sub.field,
+                )
+            )
         return out
 
     def _empty_hits(self) -> DataFrame:
@@ -479,22 +551,22 @@ class IndexSearcher:
         clauses = must_c + should_c
         live = [c for c in clauses if float(c.weight) > 0.0 or c.clause_id < n_must]
         # a MUST term with df=0 means zero hits
-        if any(float(c.weight) == 0.0 and self.doc_freqs([c.term])[c.term] == 0 for c in must_c):
+        if any(float(c.weight) == 0.0 and self._df_of(c) == 0 for c in must_c):
             return self.spark.range(0).select(
                 F.col("id").alias("docid"), F.lit(0.0).cast("float").alias("score")
             )
         not_terms = []
         for c in q.must_not:
             if isinstance(c, TermQuery):
-                not_terms.append(c.term)
+                not_terms.append((c.field, c.term))
             else:
                 raise TypeError("v1 supports term clauses under MUST_NOT")
 
-        blocks = self._blocks_for([c.term for c in live])
+        blocks = self._blocks_for([c.key for c in live])
         # adaptive block-max pruning: only worth its 2 extra (tiny) jobs when
         # the candidate posting volume is large; below the threshold a single
         # scan-and-score pass is strictly faster. Rank-safe either way.
-        total_df = sum(self.doc_freqs([c.term])[c.term] for c in live)
+        total_df = sum(self._df_of(c) for c in live)
         can_prune = (
             prune_k is not None
             and self._prunable
@@ -582,6 +654,184 @@ class IndexSearcher:
             scored = scored.join(self.scores(sub).select("docid"), "docid", "left_anti")
         return scored
 
+    # -- conjunction skipping (Advance analogue) -------------------------------
+    def _conjunction_prune(
+        self,
+        blocks: DataFrame,
+        required_keys: list[tuple[str, str]],
+        max_ranges: int = 4096,
+        selectivity: int = 4,
+    ) -> DataFrame:
+        """Skip-list Advance analogue for conjunctions: every result doc must
+        appear in EVERY required clause, so only blocks whose [first_docid,
+        last_docid] overlaps some block range of the RAREST required clause
+        can contribute — prune the rest before decode
+        (ConjunctionScorer.cs:49-66 cost ordering; skip read
+        Lucene41PostingsReader.cs:474-534). A broadcast interval semi-join
+        over block *metadata*: decoded-block count becomes ∝ rare df, not
+        hot df. Rank/score-safe: only blocks that cannot hold a match are
+        dropped. Skipped when the rarest list is too large to broadcast
+        (> max_ranges blocks) or not selective enough."""
+        metas = self.term_meta(required_keys)
+        keys = list(set(required_keys))
+        rare = min(keys, key=lambda k: metas[k][0])
+        df_rare = metas[rare][0]
+        if df_rare == 0:
+            return blocks  # conjunction is empty anyway
+        n_rare_blocks = df_rare // BLOCK_SIZE + 1
+        total_other = sum(metas[k][0] for k in keys if k != rare)
+        if n_rare_blocks > max_ranges or total_other < df_rare * selectivity:
+            return blocks
+        fkey = F.concat_ws(FKEY_SEP, "field", "term")
+        rkey = rare[0] + FKEY_SEP + rare[1]
+        ranges = F.broadcast(
+            self._blocks_for([rare]).select(
+                (F.col("first_docid") + F.col("docbase")).alias("lo"),
+                (F.col("last_docid") + F.col("docbase")).alias("hi"),
+            )
+        )
+        rare_blocks = blocks.filter(fkey == rkey)
+        others = blocks.filter(fkey != rkey)
+        glo = F.col("first_docid") + F.col("docbase")
+        ghi = F.col("last_docid") + F.col("docbase")
+        pruned = others.join(
+            ranges, (glo <= F.col("hi")) & (ghi >= F.col("lo")), "left_semi"
+        )
+        return rare_blocks.unionByName(pruned)
+
+    # -- phrase scoring --------------------------------------------------------
+    def _phrase_scores(self, q: PhraseQuery) -> DataFrame:
+        """PhraseQuery scorer, relational-first.
+
+        Exact (slop=0): decode (docid, clause, pos - queryOffset) rows for
+        the phrase terms' blocks (conjunction-pruned to the rarest term's
+        docid ranges), then alignment = groupBy(docid, basePos) having all
+        clauses, phraseFreq = alignments per doc (ExactPhraseScorer.cs).
+        Sloppy (slop>0): candidate docs containing every clause gather their
+        adjusted position lists and run the SloppyPhraseScorer merge per doc
+        (few docs survive the conjunction; the loop is per-doc, not per-row
+        of the corpus). Scoring: weight = f32 sum of clause idfs through the
+        term weight chain; score = w*freq/(freq + norm_cache[norm_byte]) —
+        same float32 operation order as TermScorer."""
+        terms = list(q.terms)
+        offsets = list(q.offsets)
+        if not terms:
+            return self._empty_hits()
+        keys = [(q.field, t) for t in terms]
+        dfs = self.doc_freqs(keys)
+        if any(dfs[k] == 0 for k in keys):
+            return self._empty_hits()
+        s = np.float32(0.0)
+        for k in keys:
+            s = np.float32(s + idf_f32(dfs[k], self.max_doc))
+        w = np.float32(
+            np.float32(s * np.float32(q.boost))
+            * np.float32(np.float32(self.k1) + np.float32(1.0))
+        )
+        blocks = self._conjunction_prune(self._blocks_for(set(keys)), keys)
+        by_term: dict[str, list[tuple[int, int]]] = {}
+        for i, (t, off) in enumerate(zip(terms, offsets)):
+            by_term.setdefault(t, []).append((i, off))
+
+        def expand(it):
+            from .codec import decode_block, decode_positions
+
+            for pdf in it:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    docids, tfs = decode_block(
+                        r.docids_enc, r.tfs_enc, r.first_docid, r.count
+                    )
+                    if r.docbase:
+                        docids = docids + r.docbase
+                    nbytes = np.frombuffer(r.norms_enc, dtype=np.uint8)
+                    poss = decode_positions(r.pos_enc, int(tfs.sum()))
+                    drep = np.repeat(docids, tfs)
+                    nrep = np.repeat(nbytes, tfs).astype(np.int16)
+                    for cid, off in by_term[r.term]:
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "docid": drep,
+                                    "clause": np.int32(cid),
+                                    "bpos": poss - off,
+                                    "norm_byte": nrep,
+                                }
+                            )
+                        )
+                yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                    {
+                        "docid": pd.Series(dtype="int64"),
+                        "clause": pd.Series(dtype="int32"),
+                        "bpos": pd.Series(dtype="int64"),
+                        "norm_byte": pd.Series(dtype="int16"),
+                    }
+                )
+
+        rows = blocks.select(
+            "term", "first_docid", "count", "docids_enc", "tfs_enc",
+            "norms_enc", "pos_enc", "docbase",
+        ).mapInPandas(expand, "docid long, clause int, bpos long, norm_byte short")
+
+        n = len(terms)
+        cache = self._field_caches[q.field]
+        nc_arr = F.array(*[F.lit(float(c)).cast("float") for c in cache])
+        w_lit = F.lit(float(w)).cast("float")
+        if q.slop == 0:
+            aligned = (
+                rows.groupBy("docid", "bpos")
+                .agg(
+                    F.countDistinct("clause").alias("nc"),
+                    F.max("norm_byte").alias("nb"),
+                )
+                .filter(F.col("nc") == n)
+            )
+            pf = aligned.groupBy("docid").agg(
+                F.count("*").cast("float").alias("freq"), F.max("nb").alias("nb")
+            )
+        else:
+            present = (
+                rows.groupBy("docid")
+                .agg(
+                    F.countDistinct("clause").alias("ncl"),
+                    F.max("norm_byte").alias("nb"),
+                    F.collect_list(F.struct("clause", "bpos")).alias("ps"),
+                )
+                .filter(F.col("ncl") == n)
+            )
+            slop = int(q.slop)
+
+            def sloppy(it):
+                from ..oracle import sloppy_phrase_freq
+
+                for pdf in it:
+                    out_rows = []
+                    for r in pdf.itertuples(index=False):
+                        per: list[list[int]] = [[] for _ in range(n)]
+                        for st in r.ps:
+                            per[int(st["clause"])].append(int(st["bpos"]))
+                        freq = sloppy_phrase_freq(per, [0] * n, slop)
+                        if freq > 0:
+                            out_rows.append((int(r.docid), float(freq), int(r.nb)))
+                    yield pd.DataFrame(
+                        out_rows, columns=["docid", "freq", "nb"]
+                    ) if out_rows else pd.DataFrame(
+                        {
+                            "docid": pd.Series(dtype="int64"),
+                            "freq": pd.Series(dtype="float32"),
+                            "nb": pd.Series(dtype="int16"),
+                        }
+                    )
+
+            pf = present.select("docid", "nb", "ps").mapInPandas(
+                sloppy, "docid long, freq float, nb short"
+            )
+        freq_f = F.col("freq").cast("float")
+        nc = F.element_at(nc_arr, F.col("nb").cast("int") + 1)
+        return pf.filter(F.col("freq") > 0).select(
+            "docid", ((w_lit * freq_f) / (freq_f + nc)).cast("float").alias("score")
+        )
+
     def _dismax_scores(self, q: DisMaxQuery) -> DataFrame:
         """max + tie*(sum-max) over clause scores (DisjunctionMaxScorer).
 
@@ -589,7 +839,7 @@ class IndexSearcher:
         the ordered sum, then mx + tie*(sum-mx) — each op single-precision,
         matching the oracle's numpy float32 chain bit for bit."""
         clauses = self._term_clauses(q.queries, 0)
-        rows = self._score_blocks(self._blocks_for([c.term for c in clauses]), clauses)
+        rows = self._score_blocks(self._blocks_for([c.key for c in clauses]), clauses)
         n = len(clauses)
         agg = self._pivot_agg(rows, n)
         zero = F.lit(0.0).cast("float")
@@ -633,35 +883,36 @@ class IndexSearcher:
             clauses = self._term_clauses(q.must, 0) + self._term_clauses(
                 q.should, n_must
             )
-            not_terms = [c.term for c in q.must_not]
+            not_terms = [(c.field, c.term) for c in q.must_not]
             msm = q.min_should_match
             need_should = msm if n_must else max(1, msm) if q.should else 0
             mode = ("sum", 0.0)
         else:
             return None
-        dfs = self.doc_freqs([c.term for c in clauses])
+        dfs = self.doc_freqs([c.key for c in clauses])
         # a MUST term with df=0 can never match; but weight can also be 0 with
         # boost=0 while df>0 — such a clause stays live as a zero-contribution
         # match constraint (mirrors _boolean_scores / Lucene semantics)
-        if any(dfs[c.term] == 0 and c.clause_id < n_must for c in clauses):
+        if any(dfs[c.key] == 0 and c.clause_id < n_must for c in clauses):
             return self._empty_hits()
         live = [
             c
             for c in clauses
-            if float(c.weight) > 0.0 or (c.clause_id < n_must and dfs[c.term] > 0)
+            if float(c.weight) > 0.0 or (c.clause_id < n_must and dfs[c.key] > 0)
         ]
         if len(live) < 2:
             return None  # single-list path is already shuffle-free
-        total_df = sum(self.doc_freqs([c.term])[c.term] for c in live)
+        total_df = sum(self._df_of(c) for c in live)
         if total_df < self.prune_min_postings * 4:
             return None
         # prohibited terms ride along as extra clause ids
         n_score = len(clauses)
         proh = [
-            Clause(n_score + i, t, np.float32(0.0)) for i, t in enumerate(not_terms)
+            Clause(n_score + i, t, np.float32(0.0), field=f)
+            for i, (f, t) in enumerate(not_terms)
         ]
         allc = live + proh
-        blocks = self._blocks_for([c.term for c in allc])
+        blocks = self._blocks_for([c.key for c in allc])
         if (
             prune
             and self._prunable
@@ -673,10 +924,10 @@ class IndexSearcher:
         ):
             blocks, _ = self._prune_blocks(blocks, live, k)
 
-        by_term: dict[str, list[tuple[int, float]]] = {}
+        by_key: dict[tuple[str, str], list[tuple[int, float]]] = {}
         for c in allc:
-            by_term.setdefault(c.term, []).append((c.clause_id, float(c.weight)))
-        cache = self._cache256
+            by_key.setdefault(c.key, []).append((c.clause_id, float(c.weight)))
+        caches = self._field_caches
         R = self.BULK_RANGE
         deleted = self._deleted_array()
 
@@ -696,8 +947,8 @@ class IndexSearcher:
                     rid = docids // R
                     change = np.nonzero(rid[1:] != rid[:-1])[0]
                     bounds = np.concatenate([[0], change + 1, [len(docids)]])
-                    for clause_id, w in by_term[r.term]:
-                        sc = (np.float32(w) * freq) / (freq + cache[nbytes]) \
+                    for clause_id, w in by_key[(r.field, r.term)]:
+                        sc = (np.float32(w) * freq) / (freq + caches[r.field][nbytes]) \
                             if w else np.zeros(len(docids), dtype=np.float32)
                         for b0, b1 in zip(bounds[:-1], bounds[1:]):
                             rows.append(
@@ -787,7 +1038,7 @@ class IndexSearcher:
             int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")), 8
         )
         cols = [
-            "term", "first_docid", "count", "docids_enc", "tfs_enc",
+            "field", "term", "first_docid", "count", "docids_enc", "tfs_enc",
             "norms_enc", "docbase",
         ]
         sliced = blocks.select(cols).mapInPandas(
@@ -808,21 +1059,28 @@ class IndexSearcher:
         self, blocks: DataFrame, clauses: list[Clause], k: int
     ) -> tuple[DataFrame, dict]:
         """Two-phase WAND-style pruning over block metadata. Rank-safe."""
-        w_by_term = {c.term: float(c.weight) for c in clauses}
+        w_by_key = {c.key: float(c.weight) for c in clauses}
+        fkey_col = F.concat_ws(FKEY_SEP, "field", "term")
         w_expr = F.create_map(
-            *[x for t, w in w_by_term.items() for x in (F.lit(t), F.lit(w))]
+            *[
+                x
+                for (f, t), w in w_by_key.items()
+                for x in (F.lit(f + FKEY_SEP + t), F.lit(w))
+            ]
         )
-        meta = blocks.withColumn("ub", w_expr[F.col("term")] * F.col("max_score_bound"))
+        meta = blocks.withColumn("ub", w_expr[fkey_col] * F.col("max_score_bound"))
 
         # per-term global max upper bound — precomputed in term_stats at build
         # time (no metadata job here)
-        tm = self.term_meta(list(w_by_term))
-        maxes = {t: w * tm[t][1] for t, w in w_by_term.items()}
+        tm = self.term_meta(list(w_by_key))
+        maxes = {key: w * tm[key][1] for key, w in w_by_key.items()}
         total_max = sum(maxes.values())
 
         # phase 1: top ceil(k/BLOCK)+1 blocks per term by bound -> partial θ
         j = max(1, math.ceil(k / BLOCK_SIZE)) + 1
-        win = Window.partitionBy("term", "salt").orderBy(F.desc("ub"), F.asc("block_no"))
+        win = Window.partitionBy("field", "term", "salt").orderBy(
+            F.desc("ub"), F.asc("block_no")
+        )
         probe = meta.withColumn("rk", F.row_number().over(win)).filter(F.col("rk") <= j).drop("rk", "ub")
         probe_scores = (
             self._score_blocks(probe, clauses)
@@ -839,14 +1097,18 @@ class IndexSearcher:
             theta -= abs(theta) * 1e-5
 
         # phase 2: keep blocks whose optimistic total can reach θ (ties kept)
-        def keep_threshold(term: str) -> float:
-            others = total_max - maxes.get(term, 0.0)
+        def keep_threshold(key: tuple[str, str]) -> float:
+            others = total_max - maxes.get(key, 0.0)
             return theta - others
 
         thr_expr = F.create_map(
-            *[x for t in w_by_term for x in (F.lit(t), F.lit(keep_threshold(t)))]
+            *[
+                x
+                for (f, t) in w_by_key
+                for x in (F.lit(f + FKEY_SEP + t), F.lit(keep_threshold((f, t))))
+            ]
         )
-        survivors = meta.filter(F.col("ub") >= thr_expr[F.col("term")]).drop("ub")
+        survivors = meta.filter(F.col("ub") >= thr_expr[fkey_col]).drop("ub")
         return survivors, {"theta": theta, "per_term_max": maxes}
 
     # -- public search API --------------------------------------------------------------
@@ -910,9 +1172,11 @@ class IndexSearcher:
         )
 
 
-def _collect_terms(q: Query) -> list[str]:
+def _collect_terms(q: Query) -> list:
     if isinstance(q, TermQuery):
-        return [q.term]
+        return [(q.field, q.term)]
+    if isinstance(q, PhraseQuery):
+        return [(q.field, t) for t in q.terms]
     if isinstance(q, BooleanQuery):
         out = []
         for c in q.must + q.should:

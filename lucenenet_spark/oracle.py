@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .functions.analysis import tokenize_text
+from .functions.analysis import tokenize_text, tokenize_with_positions
 from .functions.smallfloat import NORM_TABLE, encode_norm
 
 
@@ -38,6 +38,10 @@ class OracleIndex:
     sum_ttf: int
     doc_count: int  # docs with at least one token
     field_lengths: list[int] = field(default_factory=list)
+    # term -> docid -> ascending token positions (stop/too-long slots counted)
+    positions: dict[str, dict[int, list[int]]] = field(default_factory=dict)
+    # keyword (omitNorms) fields: field -> term -> ascending [docid]
+    kw_postings: dict[str, dict[str, list[int]]] = field(default_factory=dict)
 
     @property
     def avgdl(self) -> np.float32:
@@ -47,16 +51,31 @@ class OracleIndex:
         return np.float32(np.float64(self.sum_ttf) / np.float64(self.max_doc))
 
 
-def build_index(texts: list[str | None]) -> OracleIndex:
+def build_index(
+    texts: list[str | None],
+    keyword_docs: dict[str, list[str | None]] | None = None,
+) -> OracleIndex:
     postings: dict[str, list[tuple[int, int]]] = {}
+    positions: dict[str, dict[int, list[int]]] = {}
     lengths: list[int] = []
     for docid, text in enumerate(texts):
-        toks = tokenize_text(text)
+        toks, poss = tokenize_with_positions(text)
         lengths.append(len(toks))
-        for term, tf in sorted(Counter(toks).items()):
-            postings.setdefault(term, []).append((docid, tf))
+        per_term: dict[str, list[int]] = {}
+        for t, p in zip(toks, poss):
+            per_term.setdefault(t, []).append(p)
+        for term, plist in sorted(per_term.items()):
+            postings.setdefault(term, []).append((docid, len(plist)))
+            positions.setdefault(term, {})[docid] = plist
     norm_bytes = encode_norm(np.array(lengths, dtype=np.int64))
     sum_ttf = int(sum(lengths))
+    kw_postings: dict[str, dict[str, list[int]]] = {}
+    for fieldname, values in (keyword_docs or {}).items():
+        fmap: dict[str, list[int]] = {}
+        for docid, v in enumerate(values):
+            if isinstance(v, str) and v != "":
+                fmap.setdefault(v, []).append(docid)
+        kw_postings[fieldname] = fmap
     return OracleIndex(
         postings=postings,
         norm_bytes=norm_bytes,
@@ -64,6 +83,8 @@ def build_index(texts: list[str | None]) -> OracleIndex:
         sum_ttf=sum_ttf,
         doc_count=sum(1 for n in lengths if n > 0),
         field_lengths=lengths,
+        positions=positions,
+        kw_postings=kw_postings,
     )
 
 
@@ -182,6 +203,150 @@ def dismax_scores(
         for s in scores:
             ssum = np.float32(ssum + s)
         out[d] = np.float32(mx + tie * np.float32(ssum - mx))
+    return out
+
+
+def kw_term_scores(
+    index: OracleIndex, fieldname: str, term: str, k1: float = 1.2, boost: float = 1.0
+) -> dict[int, np.float32]:
+    """Keyword (omitNorms StringField) term scores: tf=1, norm=k1 constant
+    (missing norms -> b treated as 0, BM25Similarity.cs:262)."""
+    docs = index.kw_postings.get(fieldname, {}).get(term, [])
+    if not docs:
+        return {}
+    t_idf = idf(len(docs), index.max_doc)
+    weight = np.float32(
+        np.float32(t_idf * np.float32(boost))
+        * np.float32(np.float32(k1) + np.float32(1.0))
+    )
+    one = np.float32(1.0)
+    s = np.float32(weight * one / (one + np.float32(k1)))
+    return {d: s for d in docs}
+
+
+# ---------------------------------------------------------------------------
+# Phrase scoring (exact + sloppy) — PhraseQuery semantics
+# ---------------------------------------------------------------------------
+
+
+def phrase_weight(
+    index: OracleIndex, terms: list[str], k1: float = 1.2, boost: float = 1.0
+) -> np.float32:
+    """Phrase weight: idf = float32 SUM of per-term idfs in clause order
+    (BM25Similarity.IdfExplain over TermStatistics[], duplicates counted),
+    then the same weight chain as a term (weight = f32(f32(idf*boost)*(k1+1)))."""
+    s = np.float32(0.0)
+    for t in terms:
+        df = len(index.postings.get(t, []))
+        s = np.float32(s + idf(df, index.max_doc))
+    return np.float32(
+        np.float32(s * np.float32(boost)) * np.float32(np.float32(k1) + np.float32(1.0))
+    )
+
+
+def exact_phrase_freq(
+    index: OracleIndex, terms: list[str], offsets: list[int], docid: int
+) -> int:
+    """Number of alignment positions where every term sits at base+offset
+    (ExactPhraseScorer counting)."""
+    base_sets = []
+    for t, off in zip(terms, offsets):
+        plist = index.positions.get(t, {}).get(docid)
+        if not plist:
+            return 0
+        base_sets.append({p - off for p in plist})
+    out = base_sets[0]
+    for s in base_sets[1:]:
+        out = out & s
+    return len(out)
+
+
+def sloppy_phrase_freq(
+    positions_per_term: list[list[int]], offsets: list[int], slop: int
+) -> np.float32:
+    """Lucene 4.8 SloppyPhraseScorer.PhraseFreq port (behavior, not code):
+    each PhrasePositions iterates its (position - offset) list; a pq keeps
+    the minimum; advancing the minimum past the next-lowest scores the best
+    matchLength seen for that window with sloppyFreq = 1/(1+matchLength)
+    (SloppyPhraseScorer.cs PhraseFreq; BM25Similarity.SloppyFreq). float32
+    accumulation. Repeated-term phrases use the plain (non-rpts) algorithm —
+    a documented divergence from Lucene's repeats handling."""
+    import heapq
+
+    adj = [
+        sorted(p - off for p in plist)
+        for plist, off in zip(positions_per_term, offsets)
+    ]
+    if any(not a for a in adj):
+        return np.float32(0.0)
+    iters = [iter(a) for a in adj]
+    heap = []
+    end = None
+    for i, it in enumerate(iters):
+        first = next(it)
+        heap.append((first, i))
+        end = first if end is None else max(end, first)
+    heapq.heapify(heap)
+    freq = np.float32(0.0)
+    pos, idx = heapq.heappop(heap)
+    match_length = end - pos
+    while True:
+        nxt = next(iters[idx], None)
+        if nxt is None:
+            break
+        if nxt > end:
+            end = nxt
+        top = heap[0][0]
+        if nxt > top:  # done minimizing the current match-length
+            if match_length <= slop:
+                freq = np.float32(
+                    freq + np.float32(1.0) / np.float32(match_length + 1)
+                )
+            heapq.heappush(heap, (nxt, idx))
+            pos, idx = heapq.heappop(heap)
+            match_length = end - pos
+        else:
+            ml2 = end - nxt
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        freq = np.float32(freq + np.float32(1.0) / np.float32(match_length + 1))
+    return freq
+
+
+def phrase_scores(
+    index: OracleIndex,
+    terms: list[str],
+    offsets: list[int] | None = None,
+    slop: int = 0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    boost: float = 1.0,
+) -> dict[int, np.float32]:
+    """docid -> float32 phrase BM25 score. offsets default to 0..n-1."""
+    if offsets is None:
+        offsets = list(range(len(terms)))
+    if not terms:
+        return {}
+    cand = None
+    for t in terms:
+        docs = set(index.positions.get(t, {}))
+        cand = docs if cand is None else cand & docs
+    if not cand:
+        return {}
+    w = phrase_weight(index, terms, k1, boost)
+    cache = norm_cache(k1, b, index.avgdl)
+    out: dict[int, np.float32] = {}
+    for d in sorted(cand):
+        if slop == 0:
+            freq = np.float32(exact_phrase_freq(index, terms, offsets, d))
+        else:
+            freq = sloppy_phrase_freq(
+                [index.positions[t][d] for t in terms], offsets, slop
+            )
+        if freq > 0:
+            norm = cache[index.norm_bytes[d]]
+            out[d] = np.float32(w * freq / (freq + norm))
     return out
 
 

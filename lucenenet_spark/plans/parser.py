@@ -11,9 +11,7 @@ Grammar supported (reference: Lucene.Net.QueryParser/Classic/QueryParser.cs):
   /regex/         RegexpQuery
   term~  term~1   FuzzyQuery (default max_edits 2)
   [a TO b] {a TO b}  TermRangeQuery (incl/excl bounds)
-
-Phrases ("...") are not supported in v1 (positions are out of scope,
-SURVEY.md §7 non-goals) and raise ValueError.
+  "a phrase"      exact PhraseQuery;  "a phrase"~2  sloppy (slop=2)
 """
 
 from __future__ import annotations
@@ -24,6 +22,7 @@ from ..functions.analysis import tokenize_text
 from .query import (
     BooleanQuery,
     FuzzyQuery,
+    PhraseQuery,
     PrefixQuery,
     Query,
     RegexpQuery,
@@ -34,7 +33,7 @@ from .query import (
 )
 
 _TOKEN_SPLIT = re.compile(
-    r"""\s*(\(|\)|\[|\]|\{|\}|AND\b|OR\b|NOT\b|\+|-|/[^/]*/|"[^"]*"|[^\s()\[\]{}]+)"""
+    r"""\s*(\(|\)|\[|\]|\{|\}|AND\b|OR\b|NOT\b|\+|-|/[^/]*/|"[^"]*"[~^0-9.]*|[^\s()\[\]{}]+)"""
 )
 
 
@@ -55,6 +54,26 @@ def _atom_query(tok: str) -> Query | None:
     if bm:
         boost = float(bm.group(1))
         tok = tok[: bm.start()]
+    if tok.startswith('"'):
+        # "exact phrase" / "sloppy phrase"~2 — analyzed with the index
+        # analyzer; query positions keep stopword/too-long gaps
+        # (QueryParserBase.cs:244 PhraseSlop, QueryBuilder analyzed phrase)
+        pm = re.match(r'"([^"]*)"(?:~(\d+))?$', tok)
+        if not pm:
+            raise ValueError(f"malformed phrase token {tok!r}")
+        from ..functions.analysis import tokenize_with_positions
+
+        toks, poss = tokenize_with_positions(pm.group(1))
+        if not toks:
+            return None
+        if len(toks) == 1:
+            return TermQuery(term=toks[0], boost=boost)
+        return PhraseQuery(
+            terms=tuple(toks),
+            positions=tuple(poss),
+            slop=int(pm.group(2) or 0),
+            boost=boost,
+        )
     fuzz = re.search(r"~(\d*)$", tok)
     if fuzz:
         base = tok[: fuzz.start()].lower()
@@ -62,8 +81,6 @@ def _atom_query(tok: str) -> Query | None:
         return FuzzyQuery(term=base, max_edits=edits, boost=boost)
     if tok.startswith("/") and tok.endswith("/") and len(tok) > 1:
         return RegexpQuery(pattern=tok[1:-1], boost=boost)
-    if tok.startswith('"'):
-        raise ValueError("phrase queries need positions — out of scope in v1")
     if "*" in tok or "?" in tok:
         low = tok.lower()
         if low.endswith("*") and "*" not in low[:-1] and "?" not in low:

@@ -24,6 +24,9 @@ class Query:
 @dataclass(frozen=True)
 class TermQuery(Query):
     term: str = ""
+    # per-field indexing (QueryParserBase.cs:171-244 `field:term`); "text" is
+    # the analyzed default, keyword fields (role/tool) hold exact values
+    field: str = "text"
 
 
 @dataclass(frozen=True)
@@ -48,6 +51,24 @@ class BooleanQuery(Query):
 class DisMaxQuery(Query):
     queries: tuple[Query, ...] = ()
     tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    """Exact/sloppy phrase (Search/PhraseQuery.cs; ExactPhraseScorer.cs /
+    SloppyPhraseScorer.cs). `positions` are the analyzer-assigned query
+    offsets (stopword/too-long slots leave gaps, QueryParserBase.cs:244);
+    default 0..n-1. slop=0 -> exact position intersection; slop>0 ->
+    sloppy matching with freq = sum of 1/(1+matchLength)."""
+
+    terms: tuple[str, ...] = ()
+    positions: tuple[int, ...] = ()
+    slop: int = 0
+    field: str = "text"
+
+    @property
+    def offsets(self) -> tuple[int, ...]:
+        return self.positions if self.positions else tuple(range(len(self.terms)))
 
 
 @dataclass(frozen=True)

@@ -37,12 +37,18 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
     from .operators.index_build import term_stats_view
 
     term_stats = term_stats_view(spark, m["tables"]["postings"])
-    cache = norm_cache(m["k1"], m["b"], np.float32(m["avgdl"]))
+    from .operators.index_build import FIELD, omit_norms_cache
+
+    caches = {FIELD: norm_cache(m["k1"], m["b"], np.float32(m["avgdl"]))}
+    kwc = omit_norms_cache(m["k1"])
+    for f, info in (m.get("fields") or {}).items():
+        if info.get("omit_norms"):
+            caches[f] = kwc
     out: dict[str, dict] = {}
 
-    # -- decode every block once: recount + chain + bound checks ------------
+    # -- decode every block once: recount + chain + bound + position checks --
     def scan_blocks(it):
-        from .operators.codec import decode_block
+        from .operators.codec import decode_block, decode_positions
 
         for pdf in it:
             rows = []
@@ -50,11 +56,27 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
                 docids, tfs = decode_block(r.docids_enc, r.tfs_enc, r.first_docid, r.count)
                 nb = np.frombuffer(r.norms_enc, dtype=np.uint8)
                 tf32 = tfs.astype(np.float32)
-                kern = tf32 / (tf32 + cache[nb])
+                kern = tf32 / (tf32 + caches[r.field][nb])
+                # positions payload: one ascending run of sum(tfs) positions
+                # per posting (DOCS_AND_FREQS_AND_POSITIONS invariant)
+                pos_ok = True
+                if r.pos_enc:
+                    poss = decode_positions(r.pos_enc, int(tfs.sum()))
+                    if len(poss) != int(tfs.sum()) or np.any(poss < 0):
+                        pos_ok = False
+                    elif len(poss):
+                        # within each posting's run, positions strictly ascend
+                        cum = np.cumsum(tfs)[:-1]
+                        d = np.diff(poss)
+                        brk = np.ones(len(poss) - 1, dtype=bool)
+                        brk[cum - 1] = False  # run boundaries may reset
+                        pos_ok = bool(np.all(d[brk] > 0))
                 rows.append(
                     {
+                        "field": r.field,
                         "term": r.term,
                         "salt": r.salt,
+                        "pos_ok": pos_ok,
                         "block_no": r.block_no,
                         "df": len(docids),
                         "ttf": int(tfs.sum()),
@@ -73,7 +95,8 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
                 )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {c: pd.Series(dtype=t) for c, t in [
-                    ("term", "object"), ("salt", "int32"), ("block_no", "int32"),
+                    ("field", "object"), ("term", "object"), ("salt", "int32"),
+                    ("pos_ok", "bool"), ("block_no", "int32"),
                     ("df", "int64"), ("ttf", "int64"), ("mono_ok", "bool"),
                     ("meta_ok", "bool"), ("bound_ok", "bool"),
                     ("first_docid", "int64"), ("last_docid", "int64"), ("min_tf", "int64"),
@@ -82,7 +105,8 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
 
     scanned = postings.mapInPandas(
         scan_blocks,
-        "term string, salt int, block_no int, df long, ttf long, mono_ok boolean,"
+        "field string, term string, salt int, pos_ok boolean, block_no int,"
+        " df long, ttf long, mono_ok boolean,"
         " meta_ok boolean, bound_ok boolean, first_docid long, last_docid long, min_tf long",
     ).cache()
 
@@ -91,17 +115,19 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
         F.sum(F.when(~F.col("meta_ok"), 1).otherwise(0)).alias("bad_meta"),
         F.sum(F.when(~F.col("bound_ok"), 1).otherwise(0)).alias("bad_bound"),
         F.sum(F.when(F.col("min_tf") < 1, 1).otherwise(0)).alias("bad_tf"),
+        F.sum(F.when(~F.col("pos_ok"), 1).otherwise(0)).alias("bad_pos"),
         F.count("*").alias("blocks"),
     ).collect()[0]
     out["block_payloads"] = {
         "ok": flags["bad_mono"] == 0 and flags["bad_meta"] == 0
-        and flags["bad_bound"] == 0 and flags["bad_tf"] == 0,
-        **{k: int(flags[k]) for k in ["bad_mono", "bad_meta", "bad_bound", "bad_tf", "blocks"]},
+        and flags["bad_bound"] == 0 and flags["bad_tf"] == 0
+        and flags["bad_pos"] == 0,
+        **{k: int(flags[k]) for k in ["bad_mono", "bad_meta", "bad_bound", "bad_tf", "bad_pos", "blocks"]},
     }
 
-    # chain order across blocks of one (term, salt): last_docid[i] < first_docid[i+1]
+    # chain order across blocks of one (field, term, salt)
     w_chain = (
-        scanned.groupBy("term", "salt")
+        scanned.groupBy("field", "term", "salt")
         .agg(
             F.sort_array(F.collect_list(F.struct("block_no", "first_docid", "last_docid"))).alias("ch")
         )
@@ -122,8 +148,10 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
     out["block_chains"] = {"ok": w_chain["bad_chains"] == 0, "bad_chains": int(w_chain["bad_chains"])}
 
     # -- df/ttf recount vs term_stats (CheckIndex.cs:827-838) ----------------
-    recount = scanned.groupBy("term").agg(F.sum("df").alias("df2"), F.sum("ttf").alias("ttf2"))
-    joined = term_stats.join(recount, "term", "full_outer")
+    recount = scanned.groupBy("field", "term").agg(
+        F.sum("df").alias("df2"), F.sum("ttf").alias("ttf2")
+    )
+    joined = term_stats.join(recount, ["field", "term"], "full_outer")
     bad = joined.filter(
         F.col("df").isNull()
         | F.col("df2").isNull()

@@ -121,5 +121,5 @@ def test_merged_docs_view_complete(spark, merged_dir, corpus_pdf):
 def test_merged_term_stats_are_sums(spark, merged_dir, segment_dirs, oracle_index):
     m = IndexSearcher(spark, merged_dir)
     df = m.doc_freqs(["popcorn", "hello", "word7"])
-    for t in df:
-        assert df[t] == len(oracle_index.postings.get(t, [])), t
+    for f, t in df:
+        assert df[(f, t)] == len(oracle_index.postings.get(t, [])), t

@@ -77,6 +77,11 @@ def test_query_text_is_analyzed():
     assert parse("the of") == BooleanQuery()
 
 
-def test_phrase_rejected():
-    with pytest.raises(ValueError):
-        parse('"exact phrase"')
+def test_phrase_parses():
+    from lucenenet_spark.plans.query import PhraseQuery
+
+    q = parse('"exact phrase"')
+    assert isinstance(q, PhraseQuery)
+    assert q.terms == ("exact", "phrase") and q.slop == 0
+    q2 = parse('"exact phrase"~2^1.5')
+    assert q2.slop == 2 and q2.boost == 1.5
