@@ -563,6 +563,10 @@ class IndexSearcher:
                 raise TypeError("v1 supports term clauses under MUST_NOT")
 
         blocks = self._blocks_for([c.key for c in live])
+        if n_must:
+            # leapfrog analogue: restrict every clause's blocks to the
+            # rarest MUST clause's docid ranges before decode
+            blocks = self._conjunction_prune(blocks, [c.key for c in must_c])
         # adaptive block-max pruning: only worth its 2 extra (tiny) jobs when
         # the candidate posting volume is large; below the threshold a single
         # scan-and-score pass is strictly faster. Rank-safe either way.
@@ -913,6 +917,10 @@ class IndexSearcher:
         ]
         allc = live + proh
         blocks = self._blocks_for([c.key for c in allc])
+        if n_must:
+            blocks = self._conjunction_prune(
+                blocks, [c.key for c in clauses if c.clause_id < n_must]
+            )
         if (
             prune
             and self._prunable
