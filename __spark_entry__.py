@@ -36,10 +36,10 @@ HOT, MID, T3, T4, T5 = "batch", "stream", "scan", "merge", "small"
 ABSENT, STOP = "zzzqx", "the"
 
 
-def _searcher(spark: SparkSession, sf_dir: str):
+def _searcher(spark: SparkSession, sf_dir: str, similarity: str = "bm25"):
     from lucenenet_spark.operators.search import IndexSearcher
 
-    return IndexSearcher(spark, es.ensure_index(spark, sf_dir))
+    return IndexSearcher(spark, es.ensure_index(spark, sf_dir), similarity=similarity)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -184,6 +184,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     out["fuzzy"] = topk(FuzzyQuery(term="batc", max_edits=1), k=20)
 
+    def term_tfidf(spark, sf_dir):
+        s = _searcher(spark, sf_dir, similarity="classic")
+        return s.search(TermQuery(term=HOT), 15)
+
+    out["term_tfidf"] = term_tfidf
+
     # -- training-data pipeline operators (documents / embeddings tables) ----
     from lucenenet_spark.pipeline import dedup, multimodal, similarity, textstats
 
@@ -295,6 +301,7 @@ GROUP BY v.byte ORDER BY norm_byte""",
         extra_where="docid IN (SELECT docid FROM docs WHERE role = 'user')",
     )
     out["fuzzy"] = es.fuzzy_sql("batc", 1, 20)
+    out["term_tfidf"] = es.classic_term_sql(HOT, k=15)
 
     # training-data pipeline oracles
     from lucenenet_spark.pipeline import dedup as dd

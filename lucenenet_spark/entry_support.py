@@ -34,7 +34,11 @@ from .functions.analysis import (
     MAX_TOKEN_LENGTH,
     TOKEN_PATTERN_RE2,
 )
-from .functions.smallfloat import NORM_TABLE, norm_length_byte_boundaries
+from .functions.smallfloat import (
+    DECODE_TABLE,
+    NORM_TABLE,
+    norm_length_byte_boundaries,
+)
 
 K1, B = 1.2, 0.75
 
@@ -137,10 +141,16 @@ ONE_MINUS_B_32 = _f32lit(np.float32(1.0) - np.float32(B))
 
 
 def _norm_values_rows(max_len: int = 1 << 20) -> str:
-    """(lo, hi, byte, norm_table_value) rows covering fieldLength 0..max_len."""
-    rows = [f"(0, 0, 255, {_f32lit(NORM_TABLE[255])})"]
+    """(lo, hi, byte, bm25_norm_value, classic_decode_value) rows covering
+    fieldLength 0..max_len."""
+    rows = [
+        f"(0, 0, 255, {_f32lit(NORM_TABLE[255])}, {_f32lit(DECODE_TABLE[255])})"
+    ]
     for byte, lo, hi in norm_length_byte_boundaries(max_len):
-        rows.append(f"({lo}, {hi}, {byte}, {_f32lit(NORM_TABLE[byte])})")
+        rows.append(
+            f"({lo}, {hi}, {byte}, {_f32lit(NORM_TABLE[byte])},"
+            f" {_f32lit(DECODE_TABLE[byte])})"
+        )
     return ",\n    ".join(rows)
 
 
@@ -188,7 +198,7 @@ posting AS (
   GROUP BY docid, tok
 ),
 tstats AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM posting GROUP BY term),
-normv(lo, hi, byte, nt) AS (
+normv(lo, hi, byte, nt, dt) AS (
   VALUES
     {_norm_values_rows()}
 ),
@@ -528,6 +538,40 @@ pivoted AS (
 SELECT docid, {_fold(["s0", "s1"])} AS score
 FROM pivoted
 ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+
+
+def classic_term_sql(term: str, k: int = 10, boost: float = 1.0) -> str:
+    """Top-k TermQuery under DefaultSimilarity (TF-IDF), float32-exact:
+      idf   = (float)(ln(maxDoc/(df+1)) + 1)      DefaultSimilarity.cs:158-161
+      qw    = f32(idf * boost); qnorm = (float)(1/sqrt(f32(qw*qw)))  :78-81
+      value = f32(f32(qw*qnorm) * idf)            IDFStats.Normalize
+      score = f32(f32(f32(sqrt(tf)) * value) * byte315Decode(norm))
+                                                  TFIDFSimScorer.Score:687-692
+    """
+    idf = (
+        "CAST(ln(CAST(f.max_doc AS DOUBLE) / (CAST(t.df AS DOUBLE) + 1.0))"
+        " + CAST(1.0 AS DOUBLE) AS REAL)"
+    )
+    qw = f"CAST({idf} * {_f32lit(boost)} AS REAL)"
+    ssq = f"CAST({qw} * {qw} AS REAL)"
+    qnorm = f"CAST(CAST(1.0 AS DOUBLE) / sqrt(CAST({ssq} AS DOUBLE)) AS REAL)"
+    value = f"CAST(CAST({qw} * {qnorm} AS REAL) * {idf} AS REAL)"
+    return f"""{prelude()},
+cval AS (
+  SELECT {value} AS v FROM tstats t CROSS JOIN fstats f WHERE t.term = '{term}'
+),
+dnorm AS (
+  SELECT l.docid, v.dt FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+)
+SELECT p.docid AS docid,
+       CAST(CAST(CAST(sqrt(CAST(p.tf AS DOUBLE)) AS REAL) * c.v AS REAL)
+            * d.dt AS REAL) AS score
+FROM posting p
+CROSS JOIN cval c
+JOIN dnorm d ON p.docid = d.docid
+WHERE p.term = '{term}'
+ORDER BY score DESC, p.docid ASC
 LIMIT {k}"""
 
 

@@ -57,6 +57,13 @@ def _build_norm_table() -> np.ndarray:
 
 NORM_TABLE: np.ndarray = _build_norm_table()
 
+# Classic (TF-IDF / DefaultSimilarity) decode table: raw byte315ToFloat —
+# DecodeNormValue(norm) = NORM_TABLE[b] with NORM_TABLE[i] = Byte315ToSingle(i)
+# (DefaultSimilarity.cs:105-108,54-61). Index-time bytes are IDENTICAL to
+# BM25's (both encode boost/sqrt(fieldLength)), so similarity is a pure
+# query-time choice.
+DECODE_TABLE: np.ndarray = byte315_to_float(np.arange(256, dtype=np.uint8))
+
 
 def encode_norm(field_lengths: np.ndarray, boost: float = 1.0) -> np.ndarray:
     """Norm byte per doc: floatToByte315(boost / (float)sqrt(fieldLength)).

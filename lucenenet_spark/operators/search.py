@@ -102,6 +102,7 @@ class IndexSearcher:
         spark: SparkSession,
         index_dir: str | list[str],
         prune_min_postings: int = 1 << 16,
+        similarity: str = "bm25",
     ):
         self.spark = spark
         dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
@@ -142,6 +143,21 @@ class IndexSearcher:
         kwc = omit_norms_cache(self.k1)
         self._field_caches = {
             f: (self._cache256 if not info.get("omit_norms") else kwc)
+            for f, info in fields_info.items()
+        }
+        # pluggable similarity: "bm25" (default) or "classic" (TF-IDF /
+        # DefaultSimilarity). Norm bytes are similarity-independent
+        # (SURVEY §4.2), so this is a pure query-time switch; classic
+        # decodes them raw (byte315ToFloat), omitNorms fields score raw
+        # (norms == null -> no multiply, TFIDFSimScorer.Score:691)
+        if similarity not in ("bm25", "classic"):
+            raise ValueError(f"unknown similarity {similarity!r}")
+        self.similarity = similarity
+        from ..functions.smallfloat import DECODE_TABLE
+
+        ones = np.ones(256, dtype=np.float32)
+        self._decode_tables = {
+            f: (DECODE_TABLE if not info.get("omit_norms") else ones)
             for f, info in fields_info.items()
         }
         # (field, term) -> (df, max_block_bound); one pruned scan per term
@@ -306,12 +322,20 @@ class IndexSearcher:
             out = df if out is None else out.unionByName(df)
         return out
 
-    def _score_blocks(self, blocks: DataFrame, clauses: list[Clause]) -> DataFrame:
-        """Decode + score blocks -> rows (docid, clause, score:float32)."""
+    def _score_blocks(
+        self, blocks: DataFrame, clauses: list[Clause], classic: bool = False
+    ) -> DataFrame:
+        """Decode + score blocks -> rows (docid, clause, score:float32).
+
+        classic=False: BM25 kernel (weight*freq)/(freq + cache[norm]).
+        classic=True: TF-IDF kernel f32(f32(sqrt(freq) * value) *
+        decodeNorm[norm]) (TFIDFSimScorer.Score:687-692); `weight` then
+        carries the normalized IDFStats.Value."""
         by_key: dict[tuple[str, str], list[tuple[int, float]]] = {}
         for c in clauses:
             by_key.setdefault(c.key, []).append((c.clause_id, float(c.weight)))
         caches = self._field_caches
+        decodes = self._decode_tables
 
         def score_batches(it):
             from .codec import decode_block  # executor-side import
@@ -326,6 +350,20 @@ class IndexSearcher:
                         docids = docids + r.docbase  # leafDocBase shift
                     nbytes = np.frombuffer(r.norms_enc, dtype=np.uint8)
                     freq = tfs.astype(np.float32)
+                    if classic:
+                        tfv = np.sqrt(freq)  # f32 sqrt == (float)Math.Sqrt
+                        dec = decodes[r.field][nbytes]
+                        for clause_id, w in by_key[(r.field, r.term)]:
+                            outs.append(
+                                pd.DataFrame(
+                                    {
+                                        "docid": docids,
+                                        "clause": clause_id,
+                                        "score": (tfv * np.float32(w)) * dec,
+                                    }
+                                )
+                            )
+                        continue
                     denom = freq + caches[r.field][nbytes]  # float32, vectorized
                     for clause_id, w in by_key[(r.field, r.term)]:
                         # (weight * freq) / (freq + norm), left-to-right in
@@ -508,10 +546,17 @@ class IndexSearcher:
             terms = _collect_terms(inner)
             docids = self._docids_of_terms(terms)
             return docids.select("docid", F.lit(float(np.float32(q.boost))).cast("float").alias("score"))
-        if isinstance(q, PhraseQuery):
-            return self._phrase_scores(q)
         if isinstance(q, TermQuery):
             q = BooleanQuery(should=(q,))
+        if self.similarity == "classic":
+            if isinstance(q, BooleanQuery):
+                return self._classic_boolean_scores(q)
+            raise NotImplementedError(
+                "classic similarity supports term/boolean queries "
+                f"(got {type(q).__name__}); phrase/dismax are BM25-only"
+            )
+        if isinstance(q, PhraseQuery):
+            return self._phrase_scores(q)
         if isinstance(q, DisMaxQuery):
             return self._dismax_scores(q)
         if isinstance(q, BooleanQuery):
@@ -621,6 +666,85 @@ class IndexSearcher:
         if not_terms:
             scored = scored.join(
                 F.broadcast(self._docids_of_terms(not_terms)), "docid", "left_anti"
+            )
+        return scored
+
+    def _classic_boolean_scores(self, q: BooleanQuery) -> DataFrame:
+        """BooleanQuery under DefaultSimilarity (TF-IDF), float32-exact.
+
+        Per clause: queryWeight = f32(idf * boost); query-level
+        sumOfSquaredWeights = f32 fold of qw^2 over non-prohibited clauses
+        (incl. df=0 ones) * f32(boost^2) (BooleanWeight); queryNorm =
+        (float)(1/sqrt(sum)); value = f32(f32(qw*qnorm)*idf)
+        (IDFStats.Normalize). Doc score = f32 clause-order sum of kernel
+        scores * coord(overlap, maxOverlap) where maxOverlap counts ALL
+        non-prohibited clauses (BooleanWeight maxCoord)."""
+        from ..oracle import classic_idf
+
+        if not q.must and not q.should:
+            return self._empty_hits()
+        simple = all(
+            isinstance(c, TermQuery) for c in q.must + q.should + q.must_not
+        )
+        if not simple:
+            raise NotImplementedError("classic similarity scores term clauses")
+        terms = list(q.must) + list(q.should)
+        n_must = len(q.must)
+        keys = [(c.field, c.term) for c in terms]
+        dfs = self.doc_freqs(keys)
+        if any(dfs[k] == 0 for k in keys[:n_must]):
+            return self._empty_hits()
+        idfs = [classic_idf(dfs[k], self.max_doc) for k in keys]
+        qws = [np.float32(i * np.float32(c.boost)) for i, c in zip(idfs, terms)]
+        ssq = np.float32(0.0)
+        for qw in qws:
+            ssq = np.float32(ssq + np.float32(qw * qw))
+        ssq = np.float32(ssq * np.float32(np.float32(q.boost) * np.float32(q.boost)))
+        qnorm = (
+            np.float32(np.float64(1.0) / np.sqrt(np.float64(ssq)))
+            if ssq > 0
+            else np.float32(1.0)
+        )
+        values = [np.float32(np.float32(qw * qnorm) * i) for qw, i in zip(qws, idfs)]
+        clauses = [
+            Clause(i, c.term, v, field=c.field)
+            for i, (c, v) in enumerate(zip(terms, values))
+        ]
+        live = [c for c in clauses if dfs[c.key] > 0]
+        if not live:
+            return self._empty_hits()
+        blocks = self._blocks_for([c.key for c in live])
+        if n_must:
+            blocks = self._conjunction_prune(blocks, keys[:n_must])
+        rows = self._score_blocks(blocks, live, classic=True)
+        n_total = len(clauses)
+        agg = self._pivot_agg(rows, n_total)
+        cond = F.lit(True)
+        for i in range(n_must):
+            cond = cond & F.col(f"s{i}").isNotNull()
+        msm = q.min_should_match
+        need_should = msm if n_must else max(1, msm) if q.should else 0
+        matched_should = None
+        overlap = None
+        for j in range(n_total):
+            c = F.when(F.col(f"s{j}").isNotNull(), 1).otherwise(0)
+            overlap = c if overlap is None else overlap + c
+            if j >= n_must:
+                matched_should = c if matched_should is None else matched_should + c
+        if need_should:
+            cond = cond & (matched_should >= need_should)
+        zero = F.lit(0.0).cast("float")
+        acc = F.coalesce(F.col("s0"), zero)
+        for i in range(1, n_total):
+            acc = acc + F.coalesce(F.col(f"s{i}"), zero)
+        coord = overlap.cast("float") / F.lit(float(np.float32(n_total))).cast("float")
+        scored = agg.filter(cond).select(
+            "docid", (acc * coord.cast("float")).cast("float").alias("score")
+        )
+        not_keys = [(c.field, c.term) for c in q.must_not]
+        if not_keys:
+            scored = scored.join(
+                F.broadcast(self._docids_of_terms(not_keys)), "docid", "left_anti"
             )
         return scored
 
@@ -871,6 +995,8 @@ class IndexSearcher:
         vectorized, and emits only its local top-k — TopScoreDocCollector per
         partition, merged by the global orderBy. Returns None when the query
         shape or volume doesn't warrant it."""
+        if self.similarity != "bm25":
+            return None  # bulk kernel is BM25-specific
         q = self.rewrite(q)
         if isinstance(q, DisMaxQuery):
             if not all(isinstance(c, TermQuery) for c in q.queries):

@@ -206,6 +206,122 @@ def dismax_scores(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Classic (TF-IDF / DefaultSimilarity) scoring — query-time only
+# ---------------------------------------------------------------------------
+
+
+def classic_idf(df: int, max_doc: int) -> np.float32:
+    """(float)(log(numDocs/(double)(docFreq+1)) + 1.0) — DefaultSimilarity.cs:158-161."""
+    return np.float32(
+        np.log(np.float64(max_doc) / np.float64(df + 1)) + np.float64(1.0)
+    )
+
+
+def classic_boolean_scores(
+    index: OracleIndex,
+    must: list[str] = (),
+    should: list[str] = (),
+    must_not: list[str] = (),
+    min_should_match: int = 0,
+    boosts: dict[str, float] | None = None,
+    query_boost: float = 1.0,
+) -> dict[int, np.float32]:
+    """DefaultSimilarity BooleanQuery scoring, float32-exact.
+
+    Per clause: queryWeight = f32(idf * boost); query-level
+    sumOfSquaredWeights = f32 fold of qw^2 (prohibited clauses excluded)
+    times f32(query_boost^2) (BooleanWeight.GetValueForNormalization);
+    queryNorm = (float)(1.0/sqrt(sum)) (DefaultSimilarity.cs:78-81);
+    value = f32(f32(qw * queryNorm) * idf) (IDFStats.Normalize);
+    per-doc clause score = f32(f32(f32(sqrt(freq)) * value) *
+    DecodeNormValue(norm)) (TFIDFSimScorer.Score:687-692); summed in f32
+    clause order, then multiplied by coord = overlap/(float)maxOverlap
+    over ALL non-prohibited clauses (DefaultSimilarity.cs:71-74)."""
+    from .functions.smallfloat import DECODE_TABLE
+
+    boosts = boosts or {}
+    terms = list(must) + list(should)
+    n_must = len(must)
+    qws = [
+        np.float32(classic_idf(len(index.postings.get(t, [])), index.max_doc)
+                   * np.float32(boosts.get(t, 1.0)))
+        for t in terms
+    ]
+    ssq = np.float32(0.0)
+    for qw in qws:
+        ssq = np.float32(ssq + np.float32(qw * qw))
+    ssq = np.float32(ssq * np.float32(np.float32(query_boost) * np.float32(query_boost)))
+    qnorm = np.float32(np.float64(1.0) / np.sqrt(np.float64(ssq))) if ssq > 0 else np.float32(1.0)
+    values = [
+        np.float32(
+            np.float32(qw * qnorm)
+            * classic_idf(len(index.postings.get(t, [])), index.max_doc)
+        )
+        for qw, t in zip(qws, terms)
+    ]
+    maps = []
+    for t, v in zip(terms, values):
+        m = {}
+        for docid, tf in index.postings.get(t, []):
+            raw = np.float32(np.float32(np.sqrt(np.float32(tf))) * v)
+            m[docid] = np.float32(raw * DECODE_TABLE[index.norm_bytes[docid]])
+        maps.append(m)
+    not_docs: set[int] = set()
+    for t in must_not:
+        not_docs.update(d for d, _tf in index.postings.get(t, []))
+    must_maps, should_maps = maps[:n_must], maps[n_must:]
+    if must:
+        docs = set(must_maps[0].keys())
+        for m in must_maps[1:]:
+            docs &= m.keys()
+    else:
+        need = max(1, min_should_match) if should else 0
+        cnt: Counter[int] = Counter()
+        for m in should_maps:
+            cnt.update(m.keys())
+        docs = {d for d, c in cnt.items() if c >= need}
+    if must and should and min_should_match > 0:
+        cnt = Counter()
+        for m in should_maps:
+            cnt.update(m.keys())
+        docs = {d for d in docs if cnt.get(d, 0) >= min_should_match}
+    docs -= not_docs
+    max_overlap = len(terms)
+    out: dict[int, np.float32] = {}
+    for d in sorted(docs):
+        s = np.float32(0.0)
+        overlap = 0
+        for m in maps:
+            if d in m:
+                s = np.float32(s + m[d])
+                overlap += 1
+        coord = np.float32(np.float32(overlap) / np.float32(max_overlap))
+        out[d] = np.float32(s * coord)
+    return out
+
+
+def classic_term_scores(
+    index: OracleIndex, term: str, boost: float = 1.0
+) -> dict[int, np.float32]:
+    """Plain TermQuery under DefaultSimilarity (no coord — no BooleanWeight)."""
+    from .functions.smallfloat import DECODE_TABLE
+
+    plist = index.postings.get(term)
+    if not plist:
+        return {}
+    t_idf = classic_idf(len(plist), index.max_doc)
+    qw = np.float32(t_idf * np.float32(boost))
+    ssq = np.float32(qw * qw)
+    qnorm = np.float32(np.float64(1.0) / np.sqrt(np.float64(ssq)))
+    value = np.float32(np.float32(qw * qnorm) * t_idf)
+    out = {}
+    for docid, tf in plist:
+        raw = np.float32(np.float32(np.sqrt(np.float32(tf))) * value)
+        out[docid] = np.float32(raw * DECODE_TABLE[index.norm_bytes[docid]])
+    return out
+
+
 def kw_term_scores(
     index: OracleIndex, fieldname: str, term: str, k1: float = 1.2, boost: float = 1.0
 ) -> dict[int, np.float32]:

@@ -1,0 +1,78 @@
+"""Classic (TF-IDF / DefaultSimilarity) query-time similarity parity.
+
+Norm bytes are similarity-independent, so the same index serves both
+scorers; only the query-side arithmetic changes (idf, sqrt-tf, raw
+byte315 norm decode, queryNorm, coord).
+"""
+import pytest
+
+from lucenenet_spark import oracle
+from lucenenet_spark.operators.search import IndexSearcher
+from lucenenet_spark.plans.query import BooleanQuery, TermQuery
+
+from .conftest import hits
+
+
+@pytest.fixture(scope="module")
+def classic(spark, index_dir):
+    return IndexSearcher(spark, index_dir, similarity="classic")
+
+
+def test_classic_term_parity(classic, oracle_index):
+    for t in ["popcorn", "hello", "common7"]:
+        want = oracle.top_k(oracle.classic_term_scores(oracle_index, t), 15)
+        got = hits(classic.search(TermQuery(term=t), 15))
+        assert got == want, t
+
+
+def test_classic_boolean_or_coord(classic, oracle_index):
+    q = BooleanQuery(should=(TermQuery(term="popcorn"), TermQuery(term="hello")))
+    want = oracle.top_k(
+        oracle.classic_boolean_scores(oracle_index, should=["popcorn", "hello"]),
+        15,
+    )
+    got = hits(classic.search(q, 15))
+    assert got == want
+
+
+def test_classic_boolean_must_msm(classic, oracle_index):
+    q = BooleanQuery(
+        must=(TermQuery(term="popcorn"),),
+        should=(TermQuery(term="hello"), TermQuery(term="common3")),
+        min_should_match=1,
+    )
+    want = oracle.top_k(
+        oracle.classic_boolean_scores(
+            oracle_index,
+            must=["popcorn"],
+            should=["hello", "common3"],
+            min_should_match=1,
+        ),
+        15,
+    )
+    got = hits(classic.search(q, 15))
+    assert got == want
+
+
+def test_classic_boost_and_not(classic, oracle_index):
+    q = BooleanQuery(
+        should=(TermQuery(term="popcorn", boost=2.0), TermQuery(term="common5")),
+        must_not=(TermQuery(term="hello"),),
+    )
+    want = oracle.top_k(
+        oracle.classic_boolean_scores(
+            oracle_index,
+            should=["popcorn", "common5"],
+            must_not=["hello"],
+            boosts={"popcorn": 2.0},
+        ),
+        15,
+    )
+    got = hits(classic.search(q, 15))
+    assert got == want
+
+
+def test_bm25_unaffected(searcher, classic, oracle_index):
+    # same index object graph; default searcher still scores BM25
+    want = oracle.top_k(oracle.term_scores(oracle_index, "popcorn"), 10)
+    assert hits(searcher.search(TermQuery(term="popcorn"), 10)) == want
