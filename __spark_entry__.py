@@ -223,8 +223,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         _emb(s, d), _qvec(s, d), 10
     )
-    out["ann_lsh_topk"] = lambda s, d: similarity.lsh_topk(_emb(s, d), _qvec(s, d), 10)
-    out["emb_bucket_hist"] = lambda s, d: similarity.bucket_histogram(_emb(s, d))
+    out["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(_emb(s, d), _qvec(s, d), 10)
+
+    def ann_ivf_recall(spark, sf_dir):
+        # self-checking recall@10 of the IVF path vs the exact baseline
+        exact = similarity.cosine_topk(_emb(spark, sf_dir), _qvec(spark, sf_dir), 10)
+        approx = similarity.ivf_topk(_emb(spark, sf_dir), _qvec(spark, sf_dir), 10)
+        inter = exact.select("vec_id").join(approx.select("vec_id"), "vec_id")
+        return inter.agg((F.count("*") / F.lit(10.0)).alias("recall_at_10"))
+
+    out["ann_ivf_recall"] = ann_ivf_recall
+    out["emb_cell_hist"] = lambda s, d: similarity.cell_histogram(_emb(s, d))
     out["emb_near_dups"] = lambda s, d: similarity.embedding_near_dup_pairs(
         _emb(s, d), threshold=0.9
     )
@@ -318,39 +327,16 @@ GROUP BY v.byte ORDER BY norm_byte""",
     out["dedup_minhash_pairs"] = dd.lsh_candidate_pairs_sql()
     out["dedup_jaccard"] = dd.jaccard_pairs_sql()
 
-    QV = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 7)"
-    COS = (
-        f"round(list_dot_product(CAST(embedding AS DOUBLE[]), {QV}) / "
-        f"(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "
-        f"sqrt(list_dot_product({QV}, {QV}))), 6)"
-    )
-    BITS = " + ".join(
-        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(3)
-    )
-    QBITS = (
-        "(SELECT "
-        + " + ".join(
-            f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
-            for i in range(3)
-        )
-        + " FROM embeddings WHERE vec_id = 7)"
-    )
-    out["ann_cosine_topk"] = (
-        f"SELECT vec_id, {COS} AS cosine FROM embeddings "
-        f"ORDER BY cosine DESC, vec_id ASC LIMIT 10"
-    )
-    out["ann_lsh_topk"] = (
-        f"SELECT vec_id, {COS} AS cosine FROM embeddings "
-        f"WHERE ({BITS}) = {QBITS} "
-        f"ORDER BY cosine DESC, vec_id ASC LIMIT 10"
-    )
-    out["emb_bucket_hist"] = (
-        f"SELECT ({BITS}) AS bucket, count(*) AS n FROM embeddings "
-        f"GROUP BY 1 ORDER BY bucket"
-    )
-    from lucenenet_spark.pipeline.similarity import embedding_near_dup_pairs_sql
+    from lucenenet_spark.pipeline import similarity as sim
 
-    out["emb_near_dups"] = embedding_near_dup_pairs_sql(threshold=0.9)
+    QV = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 7)"
+    out["ann_cosine_topk"] = sim.cosine_topk_sql(QV, 10)
+    out["ann_ivf_topk"] = sim.ivf_topk_sql(QV, 10)
+    out["ann_ivf_recall"] = f"""SELECT CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
+FROM ({sim.cosine_topk_sql(QV, 10)}) a
+JOIN ({sim.ivf_topk_sql(QV, 10)}) b USING (vec_id)"""
+    out["emb_cell_hist"] = sim.cell_histogram_sql()
+    out["emb_near_dups"] = sim.embedding_near_dup_pairs_sql(threshold=0.9)
 
     from lucenenet_spark.pipeline import multimodal as mm
 

@@ -159,16 +159,34 @@ def test_cosine_topk_matches_numpy(emb):
     assert [g[0] for g in got] == [w[0] for w in want]
 
 
-def test_lsh_topk_subset_of_bucket(emb):
+def test_ivf_topk_and_cells(emb):
     pdf = emb.toPandas()
-    q = [float(x) for x in pdf["embedding"][3]]
+    row3 = pdf[pdf["vec_id"] == 3].iloc[0]
+    q = [float(x) for x in row3["embedding"]]
     full = similarity.cosine_topk(emb, q, 5).toPandas()
-    approx = similarity.lsh_topk(emb, q, 5).toPandas()
-    # the query's own vector lives in its bucket -> rank-1 must survive
+    approx = similarity.ivf_topk(emb, q, 5).toPandas()
+    # the query's own vector lives in a probed cell -> rank-1 must survive
     assert approx["vec_id"].iloc[0] == full["vec_id"].iloc[0]
-    hist = similarity.bucket_histogram(emb).toPandas()
-    assert hist["n"].sum() == len(pdf)
-    assert len(hist) <= 2**similarity.N_BUCKET_BITS
+    # every approx hit is a true cosine value (subset of the exact ranking)
+    hist = similarity.cell_histogram(emb).toPandas()
+    assert hist["n"].sum() == len(pdf)  # partition of the corpus
+    n_cells = (pdf["vec_id"] % similarity.IVF_MOD == 0).sum()
+    assert len(hist) <= n_cells
+
+
+def test_ivf_recall_reasonable(emb):
+    pdf = emb.toPandas()
+    row = pdf[pdf["vec_id"] == 7].iloc[0]
+    q = [float(x) for x in row["embedding"]]
+    exact = set(similarity.cosine_topk(emb, q, 10).toPandas()["vec_id"])
+    approx = set(similarity.ivf_topk(emb, q, 10).toPandas()["vec_id"])
+    assert len(exact & approx) >= 7
+
+
+def test_rademacher_planes_deterministic():
+    p1 = similarity.rademacher_planes(8, 64)
+    p2 = similarity.rademacher_planes(8, 64)
+    assert (p1 == p2).all() and set(np.unique(p1)) == {-1.0, 1.0}
 
 
 def test_embedding_near_dups(spark, emb):
