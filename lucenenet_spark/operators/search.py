@@ -1270,14 +1270,38 @@ class IndexSearcher:
         """TotalHitCountCollector analogue."""
         return self.scores(q).count()
 
-    def fetch(self, hits: DataFrame) -> DataFrame:
-        """Stored-field fetch: join top-k back to the docs table (SURVEY §1.1)."""
+    # below this many (bounded) hits, the hits side of a collector's
+    # docs join is broadcast — the big docs scan then probes a hash map
+    # instead of shuffling both sides (VERDICT r01 collector fetch-join)
+    BROADCAST_HITS_MAX = 1 << 20
+
+    def fetch(self, hits: DataFrame, hits_bound: int | None = None) -> DataFrame:
+        """Stored-field fetch: join top-k back to the docs table (SURVEY §1.1).
+
+        hits_bound: a known upper bound on |hits| (e.g. Σ df of the query
+        terms). When it fits a broadcast, the join is hits-broadcast so the
+        docs side never shuffles — at 10^9 docs that is the difference
+        between a map-side hash probe and a full shuffle join."""
+        if hits_bound is not None and hits_bound <= self.BROADCAST_HITS_MAX:
+            return self.docs().join(F.broadcast(hits), "docid", "inner")
         return hits.join(self.docs(), "docid", "inner")
+
+    def _hits_bound(self, q: Query) -> int | None:
+        """Upper bound on the match count: Σ df over the query's terms
+        (None when the query shape doesn't expose one, e.g. MatchAll)."""
+        q = self.rewrite(q) if isinstance(q, (FuzzyQuery, BooleanQuery)) else q
+        if isinstance(q, (MatchAllQuery, PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery)):
+            return None
+        keys = _collect_terms(q)
+        if not keys:
+            return None
+        dfs = self.doc_freqs(keys)
+        return int(sum(dfs.values()))
 
     # -- satellite collectors (Grouping / Facets / Sort — SURVEY §2.6) -------------------
     def group_top_k(self, q: Query, group_col: str = "conv_id", k_per_group: int = 3) -> DataFrame:
         """Top-k hits per group (Lucene.Net.Grouping two-pass collectors)."""
-        hits = self.fetch(self.scores(q))
+        hits = self.fetch(self.scores(q), self._hits_bound(q))
         win = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("docid"))
         return hits.withColumn("rank_in_group", F.row_number().over(win)).filter(
             F.col("rank_in_group") <= k_per_group
@@ -1285,11 +1309,13 @@ class IndexSearcher:
 
     def facet_counts(self, q: Query, facet_col: str = "role") -> DataFrame:
         """Counts per category over matching docs (Lucene.Net.Facet)."""
-        return self.fetch(self.scores(q)).groupBy(facet_col).agg(F.count("*").alias("count"))
+        return self.fetch(self.scores(q), self._hits_bound(q)).groupBy(facet_col).agg(
+            F.count("*").alias("count")
+        )
 
     def sort_by_field(self, q: Query, sort_cols: list[str], k: int = 10, ascending: bool = True) -> DataFrame:
         """Sort matches by field values (Sort/TopFieldCollector)."""
-        hits = self.fetch(self.scores(q))
+        hits = self.fetch(self.scores(q), self._hits_bound(q))
         cols = [F.asc(c) if ascending else F.desc(c) for c in sort_cols]
         return hits.orderBy(*cols).limit(k)
 

@@ -10,9 +10,12 @@ Spark mapping:
   readStream -> foreachBatch: each micro-batch is built into an immutable
   delta segment (a full mini-index via IndexBuilder), then registered in
   segments.json with a monotonically increasing generation — an atomic
-  rename, exactly the segments_N contract. When the segment count exceeds
-  max_segments, the batch triggers compaction (merge_segments) and the
-  registration swaps all sources for the merged segment in ONE generation.
+  rename, exactly the segments_N contract. A size-tiered merge policy
+  (TieredMergePolicy.cs:73-87 budget: segsPerTier per tier, tiers scaling
+  by maxMergeAtOnce) merges the cheapest contiguous window of up to
+  maxMergeAtOnce segments when the count exceeds the budget — budgeted
+  background merges, never a full-index rewrite per trigger; compact()
+  remains the ForceMerge(1) analogue.
 
 Late/out-of-order data: a turn arriving after its conversation's earlier
 turns were indexed simply lands in a later segment with a later docid —
@@ -26,12 +29,13 @@ a stream is appending.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.index_build import IndexBuilder
+from ..operators.index_build import IndexBuilder, load_manifest
 from ..operators.merge import merge_segments
 from ..operators.search import IndexSearcher
 
@@ -104,13 +108,83 @@ class NRTIndex:
             self._publish(segs)
         self.maybe_merge()
 
-    def maybe_merge(self) -> str | None:
-        """TieredMergePolicy (degenerate single-tier): compact when the
-        segment count exceeds max_segments; swap sources for the merged
-        segment in one atomic generation."""
+    # -- TieredMergePolicy (Index/TieredMergePolicy.cs:73-87) -----------------
+    @staticmethod
+    def _allowed_seg_count(
+        sizes: list[int], segs_per_tier: int, max_merge_at_once: int
+    ) -> int:
+        """Lucene's allowed-count budget: segsPerTier segments per size
+        tier, tiers scaling by maxMergeAtOnce from the floor (smallest)
+        segment size (TieredMergePolicy.FindMerges budget loop)."""
+        if not sizes:
+            return 0
+        sizes = sorted(int(x) for x in sizes)
+        level = max(sizes[0], 1)
+        tot = float(sum(sizes))
+        allowed = 0
+        while True:
+            count_lvl = tot / level
+            if count_lvl < segs_per_tier:
+                allowed += math.ceil(count_lvl)
+                break
+            allowed += segs_per_tier
+            tot -= segs_per_tier * level
+            level *= max_merge_at_once
+        return allowed
+
+    def maybe_merge(
+        self, max_merge_at_once: int = 10, segs_per_tier: int | None = None
+    ) -> str | None:
+        """Size-tiered budgeted merging (TieredMergePolicy.cs:73-87
+        semantics: maxMergeAtOnce=10, segsPerTier=10 defaults; here
+        segsPerTier defaults to max_segments). While the segment count
+        exceeds the tier budget, merge the cheapest CONTIGUOUS window of
+        up to maxMergeAtOnce segments and swap it IN PLACE in one atomic
+        generation — contiguity keeps global docid order deterministic
+        across generations (stronger than Lucene, which lets merges
+        permute docids). Never a full-index rewrite unless the budget
+        demands it. Returns the last merged segment dir, or None."""
+        spt = segs_per_tier if segs_per_tier is not None else self.max_segments
+        merged_out: str | None = None
+        while True:
+            state = self.read_generation()
+            segs = state["segments"]
+            if len(segs) <= 1:
+                return merged_out
+            sizes = {s: int(load_manifest(s)["max_doc"]) for s in segs}
+            allowed = self._allowed_seg_count(
+                list(sizes.values()), spt, max_merge_at_once
+            )
+            if len(segs) <= max(allowed, 1):
+                return merged_out
+            # cheapest contiguous window of up to maxMergeAtOnce segments,
+            # at least 2; windows of full width preferred (amortize)
+            width = min(max_merge_at_once, len(segs))
+            best_i, best_cost = 0, None
+            for i in range(0, len(segs) - width + 1):
+                cost = sum(sizes[s] for s in segs[i : i + width])
+                if best_cost is None or cost < best_cost:
+                    best_i, best_cost = i, cost
+            chosen = segs[best_i : best_i + width]
+            out = os.path.join(
+                self.base_dir, "compact", f"gen-{state['generation']:010d}"
+            )
+            merge_segments(
+                self.spark,
+                chosen,
+                out,
+                n_buckets=max(self.n_buckets, 8),
+                salt_target=self.salt_target,
+                build_id=f"tiered-{state['generation']}",
+            )
+            self._publish(segs[:best_i] + [out] + segs[best_i + width :])
+            merged_out = out
+
+    def compact(self) -> str | None:
+        """Force-merge ALL segments into one (ForceMerge(1) analogue)."""
         state = self.read_generation()
         segs = state["segments"]
-        if len(segs) <= self.max_segments:
+        if len(segs) <= 1:
             return None
         out = os.path.join(self.base_dir, "compact", f"gen-{state['generation']:010d}")
         merge_segments(

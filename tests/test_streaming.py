@@ -91,8 +91,7 @@ def test_streamed_equals_batch(nrt, searcher):
 
 
 def test_compaction_generation_swap(nrt, searcher):
-    nrt.max_segments = 2
-    merged = nrt.maybe_merge()
+    merged = nrt.compact()
     assert merged is not None
     assert nrt.segments() == [merged]
     s = nrt.searcher()
@@ -150,3 +149,33 @@ def test_batch_idempotent_on_retry(nrt, spark):
         nrt.process_batch(df, 0)  # build() resumes to no-op; no re-register
         assert nrt.segments().count(seg0) == 1
         assert nrt.read_generation()["generation"] == before
+
+
+def test_tiered_merge_policy(spark, corpus_pdf, searcher, tmp_path):
+    """Size-tiered budgeted merging: only the cheapest contiguous window of
+    maxMergeAtOnce segments merges (never a full rewrite), the generation
+    swap is in place, and search stays bit-identical across generations."""
+    base = str(tmp_path / "tiered")
+    idx = NRTIndex(spark, base, n_buckets=4, n_segments=2, salt_target=10**9)
+    n = len(corpus_pdf)
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    for b, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
+        idx.process_batch(spark.createDataFrame(corpus_pdf.iloc[lo:hi]), b)
+    assert len(idx.segments()) == 4  # default budget admits 4 equal segments
+    before = idx.segments()
+    merged = idx.maybe_merge(max_merge_at_once=2, segs_per_tier=2)
+    segs = idx.segments()
+    assert merged is not None and merged in segs
+    assert len(segs) == 3  # ONE window of 2 merged, not compact-all
+    # in-place swap: the unmerged segments survive in their original order
+    survivors = [s for s in segs if s != merged]
+    assert survivors == [s for s in before if s in set(survivors)]
+    # merged inputs were a contiguous window of the generation before
+    srcs = [s for s in before if s not in segs]
+    assert len(srcs) == 2 and before.index(srcs[1]) == before.index(srcs[0]) + 1
+    # bit-identical search across the merge (docid order preserved)
+    s = idx.searcher()
+    for q in QUERIES:
+        assert hits(s.search(q, 20)) == hits(searcher.search(q, 20)), q
+    # budget satisfied -> idempotent
+    assert idx.maybe_merge(max_merge_at_once=2, segs_per_tier=2) is None
