@@ -43,6 +43,7 @@ def main():
     from lucenenet_spark.plans.query import (
         BooleanQuery,
         DisMaxQuery,
+        PhraseQuery,
         PrefixQuery,
         TermQuery,
     )
@@ -116,6 +117,13 @@ def main():
             queries=(T(term="popcorn"), T(term="word7")), tie_breaker=0.3
         ),
         "q_prefix": PrefixQuery(prefix="rare12"),
+        # conjunction skipping showcase: hot term AND doc-rare term
+        "q_and_hot_rare": BooleanQuery(
+            must=(T(term="popcorn"), T(term="rare123"))
+        ),
+        "q_phrase": PhraseQuery(terms=("common1", "common2")),
+        "q_phrase_sloppy": PhraseQuery(terms=("common1", "common2"), slop=3),
+        "q_field_role": T(term="assistant", field="role"),
     }
     s.search(T(term="word3"), 10).collect()  # warm the scan path once
     for name, q in queries.items():
@@ -124,6 +132,14 @@ def main():
         rows = s.search(q, 10).collect()
         timings[name] = round(time.time() - t0, 3)
         extras.setdefault("hits", {})[name] = len(rows)
+
+    # conjunction-skip evidence: decoded-block count ∝ rare df, not hot df
+    # (threshold forced low: at sf0.1 the adaptive guard correctly skips it)
+    s_ev = IndexSearcher(spark, synth_out, prune_min_postings=1)
+    keys = [("text", "popcorn"), ("text", "rare123")]
+    blocks_all = s_ev._blocks_for(keys).count()
+    blocks_pruned = s_ev._conjunction_prune(s_ev._blocks_for(keys), keys).count()
+    extras["and_skip_blocks"] = {"unpruned": blocks_all, "pruned": blocks_pruned}
 
     total = round(time.time() - t_all, 2)
     print(

@@ -118,6 +118,15 @@ POSTINGS_COLS = [c.split()[0] for c in POSTINGS_DDL.split(",")]
 DOC_COLS = ["conv_id", "turn_idx", "role", "tool", "ts", "field_length", "norm_byte"]
 
 
+def local_table(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """Tiny driver-side table -> DataFrame via pandas/Arrow (a JVM
+    LocalRelation). createDataFrame on a plain Python list builds a
+    defaultParallelism-sliced Python RDD instead — ~5s of Python-worker
+    round-trips per tiny metadata write at local[32]."""
+    cols = [c.strip().split()[0] for c in schema.split(",")]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema)
+
+
 def term_bucket(term: str, n_buckets: int) -> int:
     """Bucket id for a term — crc32 so Python and Spark agree (F.crc32)."""
     return zlib.crc32(term.encode("utf-8")) % n_buckets
@@ -869,7 +878,8 @@ class IndexBuilder:
                 "avgdl": 1.0,
                 "omit_norms": True,
             }
-        self.spark.createDataFrame(
+        local_table(
+            self.spark,
             rows,
             "field string, max_doc long, doc_count long, sum_ttf long, avgdl double",
         ).coalesce(1).write.mode("overwrite").parquet(self._p("field_stats"))
@@ -911,7 +921,8 @@ class IndexBuilder:
             )
             for i, m in enumerate(ingest_metas + encode_metas)
         ]
-        self.spark.createDataFrame(
+        local_table(
+            self.spark,
             rows,
             "build_id string, stage string, partition_id int, status string,"
             " postings long, postings_per_sec double, lineage string, committed_at string",

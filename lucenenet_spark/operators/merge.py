@@ -293,7 +293,10 @@ def merge_segments(
     write_postings(encoded, os.path.join(out_dir, "postings"), n_buckets)
 
     # terms dictionary is embedded in the postings write (block_no = -2 rows)
-    spark.createDataFrame(
+    from .index_build import local_table
+
+    local_table(
+        spark,
         [
             (f, max_doc, info["doc_count"], info["sum_ttf"], info["avgdl"])
             for f, info in fields.items()
@@ -312,7 +315,8 @@ def merge_segments(
     from datetime import datetime, timezone
 
     now = datetime.now(timezone.utc).isoformat()
-    spark.createDataFrame(
+    local_table(
+        spark,
         [
             (build_id, "merge", i, "done", int(m["postings"]),
              float(m["postings_per_sec"]), m["lineage"], now)

@@ -787,41 +787,56 @@ class IndexSearcher:
         self,
         blocks: DataFrame,
         required_keys: list[tuple[str, str]],
+        max_rare_df: int = 1 << 17,
         max_ranges: int = 4096,
         selectivity: int = 4,
     ) -> DataFrame:
-        """Skip-list Advance analogue for conjunctions: every result doc must
-        appear in EVERY required clause, so only blocks whose [first_docid,
-        last_docid] overlaps some block range of the RAREST required clause
-        can contribute — prune the rest before decode
-        (ConjunctionScorer.cs:49-66 cost ordering; skip read
-        Lucene41PostingsReader.cs:474-534). A broadcast interval semi-join
-        over block *metadata*: decoded-block count becomes ∝ rare df, not
-        hot df. Rank/score-safe: only blocks that cannot hold a match are
-        dropped. Skipped when the rarest list is too large to broadcast
-        (> max_ranges blocks) or not selective enough."""
+        """Skip-list Advance analogue for conjunctions: every result doc
+        must appear in EVERY required clause, so only blocks that can hold
+        a docid of the RAREST required clause can contribute — prune the
+        rest before decode (ConjunctionScorer.cs:49-66 cost ordering; skip
+        read Lucene41PostingsReader.cs:474-534).
+
+        Two regimes, both broadcast semi-joins over block *metadata*:
+        - rare df <= max_rare_df: DECODE the rare list (cheap) and keep
+          only blocks whose [first_docid, last_docid] CONTAINS one of its
+          docids — exact leapfrog granularity, works even when the rare
+          docids are uniformly spread (where whole-list ranges are vacuous).
+        - larger rare lists: interval-overlap against the rare clause's
+          block ranges (helps when its docids cluster).
+        Decoded-block count becomes ∝ rare df, not hot df. Rank/score-safe:
+        only blocks that cannot hold a match are dropped."""
         metas = self.term_meta(required_keys)
         keys = list(set(required_keys))
         rare = min(keys, key=lambda k: metas[k][0])
         df_rare = metas[rare][0]
         if df_rare == 0:
             return blocks  # conjunction is empty anyway
-        n_rare_blocks = df_rare // BLOCK_SIZE + 1
         total_other = sum(metas[k][0] for k in keys if k != rare)
-        if n_rare_blocks > max_ranges or total_other < df_rare * selectivity:
+        # adaptive like block-max pruning: the extra planning jobs only pay
+        # for themselves once the avoided decode volume is substantial
+        if total_other < max(df_rare * selectivity, self.prune_min_postings):
             return blocks
         fkey = F.concat_ws(FKEY_SEP, "field", "term")
         rkey = rare[0] + FKEY_SEP + rare[1]
+        rare_blocks = blocks.filter(fkey == rkey)
+        others = blocks.filter(fkey != rkey)
+        glo = F.col("first_docid") + F.col("docbase")
+        ghi = F.col("last_docid") + F.col("docbase")
+        if df_rare <= max_rare_df:
+            ids = F.broadcast(self._decode_docids(self._blocks_for([rare])))
+            pruned = others.join(
+                ids, (glo <= F.col("docid")) & (ghi >= F.col("docid")), "left_semi"
+            )
+            return rare_blocks.unionByName(pruned)
+        if df_rare // BLOCK_SIZE + 1 > max_ranges:
+            return blocks
         ranges = F.broadcast(
             self._blocks_for([rare]).select(
                 (F.col("first_docid") + F.col("docbase")).alias("lo"),
                 (F.col("last_docid") + F.col("docbase")).alias("hi"),
             )
         )
-        rare_blocks = blocks.filter(fkey == rkey)
-        others = blocks.filter(fkey != rkey)
-        glo = F.col("first_docid") + F.col("docbase")
-        ghi = F.col("last_docid") + F.col("docbase")
         pruned = others.join(
             ranges, (glo <= F.col("hi")) & (ghi >= F.col("lo")), "left_semi"
         )

@@ -54,7 +54,9 @@ def skip_index(spark, tmp_path_factory):
 
 def test_and_hot_rare_prunes_to_rare_ranges(spark, skip_index):
     idx, texts = skip_index
-    s = IndexSearcher(spark, idx)
+    # low threshold: the adaptive guard correctly skips pruning at this
+    # corpus size; the test asserts the pruning mechanics themselves
+    s = IndexSearcher(spark, idx, prune_min_postings=1)
     keys = [("text", "hotword"), ("text", "rareword")]
     all_blocks = s._blocks_for(keys)
     pruned = s._conjunction_prune(all_blocks, keys)
