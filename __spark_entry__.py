@@ -190,6 +190,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["term_tfidf"] = term_tfidf
 
+    # -- highlighting + suggest/spellcheck satellites ------------------------
+    from lucenenet_spark.operators import highlight as hl
+
+    def highlight_hot(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        source = es.transcripts_from_documents(spark, sf_dir)
+        return hl.highlight(s, TermQuery(term=HOT), [HOT], source, k=10)
+
+    out["highlight_hot"] = highlight_hot
+    out["suggest_prefix"] = lambda s, d: hl.suggest_terms(_searcher(s, d), "sc", 10)
+    out["spell_suggest"] = lambda s, d: hl.spell_suggest(
+        _searcher(s, d), "batcch", max_edits=2, k=5
+    )
+
     # -- training-data pipeline operators (documents / embeddings tables) ----
     from lucenenet_spark.pipeline import dedup, multimodal, similarity, textstats
 
@@ -311,6 +325,12 @@ GROUP BY v.byte ORDER BY norm_byte""",
     )
     out["fuzzy"] = es.fuzzy_sql("batc", 1, 20)
     out["term_tfidf"] = es.classic_term_sql(HOT, k=15)
+
+    from lucenenet_spark.operators import highlight as hl
+
+    out["highlight_hot"] = f"{P},\n{hl.highlight_sql(HOT, k=10)}"
+    out["suggest_prefix"] = f"{P}\n{hl.suggest_terms_sql('sc', 10)}"
+    out["spell_suggest"] = f"{P}\n{hl.spell_suggest_sql('batcch', 2, 5)}"
 
     # training-data pipeline oracles
     from lucenenet_spark.pipeline import dedup as dd

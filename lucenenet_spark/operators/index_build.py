@@ -319,10 +319,17 @@ def make_merge_encode(
 
 def write_postings(encoded: DataFrame, path: str, n_buckets: int) -> None:
     """Read-optimized layout: bucket directories, term-sorted files, so a
-    query prunes to |buckets(query terms)| dirs then row-group min/max."""
+    query prunes to |buckets(query terms)| dirs then row-group min/max.
+
+    NO second shuffle: the encode shuffle already colocated each (field,
+    term, salt) group, so a LOCAL sort (bucket, term) + partitionBy(bucket)
+    produces term-sorted files per bucket dir directly — re-shuffling the
+    encoded binary payloads (the full index size) cost more than the whole
+    encode at the 92M-token bench. Each of the n_shuffle tasks writes one
+    file per bucket it holds; queries still prune to one bucket dir and
+    then row-group term min/max stats."""
     (
-        encoded.repartition(n_buckets, "bucket")
-        .sortWithinPartitions("term", "salt", "block_no")
+        encoded.sortWithinPartitions("bucket", "term", "salt", "block_no")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
@@ -467,7 +474,21 @@ class IndexBuilder:
             prev_key = None
             # (field, term) -> list of (docids i32, tfs i32, norms u8, poss i32)
             store: dict[tuple[str, str], list] = {}
-            for pdf in it:
+            def sub_batches(frames, max_rows=8192):
+                # bound the per-batch flat token arrays: a 64k-row Arrow
+                # batch of long turns builds ~1 GB of transient Python
+                # lists per worker, which at 32 concurrent workers turns
+                # into memory pressure and inverse scaling
+                for pdf0 in frames:
+                    if len(pdf0) <= max_rows:
+                        yield pdf0
+                    else:
+                        for c0 in range(0, len(pdf0), max_rows):
+                            yield pdf0.iloc[c0 : c0 + max_rows].reset_index(
+                                drop=True
+                            )
+
+            for pdf in sub_batches(it):
                 n = len(pdf)
                 if n == 0:
                     continue

@@ -1,0 +1,39 @@
+"""Highlighting + suggest/spellcheck satellites."""
+from lucenenet_spark.operators import highlight as hl
+from lucenenet_spark.plans.query import TermQuery
+
+
+def test_best_window_selection():
+    toks = "a b popcorn c d popcorn popcorn e f g".split()
+    s, c = hl.best_window(toks, {"popcorn"}, 4)
+    assert (s, c) == (2, 2)  # popcorn c d popcorn — earliest 2-match window
+    s3, c3 = hl.best_window(toks, {"popcorn"}, 3)
+    assert (s3, c3) == (4, 2)  # d popcorn popcorn
+    s0, c0 = hl.best_window([], {"x"}, 4)
+    assert (s0, c0) == (0, 0)
+    s1, c1 = hl.best_window(["x"], {"x"}, 4)
+    assert (s1, c1) == (0, 1)  # window clamps to short docs
+
+
+def test_highlight_marks_hits(spark, searcher, corpus_pdf):
+    src = spark.createDataFrame(corpus_pdf)
+    out = hl.highlight(
+        searcher, TermQuery(term="popcorn"), ["popcorn"], src, k=5
+    ).toPandas()
+    assert len(out) == 5
+    assert (out["n_matches"] >= 1).all()
+    assert out["snippet"].str.contains("<b>popcorn</b>").all()
+    # stopwords stay readable in the snippet but are never marked
+    assert not out["snippet"].str.contains("<b>the</b>").any()
+
+
+def test_suggest_and_spell(searcher, oracle_index):
+    sugg = hl.suggest_terms(searcher, "pop", 5).toPandas()
+    assert list(sugg["term"])[:1] == ["popcorn"]
+    assert int(sugg["df"][0]) == len(oracle_index.postings["popcorn"])
+    sp = hl.spell_suggest(searcher, "popcorm", max_edits=1, k=3).toPandas()
+    assert list(sp["term"])[:1] == ["popcorn"]
+    assert int(sp["edits"][0]) == 1
+    # the query word itself (edits=0) is never suggested
+    sp2 = hl.spell_suggest(searcher, "popcorn", max_edits=2, k=5).toPandas()
+    assert "popcorn" not in set(sp2["term"])
