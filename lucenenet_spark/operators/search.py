@@ -1079,6 +1079,8 @@ class IndexSearcher:
         caches = self._field_caches
         R = self.BULK_RANGE
         deleted = self._deleted_array()
+        if deleted is None:
+            return None  # delete set too large for the dense path; anti-join instead
 
         def slice_ranges(it):
             from .codec import decode_block
@@ -1197,10 +1199,18 @@ class IndexSearcher:
             reduce_ranges, "docid long, score float"
         )
 
-    def _deleted_array(self) -> np.ndarray:
+    # above this many deletes the bulk path's driver-side delete array is a
+    # memory cliff — fall back to the relational path's anti-join instead
+    MAX_BULK_DELETES = 1 << 24
+
+    def _deleted_array(self) -> np.ndarray | None:
+        """Sorted global delete set for the bulk scorer, or None when it is
+        too large to ship through the driver (caller falls back)."""
         d = self._deleted_docids()
         if d is None:
             return np.empty(0, dtype=np.int64)
+        if d.limit(self.MAX_BULK_DELETES + 1).count() > self.MAX_BULK_DELETES:
+            return None
         return np.sort(np.array([r["docid"] for r in d.collect()], dtype=np.int64))
 
     # -- block-max pruning -----------------------------------------------------------
