@@ -12,6 +12,9 @@ Grammar supported (reference: Lucene.Net.QueryParser/Classic/QueryParser.cs):
   term~  term~1   FuzzyQuery (default max_edits 2)
   [a TO b] {a TO b}  TermRangeQuery (incl/excl bounds)
   "a phrase"      exact PhraseQuery;  "a phrase"~2  sloppy (slop=2)
+  field:term      per-field term: text: analyzes as usual, any other field
+                  is a keyword whose value matches verbatim (role:user,
+                  tool:"web search")
 """
 
 from __future__ import annotations
@@ -33,8 +36,10 @@ from .query import (
 )
 
 _TOKEN_SPLIT = re.compile(
-    r"""\s*(\(|\)|\[|\]|\{|\}|AND\b|OR\b|NOT\b|\+|-|/[^/]*/|"[^"]*"[~^0-9.]*|[^\s()\[\]{}]+)"""
+    r"""\s*(\(|\)|\[|\]|\{|\}|AND\b|OR\b|NOT\b|\+|-|/[^/]*/|(?:\w+:)?"[^"]*"[~^0-9.]*|[^\s()\[\]{}]+)"""
 )
+
+_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", re.S)
 
 
 def _lex(s: str) -> list[str]:
@@ -54,6 +59,18 @@ def _atom_query(tok: str) -> Query | None:
     if bm:
         boost = float(bm.group(1))
         tok = tok[: bm.start()]
+    # field:term production (QueryParserBase.cs:171-244). The default text
+    # field analyzes as usual; any other field is a keyword (StringField)
+    # whose value matches VERBATIM — no analysis, like KeywordAnalyzer under
+    # PerFieldAnalyzerWrapper.
+    fm = _FIELD_RE.match(tok)
+    if fm and fm.group(1) != "text":
+        field, value = fm.group(1), fm.group(2)
+        if value.startswith('"') and value.endswith('"') and len(value) > 1:
+            value = value[1:-1]  # quoted keyword value (may contain spaces)
+        return TermQuery(term=value, field=field, boost=boost)
+    if fm:
+        tok = fm.group(2)  # text: prefix is the default field
     if tok.startswith('"'):
         # "exact phrase" / "sloppy phrase"~2 — analyzed with the index
         # analyzer; query positions keep stopword/too-long gaps

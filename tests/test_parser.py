@@ -85,3 +85,17 @@ def test_phrase_parses():
     assert q.terms == ("exact", "phrase") and q.slop == 0
     q2 = parse('"exact phrase"~2^1.5')
     assert q2.slop == 2 and q2.boost == 1.5
+
+
+def test_field_term_syntax():
+    from lucenenet_spark.plans.query import PhraseQuery, TermQuery
+
+    q = parse("role:user")
+    assert q == TermQuery(term="user", field="role")
+    q2 = parse("+popcorn role:Tool^2")
+    assert TermQuery(term="Tool", field="role", boost=2.0) in q2.should
+    assert parse('tool:"web search"') == TermQuery(term="web search", field="tool")
+    # text: prefix is the default analyzed field
+    assert parse("text:Popcorn") == TermQuery(term="popcorn")
+    q3 = parse('text:"quick fox"')
+    assert isinstance(q3, PhraseQuery) and q3.terms == ("quick", "fox")
