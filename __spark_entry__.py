@@ -204,6 +204,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _searcher(s, d), "batcch", max_edits=2, k=5
     )
 
+    # -- span queries --------------------------------------------------------
+    from lucenenet_spark.operators import spans as sp
+
+    def span_first(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        q = sp.SpanFirstQuery(match=sp.SpanTermQuery(term=HOT), end=5)
+        return sp.span_search(s, q, 15)
+
+    def span_near(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        q = sp.SpanNearQuery(
+            clauses=(sp.SpanTermQuery(term=HOT), sp.SpanTermQuery(term=MID)),
+            slop=4,
+        )
+        return sp.span_search(s, q, 15)
+
+    out["span_first"] = span_first
+    out["span_near"] = span_near
+
     # -- training-data pipeline operators (documents / embeddings tables) ----
     from lucenenet_spark.pipeline import dedup, multimodal, similarity, textstats
 
@@ -331,6 +350,8 @@ GROUP BY v.byte ORDER BY norm_byte""",
     out["highlight_hot"] = f"{P},\n{hl.highlight_sql(HOT, k=10)}"
     out["suggest_prefix"] = f"{P}\n{hl.suggest_terms_sql('sc', 10)}"
     out["spell_suggest"] = f"{P}\n{hl.spell_suggest_sql('batcch', 2, 5)}"
+    out["span_first"] = es.span_first_sql(HOT, 5, k=15)
+    out["span_near"] = es.span_near_ordered_sql(HOT, MID, 4, k=15)
 
     # training-data pipeline oracles
     from lucenenet_spark.pipeline import dedup as dd

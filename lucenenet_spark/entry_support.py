@@ -499,6 +499,63 @@ ORDER BY score DESC, p.docid ASC
 LIMIT {k}"""
 
 
+def _span_score_select(terms: list[str], freq_cte: str, k: int, boost: float = 1.0) -> str:
+    """Shared tail: span weight (f32 sum of leaf idfs through the term
+    chain) + score = w*freq/(freq + ncache) over a `pf(docid, freq)` CTE."""
+    wsum = _idf_sql(terms[0])
+    for t in terms[1:]:
+        wsum = f"CAST({wsum} + {_idf_sql(t)} AS REAL)"
+    w = f"CAST(CAST({wsum} * {_f32lit(boost)} AS REAL) * {K1P1_32} AS REAL)"
+    return f"""{prelude()},
+{_positions_cte()},
+{freq_cte}
+SELECT p.docid AS docid,
+       CAST(CAST({w} * p.freq AS REAL) / CAST(p.freq + n.nc AS REAL) AS REAL) AS score
+FROM pf p JOIN ncache n ON p.docid = n.docid
+WHERE p.freq > 0
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+
+
+def span_first_sql(term: str, end: int, k: int = 10) -> str:
+    """SpanFirst(SpanTerm(term), end): spans (p, p+1) with p+1 <= end; each
+    contributes sloppyFreq(1) = 0.5f, so the f32 fold = 0.5 * count exactly
+    (halves are exact in float32)."""
+    freq_cte = f"""pf AS (
+  SELECT docid,
+         CAST(CAST(count(*) AS REAL) * {_f32lit(0.5)} AS REAL) AS freq
+  FROM pos WHERE term = '{term}' AND pos + 1 <= {end}
+  GROUP BY docid
+)"""
+    return _span_score_select([term], freq_cte, k)
+
+
+def span_near_ordered_sql(t1: str, t2: str, slop: int, k: int = 10) -> str:
+    """2-clause ordered SpanNear closed form (the minimal-match rule): for
+    each t2 position q, the match partner is the LATEST t1 position p < q;
+    matchSlop = max(0, q - p - 1); emitted span = (p, q+1) with
+    sloppyFreq(q+1-p); f32 fold in span order via list_reduce."""
+    one = "CAST(CAST(1.0 AS DOUBLE) AS REAL)"
+    freq_cte = f"""bp AS (SELECT docid, pos AS q FROM pos WHERE term = '{t2}'),
+ap AS (SELECT docid, pos AS p FROM pos WHERE term = '{t1}'),
+mt AS (
+  SELECT bp.docid, bp.q, max(ap.p) AS p
+  FROM bp JOIN ap ON bp.docid = ap.docid AND ap.p < bp.q
+  GROUP BY bp.docid, bp.q
+),
+qual AS (
+  SELECT docid, p, q,
+         CAST({one} / CAST(q + 1 - p + 1 AS REAL) AS REAL) AS sf
+  FROM mt WHERE greatest(q - p - 1, 0) <= {slop}
+),
+pf AS (
+  SELECT docid,
+         list_reduce(list(sf ORDER BY p, q), (x, y) -> CAST(x + y AS REAL)) AS freq
+  FROM qual GROUP BY docid
+)"""
+    return _span_score_select([t1, t2], freq_cte, k)
+
+
 def _kw_score_sql(field: str, value: str, boost: float = 1.0) -> str:
     """Scalar: float32 score of a keyword (omitNorms) field term — constant
     across matching docs: f32(f32(idf*boost)*(k1+1)) * 1 / (1 + k1)."""

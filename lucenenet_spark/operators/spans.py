@@ -1,0 +1,362 @@
+"""Span queries: position-algebra retrieval (Search/Spans re-derivation).
+
+Span algebra over per-doc sorted (start, end) span lists — each node
+materializes its matches from its children's (the lazy iterator chain of
+the reference, unrolled per document):
+
+- SpanTerm      (Spans/SpanTermQuery.cs): one (p, p+1) span per position.
+- SpanOr        (SpanOrQuery.cs): merged child spans, duplicates kept.
+- SpanNear ordered (SpanNearQuery.cs + NearSpansOrdered.cs): for each
+  match anchor of the LAST clause, pick for every earlier clause the
+  LATEST span strictly ordered before its successor (the
+  ShrinkToAfterShortestMatch minimal-match rule,
+  NearSpansOrdered.cs:340-437); slop = sum of non-overlapping gaps
+  (:417); emit (first.start, last.end) when slop <= allowed.
+- SpanNear unordered (NearSpansUnordered.cs): min-start pointer sweep;
+  window = (min start, max end); match when windowLen - sum(childLens)
+  <= slop; advance the min-start child each step.
+- SpanFirst     (SpanFirstQuery.cs / SpanPositionRangeQuery): spans with
+  end <= n.
+- SpanNot       (SpanNotQuery.cs): include spans overlapping no exclude
+  span.
+
+DOCUMENTED DIVERGENCE: match ENUMERATION follows the minimal-match
+definitions above rather than a 1:1 port of the reference's stateful
+iterator advancement, so pathological overlapping-span cases can count a
+different number of matches than Lucene; the emitted span set is the same
+on non-overlapping inputs (fixture-tested against hand-traces of the
+reference algorithms).
+
+Scoring (Spans/SpanScorer.cs:79-95): freq = float32 fold over a doc's
+matches of sloppyFreq(end - start) = 1/(1 + matchLength); weight = the
+phrase chain (f32 sum of leaf idfs, duplicates counted, * boost * (k1+1));
+score = weight * freq / (freq + norm_cache[norm_byte]).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.query import Query
+
+Span = tuple[int, int]
+
+
+@dataclass(frozen=True)
+class SpanTermQuery(Query):
+    term: str = ""
+    field: str = "text"
+
+
+@dataclass(frozen=True)
+class SpanOrQuery(Query):
+    clauses: tuple = ()
+
+
+@dataclass(frozen=True)
+class SpanNearQuery(Query):
+    clauses: tuple = ()
+    slop: int = 0
+    in_order: bool = True
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery(Query):
+    match: Query | None = None
+    end: int = 1
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(Query):
+    include: Query | None = None
+    exclude: Query | None = None
+
+
+def leaf_terms(q: Query) -> list[tuple[str, str]]:
+    """(field, term) leaves in query order (duplicates kept — idf sums them)."""
+    if isinstance(q, SpanTermQuery):
+        return [(q.field, q.term)]
+    if isinstance(q, SpanOrQuery):
+        return [t for c in q.clauses for t in leaf_terms(c)]
+    if isinstance(q, SpanNearQuery):
+        return [t for c in q.clauses for t in leaf_terms(c)]
+    if isinstance(q, SpanFirstQuery):
+        return leaf_terms(q.match)
+    if isinstance(q, SpanNotQuery):
+        return leaf_terms(q.include) + leaf_terms(q.exclude)
+    raise TypeError(f"not a span query: {type(q).__name__}")
+
+
+def required_terms(q: Query) -> set[tuple[str, str]]:
+    """Leaves every match REQUIRES (for candidate pruning): all clauses of
+    a near, the include side of a not; none under an or."""
+    if isinstance(q, SpanTermQuery):
+        return {(q.field, q.term)}
+    if isinstance(q, SpanOrQuery):
+        return set()
+    if isinstance(q, SpanNearQuery):
+        out: set = set()
+        for c in q.clauses:
+            out |= required_terms(c)
+        return out
+    if isinstance(q, SpanFirstQuery):
+        return required_terms(q.match)
+    if isinstance(q, SpanNotQuery):
+        return required_terms(q.include)
+    raise TypeError(f"not a span query: {type(q).__name__}")
+
+
+def eval_spans(q: Query, positions: dict[tuple[str, str], list[int]]) -> list[Span]:
+    """Evaluate a span tree for ONE document given leaf positions."""
+    if isinstance(q, SpanTermQuery):
+        return [(p, p + 1) for p in sorted(positions.get((q.field, q.term), []))]
+    if isinstance(q, SpanOrQuery):
+        out: list[Span] = []
+        for c in q.clauses:
+            out.extend(eval_spans(c, positions))
+        return sorted(out)
+    if isinstance(q, SpanFirstQuery):
+        return [s for s in eval_spans(q.match, positions) if s[1] <= q.end]
+    if isinstance(q, SpanNotQuery):
+        inc = eval_spans(q.include, positions)
+        exc = eval_spans(q.exclude, positions)
+        return [
+            s
+            for s in inc
+            if not any(not (s[1] <= e[0] or s[0] >= e[1]) for e in exc)
+        ]
+    if isinstance(q, SpanNearQuery):
+        children = [eval_spans(c, positions) for c in q.clauses]
+        if any(not ch for ch in children):
+            return []
+        if q.in_order:
+            return _near_ordered(children, q.slop)
+        return _near_unordered(children, q.slop)
+    raise TypeError(f"not a span query: {type(q).__name__}")
+
+
+def _ordered(a: Span, b: Span) -> bool:
+    # DocSpansOrdered (NearSpansOrdered.cs:312-321)
+    return (a[1] < b[1]) if a[0] == b[0] else (a[0] < b[0])
+
+
+def _near_ordered(children: list[list[Span]], slop: int) -> list[Span]:
+    out: list[Span] = []
+    n = len(children)
+    for anchor in children[-1]:
+        chain = [anchor]
+        ok = True
+        for i in range(n - 2, -1, -1):
+            nxt = chain[-1]
+            # latest span of child i strictly ordered before nxt
+            best = None
+            for s in children[i]:
+                if _ordered(s, nxt):
+                    best = s
+                else:
+                    break  # sorted: once unordered, all later are too
+            if best is None:
+                ok = False
+                break
+            chain.append(best)
+        if not ok:
+            continue
+        chain.reverse()
+        match_slop = 0
+        for prev, cur in zip(chain, chain[1:]):
+            if cur[0] > prev[1]:  # only non-overlapping spans add to slop
+                match_slop += cur[0] - prev[1]
+        if match_slop <= slop:
+            out.append((chain[0][0], chain[-1][1]))
+    # minimal matches can coincide for different anchors; keep one each
+    return sorted(set(out))
+
+
+def _near_unordered(children: list[list[Span]], slop: int) -> list[Span]:
+    idx = [0] * len(children)
+    out: list[Span] = []
+    while True:
+        cur = [ch[i] for ch, i in zip(children, idx)]
+        lo = min(s[0] for s in cur)
+        hi = max(s[1] for s in cur)
+        tot = sum(s[1] - s[0] for s in cur)
+        if (hi - lo) - tot <= slop:
+            out.append((lo, hi))
+        # advance the min-start child (NearSpansUnordered queue pop)
+        k = min(range(len(cur)), key=lambda j: (cur[j][0], cur[j][1]))
+        idx[k] += 1
+        if idx[k] >= len(children[k]):
+            return sorted(set(out))
+
+
+def span_freq(spans: list[Span]) -> np.float32:
+    """float32 fold of 1/(1+matchLength) in span order (SpanScorer.cs:79-88)."""
+    freq = np.float32(0.0)
+    for s, e in spans:
+        freq = np.float32(freq + np.float32(1.0) / np.float32(1 + (e - s)))
+    return freq
+
+
+def span_scores_oracle(index, q: Query, k1=1.2, b=0.75, boost=1.0):
+    """Oracle-side: docid -> float32 span score over an OracleIndex."""
+    from ..oracle import idf as idf_f32
+    from ..oracle import norm_cache
+
+    leaves = leaf_terms(q)
+    s = np.float32(0.0)
+    for _f, t in leaves:
+        s = np.float32(s + idf_f32(len(index.postings.get(t, [])), index.max_doc))
+    w = np.float32(
+        np.float32(s * np.float32(boost))
+        * np.float32(np.float32(k1) + np.float32(1.0))
+    )
+    cache = norm_cache(k1, b, index.avgdl)
+    req = required_terms(q)
+    cand: set[int] | None = None
+    for _f, t in req or {lf for lf in leaves}:
+        docs = set(index.positions.get(t, {}))
+        cand = docs if cand is None else cand & docs
+    if req == set():  # pure-or tree: union of leaves
+        cand = set()
+        for _f, t in leaves:
+            cand |= set(index.positions.get(t, {}))
+    out = {}
+    for d in sorted(cand or ()):
+        pos = {
+            (f, t): index.positions.get(t, {}).get(d, []) for f, t in set(leaves)
+        }
+        spans = eval_spans(q, pos)
+        if not spans:
+            continue
+        freq = span_freq(spans)
+        norm = cache[index.norm_bytes[d]]
+        out[d] = np.float32(w * freq / (freq + norm))
+    return out
+
+
+def span_scores(searcher, q: Query) -> DataFrame:
+    """Engine-side: DataFrame(docid, score) for a span query.
+
+    Same shape as the sloppy-phrase scorer: decode (docid, leaf, pos) rows
+    for the tree's terms (conjunction-pruned by the required set), gather
+    per candidate doc, evaluate the span algebra per doc (few docs survive),
+    score with the phrase weight chain."""
+    leaves = leaf_terms(q)
+    keys = sorted(set(leaves))
+    dfs = searcher.doc_freqs(keys)
+    req = required_terms(q)
+    if any(dfs[k] == 0 for k in req):
+        return searcher._empty_hits()
+    from ..oracle import idf as idf_f32
+
+    s = np.float32(0.0)
+    for k in leaves:
+        s = np.float32(s + idf_f32(dfs[k], searcher.max_doc))
+    w = np.float32(
+        np.float32(s * np.float32(q.boost))
+        * np.float32(np.float32(searcher.k1) + np.float32(1.0))
+    )
+    blocks = searcher._blocks_for(keys)
+    if len(req) >= 2:
+        blocks = searcher._conjunction_prune(blocks, sorted(req))
+    clause_of = {k: i for i, k in enumerate(keys)}
+    caches = searcher._field_caches
+    field0 = keys[0][0]
+
+    def expand(it):
+        from .codec import decode_block, decode_positions
+
+        for pdf in it:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                docids, tfs = decode_block(
+                    r.docids_enc, r.tfs_enc, r.first_docid, r.count
+                )
+                if r.docbase:
+                    docids = docids + r.docbase
+                nbytes = np.frombuffer(r.norms_enc, dtype=np.uint8)
+                poss = decode_positions(r.pos_enc, int(tfs.sum()))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "docid": np.repeat(docids, tfs),
+                            "leaf": np.int32(clause_of[(r.field, r.term)]),
+                            "pos": poss,
+                            "norm_byte": np.repeat(nbytes, tfs).astype(np.int16),
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                {
+                    "docid": pd.Series(dtype="int64"),
+                    "leaf": pd.Series(dtype="int32"),
+                    "pos": pd.Series(dtype="int64"),
+                    "norm_byte": pd.Series(dtype="int16"),
+                }
+            )
+
+    rows = blocks.select(
+        "field", "term", "first_docid", "count", "docids_enc", "tfs_enc",
+        "norms_enc", "pos_enc", "docbase",
+    ).mapInPandas(expand, "docid long, leaf int, pos long, norm_byte short")
+    req_ids = {clause_of[k] for k in req}
+    gathered = rows.groupBy("docid").agg(
+        F.max("norm_byte").alias("nb"),
+        F.collect_list(F.struct("leaf", "pos")).alias("ps"),
+    )
+    if req_ids:
+        gathered = gathered.filter(
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(F.transform(F.col("ps"), lambda x: x["leaf"])),
+                    F.array([F.lit(i) for i in sorted(req_ids)]),
+                )
+            )
+            == len(req_ids)
+        )
+    qq = q
+
+    def score_docs(it):
+        for pdf in it:
+            out_rows = []
+            for r in pdf.itertuples(index=False):
+                pos: dict = {k: [] for k in keys}
+                for st in r.ps:
+                    pos[keys[int(st["leaf"])]].append(int(st["pos"]))
+                spans = eval_spans(qq, pos)
+                if not spans:
+                    continue
+                freq = span_freq(spans)
+                out_rows.append((int(r.docid), float(freq), int(r.nb)))
+            yield pd.DataFrame(
+                out_rows, columns=["docid", "freq", "nb"]
+            ) if out_rows else pd.DataFrame(
+                {
+                    "docid": pd.Series(dtype="int64"),
+                    "freq": pd.Series(dtype="float32"),
+                    "nb": pd.Series(dtype="int16"),
+                }
+            )
+
+    pf = gathered.mapInPandas(score_docs, "docid long, freq float, nb short")
+    cache = caches[field0]
+    nc_arr = F.array(*[F.lit(float(c)).cast("float") for c in cache])
+    w_lit = F.lit(float(w)).cast("float")
+    freq_f = F.col("freq").cast("float")
+    nc = F.element_at(nc_arr, F.col("nb").cast("int") + 1)
+    return pf.select(
+        "docid", ((w_lit * freq_f) / (freq_f + nc)).cast("float").alias("score")
+    )
+
+
+def span_search(searcher, q: Query, k: int = 10) -> DataFrame:
+    """Top-k span search with the standard tie-break."""
+    scored = span_scores(searcher, q)
+    dels = searcher._deleted_docids()
+    if dels is not None:
+        scored = scored.join(F.broadcast(dels), "docid", "left_anti")
+    return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)

@@ -1,0 +1,133 @@
+"""Span queries: algebra fixtures (hand-traced against the reference
+algorithms) + engine-vs-oracle parity over the shared corpus."""
+import numpy as np
+import pytest
+
+from lucenenet_spark import oracle
+from lucenenet_spark.operators import spans as sp
+
+from .conftest import hits
+
+
+# -- algebra fixtures ---------------------------------------------------------
+
+
+def P(**kw):
+    return {("text", k): v for k, v in kw.items()}
+
+
+def test_span_term_and_first():
+    pos = P(a=[0, 3, 7])
+    q = sp.SpanTermQuery(term="a")
+    assert sp.eval_spans(q, pos) == [(0, 1), (3, 4), (7, 8)]
+    assert sp.eval_spans(sp.SpanFirstQuery(match=q, end=4), pos) == [(0, 1), (3, 4)]
+
+
+def test_span_near_ordered_basic():
+    # "a ... b" within slop: a@[0,5], b@[2,6]
+    pos = P(a=[0, 5], b=[2, 6])
+    q = sp.SpanNearQuery(
+        clauses=(sp.SpanTermQuery(term="a"), sp.SpanTermQuery(term="b")), slop=1
+    )
+    # anchors b@2: latest a before = 0 -> gap 1 ok -> (0,3); b@6: a@5, gap 0 -> (5,7)
+    assert sp.eval_spans(q, pos) == [(0, 3), (5, 7)]
+    q0 = sp.SpanNearQuery(clauses=q.clauses, slop=0)
+    assert sp.eval_spans(q0, pos) == [(5, 7)]
+    # order matters: b before a never matches
+    qrev = sp.SpanNearQuery(
+        clauses=(sp.SpanTermQuery(term="b"), sp.SpanTermQuery(term="a")), slop=10
+    )
+    assert sp.eval_spans(qrev, P(a=[0], b=[5])) == []
+
+
+def test_span_near_unordered():
+    pos = P(a=[4], b=[1])
+    q = sp.SpanNearQuery(
+        clauses=(sp.SpanTermQuery(term="a"), sp.SpanTermQuery(term="b")),
+        slop=3,
+        in_order=False,
+    )
+    # window (1,5): len 4 - totLen 2 = 2 <= 3
+    assert sp.eval_spans(q, pos) == [(1, 5)]
+    assert (
+        sp.eval_spans(
+            sp.SpanNearQuery(clauses=q.clauses, slop=1, in_order=False), pos
+        )
+        == []
+    )
+
+
+def test_span_not_and_or():
+    pos = P(a=[0, 5], b=[5], c=[1])
+    inc = sp.SpanTermQuery(term="a")
+    exc = sp.SpanTermQuery(term="b")
+    assert sp.eval_spans(sp.SpanNotQuery(include=inc, exclude=exc), pos) == [(0, 1)]
+    orq = sp.SpanOrQuery(clauses=(inc, sp.SpanTermQuery(term="c")))
+    assert sp.eval_spans(orq, pos) == [(0, 1), (1, 2), (5, 6)]
+
+
+def test_span_freq_fold():
+    f = sp.span_freq([(0, 1), (3, 5)])
+    want = np.float32(np.float32(0.5) + np.float32(1.0) / np.float32(3))
+    assert f == want
+
+
+# -- engine vs oracle ---------------------------------------------------------
+
+
+def _pairs(corpus_pdf):
+    from lucenenet_spark.functions.analysis import tokenize_text
+
+    cnt = {}
+    for text in corpus_pdf["text"]:
+        toks = tokenize_text(text)
+        for a, b in zip(toks, toks[1:]):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    return [p for p, _ in sorted(cnt.items(), key=lambda kv: -kv[1])[:2]]
+
+
+@pytest.mark.parametrize("slop,in_order", [(0, True), (2, True), (3, False)])
+def test_span_near_parity(searcher, oracle_index, corpus_pdf, slop, in_order):
+    for t1, t2 in _pairs(corpus_pdf):
+        q = sp.SpanNearQuery(
+            clauses=(sp.SpanTermQuery(term=t1), sp.SpanTermQuery(term=t2)),
+            slop=slop,
+            in_order=in_order,
+        )
+        want = oracle.top_k(sp.span_scores_oracle(oracle_index, q), 10)
+        got = hits(sp.span_search(searcher, q, 10))
+        assert got == want, (t1, t2, slop, in_order)
+
+
+def test_span_first_parity(searcher, oracle_index):
+    q = sp.SpanFirstQuery(match=sp.SpanTermQuery(term="popcorn"), end=5)
+    want = oracle.top_k(sp.span_scores_oracle(oracle_index, q), 10)
+    got = hits(sp.span_search(searcher, q, 10))
+    assert got == want
+
+
+def test_span_not_parity(searcher, oracle_index, corpus_pdf):
+    (t1, t2), *_ = _pairs(corpus_pdf)
+    q = sp.SpanNotQuery(
+        include=sp.SpanTermQuery(term=t1),
+        exclude=sp.SpanTermQuery(term=t2),
+    )
+    want = oracle.top_k(sp.span_scores_oracle(oracle_index, q), 10)
+    got = hits(sp.span_search(searcher, q, 10))
+    assert got == want
+
+
+def test_span_or_nested_in_near_parity(searcher, oracle_index, corpus_pdf):
+    (t1, t2), (t3, _t4) = _pairs(corpus_pdf)
+    q = sp.SpanNearQuery(
+        clauses=(
+            sp.SpanOrQuery(
+                clauses=(sp.SpanTermQuery(term=t1), sp.SpanTermQuery(term=t3))
+            ),
+            sp.SpanTermQuery(term=t2),
+        ),
+        slop=4,
+    )
+    want = oracle.top_k(sp.span_scores_oracle(oracle_index, q), 10)
+    got = hits(sp.span_search(searcher, q, 10))
+    assert got == want
