@@ -39,7 +39,9 @@ ABSENT, STOP = "zzzqx", "the"
 def _searcher(spark: SparkSession, sf_dir: str, similarity: str = "bm25"):
     from lucenenet_spark.operators.search import IndexSearcher
 
-    return IndexSearcher(spark, es.ensure_index(spark, sf_dir), similarity=similarity)
+    return IndexSearcher(
+        spark, es.ensure_index(spark, sf_dir), similarity=similarity
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -189,6 +191,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.search(TermQuery(term=HOT), 15)
 
     out["term_tfidf"] = term_tfidf
+
+    def term_lmd(spark, sf_dir):
+        s = _searcher(spark, sf_dir, similarity="lmd")
+        return s.search(TermQuery(term=HOT), 15)
+
+    out["term_lmd"] = term_lmd
 
     # -- highlighting + suggest/spellcheck satellites ------------------------
     from lucenenet_spark.operators import highlight as hl
@@ -344,6 +352,7 @@ GROUP BY v.byte ORDER BY norm_byte""",
     )
     out["fuzzy"] = es.fuzzy_sql("batc", 1, 20)
     out["term_tfidf"] = es.classic_term_sql(HOT, k=15)
+    out["term_lmd"] = es.lmd_term_sql(HOT, k=15)
 
     from lucenenet_spark.operators import highlight as hl
 

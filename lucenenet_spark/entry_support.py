@@ -632,6 +632,41 @@ ORDER BY score DESC, p.docid ASC
 LIMIT {k}"""
 
 
+def lmd_term_sql(term: str, k: int = 10, mu: float = 2000.0, boost: float = 1.0) -> str:
+    """Top-k TermQuery under LM-Dirichlet, float32-exact
+    (LMDirichletSimilarity.cs:74-78; docLen = normv.nt, the same
+    1/(byte315Decode)^2 table SimilarityBase uses)."""
+    mu32 = _f32lit(mu)
+    cp = (
+        f"CAST(CAST(CAST(t.ttf AS REAL) + CAST(1.0 AS REAL) AS REAL) / "
+        f"CAST(CAST(f.sum_ttf AS REAL) + CAST(1.0 AS REAL) AS REAL) AS REAL)"
+    )
+    mucp = f"CAST({mu32} * {cp} AS REAL)"
+    inner1 = (
+        f"CAST(CAST(1.0 AS REAL) + CAST(CAST(p.tf AS REAL) / c.mucp AS REAL) AS REAL)"
+    )
+    inner2 = f"CAST({mu32} / CAST(v.nt + {mu32} AS REAL) AS REAL)"
+    raws = (
+        f"CAST({_f32lit(boost)} * CAST(ln(CAST({inner1} AS DOUBLE)) "
+        f"+ ln(CAST({inner2} AS DOUBLE)) AS REAL) AS REAL)"
+    )
+    return f"""{prelude()},
+cpv AS (
+  SELECT {mucp} AS mucp FROM tstats t CROSS JOIN fstats f WHERE t.term = '{term}'
+),
+dlv AS (
+  SELECT l.docid, v.nt FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+)
+SELECT p.docid AS docid,
+       GREATEST({raws.replace('v.nt', 'd.nt')}, CAST(CAST(0.0 AS DOUBLE) AS REAL)) AS score
+FROM posting p
+CROSS JOIN cpv c
+JOIN dlv d ON p.docid = d.docid
+WHERE p.term = '{term}'
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+
+
 def constant_score_sql(term_cond: str, k: int) -> str:
     """Docids of terms matching a terms-dict predicate, constant score 1.0f."""
     return f"""{prelude()}

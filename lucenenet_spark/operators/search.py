@@ -103,6 +103,7 @@ class IndexSearcher:
         index_dir: str | list[str],
         prune_min_postings: int = 1 << 16,
         similarity: str = "bm25",
+        mu: float = 2000.0,
     ):
         self.spark = spark
         dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
@@ -136,9 +137,14 @@ class IndexSearcher:
         fields_info: dict[str, dict] = {}
         for s in self.segments:
             for f, info in (s["manifest"].get("fields") or {}).items():
-                fields_info.setdefault(f, info)
+                if f in fields_info:
+                    # cross-segment field stats SUM (TermContext-style)
+                    for key in ("doc_count", "sum_ttf"):
+                        fields_info[f][key] = fields_info[f].get(key, 0) + info.get(key, 0)
+                else:
+                    fields_info[f] = dict(info)
         if FIELD not in fields_info:
-            fields_info[FIELD] = {"omit_norms": False}
+            fields_info[FIELD] = {"omit_norms": False, "sum_ttf": sum_ttf}
         self.fields_info = fields_info
         kwc = omit_norms_cache(self.k1)
         self._field_caches = {
@@ -150,9 +156,10 @@ class IndexSearcher:
         # (SURVEY §4.2), so this is a pure query-time switch; classic
         # decodes them raw (byte315ToFloat), omitNorms fields score raw
         # (norms == null -> no multiply, TFIDFSimScorer.Score:691)
-        if similarity not in ("bm25", "classic"):
+        if similarity not in ("bm25", "classic", "lmd"):
             raise ValueError(f"unknown similarity {similarity!r}")
         self.similarity = similarity
+        self.mu = float(mu)  # LMDirichletSimilarity default mu=2000
         from ..functions.smallfloat import DECODE_TABLE
 
         ones = np.ones(256, dtype=np.float32)
@@ -211,8 +218,9 @@ class IndexSearcher:
         """Normalize term refs: 'term' -> (FIELD, term); (field, term) kept."""
         return [(FIELD, t) if isinstance(t, str) else tuple(t) for t in terms]
 
-    def term_meta(self, terms) -> dict[tuple[str, str], tuple[int, float]]:
-        """(df, max_block_bound) per (field, term) (one pruned scan; cached).
+    def term_meta(self, terms) -> dict[tuple[str, str], tuple[int, int, float]]:
+        """(df, ttf, max_block_bound) per (field, term) (one pruned scan;
+        cached).
 
         The stats role of TermContext.cs:90-145 plus the WAND per-term upper
         bound, precomputed at build time so planning needs no metadata job."""
@@ -229,15 +237,19 @@ class IndexSearcher:
                         [f + FKEY_SEP + t for f, t in missing]
                     )
                 )
-                .select("field", "term", "df", "max_bound")
+                .select("field", "term", "df", "ttf", "max_bound")
                 .collect()
             )
             found = {
-                (r["field"], r["term"]): (int(r["df"]), float(r["max_bound"]))
+                (r["field"], r["term"]): (
+                    int(r["df"]),
+                    int(r["ttf"]),
+                    float(r["max_bound"]),
+                )
                 for r in rows
             }
             for k in missing:
-                self._stats_cache[k] = found.get(k, (0, 0.0))
+                self._stats_cache[k] = found.get(k, (0, 0, 0.0))
         return {k: self._stats_cache[k] for k in keys}
 
     def doc_freqs(self, terms) -> dict[tuple[str, str], int]:
@@ -548,11 +560,13 @@ class IndexSearcher:
             return docids.select("docid", F.lit(float(np.float32(q.boost))).cast("float").alias("score"))
         if isinstance(q, TermQuery):
             q = BooleanQuery(should=(q,))
-        if self.similarity == "classic":
+        if self.similarity != "bm25":
             if isinstance(q, BooleanQuery):
-                return self._classic_boolean_scores(q)
+                if self.similarity == "classic":
+                    return self._classic_boolean_scores(q)
+                return self._lmd_boolean_scores(q)
             raise NotImplementedError(
-                "classic similarity supports term/boolean queries "
+                f"{self.similarity} similarity supports term/boolean queries "
                 f"(got {type(q).__name__}); phrase/dismax are BM25-only"
             )
         if isinstance(q, PhraseQuery):
@@ -741,6 +755,128 @@ class IndexSearcher:
         scored = agg.filter(cond).select(
             "docid", (acc * coord.cast("float")).cast("float").alias("score")
         )
+        not_keys = [(c.field, c.term) for c in q.must_not]
+        if not_keys:
+            scored = scored.join(
+                F.broadcast(self._docids_of_terms(not_keys)), "docid", "left_anti"
+            )
+        return scored
+
+    def _lmd_boolean_scores(self, q: BooleanQuery) -> DataFrame:
+        """BooleanQuery under LM-Dirichlet smoothing, float32-exact.
+
+        Per clause (LMDirichletSimilarity.cs:74-78, LMSimilarity
+        DefaultCollectionModel:158-161):
+          cp    = f32(f32(ttf) + 1) / f32(f32(sumTotalTermFreq) + 1)
+          score = f32(boost) * f32( ln(f32(1 + f32(freq / f32(mu*cp))))
+                                  + ln(f32(mu / f32(docLen + mu))) ),
+                  clamped at 0; docLen = 1/(byte315Decode)^2 = NORM_TABLE
+                  (SimilarityBase.cs:227-238,259-262,307); omitNorms fields
+                  use docLen = 1. queryNorm = coord = 1 (SimilarityBase
+                  inherits the Similarity defaults) -> boolean score is the
+                  plain f32 clause-order sum."""
+        from ..functions.smallfloat import NORM_TABLE
+
+        if not q.must and not q.should:
+            return self._empty_hits()
+        if not all(isinstance(c, TermQuery) for c in q.must + q.should + q.must_not):
+            raise NotImplementedError("lmd similarity scores term clauses")
+        terms = list(q.must) + list(q.should)
+        n_must = len(q.must)
+        keys = [(c.field, c.term) for c in terms]
+        metas = self.term_meta(keys)
+        if any(metas[k][0] == 0 for k in keys[:n_must]):
+            return self._empty_hits()
+        mu = np.float32(self.mu)
+        field_tokens = {
+            f: int(info.get("sum_ttf", 0)) for f, info in self.fields_info.items()
+        }
+        params = []  # per clause: (boost32, mu_cp32, field)
+        for c, k in zip(terms, keys):
+            cp = np.float32(
+                (np.float32(metas[k][1]) + np.float32(1.0))
+                / (np.float32(field_tokens.get(c.field, 0)) + np.float32(1.0))
+            )
+            params.append(
+                (np.float32(np.float32(c.boost) * np.float32(q.boost)),
+                 np.float32(mu * cp), c.field)
+            )
+        live = [i for i, k in enumerate(keys) if metas[k][0] > 0]
+        by_key: dict[tuple[str, str], list[tuple[int, float, float]]] = {}
+        for i in live:
+            by_key.setdefault(keys[i], []).append(
+                (i, float(params[i][0]), float(params[i][1]))
+            )
+        blocks = self._blocks_for([keys[i] for i in live])
+        if n_must:
+            blocks = self._conjunction_prune(blocks, keys[:n_must])
+        omit = {f for f, info in self.fields_info.items() if info.get("omit_norms")}
+        mu_f = float(self.mu)
+
+        def score_batches(it):
+            from .codec import decode_block
+
+            for pdf in it:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    docids, tfs = decode_block(
+                        r.docids_enc, r.tfs_enc, r.first_docid, r.count
+                    )
+                    if r.docbase:
+                        docids = docids + r.docbase
+                    nbytes = np.frombuffer(r.norms_enc, dtype=np.uint8)
+                    freq = tfs.astype(np.float32)
+                    dl = (
+                        np.ones(len(freq), dtype=np.float32)
+                        if r.field in omit
+                        else NORM_TABLE[nbytes]
+                    )
+                    l2 = np.log(
+                        (np.float32(mu_f) / (dl + np.float32(mu_f))).astype(
+                            np.float64
+                        )
+                    )
+                    for cid, boost, mucp in by_key[(r.field, r.term)]:
+                        inner1 = np.float32(1.0) + freq / np.float32(mucp)
+                        sc = (
+                            np.float32(boost)
+                            * (np.log(inner1.astype(np.float64)) + l2).astype(
+                                np.float32
+                            )
+                        )
+                        np.maximum(sc, np.float32(0.0), out=sc)
+                        outs.append(
+                            pd.DataFrame(
+                                {"docid": docids, "clause": cid, "score": sc}
+                            )
+                        )
+                yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                    {
+                        "docid": pd.Series(dtype="int64"),
+                        "clause": pd.Series(dtype="int32"),
+                        "score": pd.Series(dtype="float32"),
+                    }
+                )
+
+        cols = [
+            "field", "term", "first_docid", "count", "docids_enc", "tfs_enc",
+            "norms_enc", "docbase",
+        ]
+        rows = blocks.select(cols).mapInPandas(score_batches, SCORE_ROWS_SCHEMA)
+        n_total = len(terms)
+        agg = self._pivot_agg(rows, n_total)
+        cond = F.lit(True)
+        for i in range(n_must):
+            cond = cond & F.col(f"s{i}").isNotNull()
+        msm = q.min_should_match
+        need_should = msm if n_must else max(1, msm) if q.should else 0
+        if need_should:
+            matched = None
+            for j in range(n_must, n_total):
+                c = F.when(F.col(f"s{j}").isNotNull(), 1).otherwise(0)
+                matched = c if matched is None else matched + c
+            cond = cond & (matched >= need_should)
+        scored = agg.filter(cond).select("docid", self._fold_expr(n_total))
         not_keys = [(c.field, c.term) for c in q.must_not]
         if not_keys:
             scored = scored.join(
@@ -1232,7 +1368,7 @@ class IndexSearcher:
         # per-term global max upper bound — precomputed in term_stats at build
         # time (no metadata job here)
         tm = self.term_meta(list(w_by_key))
-        maxes = {key: w * tm[key][1] for key, w in w_by_key.items()}
+        maxes = {key: w * tm[key][2] for key, w in w_by_key.items()}
         total_max = sum(maxes.values())
 
         # phase 1: top ceil(k/BLOCK)+1 blocks per term by bound -> partial θ

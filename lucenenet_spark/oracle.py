@@ -322,6 +322,41 @@ def classic_term_scores(
     return out
 
 
+# ---------------------------------------------------------------------------
+# LM-Dirichlet similarity (query-time only)
+# ---------------------------------------------------------------------------
+
+
+def lmd_term_scores(
+    index: OracleIndex, term: str, mu: float = 2000.0, boost: float = 1.0
+) -> dict[int, np.float32]:
+    """LMDirichletSimilarity scores (LMDirichletSimilarity.cs:74-78):
+    cp = f32(f32(ttf)+1)/f32(f32(sumTotalTermFreq)+1); score = f32(boost) *
+    f32(ln(f32(1 + f32(freq/f32(mu*cp)))) + ln(f32(mu/f32(docLen+mu)))),
+    clamped at 0; docLen = NORM_TABLE[norm byte] (SimilarityBase's
+    1/(byte315Decode)^2 table)."""
+    plist = index.postings.get(term)
+    if not plist:
+        return {}
+    ttf = sum(tf for _d, tf in plist)
+    cp = np.float32(
+        (np.float32(ttf) + np.float32(1.0))
+        / (np.float32(index.sum_ttf) + np.float32(1.0))
+    )
+    mucp = np.float32(np.float32(mu) * cp)
+    out = {}
+    for docid, tf in plist:
+        dl = NORM_TABLE[index.norm_bytes[docid]]
+        inner1 = np.float32(1.0) + np.float32(np.float32(tf) / mucp)
+        inner2 = np.float32(np.float32(mu) / np.float32(dl + np.float32(mu)))
+        s = np.float32(
+            np.float32(boost)
+            * np.float32(np.log(np.float64(inner1)) + np.log(np.float64(inner2)))
+        )
+        out[docid] = s if s > 0 else np.float32(0.0)
+    return out
+
+
 def kw_term_scores(
     index: OracleIndex, fieldname: str, term: str, k1: float = 1.2, boost: float = 1.0
 ) -> dict[int, np.float32]:

@@ -76,3 +76,39 @@ def test_bm25_unaffected(searcher, classic, oracle_index):
     # same index object graph; default searcher still scores BM25
     want = oracle.top_k(oracle.term_scores(oracle_index, "popcorn"), 10)
     assert hits(searcher.search(TermQuery(term="popcorn"), 10)) == want
+
+
+# -- LM-Dirichlet ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def lmd(spark, index_dir):
+    return IndexSearcher(spark, index_dir, similarity="lmd")
+
+
+def test_lmd_term_parity(lmd, oracle_index):
+    import numpy as np
+
+    for t in ["popcorn", "hello", "common7"]:
+        want = oracle.top_k(oracle.lmd_term_scores(oracle_index, t), 15)
+        got = hits(lmd.search(TermQuery(term=t), 15))
+        assert got == want, t
+
+
+def test_lmd_boolean_sum(lmd, oracle_index):
+    import numpy as np
+
+    q = BooleanQuery(
+        must=(TermQuery(term="popcorn"),), should=(TermQuery(term="hello"),)
+    )
+    pop = oracle.lmd_term_scores(oracle_index, "popcorn")
+    hel = oracle.lmd_term_scores(oracle_index, "hello")
+    want_scores = {}
+    for d in pop:
+        s = np.float32(0.0)
+        s = np.float32(s + pop[d])
+        s = np.float32(s + hel.get(d, np.float32(0.0)))
+        want_scores[d] = s
+    want = oracle.top_k(want_scores, 15)
+    got = hits(lmd.search(q, 15))
+    assert got == want
