@@ -126,6 +126,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("role")
         )
 
+    def facet_drilldown(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return (
+            s.facet_drilldown(TermQuery(term=HOT), {"role": "tool"}, "tool")
+            .withColumnRenamed("count", "n")
+            .orderBy("tool")
+        )
+
     def group_top2(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         return s.group_top_k(TermQuery(term=HOT), "conv_id", 2).select(
@@ -166,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         search_after=search_after,
         count_hits=count_hits,
         facet_role=facet_role,
+        facet_drilldown=facet_drilldown,
         group_top2=group_top2,
         sort_by_ts=sort_by_ts,
         doclen=doclen,
@@ -230,6 +239,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["span_first"] = span_first
     out["span_near"] = span_near
+
+    # -- parent/child block join (conversation = parent block) ---------------
+    out["join_parent_max"] = lambda s, d: _searcher(s, d).to_parent_join(
+        TermQuery(term=HOT), "max", k=15
+    )
+    out["join_parent_total"] = lambda s, d: _searcher(s, d).to_parent_join(
+        TermQuery(term=HOT), "total", k=15
+    )
 
     # -- training-data pipeline operators (documents / embeddings tables) ----
     from lucenenet_spark.pipeline import dedup, multimodal, similarity, textstats
@@ -317,6 +334,15 @@ SELECT d.role AS role, count(*) AS n
 FROM (SELECT DISTINCT docid FROM scored WHERE term = '{HOT}') h
 JOIN docs d ON h.docid = d.docid
 GROUP BY d.role ORDER BY role""",
+        # drill-down: role='tool' docs expose tool = source (the transcript
+        # mapping in entry_support.transcripts_from_documents)
+        "facet_drilldown": f"""{P}
+SELECT dd.source AS tool, count(*) AS n
+FROM (SELECT DISTINCT docid FROM scored WHERE term = '{HOT}') h
+JOIN docs d ON h.docid = d.docid
+JOIN documents dd ON d.doc_id = dd.doc_id
+WHERE d.role = 'tool' AND dd.source IS NOT NULL
+GROUP BY 1 ORDER BY tool""",
         "group_top2": f"""{P},
 hits AS (
   SELECT s.docid, s.s AS score, d.conv_id,
@@ -361,6 +387,23 @@ GROUP BY v.byte ORDER BY norm_byte""",
     out["spell_suggest"] = f"{P}\n{hl.spell_suggest_sql('batcch', 2, 5)}"
     out["span_first"] = es.span_first_sql(HOT, 5, k=15)
     out["span_near"] = es.span_near_ordered_sql(HOT, MID, 4, k=15)
+    out["join_parent_max"] = f"""{P}
+SELECT d.conv_id AS parent, CAST(max(s.s) AS REAL) AS score,
+       count(*) AS n_hits
+FROM scored s JOIN docs d ON s.docid = d.docid
+WHERE s.term = '{HOT}'
+GROUP BY 1 ORDER BY score DESC, parent ASC LIMIT 15"""
+    out["join_parent_total"] = f"""{P},
+ch AS (
+  SELECT d.conv_id AS parent,
+         list_reduce(list(s.s ORDER BY s.docid), (x, y) -> CAST(x + y AS REAL)) AS score,
+         count(*) AS n_hits
+  FROM scored s JOIN docs d ON s.docid = d.docid
+  WHERE s.term = '{HOT}'
+  GROUP BY 1
+)
+SELECT parent, score, n_hits FROM ch
+ORDER BY score DESC, parent ASC LIMIT 15"""
 
     # training-data pipeline oracles
     from lucenenet_spark.pipeline import dedup as dd

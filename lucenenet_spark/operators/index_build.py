@@ -350,6 +350,7 @@ class IndexBuilder:
         top_terms_per_partition: int = 256,
         input_clustered: bool | None = None,
         keyword_fields: tuple[str, ...] = DEFAULT_KEYWORD_FIELDS,
+        index_options: str = "docs_freqs_positions",
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -360,6 +361,12 @@ class IndexBuilder:
         self.block_size = block_size
         self.top_terms = top_terms_per_partition
         self.keyword_fields = tuple(keyword_fields)
+        # IndexOptions (FieldInfo.cs:315-356): DOCS_AND_FREQS skips the
+        # positions payload entirely (~30-45% smaller index; phrase/span
+        # queries then raise); default keeps positions
+        if index_options not in ("docs_freqs", "docs_freqs_positions"):
+            raise ValueError(f"unknown index_options {index_options!r}")
+        self.index_options = index_options
         # None = auto-detect via a narrow-column range check; True = trust the
         # input's partitioning (still verified post-hoc); False = force shuffle
         self.input_clustered = input_clustered
@@ -444,6 +451,7 @@ class IndexBuilder:
             return pd.DataFrame(data)[_STAGING_COLS]
 
         keyword_fields = self.keyword_fields
+        with_positions = self.index_options == "docs_freqs_positions"
 
         def ingest_partition(it):
             # STREAMING doc rows (pipelined with the JVM read/write) while the
@@ -517,7 +525,8 @@ class IndexBuilder:
                     toks, poss = tokenize_with_positions(text)
                     lengths[i] = len(toks)
                     term_flat.extend(toks)
-                    pos_flat.extend(poss)
+                    if with_positions:
+                        pos_flat.extend(poss)
                 norm_bytes = encode_norm(lengths)
                 total = len(term_flat)
                 if total:
@@ -528,9 +537,14 @@ class IndexBuilder:
                     d_arr = np.repeat(
                         np.arange(n, dtype=np.int64) + rank, lengths.astype(np.int64)
                     )
-                    p_arr = np.asarray(pos_flat, dtype=np.int32)
-                    o = np.lexsort((p_arr, d_arr, codes))
-                    c, d, p = codes[o], d_arr[o], p_arr[o]
+                    if with_positions:
+                        p_arr = np.asarray(pos_flat, dtype=np.int32)
+                        o = np.lexsort((p_arr, d_arr, codes))
+                        c, d, p = codes[o], d_arr[o], p_arr[o]
+                    else:
+                        o = np.lexsort((d_arr, codes))
+                        c, d = codes[o], d_arr[o]
+                        p = np.empty(0, dtype=np.int32)
                     # (term, doc) group boundaries -> tf runs + pos slices
                     gchange = np.nonzero((c[1:] != c[:-1]) | (d[1:] != d[:-1]))[0]
                     gb = np.concatenate([[0], gchange + 1, [total]])
@@ -953,6 +967,7 @@ class IndexBuilder:
             "format_version": 3,
             "build_id": build_id,
             "field": FIELD,
+            "index_options": self.index_options,
             "fields": stats_info.get("fields"),
             "k1": self.k1,
             "b": self.b,

@@ -996,6 +996,14 @@ class IndexSearcher:
         offsets = list(q.offsets)
         if not terms:
             return self._empty_hits()
+        if any(
+            s["manifest"].get("index_options") == "docs_freqs"
+            for s in self.segments
+        ):
+            raise NotImplementedError(
+                "phrase queries need positions; this index was built with "
+                "index_options='docs_freqs'"
+            )
         keys = [(q.field, t) for t in terms]
         dfs = self.doc_freqs(keys)
         if any(dfs[k] == 0 for k in keys):
@@ -1474,11 +1482,75 @@ class IndexSearcher:
             F.count("*").alias("count")
         )
 
+    def facet_drilldown(
+        self, q: Query, drill: dict[str, str], facet_col: str
+    ) -> DataFrame:
+        """DrillDownQuery analogue (Lucene.Net.Facet DrillDownQuery.cs):
+        narrow the base query by category equalities, then count the
+        remaining matches per facet value. The drill predicates are
+        doc-side typed-column filters (pushed to the parquet scan);
+        null facet values are excluded like unset taxonomy labels."""
+        where = " AND ".join(f"{c} = '{v}'" for c, v in drill.items()) or "true"
+        narrowed = FilteredQuery(query=q, where=where)
+        return (
+            self.fetch(self.scores(narrowed), self._hits_bound(q))
+            .filter(F.col(facet_col).isNotNull())
+            .groupBy(facet_col)
+            .agg(F.count("*").alias("count"))
+        )
+
     def sort_by_field(self, q: Query, sort_cols: list[str], k: int = 10, ascending: bool = True) -> DataFrame:
         """Sort matches by field values (Sort/TopFieldCollector)."""
         hits = self.fetch(self.scores(q), self._hits_bound(q))
         cols = [F.asc(c) if ascending else F.desc(c) for c in sort_cols]
         return hits.orderBy(*cols).limit(k)
+
+    def to_parent_join(
+        self, q: Query, score_mode: str = "max", k: int = 10,
+        parent_col: str = "conv_id",
+    ) -> DataFrame:
+        """Parent/child block join: score CONVERSATIONS by their matching
+        turns (Lucene.Net.Join ToParentBlockJoinQuery; a conversation is the
+        parent block, its turns the children — exactly the transcript
+        shape).
+
+        score_mode (ToParentBlockJoinQuery.ScoreMode):
+          max   — parent score = max child score (float32 max)
+          total — parent score = f32 fold of child scores in child docid
+                  order (the scorer's accumulation order)
+          avg   — f32(total / f32(n_children_matched))
+        Output: (parent, score, n_hits) ranked score desc, parent asc.
+        The child->parent mapping is the docs view's parent_col (a
+        broadcast-bounded join when the query's df bounds the hit count)."""
+        if score_mode not in ("max", "total", "avg"):
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        hits = self.fetch(self.scores(q), self._hits_bound(q)).select(
+            F.col(parent_col).alias("parent"), "docid", "score"
+        )
+        if score_mode == "max":
+            agg = hits.groupBy("parent").agg(
+                F.max("score").alias("score"), F.count("*").alias("n_hits")
+            )
+        else:
+            # ordered f32 fold over children (docid asc) via sorted collect
+            folded = hits.groupBy("parent").agg(
+                F.sort_array(F.collect_list(F.struct("docid", "score"))).alias("ch")
+            )
+            total = F.aggregate(
+                F.col("ch"),
+                F.lit(0.0).cast("float"),
+                lambda acc, x: (acc + x["score"]).cast("float"),
+            )
+            n = F.size("ch")
+            score = (
+                total
+                if score_mode == "total"
+                else (total / n.cast("float")).cast("float")
+            )
+            agg = folded.select(
+                "parent", score.alias("score"), n.cast("long").alias("n_hits")
+            )
+        return agg.orderBy(F.desc("score"), F.asc("parent")).limit(k)
 
     def rescore(self, q: Query, rescore_q: Query, n: int = 100, k: int = 10) -> DataFrame:
         """QueryRescorer: re-rank top-n of q by q's score + rescore_q's score."""

@@ -163,3 +163,27 @@ def test_check_index_catches_corruption(spark, index_dir, tmp_path):
         json.dump(m, f)
     report = check_index(spark, broken)
     assert not report["term_stats"]["ok"]
+
+
+def test_docs_freqs_index_options(spark, corpus_pdf, oracle_index, tmp_path):
+    """DOCS_AND_FREQS (no positions): ~smaller index, identical BM25
+    scores, phrase queries refused with a clear error."""
+    import pytest as _pytest
+
+    from lucenenet_spark import oracle
+    from lucenenet_spark.operators.index_build import IndexBuilder
+    from lucenenet_spark.operators.search import IndexSearcher
+    from lucenenet_spark.plans.query import PhraseQuery, TermQuery
+
+    from .conftest import hits as _hits
+
+    out = str(tmp_path / "nopos")
+    IndexBuilder(
+        spark, out, n_buckets=4, n_segments=4, salt_target=10**9,
+        index_options="docs_freqs", input_clustered=False,
+    ).build(spark.createDataFrame(corpus_pdf))
+    s = IndexSearcher(spark, out)
+    want = oracle.top_k(oracle.term_scores(oracle_index, "popcorn"), 10)
+    assert _hits(s.search(TermQuery(term="popcorn"), 10)) == want
+    with _pytest.raises(NotImplementedError):
+        s.search(PhraseQuery(terms=("popcorn", "hello")), 5).collect()

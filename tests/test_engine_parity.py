@@ -199,3 +199,36 @@ def test_rescore(searcher, oracle_index):
     re = {d: float(s) + float(second.get(d, 0.0)) for d, s in top_n}
     want = sorted(re.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert [(d, pytest.approx(s, abs=1e-6)) for d, s in got] == want
+
+
+def test_block_join_parent_scores(searcher, oracle_index, corpus_pdf):
+    """ToParentBlockJoin analogue: conversation scores from child turns."""
+    import numpy as np
+
+    from lucenenet_spark import oracle
+    from lucenenet_spark.plans.query import TermQuery
+
+    sc = oracle.term_scores(oracle_index, "popcorn")
+    per: dict = {}
+    for d in sorted(sc):
+        per.setdefault(corpus_pdf["conv_id"].iloc[d], []).append(sc[d])
+    for mode in ("max", "total", "avg"):
+        if mode == "max":
+            want_scores = {c: np.float32(max(v)) for c, v in per.items()}
+        else:
+            want_scores = {}
+            for c, v in per.items():
+                t = np.float32(0.0)
+                for s in v:
+                    t = np.float32(t + s)
+                want_scores[c] = (
+                    t if mode == "total" else np.float32(t / np.float32(len(v)))
+                )
+        want = sorted(want_scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))[:10]
+        got = [
+            (r["parent"], np.float32(r["score"]))
+            for r in searcher.to_parent_join(
+                TermQuery(term="popcorn"), mode, k=10
+            ).collect()
+        ]
+        assert got == [(c, np.float32(s)) for c, s in want], mode
