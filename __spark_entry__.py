@@ -240,6 +240,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["span_first"] = span_first
     out["span_near"] = span_near
 
+    # -- MoreLikeThis --------------------------------------------------------
+    from lucenenet_spark.operators import mlt as _mlt
+
+    def more_like_this(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        source = es.transcripts_from_documents(spark, sf_dir)
+        return _mlt.more_like_this(s, source, docid=7, k=15)
+
+    out["more_like_this"] = more_like_this
+
     # -- parent/child block join (conversation = parent block) ---------------
     out["join_parent_max"] = lambda s, d: _searcher(s, d).to_parent_join(
         TermQuery(term=HOT), "max", k=15
@@ -385,6 +395,9 @@ GROUP BY v.byte ORDER BY norm_byte""",
     out["highlight_hot"] = f"{P},\n{hl.highlight_sql(HOT, k=10)}"
     out["suggest_prefix"] = f"{P}\n{hl.suggest_terms_sql('sc', 10)}"
     out["spell_suggest"] = f"{P}\n{hl.spell_suggest_sql('batcch', 2, 5)}"
+    from lucenenet_spark.operators import mlt as _mlt
+
+    out["more_like_this"] = f"{P},\n{_mlt.more_like_this_sql(7, k=15)}"
     out["span_first"] = es.span_first_sql(HOT, 5, k=15)
     out["span_near"] = es.span_near_ordered_sql(HOT, MID, 4, k=15)
     out["join_parent_max"] = f"""{P}

@@ -90,3 +90,48 @@ def test_block_max_bound_dominates_scores():
     w = np.float32(3.7)
     scores = (w * tfs.astype(np.float32)) / (tfs.astype(np.float32) + cache[nb])
     assert (scores <= np.float32(bound) * w + 1e-6).all()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 10000)), min_size=1, max_size=300
+    ),
+    st.integers(0, 2**40),
+)
+@settings(max_examples=40, deadline=None)
+def test_positions_roundtrip(tf_posbase, base):
+    """encode_posting_list(positions=...) + decode_positions round-trips the
+    flat per-occurrence positions, split per posting by cumsum(tf)."""
+    import numpy as np
+
+    from lucenenet_spark.operators.codec import (
+        decode_positions,
+        encode_posting_list,
+    )
+    from lucenenet_spark.oracle import norm_cache
+
+    docids = np.cumsum([1 + (p % 3) for _tf, p in tf_posbase]) + base
+    tfs = np.array([tf for tf, _p in tf_posbase], dtype=np.int64)
+    rng = np.random.RandomState(7)
+    positions = np.concatenate(
+        [
+            np.sort(rng.choice(pb + 500, size=tf, replace=False))
+            for tf, pb in tf_posbase
+            for _ in [None]
+        ]
+    ).astype(np.int64) if len(tf_posbase) else np.empty(0, np.int64)
+    norms = rng.randint(100, 200, size=len(docids)).astype(np.uint8)
+    cache = norm_cache(1.2, 0.75, np.float32(20.0))
+    rows = encode_posting_list(
+        np.asarray(docids, dtype=np.int64), tfs, norms, cache, 128,
+        positions=positions,
+    )
+    cum = np.concatenate([[0], np.cumsum(tfs)])
+    got = []
+    i = 0
+    for r in rows:
+        b0, b1 = i, min(i + 128, len(docids))
+        n_pos = int(cum[b1] - cum[b0])
+        got.append(decode_positions(r["pos_enc"], n_pos))
+        i = b1
+    assert np.array_equal(np.concatenate(got), positions)

@@ -37,3 +37,23 @@ def test_suggest_and_spell(searcher, oracle_index):
     # the query word itself (edits=0) is never suggested
     sp2 = hl.spell_suggest(searcher, "popcorn", max_edits=2, k=5).toPandas()
     assert "popcorn" not in set(sp2["term"])
+
+
+def test_more_like_this(spark, searcher, corpus_pdf, oracle_index):
+    from lucenenet_spark.operators import mlt
+
+    src = spark.createDataFrame(corpus_pdf)
+    # find a doc with interesting terms (tf >= 2 of a df >= 5 term)
+    docid, terms = next(
+        (d, ts)
+        for d in range(len(corpus_pdf))
+        if (ts := mlt.interesting_terms(searcher, corpus_pdf["text"].iloc[d]))
+    )
+    out = mlt.more_like_this(searcher, src, docid, k=10).toPandas()
+    assert len(out) > 0 and docid not in set(out["docid"])
+    # hits genuinely share vocabulary with the source doc
+    top = int(out["docid"].iloc[0])
+    doc_terms = {
+        t for t, pl in oracle_index.postings.items() if any(d == top for d, _ in pl)
+    }
+    assert doc_terms & set(terms)
