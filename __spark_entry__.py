@@ -207,6 +207,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["term_lmd"] = term_lmd
 
+    def term_lmjm(spark, sf_dir):
+        s = _searcher(spark, sf_dir, similarity="lmjm")
+        return s.search(TermQuery(term=HOT), 15)
+
+    out["term_lmjm"] = term_lmjm
+
     # -- highlighting + suggest/spellcheck satellites ------------------------
     from lucenenet_spark.operators import highlight as hl
 
@@ -389,6 +395,7 @@ GROUP BY v.byte ORDER BY norm_byte""",
     out["fuzzy"] = es.fuzzy_sql("batc", 1, 20)
     out["term_tfidf"] = es.classic_term_sql(HOT, k=15)
     out["term_lmd"] = es.lmd_term_sql(HOT, k=15)
+    out["term_lmjm"] = es.lmjm_term_sql(HOT, k=15)
 
     from lucenenet_spark.operators import highlight as hl
 

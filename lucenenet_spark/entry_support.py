@@ -667,6 +667,37 @@ ORDER BY score DESC, p.docid ASC
 LIMIT {k}"""
 
 
+def lmjm_term_sql(term: str, k: int = 10, lam: float = 0.1, boost: float = 1.0) -> str:
+    """Top-k TermQuery under LM Jelinek-Mercer, float32-exact
+    (LMJelinekMercerSimilarity.cs:57-60)."""
+    lam32 = _f32lit(lam)
+    oml32 = _f32lit(float(np.float32(np.float32(1.0) - np.float32(lam))))
+    cp = (
+        f"CAST(CAST(CAST(t.ttf AS REAL) + CAST(1.0 AS REAL) AS REAL) / "
+        f"CAST(CAST(f.sum_ttf AS REAL) + CAST(1.0 AS REAL) AS REAL) AS REAL)"
+    )
+    lcp = f"CAST({lam32} * {cp} AS REAL)"
+    inner = (
+        f"CAST(CAST(1.0 AS REAL) + CAST(CAST(CAST({oml32} * CAST(p.tf AS REAL) AS REAL)"
+        f" / d.nt AS REAL) / c.lcp AS REAL) AS REAL)"
+    )
+    return f"""{prelude()},
+cpv AS (
+  SELECT {lcp} AS lcp FROM tstats t CROSS JOIN fstats f WHERE t.term = '{term}'
+),
+dlv AS (
+  SELECT l.docid, v.nt FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+)
+SELECT p.docid AS docid,
+       CAST({_f32lit(boost)} * CAST(ln(CAST({inner} AS DOUBLE)) AS REAL) AS REAL) AS score
+FROM posting p
+CROSS JOIN cpv c
+JOIN dlv d ON p.docid = d.docid
+WHERE p.term = '{term}'
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+
+
 def constant_score_sql(term_cond: str, k: int) -> str:
     """Docids of terms matching a terms-dict predicate, constant score 1.0f."""
     return f"""{prelude()}

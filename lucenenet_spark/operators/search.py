@@ -104,6 +104,7 @@ class IndexSearcher:
         prune_min_postings: int = 1 << 16,
         similarity: str = "bm25",
         mu: float = 2000.0,
+        lam: float = 0.1,
     ):
         self.spark = spark
         dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
@@ -156,10 +157,11 @@ class IndexSearcher:
         # (SURVEY §4.2), so this is a pure query-time switch; classic
         # decodes them raw (byte315ToFloat), omitNorms fields score raw
         # (norms == null -> no multiply, TFIDFSimScorer.Score:691)
-        if similarity not in ("bm25", "classic", "lmd"):
+        if similarity not in ("bm25", "classic", "lmd", "lmjm"):
             raise ValueError(f"unknown similarity {similarity!r}")
         self.similarity = similarity
         self.mu = float(mu)  # LMDirichletSimilarity default mu=2000
+        self.lam = float(lam)  # LMJelinekMercerSimilarity lambda
         from ..functions.smallfloat import DECODE_TABLE
 
         ones = np.ones(256, dtype=np.float32)
@@ -763,18 +765,21 @@ class IndexSearcher:
         return scored
 
     def _lmd_boolean_scores(self, q: BooleanQuery) -> DataFrame:
-        """BooleanQuery under LM-Dirichlet smoothing, float32-exact.
+        """BooleanQuery under LM smoothing (Dirichlet or Jelinek-Mercer),
+        float32-exact.
 
-        Per clause (LMDirichletSimilarity.cs:74-78, LMSimilarity
-        DefaultCollectionModel:158-161):
-          cp    = f32(f32(ttf) + 1) / f32(f32(sumTotalTermFreq) + 1)
+        Shared (LMSimilarity DefaultCollectionModel:158-161):
+          cp = f32(f32(ttf) + 1) / f32(f32(sumTotalTermFreq) + 1);
+          docLen = 1/(byte315Decode)^2 = NORM_TABLE
+          (SimilarityBase.cs:227-238,259-262,307); omitNorms fields use
+          docLen = 1; queryNorm = coord = 1 -> plain f32 clause-order sum.
+        Dirichlet (LMDirichletSimilarity.cs:74-78):
           score = f32(boost) * f32( ln(f32(1 + f32(freq / f32(mu*cp))))
                                   + ln(f32(mu / f32(docLen + mu))) ),
-                  clamped at 0; docLen = 1/(byte315Decode)^2 = NORM_TABLE
-                  (SimilarityBase.cs:227-238,259-262,307); omitNorms fields
-                  use docLen = 1. queryNorm = coord = 1 (SimilarityBase
-                  inherits the Similarity defaults) -> boolean score is the
-                  plain f32 clause-order sum."""
+          clamped at 0.
+        Jelinek-Mercer (LMJelinekMercerSimilarity.cs:57-60):
+          score = f32(boost) * f32(ln(f32(1 +
+                  f32(f32(f32((1-λ)*freq) / docLen) / f32(λ*cp)))))."""
         from ..functions.smallfloat import NORM_TABLE
 
         if not q.must and not q.should:
@@ -788,10 +793,11 @@ class IndexSearcher:
         if any(metas[k][0] == 0 for k in keys[:n_must]):
             return self._empty_hits()
         mu = np.float32(self.mu)
+        smooth = np.float32(self.lam) if self.similarity == "lmjm" else mu
         field_tokens = {
             f: int(info.get("sum_ttf", 0)) for f, info in self.fields_info.items()
         }
-        params = []  # per clause: (boost32, mu_cp32, field)
+        params = []  # per clause: (boost32, f32(smooth * cp), field)
         for c, k in zip(terms, keys):
             cp = np.float32(
                 (np.float32(metas[k][1]) + np.float32(1.0))
@@ -799,7 +805,7 @@ class IndexSearcher:
             )
             params.append(
                 (np.float32(np.float32(c.boost) * np.float32(q.boost)),
-                 np.float32(mu * cp), c.field)
+                 np.float32(smooth * cp), c.field)
             )
         live = [i for i, k in enumerate(keys) if metas[k][0] > 0]
         by_key: dict[tuple[str, str], list[tuple[int, float, float]]] = {}
@@ -812,6 +818,8 @@ class IndexSearcher:
             blocks = self._conjunction_prune(blocks, keys[:n_must])
         omit = {f for f, info in self.fields_info.items() if info.get("omit_norms")}
         mu_f = float(self.mu)
+        jm = self.similarity == "lmjm"
+        oml = np.float32(np.float32(1.0) - np.float32(self.lam))
 
         def score_batches(it):
             from .codec import decode_block
@@ -831,20 +839,28 @@ class IndexSearcher:
                         if r.field in omit
                         else NORM_TABLE[nbytes]
                     )
-                    l2 = np.log(
-                        (np.float32(mu_f) / (dl + np.float32(mu_f))).astype(
-                            np.float64
-                        )
-                    )
-                    for cid, boost, mucp in by_key[(r.field, r.term)]:
-                        inner1 = np.float32(1.0) + freq / np.float32(mucp)
-                        sc = (
-                            np.float32(boost)
-                            * (np.log(inner1.astype(np.float64)) + l2).astype(
-                                np.float32
+                    if not jm:
+                        l2 = np.log(
+                            (np.float32(mu_f) / (dl + np.float32(mu_f))).astype(
+                                np.float64
                             )
                         )
-                        np.maximum(sc, np.float32(0.0), out=sc)
+                    for cid, boost, scp in by_key[(r.field, r.term)]:
+                        if jm:
+                            # ((1-λ)*freq / docLen) / (λ*cp), left-to-right f32
+                            inner = np.float32(1.0) + ((oml * freq) / dl) / np.float32(scp)
+                            sc = np.float32(boost) * np.log(
+                                inner.astype(np.float64)
+                            ).astype(np.float32)
+                        else:
+                            inner1 = np.float32(1.0) + freq / np.float32(scp)
+                            sc = (
+                                np.float32(boost)
+                                * (np.log(inner1.astype(np.float64)) + l2).astype(
+                                    np.float32
+                                )
+                            )
+                            np.maximum(sc, np.float32(0.0), out=sc)
                         outs.append(
                             pd.DataFrame(
                                 {"docid": docids, "clause": cid, "score": sc}

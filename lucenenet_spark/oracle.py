@@ -357,6 +357,35 @@ def lmd_term_scores(
     return out
 
 
+def lmjm_term_scores(
+    index: OracleIndex, term: str, lam: float = 0.1, boost: float = 1.0
+) -> dict[int, np.float32]:
+    """LMJelinekMercerSimilarity (LMJelinekMercerSimilarity.cs:57-60):
+    score = f32(boost) * f32(ln(f32(1 + f32(f32(f32((1-λ)*tf)/docLen)
+    / f32(λ*cp)))))."""
+    plist = index.postings.get(term)
+    if not plist:
+        return {}
+    ttf = sum(tf for _d, tf in plist)
+    cp = np.float32(
+        (np.float32(ttf) + np.float32(1.0))
+        / (np.float32(index.sum_ttf) + np.float32(1.0))
+    )
+    lcp = np.float32(np.float32(lam) * cp)
+    oml = np.float32(np.float32(1.0) - np.float32(lam))
+    out = {}
+    for docid, tf in plist:
+        dl = NORM_TABLE[index.norm_bytes[docid]]
+        inner = np.float32(
+            np.float32(1.0)
+            + np.float32(np.float32(np.float32(oml * np.float32(tf)) / dl) / lcp)
+        )
+        out[docid] = np.float32(
+            np.float32(boost) * np.float32(np.log(np.float64(inner)))
+        )
+    return out
+
+
 def kw_term_scores(
     index: OracleIndex, fieldname: str, term: str, k1: float = 1.2, boost: float = 1.0
 ) -> dict[int, np.float32]:

@@ -112,3 +112,11 @@ def test_lmd_boolean_sum(lmd, oracle_index):
     want = oracle.top_k(want_scores, 15)
     got = hits(lmd.search(q, 15))
     assert got == want
+
+
+def test_lmjm_term_parity(spark, index_dir, oracle_index):
+    s = IndexSearcher(spark, index_dir, similarity="lmjm")
+    for t in ["popcorn", "hello", "common7"]:
+        want = oracle.top_k(oracle.lmjm_term_scores(oracle_index, t), 15)
+        got = hits(s.search(TermQuery(term=t), 15))
+        assert got == want, t
