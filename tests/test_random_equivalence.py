@@ -82,3 +82,51 @@ def test_random_nested_boolean(searcher, oracle_index, seed):
     }
     want = oracle.top_k(scores, 20)
     assert got == want, (seed, outer, inner_terms)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_phrase_equivalence(searcher, oracle_index, corpus_pdf, seed):
+    """Random 2-3 term phrases (terms drawn from real adjacent text) at
+    random slop: engine must match the oracle bit-for-bit — covers the
+    distributed plumbing (multi-block positions, salts, query gaps)."""
+    from lucenenet_spark.functions.analysis import tokenize_text
+    from lucenenet_spark.plans.query import PhraseQuery
+
+    rng = random.Random(7000 + seed)
+    texts = corpus_pdf["text"].tolist()
+    row = rng.choice([t for t in texts if len(tokenize_text(t)) >= 3])
+    toks = tokenize_text(row)
+    i = rng.randrange(len(toks) - 2)
+    n = rng.choice([2, 3])
+    terms = toks[i : i + n]
+    slop = rng.choice([0, 1, 2, 4])
+    q = PhraseQuery(terms=tuple(terms), slop=slop)
+    want = oracle.top_k(
+        oracle.phrase_scores(oracle_index, list(terms), slop=slop), 10
+    )
+    got = hits(searcher.search(q, 10))
+    assert got == want, (terms, slop)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_span_equivalence(searcher, oracle_index, seed):
+    """Random span trees (near/or/first/not over vocab terms)."""
+    from lucenenet_spark.operators import spans as sp
+
+    rng = random.Random(9000 + seed)
+    terms = rng.sample([v for v in VOCAB if v not in ("absent_zz", "the")], 3)
+    t1, t2, t3 = (sp.SpanTermQuery(term=t) for t in terms)
+    q = rng.choice(
+        [
+            sp.SpanNearQuery(clauses=(t1, t2), slop=rng.choice([1, 3, 6]),
+                             in_order=rng.random() < 0.5),
+            sp.SpanNearQuery(
+                clauses=(sp.SpanOrQuery(clauses=(t1, t3)), t2), slop=4
+            ),
+            sp.SpanFirstQuery(match=t1, end=rng.choice([3, 8])),
+            sp.SpanNotQuery(include=t1, exclude=t2),
+        ]
+    )
+    want = oracle.top_k(sp.span_scores_oracle(oracle_index, q), 10)
+    got = hits(sp.span_search(searcher, q, 10))
+    assert got == want, q
