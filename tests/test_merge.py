@@ -123,3 +123,90 @@ def test_merged_term_stats_are_sums(spark, merged_dir, segment_dirs, oracle_inde
     df = m.doc_freqs(["popcorn", "hello", "word7"])
     for f, t in df:
         assert df[(f, t)] == len(oracle_index.postings.get(t, [])), t
+
+
+def test_phrase_parity_after_merge(spark, merged_dir, oracle_index, corpus_pdf):
+    """Positions survive the decode->concat->re-encode merge: phrase and
+    span results on the merged index match the oracle bit-for-bit."""
+    from lucenenet_spark import oracle
+    from lucenenet_spark.functions.analysis import tokenize_text
+    from lucenenet_spark.operators import spans as sp
+    from lucenenet_spark.plans.query import PhraseQuery
+
+    s = IndexSearcher(spark, merged_dir)
+    # a real adjacent pair from the corpus
+    pair = None
+    for text in corpus_pdf["text"]:
+        toks = tokenize_text(text)
+        if len(toks) >= 2:
+            pair = (toks[0], toks[1])
+            break
+    for slop in (0, 2):
+        q = PhraseQuery(terms=pair, slop=slop)
+        want = oracle.top_k(
+            oracle.phrase_scores(oracle_index, list(pair), slop=slop), 10
+        )
+        assert hits(s.search(q, 10)) == want, (pair, slop)
+    sq = sp.SpanNearQuery(
+        clauses=(sp.SpanTermQuery(term=pair[0]), sp.SpanTermQuery(term=pair[1])),
+        slop=3,
+    )
+    want = oracle.top_k(sp.span_scores_oracle(oracle_index, sq), 10)
+    assert hits(sp.span_search(s, sq, 10)) == want
+
+
+def test_phrase_parity_after_delete_merge(spark, segment_dirs, corpus_pdf, tmp_path):
+    """Delete-merge renumbers docids AND drops the deleted postings'
+    position runs; phrase scoring on the compacted index must equal an
+    oracle built over only the surviving corpus."""
+    import shutil
+
+    from lucenenet_spark import oracle
+    from lucenenet_spark.functions.analysis import tokenize_text
+    from lucenenet_spark.plans.query import PhraseQuery, TermQuery
+
+    copies = []
+    for i, d in enumerate(segment_dirs):
+        c = str(tmp_path / f"seg{i}")
+        shutil.copytree(d, c)
+        copies.append(c)
+    s = IndexSearcher(spark, copies)
+    s.delete_by_term("hello")
+    out = str(tmp_path / "compact")
+    merge_segments(spark, copies, out, n_buckets=4, salt_target=10**9)
+    live_mask = [
+        "hello" not in tokenize_text(t) for t in corpus_pdf["text"]
+    ]
+    live_texts = [t for t, keep in zip(corpus_pdf["text"], live_mask) if keep]
+    oidx = oracle.build_index(live_texts)
+    sm = IndexSearcher(spark, out)
+    pair = None
+    for text in live_texts:
+        toks = tokenize_text(text)
+        if len(toks) >= 2:
+            pair = (toks[0], toks[1])
+            break
+    for slop in (0, 2):
+        want = oracle.top_k(
+            oracle.phrase_scores(oidx, list(pair), slop=slop), 10
+        )
+        got = hits(sm.search(PhraseQuery(terms=pair, slop=slop), 10))
+        assert got == want, (pair, slop)
+
+
+def test_phrase_parity_multisegment(spark, segment_dirs, oracle_index, corpus_pdf):
+    """Phrase scoring across UNcompacted segments (docBase-shifted block
+    union, stats summed before weights freeze)."""
+    from lucenenet_spark.functions.analysis import tokenize_text
+    from lucenenet_spark.plans.query import PhraseQuery
+
+    multi = IndexSearcher(spark, segment_dirs)
+    toks = next(
+        tokenize_text(t) for t in corpus_pdf["text"] if len(tokenize_text(t)) >= 2
+    )
+    pair = (toks[0], toks[1])
+    for slop in (0, 2):
+        want = oracle.top_k(
+            oracle.phrase_scores(oracle_index, list(pair), slop=slop), 10
+        )
+        assert hits(multi.search(PhraseQuery(terms=pair, slop=slop), 10)) == want
