@@ -140,8 +140,11 @@ def transcripts_spark_dist(
                 ]
                 hot = rng.random(ln) < 0.20
                 texts = [t + " popcorn" if h else t for t, h in zip(texts, hot)]
+                # hour offset wraps at 100k convs: keeps every ts inside the
+                # datetime64[ns] range (2.4M straight hours would land in
+                # 2299, past the ns max of 2262)
                 ts0 = np.datetime64("2026-01-01T00:00:00") + np.timedelta64(
-                    int(conv) * 3600, "s"
+                    (int(conv) % 100_000) * 3600, "s"
                 )
                 tss = ts0 + np.cumsum(rng.integers(1, 90, size=ln)).astype(
                     "timedelta64[s]"
@@ -158,9 +161,13 @@ def transcripts_spark_dist(
                             tss[i],
                         )
                     )
-            yield pd.DataFrame(
+            pdf = pd.DataFrame(
                 out, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
             )
+            # second-unit datetime64 scalars give a timestamp[s] Arrow column,
+            # which the pyspark serializer rejects — normalize to ns
+            pdf["ts"] = pdf["ts"].astype("datetime64[ns]")
+            yield pdf
 
     return base.mapInPandas(
         gen,
