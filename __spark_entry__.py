@@ -213,6 +213,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["term_lmjm"] = term_lmjm
 
+    def term_dfr(spark, sf_dir):
+        s = _searcher(spark, sf_dir, similarity="dfr_gb2")
+        return s.search(TermQuery(term=HOT), 15)
+
+    out["term_dfr"] = term_dfr
+
     # -- highlighting + suggest/spellcheck satellites ------------------------
     from lucenenet_spark.operators import highlight as hl
 
@@ -396,6 +402,7 @@ GROUP BY v.byte ORDER BY norm_byte""",
     out["term_tfidf"] = es.classic_term_sql(HOT, k=15)
     out["term_lmd"] = es.lmd_term_sql(HOT, k=15)
     out["term_lmjm"] = es.lmjm_term_sql(HOT, k=15)
+    out["term_dfr"] = es.dfr_gb2_term_sql(HOT, k=15)
 
     from lucenenet_spark.operators import highlight as hl
 

@@ -698,6 +698,46 @@ ORDER BY score DESC, p.docid ASC
 LIMIT {k}"""
 
 
+def dfr_gb2_term_sql(term: str, k: int = 10, boost: float = 1.0) -> str:
+    """Top-k TermQuery under DFR GB2, float32-exact (see the engine's
+    _dfr_boolean_scores citations). log2 mirrored as ln(x)/ln(2)."""
+    # double-precision per-term constants computed in SQL (exact doubles)
+    consts = """
+  SELECT CAST(t.ttf + 1 AS DOUBLE) AS fv,
+         CAST(t.df + 1 AS DOUBLE) AS np1,
+         CAST(f.max_doc AS DOUBLE) AS nn,
+         CAST(CAST(f.sum_ttf AS REAL) / CAST(f.max_doc AS REAL) AS REAL) AS avg32
+  FROM tstats t CROSS JOIN fstats f WHERE t.term = '{T}'""".replace("{T}", term)
+    inner = (
+        "CAST(CAST(1.0 AS REAL) + CAST(CAST(CAST(1.0 AS REAL) * c.avg32 AS REAL)"
+        " / d.nt AS REAL) AS REAL)"
+    )
+    log2i = f"(ln(CAST({inner} AS DOUBLE)) / ln(2.0))"
+    tfn = f"CAST(CAST(CAST(p.tf AS REAL) AS DOUBLE) * {log2i} AS REAL)"
+    lam = "(c.fv / (c.nn + c.fv))"
+    bm = (
+        f"CAST(ln({lam} + 1.0) / ln(2.0)"
+        f" + CAST({tfn} AS DOUBLE) * (ln((1.0 + {lam}) / {lam}) / ln(2.0)) AS REAL)"
+    )
+    ae = (
+        f"CAST(CAST(c.fv + 1.0 AS REAL) / "
+        f"CAST(CAST(c.np1 AS REAL) * CAST({tfn} + CAST(1.0 AS REAL) AS REAL) AS REAL) AS REAL)"
+    )
+    score = f"CAST(CAST({_f32lit(boost)} * {bm} AS REAL) * {ae} AS REAL)"
+    return f"""{prelude()},
+cdfr AS ({consts}),
+dlv AS (
+  SELECT l.docid, v.nt FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+)
+SELECT p.docid AS docid, {score} AS score
+FROM posting p
+CROSS JOIN cdfr c
+JOIN dlv d ON p.docid = d.docid
+WHERE p.term = '{term}'
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+
+
 def constant_score_sql(term_cond: str, k: int) -> str:
     """Docids of terms matching a terms-dict predicate, constant score 1.0f."""
     return f"""{prelude()}

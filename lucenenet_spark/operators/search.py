@@ -157,7 +157,7 @@ class IndexSearcher:
         # (SURVEY §4.2), so this is a pure query-time switch; classic
         # decodes them raw (byte315ToFloat), omitNorms fields score raw
         # (norms == null -> no multiply, TFIDFSimScorer.Score:691)
-        if similarity not in ("bm25", "classic", "lmd", "lmjm"):
+        if similarity not in ("bm25", "classic", "lmd", "lmjm", "dfr_gb2"):
             raise ValueError(f"unknown similarity {similarity!r}")
         self.similarity = similarity
         self.mu = float(mu)  # LMDirichletSimilarity default mu=2000
@@ -566,6 +566,8 @@ class IndexSearcher:
             if isinstance(q, BooleanQuery):
                 if self.similarity == "classic":
                     return self._classic_boolean_scores(q)
+                if self.similarity == "dfr_gb2":
+                    return self._dfr_boolean_scores(q)
                 return self._lmd_boolean_scores(q)
             raise NotImplementedError(
                 f"{self.similarity} similarity supports term/boolean queries "
@@ -861,6 +863,127 @@ class IndexSearcher:
                                 )
                             )
                             np.maximum(sc, np.float32(0.0), out=sc)
+                        outs.append(
+                            pd.DataFrame(
+                                {"docid": docids, "clause": cid, "score": sc}
+                            )
+                        )
+                yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                    {
+                        "docid": pd.Series(dtype="int64"),
+                        "clause": pd.Series(dtype="int32"),
+                        "score": pd.Series(dtype="float32"),
+                    }
+                )
+
+        cols = [
+            "field", "term", "first_docid", "count", "docids_enc", "tfs_enc",
+            "norms_enc", "docbase",
+        ]
+        rows = blocks.select(cols).mapInPandas(score_batches, SCORE_ROWS_SCHEMA)
+        n_total = len(terms)
+        agg = self._pivot_agg(rows, n_total)
+        cond = F.lit(True)
+        for i in range(n_must):
+            cond = cond & F.col(f"s{i}").isNotNull()
+        msm = q.min_should_match
+        need_should = msm if n_must else max(1, msm) if q.should else 0
+        if need_should:
+            matched = None
+            for j in range(n_must, n_total):
+                c = F.when(F.col(f"s{j}").isNotNull(), 1).otherwise(0)
+                matched = c if matched is None else matched + c
+            cond = cond & (matched >= need_should)
+        scored = agg.filter(cond).select("docid", self._fold_expr(n_total))
+        not_keys = [(c.field, c.term) for c in q.must_not]
+        if not_keys:
+            scored = scored.join(
+                F.broadcast(self._docids_of_terms(not_keys)), "docid", "left_anti"
+            )
+        return scored
+
+    def _dfr_boolean_scores(self, q: BooleanQuery) -> DataFrame:
+        """BooleanQuery under DFR GB2 (DFRSimilarity(BasicModelG,
+        AfterEffectB, NormalizationH2 c=1)), float32-exact:
+          avgFieldLength = f32(f32(sumTotalTermFreq) / maxDoc)   (SimilarityBase:133)
+          tfn = f32(tf * log2(f32(1 + f32(f32(c*avg) / docLen)))) (NormalizationH2.cs:53-56)
+          λ   = (ttf+1)/(N + ttf+1) in double; BM = f32(log2(λ+1) + tfn*log2((1+λ)/λ))
+                                                     (BasicModelG.cs:37-45)
+          AE  = f32(f32(ttf+2) / f32(f32(df+1) * f32(tfn+1)))     (AfterEffectB.cs:33-38)
+          score = f32(f32(boost * BM) * AE)                       (DFRSimilarity.cs:121-125)
+        log2(x) mirrored as ln(x)/ln(2) (SimilarityBase.Log2); docLen from
+        the byte315⁻² table, 1 for omitNorms fields."""
+        from ..functions.smallfloat import NORM_TABLE
+
+        if not q.must and not q.should:
+            return self._empty_hits()
+        if not all(isinstance(c, TermQuery) for c in q.must + q.should + q.must_not):
+            raise NotImplementedError("dfr similarity scores term clauses")
+        terms = list(q.must) + list(q.should)
+        n_must = len(q.must)
+        keys = [(c.field, c.term) for c in terms]
+        metas = self.term_meta(keys)
+        if any(metas[k][0] == 0 for k in keys[:n_must]):
+            return self._empty_hits()
+        ln2 = float(np.log(2.0))
+        N = float(self.max_doc)
+        field_tokens = {
+            f: int(info.get("sum_ttf", 0)) for f, info in self.fields_info.items()
+        }
+        by_key: dict[tuple[str, str], list[tuple]] = {}
+        for i, (c, k) in enumerate(zip(terms, keys)):
+            df_, ttf, _b = metas[k]
+            if df_ == 0:
+                continue
+            Fv = float(ttf + 1)
+            lam = Fv / (N + Fv)
+            l1 = np.log(lam + 1.0) / ln2
+            l2 = np.log((1.0 + lam) / lam) / ln2
+            avg = np.float32(
+                np.float32(field_tokens.get(c.field, 0)) / np.float32(self.max_doc)
+            )
+            boost = np.float32(np.float32(c.boost) * np.float32(q.boost))
+            by_key.setdefault(k, []).append(
+                (i, float(boost), float(l1), float(l2), float(Fv + 1.0),
+                 float(df_ + 1), float(avg))
+            )
+        if not by_key:
+            return self._empty_hits()
+        blocks = self._blocks_for(list(by_key))
+        if n_must:
+            blocks = self._conjunction_prune(blocks, keys[:n_must])
+        omit = {f for f, info in self.fields_info.items() if info.get("omit_norms")}
+
+        def score_batches(it):
+            from .codec import decode_block
+
+            for pdf in it:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    docids, tfs = decode_block(
+                        r.docids_enc, r.tfs_enc, r.first_docid, r.count
+                    )
+                    if r.docbase:
+                        docids = docids + r.docbase
+                    nbytes = np.frombuffer(r.norms_enc, dtype=np.uint8)
+                    freq = tfs.astype(np.float32)
+                    dl = (
+                        np.ones(len(freq), dtype=np.float32)
+                        if r.field in omit
+                        else NORM_TABLE[nbytes]
+                    )
+                    for cid, boost, l1, l2, Fp1, np1, avg in by_key[(r.field, r.term)]:
+                        # tfn = f32(tf * log2(f32(1 + f32(f32(c*avg)/dl))))
+                        inner = np.float32(1.0) + (
+                            np.float32(np.float32(1.0) * np.float32(avg)) / dl
+                        )
+                        log2i = np.log(inner.astype(np.float64)) / np.log(2.0)
+                        tfn = (freq.astype(np.float64) * log2i).astype(np.float32)
+                        bm = (l1 + tfn.astype(np.float64) * l2).astype(np.float32)
+                        ae = np.float32(Fp1) / (
+                            np.float32(np1) * (tfn + np.float32(1.0))
+                        )
+                        sc = (np.float32(boost) * bm) * ae
                         outs.append(
                             pd.DataFrame(
                                 {"docid": docids, "clause": cid, "score": sc}

@@ -386,6 +386,39 @@ def lmjm_term_scores(
     return out
 
 
+def dfr_gb2_term_scores(
+    index: OracleIndex, term: str, boost: float = 1.0
+) -> dict[int, np.float32]:
+    """DFR GB2 (DFRSimilarity + BasicModelG + AfterEffectB +
+    NormalizationH2 c=1) — see _dfr_boolean_scores for the cited float
+    operation chain."""
+    plist = index.postings.get(term)
+    if not plist:
+        return {}
+    ttf = sum(tf for _d, tf in plist)
+    df = len(plist)
+    N = float(index.max_doc)
+    Fv = float(ttf + 1)
+    lam = Fv / (N + Fv)
+    ln2 = np.log(2.0)
+    l1 = np.log(lam + 1.0) / ln2
+    l2 = np.log((1.0 + lam) / lam) / ln2
+    avg = np.float32(np.float32(index.sum_ttf) / np.float32(index.max_doc))
+    out = {}
+    for docid, tf in plist:
+        dl = NORM_TABLE[index.norm_bytes[docid]]
+        inner = np.float32(1.0) + np.float32(
+            np.float32(np.float32(1.0) * avg) / dl
+        )
+        tfn = np.float32(np.float64(np.float32(tf)) * (np.log(np.float64(inner)) / ln2))
+        bm = np.float32(l1 + np.float64(tfn) * l2)
+        ae = np.float32(
+            np.float32(Fv + 1.0) / np.float32(np.float32(df + 1) * np.float32(tfn + np.float32(1.0)))
+        )
+        out[docid] = np.float32(np.float32(np.float32(boost) * bm) * ae)
+    return out
+
+
 def kw_term_scores(
     index: OracleIndex, fieldname: str, term: str, k1: float = 1.2, boost: float = 1.0
 ) -> dict[int, np.float32]:

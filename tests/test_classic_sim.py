@@ -120,3 +120,11 @@ def test_lmjm_term_parity(spark, index_dir, oracle_index):
         want = oracle.top_k(oracle.lmjm_term_scores(oracle_index, t), 15)
         got = hits(s.search(TermQuery(term=t), 15))
         assert got == want, t
+
+
+def test_dfr_gb2_term_parity(spark, index_dir, oracle_index):
+    s = IndexSearcher(spark, index_dir, similarity="dfr_gb2")
+    for t in ["popcorn", "hello", "common7"]:
+        want = oracle.top_k(oracle.dfr_gb2_term_scores(oracle_index, t), 15)
+        got = hits(s.search(TermQuery(term=t), 15))
+        assert got == want, t
