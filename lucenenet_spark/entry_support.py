@@ -353,14 +353,17 @@ LIMIT {k}"""
 
 
 def fuzzy_sql(term: str, max_edits: int = 1, k: int = 10) -> str:
-    """FuzzyQuery constant-score rewrite: 50 best terms by (edits, term)."""
+    """FuzzyQuery constant-score rewrite: 50 best terms by (edits, term).
+
+    damerau_levenshtein matches the engine's dl_distance (and Lucene's
+    transpositions=true automata) — verified bit-identical by fuzzing."""
     lo, hi = len(term) - max_edits, len(term) + max_edits
     return f"""{prelude()}
 SELECT DISTINCT docid, CAST(CAST(1.0 AS DOUBLE) AS REAL) AS score
 FROM posting
 WHERE term IN (
   SELECT term FROM (
-    SELECT term, levenshtein(term, '{term}') AS ed
+    SELECT term, damerau_levenshtein(term, '{term}') AS ed
     FROM tstats WHERE length(term) BETWEEN {lo} AND {hi}
   ) WHERE ed <= {max_edits} ORDER BY ed, term LIMIT 50
 )

@@ -15,10 +15,11 @@ Suggest / spellcheck (Lucene.Net.Suggest + DirectSpellChecker capability):
 - suggest_terms: prefix completion from the terms dictionary ordered by
   document frequency (AnalyzingSuggester's weight-ordered completion,
   with df as the weight).
-- spell_suggest: candidate corrections within max_edits Levenshtein,
-  ordered (edits asc, df desc, term asc) — DirectSpellChecker's
-  score-then-frequency ordering, with the documented plain-Levenshtein
-  divergence (no transpositions) shared with FuzzyQuery.
+- spell_suggest: candidate corrections within max_edits Damerau-
+  Levenshtein (transpositions count one edit, matching DirectSpellChecker's
+  4.8 default distance, DirectSpellChecker.cs LuceneLevenshteinDistance),
+  ordered (edits asc, df desc, term asc) — the score-then-frequency
+  ordering.
 """
 from __future__ import annotations
 
@@ -185,17 +186,20 @@ ORDER BY df DESC, term ASC LIMIT {k}"""
 
 
 def spell_suggest(searcher, word: str, max_edits: int = 2, k: int = 5) -> DataFrame:
-    """Corrections within max_edits, ordered (edits asc, df desc, term asc).
+    """Corrections within max_edits Damerau-Levenshtein, ordered
+    (edits asc, df desc, term asc) — DirectSpellChecker's score-then-
+    frequency ordering with its transposition-aware distance; the length
+    band prunes the terms-dict scan exactly like the fuzzy rewrite."""
+    from .search import _with_dl_edits
 
-    DirectSpellChecker semantics with plain Levenshtein (the FuzzyQuery
-    divergence note applies); the length band prunes the terms-dict scan
-    exactly like the fuzzy rewrite."""
     lo, hi = len(word) - max_edits, len(word) + max_edits
-    return (
+    banded = (
         searcher.term_stats()
         .filter(F.col("field") == "text")
         .filter(F.length("term").between(lo, hi))
-        .withColumn("edits", F.levenshtein(F.col("term"), F.lit(word)))
+    )
+    return (
+        _with_dl_edits(banded, word)
         .filter((F.col("edits") <= max_edits) & (F.col("edits") > 0))
         .select("term", "edits", F.col("df").cast("long").alias("df"))
         .orderBy(F.asc("edits"), F.desc("df"), F.asc("term"))
@@ -206,7 +210,7 @@ def spell_suggest(searcher, word: str, max_edits: int = 2, k: int = 5) -> DataFr
 def spell_suggest_sql(word: str, max_edits: int = 2, k: int = 5) -> str:
     lo, hi = len(word) - max_edits, len(word) + max_edits
     return f"""SELECT term, CAST(edits AS INT) AS edits, CAST(df AS BIGINT) AS df FROM (
-  SELECT term, levenshtein(term, '{word}') AS edits, df
+  SELECT term, damerau_levenshtein(term, '{word}') AS edits, df
   FROM tstats WHERE length(term) BETWEEN {lo} AND {hi}
 ) WHERE edits <= {max_edits} AND edits > 0
 ORDER BY edits ASC, df DESC, term ASC LIMIT {k}"""

@@ -157,6 +157,22 @@ def test_fuzzy(searcher, oracle_index):
     assert all(s == np.float32(1.0) for _, s in got)
 
 
+def test_fuzzy_transposition(searcher, oracle_index):
+    """Lucene FuzzyQuery defaults transpositions=true: 'popcron' is ONE
+    Damerau-Levenshtein edit from 'popcorn' (plain Levenshtein says 2), so
+    max_edits=1 must match every popcorn doc (FuzzyQuery.cs,
+    LevenshteinAutomata.cs)."""
+    from lucenenet_spark.operators.search import dl_distance
+
+    assert dl_distance("popcron", "popcorn") == 1
+    assert dl_distance("teh", "the") == 1
+    assert dl_distance("ca", "abc") == 2  # unrestricted DL (edit after swap)
+    n_popcorn = len(oracle_index.postings["popcorn"])
+    got = hits(searcher.search(FuzzyQuery(term="popcron", max_edits=1), 1000))
+    assert len(got) >= n_popcorn
+    assert {d for d, _ in got} >= {d for d, _ in oracle_index.postings["popcorn"]}
+
+
 def test_search_after(searcher, oracle_index):
     scores = oracle.boolean_scores(oracle_index, should=["word7", "popcorn"])
     p1 = oracle.top_k(scores, 5)
