@@ -24,6 +24,7 @@ from lucenenet_spark.plans.query import (
     BooleanQuery,
     DisMaxQuery,
     MatchAllQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
     TermQuery,
@@ -94,6 +95,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "phrase_exact": topk(PhraseQuery(terms=("table", "hash")), k=15),
         "phrase_sloppy": topk(PhraseQuery(terms=("value", "table"), slop=3), k=15),
+        "multi_phrase": topk(
+            MultiPhraseQuery(term_arrays=(("table", "value"), ("hash",))), k=15
+        ),
+        "multi_phrase_sloppy": topk(
+            MultiPhraseQuery(
+                term_arrays=(("value", "small"), ("table",)), slop=3
+            ),
+            k=15,
+        ),
         "field_role_term": topk(TermQuery(term="user", field="role"), k=15),
         "bool_cross_field": topk(
             BooleanQuery(
@@ -219,6 +229,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["term_dfr"] = term_dfr
 
+    def term_pl2(spark, sf_dir):
+        s = _searcher(spark, sf_dir, similarity="dfr_pl2")
+        return s.search(TermQuery(term=HOT), 15)
+
+    out["term_pl2"] = term_pl2
+
+    def term_ib(spark, sf_dir):
+        s = _searcher(spark, sf_dir, similarity="ib_ll")
+        return s.search(TermQuery(term=HOT), 15)
+
+    out["term_ib"] = term_ib
+
     # -- highlighting + suggest/spellcheck satellites ------------------------
     from lucenenet_spark.operators import highlight as hl
 
@@ -340,6 +362,10 @@ def oracle_sql() -> dict[str, str]:
         "dismax": es.dismax_sql([HOT, MID], 0.3, k=15),
         "phrase_exact": es.phrase_sql(["table", "hash"], k=15),
         "phrase_sloppy": es.phrase_sql(["value", "table"], slop=3, k=15),
+        "multi_phrase": es.phrase_sql([["table", "value"], ["hash"]], k=15),
+        "multi_phrase_sloppy": es.phrase_sql(
+            [["value", "small"], ["table"]], slop=3, k=15
+        ),
         "field_role_term": es.kw_term_sql("role", "user", k=15),
         "bool_cross_field": es.cross_field_sql(HOT, "role", "user", k=15),
         "prefix": es.constant_score_sql("term LIKE 'sc%'", 100000),
@@ -403,6 +429,8 @@ GROUP BY v.byte ORDER BY norm_byte""",
     out["term_lmd"] = es.lmd_term_sql(HOT, k=15)
     out["term_lmjm"] = es.lmjm_term_sql(HOT, k=15)
     out["term_dfr"] = es.dfr_gb2_term_sql(HOT, k=15)
+    out["term_pl2"] = es.dfr_pl2_term_sql(HOT, k=15)
+    out["term_ib"] = es.ib_ll_term_sql(HOT, k=15)
 
     from lucenenet_spark.operators import highlight as hl
 

@@ -404,10 +404,16 @@ pos AS (
 
 
 def phrase_sql(
-    terms: list[str], offsets: list[int] | None = None, k: int = 10,
+    terms: list, offsets: list[int] | None = None, k: int = 10,
     slop: int = 0, boost: float = 1.0,
 ) -> str:
-    """Top-k PhraseQuery SQL, float32-identical to the engine's scorer.
+    """Top-k Phrase/MultiPhrase SQL, float32-identical to the engine.
+
+    Each element of `terms` is a term (one slot) or a list of alternative
+    terms (a MultiPhraseQuery slot — the clause filter becomes term IN (...),
+    exactly UnionDocsAndPositionsEnum's position union, and the weight folds
+    idf over every (slot, term) pair in declaration order). All gate terms
+    must exist in the corpus (absent-term idf would need a df=0 branch).
 
     Exact (slop=0) is fully general. Sloppy (slop>0) runs the ACTUAL
     SloppyPhraseScorer two-stream merge as a recursive CTE (one state row
@@ -419,18 +425,23 @@ def phrase_sql(
     (pytest-verified vs the Python oracle)."""
     if offsets is None:
         offsets = list(range(len(terms)))
-    n = len(terms)
+    arrays = [[t] if isinstance(t, str) else list(t) for t in terms]
+    n = len(arrays)
     if slop > 0 and n != 2:
-        raise NotImplementedError("sloppy phrase oracle SQL covers 2-term phrases")
-    # float32 fold of clause idfs in clause order, then the term weight chain
-    wsum = _idf_sql(terms[0])
-    for t in terms[1:]:
+        raise NotImplementedError("sloppy phrase oracle SQL covers 2-slot phrases")
+    # float32 fold of idfs over all (slot, term) pairs in declaration order,
+    # then the term weight chain
+    flat = [t for arr in arrays for t in arr]
+    wsum = _idf_sql(flat[0])
+    for t in flat[1:]:
         wsum = f"CAST({wsum} + {_idf_sql(t)} AS REAL)"
     w = f"CAST(CAST({wsum} * {_f32lit(boost)} AS REAL) * {K1P1_32} AS REAL)"
     clauses = "\nUNION ALL\n".join(
-        f"SELECT docid, {i} AS clause, pos - {off} AS bpos "
-        f"FROM pos WHERE term = '{t}'"
-        for i, (t, off) in enumerate(zip(terms, offsets))
+        "SELECT docid, {i} AS clause, pos - {off} AS bpos FROM pos "
+        "WHERE term IN ({ts})".format(
+            i=i, off=off, ts=", ".join(f"'{t}'" for t in arr)
+        )
+        for i, (arr, off) in enumerate(zip(arrays, offsets))
     )
     if slop == 0:
         freq_cte = f"""m AS ({clauses}),
@@ -727,6 +738,80 @@ def dfr_gb2_term_sql(term: str, k: int = 10, boost: float = 1.0) -> str:
         f"CAST(CAST(c.np1 AS REAL) * CAST({tfn} + CAST(1.0 AS REAL) AS REAL) AS REAL) AS REAL)"
     )
     score = f"CAST(CAST({_f32lit(boost)} * {bm} AS REAL) * {ae} AS REAL)"
+    return f"""{prelude()},
+cdfr AS ({consts}),
+dlv AS (
+  SELECT l.docid, v.nt FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+)
+SELECT p.docid AS docid, {score} AS score
+FROM posting p
+CROSS JOIN cdfr c
+JOIN dlv d ON p.docid = d.docid
+WHERE p.term = '{term}'
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+
+
+def _tfn_sql() -> str:
+    """NormalizationH2 (c=1) tfn over (p.tf, d.nt docLen, c.avg32): the
+    shared SimilarityBase normalization — see dfr_gb2_term_sql."""
+    inner = (
+        "CAST(CAST(1.0 AS REAL) + CAST(CAST(CAST(1.0 AS REAL) * c.avg32 AS REAL)"
+        " / d.nt AS REAL) AS REAL)"
+    )
+    log2i = f"(ln(CAST({inner} AS DOUBLE)) / ln(2.0))"
+    return f"CAST(CAST(CAST(p.tf AS REAL) AS DOUBLE) * {log2i} AS REAL)"
+
+
+def dfr_pl2_term_sql(term: str, k: int = 10, boost: float = 1.0) -> str:
+    """Top-k TermQuery under DFR PL2 (BasicModelP + AfterEffectL + H2 c=1),
+    float32-exact (BasicModelP.cs:43-48: λ = f32(f32(ttf+1)/f32(N+1)),
+    BM = f32(tfn*log2(f32(tfn/λ)) + f32(f32(λ + f32(1/f32(12·tfn))) − tfn)
+    ·log2(e) + 0.5·log2(2π·tfn)); AfterEffectL.cs:32-35: AE = f32(1/f32(tfn+1)))."""
+    consts = """
+  SELECT CAST(CAST(t.ttf + 1 AS REAL) / CAST(f.max_doc + 1 AS REAL) AS REAL) AS lam,
+         CAST(CAST(f.sum_ttf AS REAL) / CAST(f.max_doc AS REAL) AS REAL) AS avg32
+  FROM tstats t CROSS JOIN fstats f WHERE t.term = '{T}'""".replace("{T}", term)
+    tfn = _tfn_sql()
+    one = "CAST(CAST(1.0 AS DOUBLE) AS REAL)"
+    term1 = f"CAST({tfn} AS DOUBLE) * (ln(CAST(CAST({tfn} / c.lam AS REAL) AS DOUBLE)) / ln(2.0))"
+    mid = (
+        f"CAST(CAST(c.lam + CAST({one} / CAST({_f32lit(12.0)} * {tfn} AS REAL) AS REAL) AS REAL)"
+        f" - {tfn} AS REAL)"
+    )
+    term2 = f"CAST({mid} AS DOUBLE) * (1.0 / ln(2.0))"
+    term3 = f"0.5 * (ln(2.0 * pi() * CAST({tfn} AS DOUBLE)) / ln(2.0))"
+    bm = f"CAST({term1} + {term2} + {term3} AS REAL)"
+    ae = f"CAST({one} / CAST({tfn} + {one} AS REAL) AS REAL)"
+    score = f"CAST(CAST({_f32lit(boost)} * {bm} AS REAL) * {ae} AS REAL)"
+    return f"""{prelude()},
+cdfr AS ({consts}),
+dlv AS (
+  SELECT l.docid, v.nt FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+)
+SELECT p.docid AS docid, {score} AS score
+FROM posting p
+CROSS JOIN cdfr c
+JOIN dlv d ON p.docid = d.docid
+WHERE p.term = '{term}'
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+
+
+def ib_ll_term_sql(term: str, k: int = 10, boost: float = 1.0) -> str:
+    """Top-k TermQuery under IB LL-D-H2, float32-exact (LambdaDF.cs:36-39:
+    λ = f32(f32(df+1)/f32(N+1)); DistributionLL.cs:37-40:
+    score = f32(boost · f32(−ln(f32(λ/f32(tfn+λ))))))."""
+    one = "CAST(CAST(1.0 AS DOUBLE) AS REAL)"
+    consts = f"""
+  SELECT CAST(CAST(CAST(t.df AS REAL) + {one} AS REAL) /
+              CAST(CAST(f.max_doc AS REAL) + {one} AS REAL) AS REAL) AS lam,
+         CAST(CAST(f.sum_ttf AS REAL) / CAST(f.max_doc AS REAL) AS REAL) AS avg32
+  FROM tstats t CROSS JOIN fstats f WHERE t.term = '{term}'"""
+    tfn = _tfn_sql()
+    ratio = f"CAST(c.lam / CAST({tfn} + c.lam AS REAL) AS REAL)"
+    dist = f"CAST(-ln(CAST({ratio} AS DOUBLE)) AS REAL)"
+    score = f"CAST({_f32lit(boost)} * {dist} AS REAL)"
     return f"""{prelude()},
 cdfr AS ({consts}),
 dlv AS (

@@ -51,6 +51,7 @@ from ..plans.query import (
     FilteredQuery,
     FuzzyQuery,
     MatchAllQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
@@ -157,7 +158,9 @@ class IndexSearcher:
         # (SURVEY §4.2), so this is a pure query-time switch; classic
         # decodes them raw (byte315ToFloat), omitNorms fields score raw
         # (norms == null -> no multiply, TFIDFSimScorer.Score:691)
-        if similarity not in ("bm25", "classic", "lmd", "lmjm", "dfr_gb2"):
+        if similarity not in (
+            "bm25", "classic", "lmd", "lmjm", "dfr_gb2", "dfr_pl2", "ib_ll"
+        ):
             raise ValueError(f"unknown similarity {similarity!r}")
         self.similarity = similarity
         self.mu = float(mu)  # LMDirichletSimilarity default mu=2000
@@ -535,6 +538,26 @@ class IndexSearcher:
         elif isinstance(q, PhraseQuery) and len(q.terms) == 1:
             # 1-term phrase rewrites to TermQuery (PhraseQuery.cs Rewrite)
             return TermQuery(term=q.terms[0], field=q.field, boost=q.boost)
+        elif isinstance(q, MultiPhraseQuery):
+            # MultiPhraseQuery.cs Rewrite: 1 slot -> BooleanQuery of SHOULD
+            # TermQueries; all-singleton slots -> plain PhraseQuery
+            if len(q.term_arrays) == 1:
+                return BooleanQuery(
+                    boost=q.boost,
+                    should=tuple(
+                        TermQuery(term=t, field=q.field)
+                        for t in q.term_arrays[0]
+                    ),
+                )
+            if all(len(a) == 1 for a in q.term_arrays):
+                return PhraseQuery(
+                    boost=q.boost,
+                    terms=tuple(a[0] for a in q.term_arrays),
+                    positions=q.positions,
+                    slop=q.slop,
+                    field=q.field,
+                )
+            return q
         elif isinstance(q, BooleanQuery):
             return BooleanQuery(
                 boost=q.boost,
@@ -615,14 +638,14 @@ class IndexSearcher:
             if isinstance(q, BooleanQuery):
                 if self.similarity == "classic":
                     return self._classic_boolean_scores(q)
-                if self.similarity == "dfr_gb2":
+                if self.similarity in ("dfr_gb2", "dfr_pl2", "ib_ll"):
                     return self._dfr_boolean_scores(q)
                 return self._lmd_boolean_scores(q)
             raise NotImplementedError(
                 f"{self.similarity} similarity supports term/boolean queries "
                 f"(got {type(q).__name__}); phrase/dismax are BM25-only"
             )
-        if isinstance(q, PhraseQuery):
+        if isinstance(q, (PhraseQuery, MultiPhraseQuery)):
             return self._phrase_scores(q)
         if isinstance(q, DisMaxQuery):
             return self._dismax_scores(q)
@@ -952,29 +975,40 @@ class IndexSearcher:
         return scored
 
     def _dfr_boolean_scores(self, q: BooleanQuery) -> DataFrame:
-        """BooleanQuery under DFR GB2 (DFRSimilarity(BasicModelG,
-        AfterEffectB, NormalizationH2 c=1)), float32-exact:
-          avgFieldLength = f32(f32(sumTotalTermFreq) / maxDoc)   (SimilarityBase:133)
-          tfn = f32(tf * log2(f32(1 + f32(f32(c*avg) / docLen)))) (NormalizationH2.cs:53-56)
-          λ   = (ttf+1)/(N + ttf+1) in double; BM = f32(log2(λ+1) + tfn*log2((1+λ)/λ))
-                                                     (BasicModelG.cs:37-45)
-          AE  = f32(f32(ttf+2) / f32(f32(df+1) * f32(tfn+1)))     (AfterEffectB.cs:33-38)
-          score = f32(f32(boost * BM) * AE)                       (DFRSimilarity.cs:121-125)
-        log2(x) mirrored as ln(x)/ln(2) (SimilarityBase.Log2); docLen from
-        the byte315⁻² table, 1 for omitNorms fields."""
+        """BooleanQuery under the SimilarityBase-derived scorers, float32-
+        exact. Shared machinery (SimilarityBase.cs:117-139, 227-262):
+          avgFieldLength = f32(f32(sumTotalTermFreq) / maxDoc)
+          tfn (NormalizationH2 c=1) = f32(tf * log2(f32(1 + f32(f32(c*avg)
+               / docLen))))                         (NormalizationH2.cs:53-56)
+          docLen from the byte315⁻² table, 1 for omitNorms fields;
+          log2(x) = ln(x)/ln(2) (SimilarityBase.Log2).
+        Kernels:
+          dfr_gb2 (DFRSimilarity(BasicModelG, AfterEffectB, H2)):
+            λ = (ttf+1)/(N + ttf+1) double; BM = f32(log2(λ+1) + tfn*log2((1+λ)/λ))
+            (BasicModelG.cs:37-45); AE = f32(f32(ttf+2) / f32(f32(df+1) *
+            f32(tfn+1))) (AfterEffectB.cs:33-38); score = f32(f32(boost*BM)*AE)
+            (DFRSimilarity.cs:121-125).
+          dfr_pl2 (DFRSimilarity(BasicModelP, AfterEffectL, H2)):
+            λ = f32(f32(ttf+1) / f32(N+1)); BM = f32(tfn*log2(f32(tfn/λ)) +
+            (f32(f32(λ + f32(1/f32(12*tfn))) - tfn))*log2(e) +
+            0.5*log2(2π*tfn)) (BasicModelP.cs:43-48); AE = f32(1/f32(tfn+1))
+            (AfterEffectL.cs:32-35); same composition.
+          ib_ll (IBSimilarity(DistributionLL, LambdaDF, H2)):
+            λ = f32(f32(df+1) / f32(N+1)) (LambdaDF.cs:36-39);
+            score = f32(boost * f32(-ln(f32(λ / f32(tfn+λ)))))
+            (DistributionLL.cs:37-40, IBSimilarity.cs:90-93)."""
         from ..functions.smallfloat import NORM_TABLE
 
         if not q.must and not q.should:
             return self._empty_hits()
         if not all(isinstance(c, TermQuery) for c in q.must + q.should + q.must_not):
-            raise NotImplementedError("dfr similarity scores term clauses")
+            raise NotImplementedError("dfr/ib similarity scores term clauses")
         terms = list(q.must) + list(q.should)
         n_must = len(q.must)
         keys = [(c.field, c.term) for c in terms]
         metas = self.term_meta(keys)
         if any(metas[k][0] == 0 for k in keys[:n_must]):
             return self._empty_hits()
-        ln2 = float(np.log(2.0))
         N = float(self.max_doc)
         field_tokens = {
             f: int(info.get("sum_ttf", 0)) for f, info in self.fields_info.items()
@@ -984,17 +1018,12 @@ class IndexSearcher:
             df_, ttf, _b = metas[k]
             if df_ == 0:
                 continue
-            Fv = float(ttf + 1)
-            lam = Fv / (N + Fv)
-            l1 = np.log(lam + 1.0) / ln2
-            l2 = np.log((1.0 + lam) / lam) / ln2
             avg = np.float32(
                 np.float32(field_tokens.get(c.field, 0)) / np.float32(self.max_doc)
             )
             boost = np.float32(np.float32(c.boost) * np.float32(q.boost))
             by_key.setdefault(k, []).append(
-                (i, float(boost), float(l1), float(l2), float(Fv + 1.0),
-                 float(df_ + 1), float(avg))
+                (i, float(boost), int(df_), int(ttf), float(avg))
             )
         if not by_key:
             return self._empty_hits()
@@ -1002,10 +1031,13 @@ class IndexSearcher:
         if n_must:
             blocks = self._conjunction_prune(blocks, keys[:n_must])
         omit = {f for f, info in self.fields_info.items() if info.get("omit_norms")}
+        sim = self.similarity
 
         def score_batches(it):
             from .codec import decode_block
 
+            ln2 = np.log(2.0)
+            log2e = 1.0 / ln2  # BasicModelP.LOG2_E
             for pdf in it:
                 outs = []
                 for r in pdf.itertuples(index=False):
@@ -1021,18 +1053,49 @@ class IndexSearcher:
                         if r.field in omit
                         else NORM_TABLE[nbytes]
                     )
-                    for cid, boost, l1, l2, Fp1, np1, avg in by_key[(r.field, r.term)]:
+                    for cid, boost, df_, ttf, avg in by_key[(r.field, r.term)]:
                         # tfn = f32(tf * log2(f32(1 + f32(f32(c*avg)/dl))))
                         inner = np.float32(1.0) + (
                             np.float32(np.float32(1.0) * np.float32(avg)) / dl
                         )
-                        log2i = np.log(inner.astype(np.float64)) / np.log(2.0)
+                        log2i = np.log(inner.astype(np.float64)) / ln2
                         tfn = (freq.astype(np.float64) * log2i).astype(np.float32)
-                        bm = (l1 + tfn.astype(np.float64) * l2).astype(np.float32)
-                        ae = np.float32(Fp1) / (
-                            np.float32(np1) * (tfn + np.float32(1.0))
-                        )
-                        sc = (np.float32(boost) * bm) * ae
+                        if sim == "dfr_gb2":
+                            Fv = float(ttf + 1)
+                            lam = Fv / (N + Fv)
+                            l1 = np.log(lam + 1.0) / ln2
+                            l2 = np.log((1.0 + lam) / lam) / ln2
+                            bm = (l1 + tfn.astype(np.float64) * l2).astype(
+                                np.float32
+                            )
+                            ae = np.float32(Fv + 1.0) / (
+                                np.float32(df_ + 1) * (tfn + np.float32(1.0))
+                            )
+                            sc = (np.float32(boost) * bm) * ae
+                        elif sim == "dfr_pl2":
+                            lam = np.float32(
+                                np.float32(ttf + 1) / np.float32(N + 1)
+                            )
+                            t64 = tfn.astype(np.float64)
+                            term1 = t64 * (np.log((tfn / lam).astype(np.float64)) / ln2)
+                            mid = (
+                                lam + (np.float32(1.0) / (np.float32(12.0) * tfn))
+                            ) - tfn  # float32 left-to-right
+                            term2 = mid.astype(np.float64) * log2e
+                            term3 = 0.5 * (np.log(2.0 * np.pi * t64) / ln2)
+                            bm = (term1 + term2 + term3).astype(np.float32)
+                            ae = np.float32(1.0) / (tfn + np.float32(1.0))
+                            sc = (np.float32(boost) * bm) * ae
+                        else:  # ib_ll
+                            lam = np.float32(
+                                (np.float32(df_) + np.float32(1.0))
+                                / (np.float32(N) + np.float32(1.0))
+                            )
+                            ratio = lam / (tfn + lam)  # float32
+                            dist = (-np.log(ratio.astype(np.float64))).astype(
+                                np.float32
+                            )
+                            sc = np.float32(boost) * dist
                         outs.append(
                             pd.DataFrame(
                                 {"docid": docids, "clause": cid, "score": sc}
@@ -1171,22 +1234,30 @@ class IndexSearcher:
         return rare_blocks.unionByName(pruned)
 
     # -- phrase scoring --------------------------------------------------------
-    def _phrase_scores(self, q: PhraseQuery) -> DataFrame:
-        """PhraseQuery scorer, relational-first.
+    def _phrase_scores(self, q) -> DataFrame:
+        """Phrase / MultiPhrase scorer, relational-first.
 
         Exact (slop=0): decode (docid, clause, pos - queryOffset) rows for
-        the phrase terms' blocks (conjunction-pruned to the rarest term's
-        docid ranges), then alignment = groupBy(docid, basePos) having all
-        clauses, phraseFreq = alignments per doc (ExactPhraseScorer.cs).
-        Sloppy (slop>0): candidate docs containing every clause gather their
-        adjusted position lists and run the SloppyPhraseScorer merge per doc
-        (few docs survive the conjunction; the loop is per-doc, not per-row
-        of the corpus). Scoring: weight = f32 sum of clause idfs through the
-        term weight chain; score = w*freq/(freq + norm_cache[norm_byte]) —
-        same float32 operation order as TermScorer."""
-        terms = list(q.terms)
+        the phrase terms' blocks (conjunction-pruned to the rarest
+        single-term slot's docid ranges), then alignment = groupBy(docid,
+        basePos) having all clauses, phraseFreq = alignments per doc
+        (ExactPhraseScorer.cs). Sloppy (slop>0): candidate docs containing
+        every clause gather their adjusted position lists and run the
+        SloppyPhraseScorer merge per doc (few docs survive the conjunction;
+        the loop is per-doc, not per-row of the corpus). MultiPhraseQuery
+        (Search/MultiPhraseQuery.cs): a slot with several alternative terms
+        maps them all to the same clause id — exactly
+        UnionDocsAndPositionsEnum's position union. Scoring: weight = f32
+        fold of idf over every (slot, term) pair in declaration order
+        (MultiPhraseWeight allTermStats), through the term weight chain;
+        score = w*freq/(freq + norm_cache[norm_byte]) — same float32
+        operation order as TermScorer."""
+        if isinstance(q, PhraseQuery):
+            arrays = tuple((t,) for t in q.terms)
+        else:
+            arrays = tuple(tuple(a) for a in q.term_arrays)
         offsets = list(q.offsets)
-        if not terms:
+        if not arrays:
             return self._empty_hits()
         if any(
             s["manifest"].get("index_options") == "docs_freqs"
@@ -1196,21 +1267,36 @@ class IndexSearcher:
                 "phrase queries need positions; this index was built with "
                 "index_options='docs_freqs'"
             )
-        keys = [(q.field, t) for t in terms]
-        dfs = self.doc_freqs(keys)
-        if any(dfs[k] == 0 for k in keys):
-            return self._empty_hits()
+        flat = [(slot, t) for slot, arr in enumerate(arrays) for t in arr]
+        keys = [(q.field, t) for _slot, t in flat]
+        dfs = self.doc_freqs(set(keys))
+        # a slot with no present alternative can never match
+        # (MultiPhraseQuery.cs:268-272 returns a null scorer)
+        for arr in arrays:
+            if all(dfs[(q.field, t)] == 0 for t in arr):
+                return self._empty_hits()
+        # idf fold over ALL (slot, term) pairs in declaration order,
+        # absent terms included with df=0 stats (allTermStats)
         s = np.float32(0.0)
-        for k in keys:
-            s = np.float32(s + idf_f32(dfs[k], self.max_doc))
+        for _slot, t in flat:
+            s = np.float32(s + idf_f32(dfs[(q.field, t)], self.max_doc))
         w = np.float32(
             np.float32(s * np.float32(q.boost))
             * np.float32(np.float32(self.k1) + np.float32(1.0))
         )
-        blocks = self._conjunction_prune(self._blocks_for(set(keys)), keys)
+        live_keys = sorted({k for k in keys if dfs[k] > 0})
+        blocks = self._blocks_for(live_keys)
+        single_keys = [
+            (q.field, arr[0])
+            for arr in arrays
+            if len(arr) == 1 and dfs[(q.field, arr[0])] > 0
+        ]
+        if single_keys:
+            blocks = self._conjunction_prune(blocks, single_keys)
         by_term: dict[str, list[tuple[int, int]]] = {}
-        for i, (t, off) in enumerate(zip(terms, offsets)):
-            by_term.setdefault(t, []).append((i, off))
+        for slot, t in flat:
+            if dfs[(q.field, t)] > 0:
+                by_term.setdefault(t, []).append((slot, offsets[slot]))
 
         def expand(it):
             from .codec import decode_block, decode_positions
@@ -1252,7 +1338,7 @@ class IndexSearcher:
             "norms_enc", "pos_enc", "docbase",
         ).mapInPandas(expand, "docid long, clause int, bpos long, norm_byte short")
 
-        n = len(terms)
+        n = len(arrays)
         cache = self._field_caches[q.field]
         nc_arr = F.array(*[F.lit(float(c)).cast("float") for c in cache])
         w_lit = F.lit(float(w)).cast("float")
@@ -1813,6 +1899,8 @@ def _collect_terms(q: Query) -> list:
         return [(q.field, q.term)]
     if isinstance(q, PhraseQuery):
         return [(q.field, t) for t in q.terms]
+    if isinstance(q, MultiPhraseQuery):
+        return [(q.field, t) for arr in q.term_arrays for t in arr]
     if isinstance(q, BooleanQuery):
         out = []
         for c in q.must + q.should:

@@ -419,6 +419,71 @@ def dfr_gb2_term_scores(
     return out
 
 
+def dfr_pl2_term_scores(
+    index: OracleIndex, term: str, boost: float = 1.0
+) -> dict[int, np.float32]:
+    """DFR PL2 (DFRSimilarity + BasicModelP + AfterEffectL + H2 c=1) — see
+    _dfr_boolean_scores for the cited float operation chain
+    (BasicModelP.cs:43-48, AfterEffectL.cs:32-35)."""
+    plist = index.postings.get(term)
+    if not plist:
+        return {}
+    ttf = sum(tf for _d, tf in plist)
+    N = float(index.max_doc)
+    lam = np.float32(np.float32(ttf + 1) / np.float32(N + 1))
+    ln2 = np.log(2.0)
+    log2e = 1.0 / ln2
+    avg = np.float32(np.float32(index.sum_ttf) / np.float32(index.max_doc))
+    out = {}
+    for docid, tf in plist:
+        dl = NORM_TABLE[index.norm_bytes[docid]]
+        inner = np.float32(1.0) + np.float32(
+            np.float32(np.float32(1.0) * avg) / dl
+        )
+        tfn = np.float32(np.float64(np.float32(tf)) * (np.log(np.float64(inner)) / ln2))
+        term1 = np.float64(tfn) * (np.log(np.float64(np.float32(tfn / lam))) / ln2)
+        mid = np.float32(
+            np.float32(lam + np.float32(np.float32(1.0) / np.float32(np.float32(12.0) * tfn)))
+            - tfn
+        )
+        term2 = np.float64(mid) * log2e
+        term3 = 0.5 * (np.log(2.0 * np.pi * np.float64(tfn)) / ln2)
+        bm = np.float32(term1 + term2 + term3)
+        ae = np.float32(np.float32(1.0) / np.float32(tfn + np.float32(1.0)))
+        out[docid] = np.float32(np.float32(np.float32(boost) * bm) * ae)
+    return out
+
+
+def ib_ll_term_scores(
+    index: OracleIndex, term: str, boost: float = 1.0
+) -> dict[int, np.float32]:
+    """IB LL-D-H2 (IBSimilarity + DistributionLL + LambdaDF +
+    NormalizationH2 c=1): λ = f32(f32(df+1)/f32(N+1)) (LambdaDF.cs:36-39),
+    score = f32(boost * f32(-ln(f32(λ/f32(tfn+λ)))))
+    (DistributionLL.cs:37-40, IBSimilarity.cs:90-93)."""
+    plist = index.postings.get(term)
+    if not plist:
+        return {}
+    df = len(plist)
+    N = float(index.max_doc)
+    lam = np.float32(
+        (np.float32(df) + np.float32(1.0)) / (np.float32(N) + np.float32(1.0))
+    )
+    ln2 = np.log(2.0)
+    avg = np.float32(np.float32(index.sum_ttf) / np.float32(index.max_doc))
+    out = {}
+    for docid, tf in plist:
+        dl = NORM_TABLE[index.norm_bytes[docid]]
+        inner = np.float32(1.0) + np.float32(
+            np.float32(np.float32(1.0) * avg) / dl
+        )
+        tfn = np.float32(np.float64(np.float32(tf)) * (np.log(np.float64(inner)) / ln2))
+        ratio = np.float32(lam / np.float32(tfn + lam))
+        dist = np.float32(-np.log(np.float64(ratio)))
+        out[docid] = np.float32(np.float32(boost) * dist)
+    return out
+
+
 def kw_term_scores(
     index: OracleIndex, fieldname: str, term: str, k1: float = 1.2, boost: float = 1.0
 ) -> dict[int, np.float32]:
@@ -557,6 +622,61 @@ def phrase_scores(
             freq = sloppy_phrase_freq(
                 [index.positions[t][d] for t in terms], offsets, slop
             )
+        if freq > 0:
+            norm = cache[index.norm_bytes[d]]
+            out[d] = np.float32(w * freq / (freq + norm))
+    return out
+
+
+def multi_phrase_scores(
+    index: OracleIndex,
+    term_arrays: list[list[str]],
+    offsets: list[int] | None = None,
+    slop: int = 0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    boost: float = 1.0,
+) -> dict[int, np.float32]:
+    """docid -> float32 MultiPhraseQuery score (Search/MultiPhraseQuery.cs).
+
+    Each slot's alternatives are position-unioned (UnionDocsAndPositionsEnum);
+    weight idf folds over ALL (slot, term) pairs in declaration order,
+    absent terms included with df=0 (MultiPhraseWeight allTermStats)."""
+    if offsets is None:
+        offsets = list(range(len(term_arrays)))
+    if not term_arrays:
+        return {}
+    cand = None
+    for arr in term_arrays:
+        docs: set[int] = set()
+        for t in arr:
+            docs |= set(index.positions.get(t, {}))
+        if not docs:
+            return {}
+        cand = docs if cand is None else cand & docs
+    s = np.float32(0.0)
+    for arr in term_arrays:
+        for t in arr:
+            s = np.float32(s + idf(len(index.postings.get(t, [])), index.max_doc))
+    w = np.float32(
+        np.float32(s * np.float32(boost)) * np.float32(np.float32(k1) + np.float32(1.0))
+    )
+    cache = norm_cache(k1, b, index.avgdl)
+    out: dict[int, np.float32] = {}
+    for d in sorted(cand):
+        per = [
+            sorted({p for t in arr for p in index.positions.get(t, {}).get(d, [])})
+            for arr in term_arrays
+        ]
+        if any(not u for u in per):
+            continue
+        if slop == 0:
+            base = {p - offsets[0] for p in per[0]}
+            for u, off in zip(per[1:], offsets[1:]):
+                base &= {p - off for p in u}
+            freq = np.float32(len(base))
+        else:
+            freq = sloppy_phrase_freq(per, offsets, slop)
         if freq > 0:
             norm = cache[index.norm_bytes[d]]
             out[d] = np.float32(w * freq / (freq + norm))

@@ -74,13 +74,19 @@ def _atom_query(tok: str) -> Query | None:
     if tok.startswith('"'):
         # "exact phrase" / "sloppy phrase"~2 — analyzed with the index
         # analyzer; query positions keep stopword/too-long gaps
-        # (QueryParserBase.cs:244 PhraseSlop, QueryBuilder analyzed phrase)
+        # (QueryParserBase.cs:244 PhraseSlop, QueryBuilder analyzed phrase).
+        # "(a|b) c" — per-slot alternatives -> MultiPhraseQuery (the classic
+        # parser has no such syntax; Lucene builds these programmatically —
+        # MultiPhraseQuery.cs usage docs — this is our surface for it)
         pm = re.match(r'"([^"]*)"(?:~(\d+))?$', tok)
         if not pm:
             raise ValueError(f"malformed phrase token {tok!r}")
+        body, slop = pm.group(1), int(pm.group(2) or 0)
+        if re.search(r"\(.*\|.*\)", body):
+            return _multi_phrase(body, slop, boost)
         from ..functions.analysis import tokenize_with_positions
 
-        toks, poss = tokenize_with_positions(pm.group(1))
+        toks, poss = tokenize_with_positions(body)
         if not toks:
             return None
         if len(toks) == 1:
@@ -88,7 +94,7 @@ def _atom_query(tok: str) -> Query | None:
         return PhraseQuery(
             terms=tuple(toks),
             positions=tuple(poss),
-            slop=int(pm.group(2) or 0),
+            slop=slop,
             boost=boost,
         )
     fuzz = re.search(r"~(\d*)$", tok)
@@ -110,6 +116,38 @@ def _atom_query(tok: str) -> Query | None:
     if len(toks) == 1:
         return TermQuery(term=toks[0], boost=boost)
     return BooleanQuery(should=tuple(TermQuery(term=t) for t in toks), boost=boost)
+
+
+def _multi_phrase(body: str, slop: int, boost: float) -> Query | None:
+    """'(a|b) c' phrase body -> MultiPhraseQuery. One position slot per
+    whitespace spec; a (x|y) group's alternatives are analyzed individually;
+    specs that analyze away (stopwords) leave a position gap, like the
+    analyzed-phrase path."""
+    from .query import MultiPhraseQuery
+
+    arrays: list[tuple[str, ...]] = []
+    positions: list[int] = []
+    pos_i = 0
+    for spec in body.split():
+        gm = re.fullmatch(r"\((.*)\)", spec)
+        alts = gm.group(1).split("|") if gm else [spec]
+        terms: list[str] = []
+        for a in alts:
+            terms.extend(tokenize_text(a))
+        if terms:
+            arrays.append(tuple(dict.fromkeys(terms)))
+            positions.append(pos_i)
+        pos_i += 1  # dropped (stopword) specs still consume a position
+    if not arrays:
+        return None
+    if len(arrays) == 1 and len(arrays[0]) == 1:
+        return TermQuery(term=arrays[0][0], boost=boost)
+    return MultiPhraseQuery(
+        term_arrays=tuple(arrays),
+        positions=tuple(positions),
+        slop=slop,
+        boost=boost,
+    )
 
 
 def parse(s: str, default_operator: str = "OR") -> Query:

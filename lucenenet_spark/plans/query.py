@@ -72,6 +72,38 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Generalized phrase: a SET of alternative terms per position slot
+    (Search/MultiPhraseQuery.cs — "Microsoft app*" style synonym phrases).
+
+    Semantics (MultiPhraseWeight + UnionDocsAndPositionsEnum):
+    - each slot's alternatives are position-UNIONed: the slot matches at
+      any position where any alternative occurs;
+    - weight idf = float32 fold of idf over ALL (slot, term) pairs in
+      declaration order, duplicates counted (MultiPhraseQuery.cs:193-207);
+    - a term absent from the index is skipped in the union; a slot whose
+      every alternative is absent can never match (GetScorer null,
+      MultiPhraseQuery.cs:268-272);
+    - slop=0 -> ExactPhraseScorer alignment, slop>0 -> SloppyPhraseScorer,
+      both over the unioned enums.
+    Rewrite: all slots singleton -> PhraseQuery; one slot -> BooleanQuery
+    of SHOULD TermQueries (MultiPhraseQuery.cs Rewrite)."""
+
+    term_arrays: tuple[tuple[str, ...], ...] = ()
+    positions: tuple[int, ...] = ()
+    slop: int = 0
+    field: str = "text"
+
+    @property
+    def offsets(self) -> tuple[int, ...]:
+        return (
+            self.positions
+            if self.positions
+            else tuple(range(len(self.term_arrays)))
+        )
+
+
+@dataclass(frozen=True)
 class FilteredQuery(Query):
     """Score `query`, keep only docs passing a doc-side SQL predicate.
 

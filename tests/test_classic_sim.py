@@ -128,3 +128,19 @@ def test_dfr_gb2_term_parity(spark, index_dir, oracle_index):
         want = oracle.top_k(oracle.dfr_gb2_term_scores(oracle_index, t), 15)
         got = hits(s.search(TermQuery(term=t), 15))
         assert got == want, t
+
+
+def test_dfr_pl2_term_parity(spark, index_dir, oracle_index):
+    s = IndexSearcher(spark, index_dir, similarity="dfr_pl2")
+    for t in ["popcorn", "hello", "common7"]:
+        want = oracle.top_k(oracle.dfr_pl2_term_scores(oracle_index, t), 15)
+        got = hits(s.search(TermQuery(term=t), 15))
+        assert got == want, t
+
+
+def test_ib_ll_term_parity(spark, index_dir, oracle_index):
+    s = IndexSearcher(spark, index_dir, similarity="ib_ll")
+    for t in ["popcorn", "hello", "common7"]:
+        want = oracle.top_k(oracle.ib_ll_term_scores(oracle_index, t), 15)
+        got = hits(s.search(TermQuery(term=t), 15))
+        assert got == want, t

@@ -130,6 +130,82 @@ def test_parser_phrase_forms():
     assert parse('"the of"') == BooleanQuery()  # all-stopword phrase: no clause
 
 
+# -- MultiPhraseQuery (Search/MultiPhraseQuery.cs) ---------------------------
+
+
+def test_multi_phrase_exact_parity(searcher, oracle_index, corpus_pdf):
+    from lucenenet_spark.plans.query import MultiPhraseQuery
+
+    (a1, b1), (a2, b2), *_ = _phrase_pairs(corpus_pdf)
+    arrays = [[a1, a2] if a1 != a2 else [a1], [b1, b2] if b1 != b2 else [b1]]
+    q = MultiPhraseQuery(term_arrays=tuple(tuple(a) for a in arrays))
+    want = oracle.top_k(oracle.multi_phrase_scores(oracle_index, arrays), 10)
+    got = hits(searcher.search(q, 10))
+    assert got == want and len(got) > 0
+
+
+def test_multi_phrase_sloppy_parity(searcher, oracle_index, corpus_pdf):
+    from lucenenet_spark.plans.query import MultiPhraseQuery
+
+    (a1, b1), (a2, b2), *_ = _phrase_pairs(corpus_pdf)
+    arrays = [[a1, a2] if a1 != a2 else [a1], [b1, b2] if b1 != b2 else [b1]]
+    for slop in (1, 3):
+        q = MultiPhraseQuery(
+            term_arrays=tuple(tuple(a) for a in arrays), slop=slop
+        )
+        want = oracle.top_k(
+            oracle.multi_phrase_scores(oracle_index, arrays, slop=slop), 10
+        )
+        got = hits(searcher.search(q, 10))
+        assert got == want, slop
+
+
+def test_multi_phrase_absent_alternative(searcher, oracle_index, corpus_pdf):
+    """An absent alternative changes the WEIGHT (df=0 idf still folds in,
+    MultiPhraseWeight allTermStats) but not the match set."""
+    from lucenenet_spark.plans.query import MultiPhraseQuery
+
+    (t1, t2), *_ = _phrase_pairs(corpus_pdf)
+    arrays = [[t1, "zzz_absent_term"], [t2]]
+    q = MultiPhraseQuery(term_arrays=(tuple(arrays[0]), (t2,)))
+    want = oracle.top_k(oracle.multi_phrase_scores(oracle_index, arrays), 10)
+    got = hits(searcher.search(q, 10))
+    assert got == want and len(got) > 0
+    # and a slot whose EVERY alternative is absent matches nothing
+    q0 = MultiPhraseQuery(term_arrays=(("zzz_absent_term",), (t2,)))
+    assert searcher.search(q0, 10).count() == 0
+
+
+def test_multi_phrase_rewrites(searcher, oracle_index, corpus_pdf):
+    from lucenenet_spark.plans.query import MultiPhraseQuery
+
+    (t1, t2), *_ = _phrase_pairs(corpus_pdf)
+    # all-singleton slots == plain PhraseQuery
+    q = MultiPhraseQuery(term_arrays=((t1,), (t2,)))
+    assert hits(searcher.search(q, 10)) == hits(
+        searcher.search(PhraseQuery(terms=(t1, t2)), 10)
+    )
+    # single slot == BooleanQuery of SHOULD terms
+    q1 = MultiPhraseQuery(term_arrays=((t1, "popcorn"),))
+    b = BooleanQuery(should=(TermQuery(term=t1), TermQuery(term="popcorn")))
+    assert hits(searcher.search(q1, 10, prune=False)) == hits(
+        searcher.search(b, 10, prune=False)
+    )
+
+
+def test_parser_multi_phrase(corpus_pdf):
+    from lucenenet_spark.plans.query import MultiPhraseQuery
+
+    q = parse('"(alpha|beta) gamma"~2')
+    assert isinstance(q, MultiPhraseQuery)
+    assert q.term_arrays == (("alpha", "beta"), ("gamma",))
+    assert q.positions == (0, 1) and q.slop == 2
+    # stopword spec leaves a position gap; stopword alternative drops
+    q2 = parse('"(alpha|the) of gamma"')
+    assert q2.term_arrays == (("alpha",), ("gamma",))
+    assert q2.positions == (0, 2)
+
+
 # -- keyword fields ----------------------------------------------------------
 
 
