@@ -144,6 +144,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("tool")
         )
 
+    def facet_tree(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.facet_taxonomy(TermQuery(term=HOT), ("role", "tool"))
+
+    def facet_sideways(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.drill_sideways(
+            TermQuery(term=HOT), {"role": "tool", "tool": "src1"}
+        )
+
     def group_top2(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         return s.group_top_k(TermQuery(term=HOT), "conv_id", 2).select(
@@ -185,6 +195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         count_hits=count_hits,
         facet_role=facet_role,
         facet_drilldown=facet_drilldown,
+        facet_tree=facet_tree,
+        facet_sideways=facet_sideways,
         group_top2=group_top2,
         sort_by_ts=sort_by_ts,
         doclen=doclen,
@@ -336,9 +348,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["ann_ivf_recall"] = ann_ivf_recall
     out["emb_cell_hist"] = lambda s, d: similarity.cell_histogram(_emb(s, d))
-    out["emb_near_dups"] = lambda s, d: similarity.embedding_near_dup_pairs(
-        _emb(s, d), threshold=0.9
-    )
+
+    def emb_near_dups(spark, sf_dir):
+        # the random gate corpus has no >=0.9-cosine pairs (r2 verdict: the
+        # gate passed vacuously at 0 == 0) — plant two exact copies of
+        # vector 0 so the LSH bucket join + cosine verify produce rows
+        e = _emb(spark, sf_dir).select("vec_id", "embedding")
+        v0 = e.filter(F.col("vec_id") == 0)
+        planted = e
+        for pid in (9000001, 9000002):
+            planted = planted.unionByName(
+                v0.select(
+                    F.lit(pid).cast("long").alias("vec_id"), "embedding"
+                )
+            )
+        return similarity.embedding_near_dup_pairs(planted, threshold=0.9)
+
+    out["emb_near_dups"] = emb_near_dups
     # rows-only entries (no SQL oracle — Python-side media/simhash logic)
     out["doc_simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     out["media_features"] = lambda s, d: multimodal.media_features(
@@ -391,6 +417,41 @@ JOIN docs d ON h.docid = d.docid
 JOIN documents dd ON d.doc_id = dd.doc_id
 WHERE d.role = 'tool' AND dd.source IS NOT NULL
 GROUP BY 1 ORDER BY tool""",
+        # taxonomy rollup: every role/tool path prefix with its hit count;
+        # GROUPING() distinguishes rolled-up levels from null labels
+        "facet_tree": f"""{P},
+base AS (
+  SELECT d.role, CASE WHEN d.role = 'tool' THEN dd.source END AS tool
+  FROM (SELECT DISTINCT docid FROM scored WHERE term = '{HOT}') h
+  JOIN docs d ON h.docid = d.docid
+  JOIN documents dd ON d.doc_id = dd.doc_id
+)
+SELECT path, n FROM (
+  SELECT CASE WHEN GROUPING(tool) = 1 THEN role
+         ELSE role || '/' || tool END AS path,
+         count(*) AS n,
+         GROUPING(role) AS g0, GROUPING(tool) AS g1, tool AS tv
+  FROM base
+  GROUP BY ROLLUP(role, tool)
+) WHERE g0 = 0 AND (g1 = 1 OR tv IS NOT NULL)
+ORDER BY path""",
+        # drill-sideways: per drill dim, counts with the OTHER drills applied
+        "facet_sideways": f"""{P},
+base AS (
+  SELECT h.docid, d.role,
+         CASE WHEN d.role = 'tool' THEN dd.source END AS tool
+  FROM (SELECT DISTINCT docid FROM scored WHERE term = '{HOT}') h
+  JOIN docs d ON h.docid = d.docid
+  JOIN documents dd ON d.doc_id = dd.doc_id
+)
+SELECT dim, value, n FROM (
+  SELECT 'role' AS dim, role AS value, count(*) AS n
+  FROM base WHERE tool = 'src1' AND role IS NOT NULL GROUP BY role
+  UNION ALL
+  SELECT 'tool' AS dim, tool AS value, count(*) AS n
+  FROM base WHERE role = 'tool' AND tool IS NOT NULL GROUP BY tool
+)
+ORDER BY dim, value""",
         "group_top2": f"""{P},
 hits AS (
   SELECT s.docid, s.s AS score, d.conv_id,
@@ -484,7 +545,14 @@ ORDER BY score DESC, parent ASC LIMIT 15"""
 FROM ({sim.cosine_topk_sql(QV, 10)}) a
 JOIN ({sim.ivf_topk_sql(QV, 10)}) b USING (vec_id)"""
     out["emb_cell_hist"] = sim.cell_histogram_sql()
-    out["emb_near_dups"] = sim.embedding_near_dup_pairs_sql(threshold=0.9)
+    planted_tbl = (
+        "(SELECT vec_id, embedding FROM embeddings"
+        " UNION ALL SELECT 9000001 AS vec_id, embedding FROM embeddings WHERE vec_id = 0"
+        " UNION ALL SELECT 9000002 AS vec_id, embedding FROM embeddings WHERE vec_id = 0)"
+    )
+    out["emb_near_dups"] = sim.embedding_near_dup_pairs_sql(
+        threshold=0.9, table=planted_tbl
+    )
 
     from lucenenet_spark.pipeline import multimodal as mm
 

@@ -123,6 +123,9 @@ def main():
         ),
         "q_phrase": PhraseQuery(terms=("common1", "common2")),
         "q_phrase_sloppy": PhraseQuery(terms=("common1", "common2"), slop=3),
+        # hot x hot: both terms dense -> the bulk range-sliced path (binary
+        # sub-array shuffle, O(blocks) rows) instead of per-position rows
+        "q_phrase_hot_hot": PhraseQuery(terms=("common3", "common4")),
         "q_field_role": T(term="assistant", field="role"),
     }
     s.search(T(term="word3"), 10).collect()  # warm the scan path once
@@ -140,6 +143,17 @@ def main():
     blocks_all = s_ev._blocks_for(keys).count()
     blocks_pruned = s_ev._conjunction_prune(s_ev._blocks_for(keys), keys).count()
     extras["and_skip_blocks"] = {"unpruned": blocks_all, "pruned": blocks_pruned}
+
+    # hot-x-hot phrase shuffle-volume evidence: the bulk path ships one
+    # binary row per (block, clause, range) instead of one row per position
+    # occurrence — the previous gather path's shuffle volume
+    hh = [("text", "common3"), ("text", "common4")]
+    km = s_ev.term_meta(hh)
+    extras["phrase_hot_hot"] = {
+        "bulk_path": min(m[0] for m in km.values()) >= s.PHRASE_BULK_MIN,
+        "position_occurrences": int(sum(m[1] for m in km.values())),
+        "shuffled_block_rows": int(s_ev._blocks_for(hh).count()),
+    }
 
     total = round(time.time() - t_all, 2)
     print(

@@ -1298,6 +1298,27 @@ class IndexSearcher:
             if dfs[(q.field, t)] > 0:
                 by_term.setdefault(t, []).append((slot, offsets[slot]))
 
+        # hot x hot: when no rare single-term slot bounds the candidate set
+        # (a pure hot-hot phrase), the per-position-row shuffle below is
+        # O(total positions of all matching terms). Switch to the bulk-
+        # scorer shape (VERDICT r02 #2): docid-range-sliced BINARY position
+        # sub-arrays (O(blocks) shuffle rows), evaluated per range in
+        # mapInPandas — Lucene streams positions docid-at-a-time under the
+        # conjunction; this is the partition-granular analogue.
+        mode = getattr(self, "phrase_mode", "auto")
+        rare_df = min((dfs[k] for k in single_keys), default=None)
+        use_bulk = len(arrays) <= 63 and (
+            mode == "bulk"
+            or (
+                mode == "auto"
+                and (rare_df is None or rare_df >= self.PHRASE_BULK_MIN)
+            )
+        )
+        if use_bulk:
+            return self._phrase_scores_bulk(
+                blocks, by_term, len(arrays), int(q.slop), q.field, w
+            )
+
         def expand(it):
             from .codec import decode_block, decode_positions
 
@@ -1395,6 +1416,151 @@ class IndexSearcher:
         nc = F.element_at(nc_arr, F.col("nb").cast("int") + 1)
         return pf.filter(F.col("freq") > 0).select(
             "docid", ((w_lit * freq_f) / (freq_f + nc)).cast("float").alias("score")
+        )
+
+    # below this df for the rarest single-term slot, the conjunction-pruned
+    # per-position gather is cheap; at or above it (hot x hot) the bulk
+    # range-sliced path wins
+    PHRASE_BULK_MIN = 1 << 15
+
+    def _phrase_scores_bulk(
+        self,
+        blocks: DataFrame,
+        by_term: dict[str, list[tuple[int, int]]],
+        n: int,
+        slop: int,
+        field: str,
+        w: np.float32,
+    ) -> DataFrame:
+        """Scale-safe phrase evaluation: positions shuffled as docid-range-
+        sliced binary sub-arrays (one row per (range, clause, block-slice),
+        never one row per position), each range evaluated vectorized.
+
+        Exact: lexsort (docid, bpos) + bitwise_or.reduceat of clause masks
+        -> alignments where every slot matched (ExactPhraseScorer counting,
+        all-numpy). Sloppy: per-doc SloppyPhraseScorer merge inside the
+        range, bounded by docs that hold every clause. Bit-identical to the
+        gather path (same freq, same float32 score chain) — asserted by
+        tests/test_phrase.py bulk-parity cases."""
+        R = self.BULK_RANGE
+        cache = self._field_caches[field]
+        full_mask = (1 << n) - 1
+
+        def slice_ranges(it):
+            from .codec import decode_block, decode_positions
+
+            for pdf in it:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    docids, tfs = decode_block(
+                        r.docids_enc, r.tfs_enc, r.first_docid, r.count
+                    )
+                    if r.docbase:
+                        docids = docids + r.docbase
+                    nbytes = np.frombuffer(r.norms_enc, dtype=np.uint8)
+                    poss = decode_positions(r.pos_enc, int(tfs.sum()))
+                    drep = np.repeat(docids, tfs)
+                    nrep = np.repeat(nbytes, tfs)
+                    rid = drep // R
+                    change = np.nonzero(rid[1:] != rid[:-1])[0]
+                    bounds = np.concatenate([[0], change + 1, [len(drep)]])
+                    for cid, off in by_term[r.term]:
+                        bpos = poss - off
+                        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                            rows.append(
+                                (
+                                    int(rid[b0]),
+                                    cid,
+                                    drep[b0:b1].tobytes(),
+                                    bpos[b0:b1].tobytes(),
+                                    nrep[b0:b1].tobytes(),
+                                )
+                            )
+                yield pd.DataFrame(
+                    rows, columns=["rid", "clause", "docids", "bpos", "norms"]
+                )
+
+        def reduce_ranges(it):
+            from ..oracle import sloppy_phrase_freq
+
+            bufs = [p for p in it if len(p)]
+            if not bufs:
+                return
+            pdf = pd.concat(bufs, ignore_index=True) if len(bufs) > 1 else bufs[0]
+            counts = np.array([len(b) // 8 for b in pdf["docids"]], dtype=np.int64)
+            d = np.concatenate(
+                [np.frombuffer(b, dtype=np.int64) for b in pdf["docids"]]
+            )
+            p = np.concatenate(
+                [np.frombuffer(b, dtype=np.int64) for b in pdf["bpos"]]
+            )
+            nb = np.concatenate(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["norms"]]
+            )
+            cl = np.repeat(pdf["clause"].to_numpy(), counts)
+            if slop == 0:
+                order = np.lexsort((p, d))
+                d, p, nb, cl = d[order], p[order], nb[order], cl[order]
+                grp = (d[1:] != d[:-1]) | (p[1:] != p[:-1])
+                starts = np.concatenate([[0], np.nonzero(grp)[0] + 1])
+                mask = np.bitwise_or.reduceat(
+                    (np.uint64(1) << cl.astype(np.uint64)), starts
+                )
+                full = mask == np.uint64(full_mask)
+                if not full.any():
+                    return
+                gd = d[starts][full]
+                uniq_d, freq = np.unique(gd, return_counts=True)
+                nbu = nb[np.searchsorted(d, uniq_d)]
+                f32 = freq.astype(np.float32)
+                sc = (np.float32(w) * f32) / (f32 + cache[nbu])
+                yield pd.DataFrame({"docid": uniq_d, "score": sc})
+                return
+            # sloppy: per-doc merge over docs holding every clause
+            order = np.lexsort((p, cl, d))
+            d, p, nb, cl = d[order], p[order], nb[order], cl[order]
+            starts = np.concatenate(
+                [[0], np.nonzero(d[1:] != d[:-1])[0] + 1, [len(d)]]
+            )
+            out_d, out_s = [], []
+            for g0, g1 in zip(starts[:-1], starts[1:]):
+                cmask = 0
+                for c in cl[g0:g1]:
+                    cmask |= 1 << int(c)
+                if cmask != full_mask:
+                    continue
+                per: list[list[int]] = [[] for _ in range(n)]
+                for i in range(g0, g1):
+                    per[int(cl[i])].append(int(p[i]))
+                freq = sloppy_phrase_freq(per, [0] * n, slop)
+                if freq > 0:
+                    fr = np.float32(freq)
+                    out_d.append(int(d[g0]))
+                    out_s.append(
+                        np.float32(
+                            np.float32(w) * fr / (fr + cache[int(nb[g0])])
+                        )
+                    )
+            if out_d:
+                yield pd.DataFrame(
+                    {
+                        "docid": np.array(out_d, dtype=np.int64),
+                        "score": np.array(out_s, dtype=np.float32),
+                    }
+                )
+
+        n_shuffle = max(
+            int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")), 8
+        )
+        sliced = blocks.select(
+            "term", "first_docid", "count", "docids_enc", "tfs_enc",
+            "norms_enc", "pos_enc", "docbase",
+        ).mapInPandas(
+            slice_ranges,
+            "rid long, clause int, docids binary, bpos binary, norms binary",
+        )
+        return sliced.repartition(n_shuffle, "rid").mapInPandas(
+            reduce_ranges, "docid long, score float"
         )
 
     def _dismax_scores(self, q: DisMaxQuery) -> DataFrame:
@@ -1776,6 +1942,61 @@ class IndexSearcher:
             .groupBy(facet_col)
             .agg(F.count("*").alias("count"))
         )
+
+    def facet_taxonomy(
+        self, q: Query, path_cols: tuple[str, ...] = ("role", "tool")
+    ) -> DataFrame:
+        """Hierarchical taxonomy counts (Lucene.Net.Facet/Taxonomy/
+        TaxonomyFacetCounts): every node of the path hierarchy
+        path_cols[0]/path_cols[1]/... gets the count of matching docs under
+        it. One Catalyst ROLLUP over the fetched hits — GROUPING() flags
+        separate 'rolled up' from 'value is null' so unset labels (null
+        path components, like Lucene's unlabeled docs) never form nodes.
+        Output: (path, n), path = '/'-joined prefix, ordered by path."""
+        hits = self.fetch(self.scores(q), self._hits_bound(q))
+        cols = list(path_cols)
+        agg = hits.rollup(*cols).agg(
+            F.count("*").alias("n"),
+            *[F.grouping(c).alias(f"_g{i}") for i, c in enumerate(cols)],
+        )
+        # keep nodes: at least one level present, every present level
+        # non-null (rollup already guarantees prefix-shaped grouping sets)
+        keep = F.col("_g0") == 0
+        for i, c in enumerate(cols):
+            keep = keep & ((F.col(f"_g{i}") == 1) | F.col(c).isNotNull())
+        parts = [
+            F.when(F.col(f"_g{i}") == 0, F.col(c)) for i, c in enumerate(cols)
+        ]
+        path = F.concat_ws("/", *parts)
+        return (
+            agg.filter(keep)
+            .select(path.alias("path"), "n")
+            .orderBy("path")
+        )
+
+    def drill_sideways(self, q: Query, drills: dict[str, str]) -> DataFrame:
+        """DrillSideways (Lucene.Net.Facet DrillSideways.cs): for each drill
+        dimension, facet counts computed with every OTHER drill applied but
+        its own relaxed — the 'what would I get if I un-picked this one'
+        view. Output: (dim, value, n)."""
+        out = None
+        for dim in drills:
+            where = (
+                " AND ".join(
+                    f"{c} = '{v}'" for c, v in drills.items() if c != dim
+                )
+                or "true"
+            )
+            narrowed = FilteredQuery(query=q, where=where)
+            counts = (
+                self.fetch(self.scores(narrowed), self._hits_bound(q))
+                .filter(F.col(dim).isNotNull())
+                .groupBy(F.col(dim).alias("value"))
+                .agg(F.count("*").alias("n"))
+                .select(F.lit(dim).alias("dim"), "value", "n")
+            )
+            out = counts if out is None else out.unionByName(counts)
+        return out.orderBy("dim", "value")
 
     def sort_by_field(self, q: Query, sort_cols: list[str], k: int = 10, ascending: bool = True) -> DataFrame:
         """Sort matches by field values (Sort/TopFieldCollector)."""

@@ -264,14 +264,24 @@ def span_scores(searcher, q: Query) -> DataFrame:
     if len(req) >= 2:
         blocks = searcher._conjunction_prune(blocks, sorted(req))
     clause_of = {k: i for i, k in enumerate(keys)}
-    caches = searcher._field_caches
-    field0 = keys[0][0]
+    cache = searcher._field_caches[keys[0][0]]
+    req_mask = 0
+    for k in req:
+        req_mask |= 1 << clause_of[k]
+    qq = q
+    R = searcher.BULK_RANGE
 
-    def expand(it):
+    # Scale-safe gather (VERDICT r02 #2): positions are shuffled as docid-
+    # range-sliced BINARY sub-arrays — O(blocks) rows, never one row per
+    # position occurrence (the previous groupBy(docid).collect_list built
+    # per-position Spark rows; for a pure-OR tree with empty required set
+    # that was O(total positions of all matching terms)). Each range
+    # evaluates the span algebra per doc locally, emitting scored rows.
+    def slice_ranges(it):
         from .codec import decode_block, decode_positions
 
         for pdf in it:
-            outs = []
+            rows = []
             for r in pdf.itertuples(index=False):
                 docids, tfs = decode_block(
                     r.docids_enc, r.tfs_enc, r.first_docid, r.count
@@ -280,76 +290,77 @@ def span_scores(searcher, q: Query) -> DataFrame:
                     docids = docids + r.docbase
                 nbytes = np.frombuffer(r.norms_enc, dtype=np.uint8)
                 poss = decode_positions(r.pos_enc, int(tfs.sum()))
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "docid": np.repeat(docids, tfs),
-                            "leaf": np.int32(clause_of[(r.field, r.term)]),
-                            "pos": poss,
-                            "norm_byte": np.repeat(nbytes, tfs).astype(np.int16),
-                        }
+                drep = np.repeat(docids, tfs)
+                nrep = np.repeat(nbytes, tfs)
+                rid = drep // R
+                change = np.nonzero(rid[1:] != rid[:-1])[0]
+                bounds = np.concatenate([[0], change + 1, [len(drep)]])
+                leaf = clause_of[(r.field, r.term)]
+                for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                    rows.append(
+                        (
+                            int(rid[b0]),
+                            leaf,
+                            drep[b0:b1].tobytes(),
+                            poss[b0:b1].tobytes(),
+                            nrep[b0:b1].tobytes(),
+                        )
                     )
-                )
-            yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            yield pd.DataFrame(
+                rows, columns=["rid", "leaf", "docids", "pos", "norms"]
+            )
+
+    w32 = np.float32(w)
+
+    def reduce_ranges(it):
+        bufs = [p for p in it if len(p)]
+        if not bufs:
+            return
+        pdf = pd.concat(bufs, ignore_index=True) if len(bufs) > 1 else bufs[0]
+        counts = np.array([len(b) // 8 for b in pdf["docids"]], dtype=np.int64)
+        d = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in pdf["docids"]])
+        p = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in pdf["pos"]])
+        nb = np.concatenate([np.frombuffer(b, dtype=np.uint8) for b in pdf["norms"]])
+        lf = np.repeat(pdf["leaf"].to_numpy(), counts)
+        order = np.lexsort((p, lf, d))
+        d, p, nb, lf = d[order], p[order], nb[order], lf[order]
+        starts = np.concatenate([[0], np.nonzero(d[1:] != d[:-1])[0] + 1, [len(d)]])
+        out_d, out_s = [], []
+        for g0, g1 in zip(starts[:-1], starts[1:]):
+            present = 0
+            for leaf in lf[g0:g1]:
+                present |= 1 << int(leaf)
+            if (present & req_mask) != req_mask:
+                continue
+            pos: dict = {k: [] for k in keys}
+            for i in range(g0, g1):
+                pos[keys[int(lf[i])]].append(int(p[i]))
+            spans = eval_spans(qq, pos)
+            if not spans:
+                continue
+            freq = span_freq(spans)
+            out_d.append(int(d[g0]))
+            out_s.append(np.float32(w32 * freq / (freq + cache[int(nb[g0])])))
+        if out_d:
+            yield pd.DataFrame(
                 {
-                    "docid": pd.Series(dtype="int64"),
-                    "leaf": pd.Series(dtype="int32"),
-                    "pos": pd.Series(dtype="int64"),
-                    "norm_byte": pd.Series(dtype="int16"),
+                    "docid": np.array(out_d, dtype=np.int64),
+                    "score": np.array(out_s, dtype=np.float32),
                 }
             )
 
-    rows = blocks.select(
+    n_shuffle = max(
+        int(searcher.spark.conf.get("spark.sql.shuffle.partitions", "32")), 8
+    )
+    sliced = blocks.select(
         "field", "term", "first_docid", "count", "docids_enc", "tfs_enc",
         "norms_enc", "pos_enc", "docbase",
-    ).mapInPandas(expand, "docid long, leaf int, pos long, norm_byte short")
-    req_ids = {clause_of[k] for k in req}
-    gathered = rows.groupBy("docid").agg(
-        F.max("norm_byte").alias("nb"),
-        F.collect_list(F.struct("leaf", "pos")).alias("ps"),
+    ).mapInPandas(
+        slice_ranges,
+        "rid long, leaf int, docids binary, pos binary, norms binary",
     )
-    if req_ids:
-        gathered = gathered.filter(
-            F.size(
-                F.array_intersect(
-                    F.array_distinct(F.transform(F.col("ps"), lambda x: x["leaf"])),
-                    F.array([F.lit(i) for i in sorted(req_ids)]),
-                )
-            )
-            == len(req_ids)
-        )
-    qq = q
-
-    def score_docs(it):
-        for pdf in it:
-            out_rows = []
-            for r in pdf.itertuples(index=False):
-                pos: dict = {k: [] for k in keys}
-                for st in r.ps:
-                    pos[keys[int(st["leaf"])]].append(int(st["pos"]))
-                spans = eval_spans(qq, pos)
-                if not spans:
-                    continue
-                freq = span_freq(spans)
-                out_rows.append((int(r.docid), float(freq), int(r.nb)))
-            yield pd.DataFrame(
-                out_rows, columns=["docid", "freq", "nb"]
-            ) if out_rows else pd.DataFrame(
-                {
-                    "docid": pd.Series(dtype="int64"),
-                    "freq": pd.Series(dtype="float32"),
-                    "nb": pd.Series(dtype="int16"),
-                }
-            )
-
-    pf = gathered.mapInPandas(score_docs, "docid long, freq float, nb short")
-    cache = caches[field0]
-    nc_arr = F.array(*[F.lit(float(c)).cast("float") for c in cache])
-    w_lit = F.lit(float(w)).cast("float")
-    freq_f = F.col("freq").cast("float")
-    nc = F.element_at(nc_arr, F.col("nb").cast("int") + 1)
-    return pf.select(
-        "docid", ((w_lit * freq_f) / (freq_f + nc)).cast("float").alias("score")
+    return sliced.repartition(n_shuffle, "rid").mapInPandas(
+        reduce_ranges, "docid long, score float"
     )
 
 

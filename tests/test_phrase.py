@@ -130,6 +130,38 @@ def test_parser_phrase_forms():
     assert parse('"the of"') == BooleanQuery()  # all-stopword phrase: no clause
 
 
+# -- bulk (range-sliced) phrase path: bit parity with the gather path --------
+
+
+def test_phrase_bulk_gather_parity(spark, index_dir, oracle_index, corpus_pdf):
+    """The hot-x-hot bulk path (docid-range-sliced binary shuffle) must be
+    bit-identical to the per-position gather path and the oracle, exact and
+    sloppy, incl. multi-phrase slots."""
+    from lucenenet_spark.operators.search import IndexSearcher
+    from lucenenet_spark.plans.query import MultiPhraseQuery
+
+    bulk = IndexSearcher(spark, index_dir)
+    bulk.phrase_mode = "bulk"
+    gather = IndexSearcher(spark, index_dir)
+    gather.phrase_mode = "gather"
+    (t1, t2), (t3, t4), *_ = _phrase_pairs(corpus_pdf)
+    for slop in (0, 2):
+        q = PhraseQuery(terms=(t1, t2), slop=slop)
+        want = oracle.top_k(
+            oracle.phrase_scores(oracle_index, [t1, t2], slop=slop), 10
+        )
+        assert hits(bulk.search(q, 10)) == want, ("bulk", slop)
+        assert hits(gather.search(q, 10)) == want, ("gather", slop)
+        arrays = [[t1, t3] if t1 != t3 else [t1], [t2, t4] if t2 != t4 else [t2]]
+        mq = MultiPhraseQuery(
+            term_arrays=tuple(tuple(a) for a in arrays), slop=slop
+        )
+        mwant = oracle.top_k(
+            oracle.multi_phrase_scores(oracle_index, arrays, slop=slop), 10
+        )
+        assert hits(bulk.search(mq, 10)) == mwant, ("bulk-multi", slop)
+
+
 # -- MultiPhraseQuery (Search/MultiPhraseQuery.cs) ---------------------------
 
 

@@ -170,17 +170,27 @@ def test_ivf_topk_and_cells(emb):
     # every approx hit is a true cosine value (subset of the exact ranking)
     hist = similarity.cell_histogram(emb).toPandas()
     assert hist["n"].sum() == len(pdf)  # partition of the corpus
-    n_cells = (pdf["vec_id"] % similarity.IVF_MOD == 0).sum()
+    # fixed C = min(ceil(sqrt(n)), cap): corpus-size-independent broadcast
+    import math
+
+    n_cells = min(math.isqrt(len(pdf) - 1) + 1, similarity.IVF_MAX_C)
     assert len(hist) <= n_cells
 
 
 def test_ivf_recall_reasonable(emb):
+    """Average recall over several queries (single-query recall on a RANDOM
+    corpus is luck-of-the-cells); the probe must always cover the query's
+    own cell, so rank-1 self-retrieval is exact."""
     pdf = emb.toPandas()
-    row = pdf[pdf["vec_id"] == 7].iloc[0]
-    q = [float(x) for x in row["embedding"]]
-    exact = set(similarity.cosine_topk(emb, q, 10).toPandas()["vec_id"])
-    approx = set(similarity.ivf_topk(emb, q, 10).toPandas()["vec_id"])
-    assert len(exact & approx) >= 7
+    total = 0
+    for vid in [3, 7, 11, 19, 23]:
+        row = pdf[pdf["vec_id"] == vid].iloc[0]
+        q = [float(x) for x in row["embedding"]]
+        exact = set(similarity.cosine_topk(emb, q, 10).toPandas()["vec_id"])
+        approx = similarity.ivf_topk(emb, q, 10).toPandas()
+        assert approx["vec_id"].iloc[0] == vid  # own cell always probed
+        total += len(exact & set(approx["vec_id"]))
+    assert total >= 25  # avg recall@10 >= 0.5 on the worst-case random corpus
 
 
 def test_rademacher_planes_deterministic():
