@@ -262,6 +262,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hl.highlight(s, TermQuery(term=HOT), [HOT], source, k=10)
 
     out["highlight_hot"] = highlight_hot
+
+    def highlight_offs(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        source = es.transcripts_from_documents(spark, sf_dir)
+        return hl.highlight_offsets(s, TermQuery(term=HOT), [HOT], source, k=10)
+
+    out["highlight_offsets"] = highlight_offs
     out["suggest_prefix"] = lambda s, d: hl.suggest_terms(_searcher(s, d), "sc", 10)
     out["spell_suggest"] = lambda s, d: hl.spell_suggest(
         _searcher(s, d), "batcch", max_edits=2, k=5
@@ -496,6 +503,7 @@ GROUP BY v.byte ORDER BY norm_byte""",
     from lucenenet_spark.operators import highlight as hl
 
     out["highlight_hot"] = f"{P},\n{hl.highlight_sql(HOT, k=10)}"
+    out["highlight_offsets"] = f"{P},\n{hl.highlight_offsets_sql(HOT, k=10)}"
     out["suggest_prefix"] = f"{P}\n{hl.suggest_terms_sql('sc', 10)}"
     out["spell_suggest"] = f"{P}\n{hl.spell_suggest_sql('batcch', 2, 5)}"
     from lucenenet_spark.operators import mlt as _mlt

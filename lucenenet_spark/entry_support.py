@@ -85,10 +85,13 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
         import shutil
 
         with open(mpath) as f:
-            if json.load(f).get("format_version") != 3:
+            if json.load(f).get("format_version") != 4:
                 shutil.rmtree(out, ignore_errors=True)
     IndexBuilder(
-        spark, out, k1=K1, b=B, n_buckets=8, n_segments=8, salt_target=2000
+        spark, out, k1=K1, b=B, n_buckets=8, n_segments=8, salt_target=2000,
+        # gate indexes carry the full 4th IndexOptions level so the
+        # offset-highlighting gate runs against indexed char offsets
+        index_options="docs_freqs_positions_offsets",
     ).build(transcripts_from_documents(spark, sf_dir), build_id=f"gate-{tag}")
     _INDEX_CACHE[sf_dir] = out
     return out

@@ -83,6 +83,34 @@ def tokenize_with_positions(text: str | None) -> tuple[list[str], list[int]]:
     return toks, poss
 
 
+def tokenize_with_offsets(
+    text: str | None,
+) -> tuple[list[str], list[int], list[int], list[int]]:
+    """Analyzer chain emitting (tokens, positions, start_offsets,
+    end_offsets) — the DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS payload
+    (FieldInfo.cs:315-356). Offsets are char indexes into the RAW text of
+    the tokenizer match (OffsetAttribute start/end, end exclusive), before
+    lowercasing — exactly what PostingsHighlighter consumes."""
+    if not text:
+        return [], [], [], []
+    toks: list[str] = []
+    poss: list[int] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    for i, m in enumerate(_TOKEN_RE.finditer(text)):
+        tok = m.group(0)
+        if len(tok) > MAX_TOKEN_LENGTH:
+            continue
+        low = tok.lower()
+        if low in ENGLISH_STOP_WORDS:
+            continue
+        toks.append(low)
+        poss.append(i)
+        starts.append(m.start())
+        ends.append(m.end())
+    return toks, poss, starts, ends
+
+
 def _tokenize_series(texts: pd.Series) -> pd.Series:
     # vectorized-enough: one findall per row, list-comp filtering; all work
     # happens inside a single Arrow batch (no Spark-row-level Python).

@@ -101,6 +101,18 @@ def decode_positions(pos_enc: bytes, n_positions: int) -> np.ndarray:
     return _unpack(pos_enc, n_positions)
 
 
+def decode_offsets(off_enc: bytes, n_positions: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a block's offsets payload -> (starts, ends) int64 arrays of
+    length = sum of the block's tfs (aligned with the positions payload).
+    Wire format: one packed array of 2*n values [s0, e0-s0, s1, e1-s1, …]
+    (lengths instead of ends keep the bit width small)."""
+    if n_positions == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    flat = _unpack(off_enc, 2 * n_positions)
+    starts = flat[0::2]
+    return starts, starts + flat[1::2]
+
+
 def encode_posting_list(
     docids: np.ndarray,
     tfs: np.ndarray,
@@ -108,6 +120,7 @@ def encode_posting_list(
     cache: np.ndarray,
     block_size: int = BLOCK_SIZE,
     positions: np.ndarray | None = None,
+    offsets: np.ndarray | None = None,
 ) -> list[dict]:
     """Split one term's (sorted) postings into encoded block rows.
 
@@ -116,6 +129,10 @@ def encode_posting_list(
     the DOCS_AND_FREQS_AND_POSITIONS payload
     (Lucene41PostingsWriter.cs:283-354 writes pos blocks alongside doc
     blocks). None -> DOCS_AND_FREQS only (pos_enc = b"").
+    offsets: flat interleaved [start, end-start] per occurrence
+    (2*len(positions) values) — the …_AND_OFFSETS level
+    (FieldInfo.cs:315-356; Lucene41 stores startOffset/length deltas in
+    the pos block). None -> off_enc = b"".
 
     Returns list of dicts matching the postings table schema (minus
     field/term/salt, which the caller adds).
@@ -129,11 +146,13 @@ def encode_posting_list(
         b1 = min(b0 + block_size, n)
         d, t, nb = docids[b0:b1], tfs[b0:b1], norm_bytes[b0:b1]
         de, te = encode_block(d, t)
-        if positions is None:
-            pe = b""
-        else:
+        pe = oe = b""
+        if positions is not None:
             p = positions[cum[b0] : cum[b1]]
             pe = _pack(np.asarray(p, dtype=np.int64)) if len(p) else b""
+            if offsets is not None:
+                o = offsets[2 * cum[b0] : 2 * cum[b1]]
+                oe = _pack(np.asarray(o, dtype=np.int64)) if len(o) else b""
         out.append(
             {
                 "block_no": b0 // block_size,
@@ -145,6 +164,7 @@ def encode_posting_list(
                 "tfs_enc": te,
                 "norms_enc": np.asarray(nb, dtype=np.uint8).tobytes(),
                 "pos_enc": pe,
+                "off_enc": oe,
             }
         )
     return out

@@ -163,6 +163,217 @@ FROM best"""
 
 
 # ---------------------------------------------------------------------------
+# Offset-based highlighting (PostingsHighlighter capability)
+# ---------------------------------------------------------------------------
+
+
+def highlight_offsets(
+    searcher, q: Query, query_terms: list[str], source: DataFrame,
+    k: int = 10, frag_chars: int = 160, lead: int = 40,
+    pre: str = "<b>", post: str = "</b>",
+) -> DataFrame:
+    """Char-offset fragments from INDEXED offsets — no re-analysis
+    (Lucene.Net.Highlighter/PostingsHighlight/PostingsHighlighter.cs reads
+    the DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS postings the same way).
+
+    Deterministic fragment contract (reproduced exactly by
+    highlight_offsets_sql): window = [ws, ws+frag_chars) chars with
+    ws = max(0, first_occurrence_start - lead); occurrences of the query
+    terms lying fully inside the window are wrapped pre..post at their
+    exact char offsets; a hit with no occurrence gets the document head.
+    (Divergence note: PostingsHighlighter scores sentence-broken passages
+    by BM25; this fragmenter is first-match-anchored so the oracle can
+    verify the offsets machinery end to end.)
+
+    Plan shape: only blocks whose [first_docid, last_docid] range covers a
+    top-k docid are decoded (metadata filter over k literals — the
+    offsets analogue of Advance), so a hot term's full posting list is
+    never read."""
+    if any(
+        s["manifest"].get("index_options") != "docs_freqs_positions_offsets"
+        for s in searcher.segments
+    ):
+        raise NotImplementedError(
+            "offset highlighting needs index_options="
+            "'docs_freqs_positions_offsets'"
+        )
+    hits = searcher.search(q, k).collect()  # k rows
+    if not hits:
+        return searcher.spark.createDataFrame(
+            [], "docid long, score float, n_matches long, snippet string"
+        )
+    hitset = {int(r["docid"]) for r in hits}
+    blocks = searcher._blocks_for(query_terms)
+    glo = F.col("first_docid") + F.col("docbase")
+    ghi = F.col("last_docid") + F.col("docbase")
+    cond = None
+    for d in sorted(hitset):
+        c = (glo <= d) & (ghi >= d)
+        cond = c if cond is None else cond | c
+    blocks = blocks.filter(cond)
+
+    def extract(it):
+        import numpy as np
+
+        from .codec import decode_block, decode_offsets
+
+        ids = np.array(sorted(hitset), dtype=np.int64)
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                docids, tfs = decode_block(
+                    r.docids_enc, r.tfs_enc, r.first_docid, r.count
+                )
+                if r.docbase:
+                    docids = docids + r.docbase
+                sel = np.isin(docids, ids)
+                if not sel.any():
+                    continue
+                st, en = decode_offsets(r.off_enc, int(tfs.sum()))
+                cum = np.concatenate([[0], np.cumsum(tfs)])
+                for i in np.nonzero(sel)[0]:
+                    for j in range(cum[i], cum[i + 1]):
+                        rows.append((int(docids[i]), int(st[j]), int(en[j])))
+            yield pd.DataFrame(
+                rows, columns=["docid", "s", "e"]
+            ) if rows else pd.DataFrame(
+                {
+                    "docid": pd.Series(dtype="int64"),
+                    "s": pd.Series(dtype="int64"),
+                    "e": pd.Series(dtype="int64"),
+                }
+            )
+
+    occ = blocks.select(
+        "first_docid", "count", "docids_enc", "tfs_enc", "off_enc", "docbase"
+    ).mapInPandas(extract, "docid long, s long, e long")
+    gathered = occ.groupBy("docid").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("occs")
+    )
+    from .index_build import local_table
+
+    hit_df = local_table(
+        searcher.spark,
+        [(int(r["docid"]), float(r["score"])) for r in hits],
+        "docid long, score float",
+    )
+    keyed = searcher.fetch(hit_df, hits_bound=k).select(
+        "docid", "score", "conv_id", "turn_idx"
+    )
+    withtext = (
+        source.select("conv_id", "turn_idx", "text")
+        .join(F.broadcast(keyed), ["conv_id", "turn_idx"])
+        .join(F.broadcast(gathered), "docid", "left")
+    )
+
+    def frag(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                text = r.text or ""
+                olist = r.occs if r.occs is not None and len(r.occs) else []
+                occs = [(int(o["s"]), int(o["e"])) for o in olist]
+                ws = max(0, (occs[0][0] - lead) if occs else 0)
+                we = ws + frag_chars
+                inwin = [(s, e) for s, e in occs if s >= ws and e <= we]
+                parts, cur = [], ws
+                for s, e in inwin:
+                    parts.append(text[cur:s])
+                    parts.append(pre + text[s:e] + post)
+                    cur = e
+                parts.append(text[cur:we])
+                rows.append(
+                    (int(r.docid), float(r.score), len(inwin), "".join(parts))
+                )
+            yield pd.DataFrame(
+                rows, columns=["docid", "score", "n_matches", "snippet"]
+            ) if rows else pd.DataFrame(
+                {
+                    "docid": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float32"),
+                    "n_matches": pd.Series(dtype="int64"),
+                    "snippet": pd.Series(dtype="object"),
+                }
+            )
+
+    return withtext.select("docid", "score", "text", "occs").mapInPandas(
+        frag, "docid long, score float, n_matches long, snippet string"
+    )
+
+
+def highlight_offsets_sql(
+    term: str, k: int = 10, frag_chars: int = 160, lead: int = 40,
+    pre: str = "<b>", post: str = "</b>",
+) -> str:
+    """DuckDB oracle for highlight_offsets over a single-term query: token
+    char offsets are recomputed relationally — regexp_split_to_array gives
+    the inter-token gaps, so start(tok_i) = cum(len(gaps) thru i) +
+    cum(len(toks) before i); the fragment is rebuilt segment-by-segment
+    with string_agg at those offsets."""
+    from ..functions.analysis import TOKEN_PATTERN_RE2
+
+    return f"""topk AS (
+  SELECT docid, s AS score FROM scored WHERE term = '{term}'
+  ORDER BY s DESC, docid ASC LIMIT {k}
+),
+rawm AS (
+  SELECT d.docid, d.text,
+         regexp_extract_all(COALESCE(d.text, ''), '{TOKEN_PATTERN_RE2}') AS tks,
+         regexp_split_to_array(COALESCE(d.text, ''), '{TOKEN_PATTERN_RE2}') AS gaps
+  FROM docs d JOIN topk USING (docid)
+),
+tokoff AS (
+  SELECT docid, lower(tok) AS t,
+         sum(length(gaps[i])) OVER w
+           + sum(length(tok)) OVER w - length(tok) AS s,
+         sum(length(gaps[i])) OVER w + sum(length(tok)) OVER w AS e
+  FROM (
+    SELECT docid, gaps, unnest(tks) AS tok,
+           unnest(generate_series(1, len(tks))) AS i
+    FROM rawm
+  )
+  WINDOW w AS (PARTITION BY docid ORDER BY i ROWS UNBOUNDED PRECEDING)
+),
+occ AS (SELECT docid, s, e FROM tokoff WHERE t = '{term}'),
+win AS (
+  SELECT h.docid, h.score,
+         greatest(COALESCE(min(o.s), {lead}) - {lead}, 0) AS ws
+  FROM topk h LEFT JOIN occ o USING (docid)
+  GROUP BY h.docid, h.score
+),
+inwin AS (
+  SELECT w.docid, o.s, o.e,
+         row_number() OVER (PARTITION BY w.docid ORDER BY o.s) AS i,
+         lag(o.e) OVER (PARTITION BY w.docid ORDER BY o.s) AS pe,
+         w.ws
+  FROM win w JOIN occ o USING (docid)
+  WHERE o.s >= w.ws AND o.e <= w.ws + {frag_chars}
+),
+segs AS (
+  SELECT i.docid, i.i, i.e,
+         substring(r.text, CAST(COALESCE(i.pe, i.ws) AS INT) + 1,
+                   CAST(i.s - COALESCE(i.pe, i.ws) AS INT))
+           || '{pre}' || substring(r.text, CAST(i.s AS INT) + 1,
+                                   CAST(i.e - i.s AS INT)) || '{post}' AS seg
+  FROM inwin i JOIN rawm r ON i.docid = r.docid
+),
+agg AS (
+  SELECT docid, string_agg(seg, '' ORDER BY i) AS marked,
+         max(e) AS last_e, count(*) AS n
+  FROM segs GROUP BY docid
+)
+SELECT w.docid, CAST(w.score AS REAL) AS score,
+       COALESCE(a.n, 0) AS n_matches,
+       COALESCE(a.marked, '')
+         || substring(r.text, CAST(COALESCE(a.last_e, w.ws) AS INT) + 1,
+                      CAST(w.ws + {frag_chars} - COALESCE(a.last_e, w.ws) AS INT))
+         AS snippet
+FROM win w
+JOIN rawm r ON w.docid = r.docid
+LEFT JOIN agg a ON w.docid = a.docid"""
+
+
+# ---------------------------------------------------------------------------
 # Suggest / spellcheck over the terms dictionary
 # ---------------------------------------------------------------------------
 

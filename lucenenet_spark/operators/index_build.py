@@ -66,7 +66,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.analysis import tokenize_with_positions
+from ..functions.analysis import tokenize_with_offsets, tokenize_with_positions
 from ..functions.smallfloat import encode_norm
 from ..oracle import norm_cache
 from .codec import BLOCK_SIZE, encode_posting_list
@@ -101,7 +101,7 @@ STAGING_DDL = (
     "pid int, local_rank long, conv_id string, turn_idx int, role string,"
     " tool string, ts timestamp, field_length int, norm_byte short,"
     " meta string, field string, term string, pcount int, first_local long,"
-    " docids binary, tfs binary, norms binary, poss binary"
+    " docids binary, tfs binary, norms binary, poss binary, offs binary"
 )
 
 _STAGING_COLS = [c.strip().split()[0] for c in STAGING_DDL.split(",")]
@@ -110,7 +110,7 @@ POSTINGS_DDL = (
     "field string, term string, salt int, block_no int, first_docid long,"
     " last_docid long, count int, sum_tf long, max_score_bound float,"
     " docids_enc binary, tfs_enc binary, norms_enc binary, pos_enc binary,"
-    " bucket int"
+    " off_enc binary, bucket int"
 )
 
 POSTINGS_COLS = [c.split()[0] for c in POSTINGS_DDL.split(",")]
@@ -157,7 +157,8 @@ def term_stats_view(spark: SparkSession, postings_path: str) -> DataFrame:
 # (term, docid, tf) triples, so the term shuffle stops being row-overhead-bound.
 PARTIALS_DDL = (
     "field string, term string, salt int, count int, first_docid long,"
-    " docids binary, tfs binary, norms binary, poss binary, pid int"
+    " docids binary, tfs binary, norms binary, poss binary, offs binary,"
+    " pid int"
 )
 
 
@@ -213,6 +214,7 @@ def make_merge_encode(
         t_bins = pdf["tfs"].to_numpy()[order]
         n_bins = pdf["norms"].to_numpy()[order]
         p_bins = pdf["poss"].to_numpy()[order]
+        o_bins = pdf["offs"].to_numpy()[order]
         pids = pdf["pid"].to_numpy()[order]
         change = np.nonzero((codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1]))[0]
         bounds = np.concatenate([[0], change + 1, [len(codes)]])
@@ -244,10 +246,14 @@ def make_merge_encode(
             positions = np.concatenate(
                 [np.frombuffer(p_bins[i], dtype=np.int32) for i in range(b0, b1)]
             ).astype(np.int64)
+            offs = np.concatenate(
+                [np.frombuffer(o_bins[i], dtype=np.int32) for i in range(b0, b1)]
+            ).astype(np.int64)
             postings += len(docids)
             cache = caches[field]
             rows = encode_posting_list(
-                docids, tfs, norms, cache, block, positions=positions
+                docids, tfs, norms, cache, block, positions=positions,
+                offsets=offs if len(offs) == 2 * len(positions) and len(offs) else None,
             )
             bucket = term_bucket(term, n_buckets)
             for i, r in enumerate(rows):
@@ -278,6 +284,7 @@ def make_merge_encode(
                     "tfs_enc": b"",
                     "norms_enc": b"",
                     "pos_enc": b"",
+                    "off_enc": b"",
                     "bucket": bucket,
                 }
             )
@@ -309,6 +316,7 @@ def make_merge_encode(
                     "tfs_enc": b"",
                     "norms_enc": b"",
                     "pos_enc": b"",
+                    "off_enc": b"",
                     "bucket": -1,
                 }
             ]
@@ -363,8 +371,12 @@ class IndexBuilder:
         self.keyword_fields = tuple(keyword_fields)
         # IndexOptions (FieldInfo.cs:315-356): DOCS_AND_FREQS skips the
         # positions payload entirely (~30-45% smaller index; phrase/span
-        # queries then raise); default keeps positions
-        if index_options not in ("docs_freqs", "docs_freqs_positions"):
+        # queries then raise); default keeps positions; the _offsets level
+        # additionally stores per-occurrence char offsets for
+        # PostingsHighlighter-style fragmenting
+        if index_options not in (
+            "docs_freqs", "docs_freqs_positions", "docs_freqs_positions_offsets"
+        ):
             raise ValueError(f"unknown index_options {index_options!r}")
         self.index_options = index_options
         # None = auto-detect via a narrow-column range check; True = trust the
@@ -451,7 +463,8 @@ class IndexBuilder:
             return pd.DataFrame(data)[_STAGING_COLS]
 
         keyword_fields = self.keyword_fields
-        with_positions = self.index_options == "docs_freqs_positions"
+        with_positions = self.index_options != "docs_freqs"
+        with_offsets = self.index_options == "docs_freqs_positions_offsets"
 
         def ingest_partition(it):
             # STREAMING doc rows (pipelined with the JVM read/write) while the
@@ -521,12 +534,20 @@ class IndexBuilder:
                 lengths = np.empty(n, dtype=np.int32)
                 term_flat: list[str] = []
                 pos_flat: list[int] = []
+                off_flat: list[int] = []  # interleaved [start, end-start]
                 for i, text in enumerate(pdf["text"].to_numpy()):
-                    toks, poss = tokenize_with_positions(text)
+                    if with_offsets:
+                        toks, poss, st_, en_ = tokenize_with_offsets(text)
+                    else:
+                        toks, poss = tokenize_with_positions(text)
                     lengths[i] = len(toks)
                     term_flat.extend(toks)
                     if with_positions:
                         pos_flat.extend(poss)
+                    if with_offsets:
+                        for a, b in zip(st_, en_):
+                            off_flat.append(a)
+                            off_flat.append(b - a)
                 norm_bytes = encode_norm(lengths)
                 total = len(term_flat)
                 if total:
@@ -537,10 +558,15 @@ class IndexBuilder:
                     d_arr = np.repeat(
                         np.arange(n, dtype=np.int64) + rank, lengths.astype(np.int64)
                     )
+                    ov = np.empty((0, 2), dtype=np.int32)
                     if with_positions:
                         p_arr = np.asarray(pos_flat, dtype=np.int32)
                         o = np.lexsort((p_arr, d_arr, codes))
                         c, d, p = codes[o], d_arr[o], p_arr[o]
+                        if with_offsets:
+                            ov = np.asarray(off_flat, dtype=np.int32).reshape(
+                                -1, 2
+                            )[o]
                     else:
                         o = np.lexsort((d_arr, codes))
                         c, d = codes[o], d_arr[o]
@@ -565,6 +591,9 @@ class IndexBuilder:
                                 g_tf[t0:t1],
                                 g_norm[t0:t1].astype(np.uint8),
                                 p[gb[t0] : gb[t1]],
+                                ov[gb[t0] : gb[t1]].reshape(-1)
+                                if with_offsets
+                                else np.empty(0, dtype=np.int32),
                             )
                         )
                 # keyword fields: untokenized exact values, tf=1, pos=0,
@@ -594,6 +623,9 @@ class IndexBuilder:
                                 np.ones(m, dtype=np.int32),
                                 np.zeros(m, dtype=np.uint8),
                                 np.zeros(m, dtype=np.int32),
+                                np.zeros(2 * m, dtype=np.int32)
+                                if with_offsets
+                                else np.empty(0, dtype=np.int32),
                             )
                         )
                 sum_len += int(lengths.sum())
@@ -624,7 +656,7 @@ class IndexBuilder:
                     merged[key] = chunks[0]
                 else:
                     merged[key] = tuple(
-                        np.concatenate([ch[j] for ch in chunks]) for j in range(4)
+                        np.concatenate([ch[j] for ch in chunks]) for j in range(5)
                     )
             for c0 in range(0, len(keys), 65536):
                 chunk = keys[c0 : c0 + 65536]
@@ -646,6 +678,7 @@ class IndexBuilder:
                         "tfs": [merged[k][1].tobytes() for k in chunk],
                         "norms": [merged[k][2].tobytes() for k in chunk],
                         "poss": [merged[k][3].tobytes() for k in chunk],
+                        "offs": [merged[k][4].tobytes() for k in chunk],
                     },
                     len(chunk),
                 )
@@ -821,7 +854,7 @@ class IndexBuilder:
             .filter(F.col("local_rank") == -2)
             .select(
                 "pid", "field", "term", "pcount", "first_local",
-                "docids", "tfs", "norms", "poss",
+                "docids", "tfs", "norms", "poss", "offs",
             )
         )
         off_expr = F.create_map(
@@ -860,6 +893,7 @@ class IndexBuilder:
             "tfs",
             "norms",
             "poss",
+            "offs",
             "pid",
         )
         lineage = json.dumps({"build_id": build_id, "stage": "encode", "max_doc": max_doc})
@@ -964,7 +998,7 @@ class IndexBuilder:
         ).coalesce(1).write.mode("overwrite").parquet(self._p("build_checkpoints"))
 
         manifest = {
-            "format_version": 3,
+            "format_version": 4,
             "build_id": build_id,
             "field": FIELD,
             "index_options": self.index_options,

@@ -67,7 +67,7 @@ def _decoded_partials(
     shuffle at ~postings/128 rows."""
 
     def decode_partition(it):
-        from .codec import decode_block, decode_positions
+        from .codec import decode_block, decode_offsets, decode_positions
 
         for pdf in it:
             rows = []
@@ -77,7 +77,15 @@ def _decoded_partials(
                 )
                 docids = docids + r.docbase
                 norms = np.frombuffer(r.norms_enc, dtype=np.uint8)
-                poss = decode_positions(r.pos_enc, int(tfs.sum())).astype(np.int32)
+                n_pos = int(tfs.sum())
+                poss = decode_positions(r.pos_enc, n_pos).astype(np.int32)
+                if r.off_enc:
+                    st_, en_ = decode_offsets(r.off_enc, n_pos)
+                    offs = np.empty(2 * n_pos, dtype=np.int32)
+                    offs[0::2] = st_
+                    offs[1::2] = en_ - st_
+                else:
+                    offs = np.empty(0, dtype=np.int32)
                 cum = np.concatenate([[0], np.cumsum(tfs)])
                 if deleted.size:
                     keep, docids = _remap(docids, deleted)
@@ -85,6 +93,8 @@ def _decoded_partials(
                         # drop the deleted postings' position runs too
                         pos_keep = np.repeat(keep, tfs)
                         poss = poss[pos_keep]
+                        if len(offs):
+                            offs = offs.reshape(-1, 2)[pos_keep].reshape(-1)
                     docids, tfs, norms = docids[keep], tfs[keep], norms[keep]
                     cum = np.concatenate([[0], np.cumsum(tfs)])
                 if not len(docids):
@@ -104,6 +114,9 @@ def _decoded_partials(
                             tfs[b0:b1].astype(np.int32).tobytes(),
                             norms[b0:b1].tobytes(),
                             poss[cum[b0] : cum[b1]].tobytes(),
+                            offs[2 * cum[b0] : 2 * cum[b1]].tobytes()
+                            if len(offs)
+                            else b"",
                             -1,  # ids already global (offset_map unused)
                         )
                     )
@@ -111,7 +124,7 @@ def _decoded_partials(
                 rows,
                 columns=[
                     "field", "term", "salt", "count", "first_docid", "docids",
-                    "tfs", "norms", "poss", "pid",
+                    "tfs", "norms", "poss", "offs", "pid",
                 ],
             )
 
@@ -123,7 +136,7 @@ def _decoded_partials(
             .withColumn("docbase", F.lit(s["docbase"]))
             .select(
                 "field", "term", "first_docid", "count", "docids_enc",
-                "tfs_enc", "norms_enc", "pos_enc", "docbase",
+                "tfs_enc", "norms_enc", "pos_enc", "off_enc", "docbase",
             )
             .mapInPandas(decode_partition, PARTIALS_DDL)
         )
@@ -346,10 +359,22 @@ def merge_segments(
                     "docbase": int(sg.get("docbase", 0)) + s["docbase"],
                 }
             )
+    # merged payload richness = the weakest source level (a segment without
+    # positions/offsets cannot supply them, FieldInfos merge semantics)
+    _LEVELS = ["docs_freqs", "docs_freqs_positions", "docs_freqs_positions_offsets"]
+    index_options = _LEVELS[
+        min(
+            _LEVELS.index(
+                s["manifest"].get("index_options", "docs_freqs_positions")
+            )
+            for s in segments
+        )
+    ]
     manifest = {
-        "format_version": 3,
+        "format_version": 4,
         "build_id": build_id,
         "field": FIELD,
+        "index_options": index_options,
         "fields": fields,
         "k1": k1,
         "b": b,

@@ -135,3 +135,48 @@ def test_positions_roundtrip(tf_posbase, base):
         got.append(decode_positions(r["pos_enc"], n_pos))
         i = b1
     assert np.array_equal(np.concatenate(got), positions)
+
+
+def test_offsets_round_trip():
+    """DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS payload: interleaved
+    [start, len] pairs per occurrence round-trip per block."""
+    import numpy as np
+
+    from lucenenet_spark.operators.codec import (
+        decode_offsets,
+        decode_positions,
+        encode_posting_list,
+    )
+    from lucenenet_spark.oracle import norm_cache
+
+    rng = np.random.default_rng(7)
+    n = 300
+    docids = np.sort(rng.choice(100000, size=n, replace=False))
+    tfs = rng.integers(1, 5, size=n).astype(np.int64)
+    total = int(tfs.sum())
+    positions = rng.integers(0, 500, size=total).astype(np.int64)
+    starts = rng.integers(0, 4000, size=total).astype(np.int64)
+    lens = rng.integers(1, 30, size=total).astype(np.int64)
+    offs = np.empty(2 * total, dtype=np.int64)
+    offs[0::2] = starts
+    offs[1::2] = lens
+    norms = rng.integers(0, 256, size=n).astype(np.uint8)
+    cache = norm_cache(1.2, 0.75, np.float32(20.0))
+    rows = encode_posting_list(
+        docids, tfs, norms, cache, 128, positions=positions, offsets=offs
+    )
+    cum = np.concatenate([[0], np.cumsum(tfs)])
+    got_s, got_e = [], []
+    for r in rows:
+        b0 = r["block_no"] * 128
+        b1 = min(b0 + 128, n)
+        np_block = int(cum[b1] - cum[b0])
+        p = decode_positions(r["pos_enc"], np_block)
+        assert (p == positions[cum[b0] : cum[b1]]).all()
+        s, e = decode_offsets(r["off_enc"], np_block)
+        got_s.append(s)
+        got_e.append(e)
+    got_s = np.concatenate(got_s)
+    got_e = np.concatenate(got_e)
+    assert (got_s == starts).all()
+    assert (got_e == starts + lens).all()

@@ -57,3 +57,86 @@ def test_more_like_this(spark, searcher, corpus_pdf, oracle_index):
         t for t, pl in oracle_index.postings.items() if any(d == top for d, _ in pl)
     }
     assert doc_terms & set(terms)
+
+
+def test_highlight_offsets_marks_at_char_offsets(spark, corpus_pdf, tmp_path_factory):
+    """Fragments come from INDEXED char offsets (4th IndexOptions level):
+    the marked substrings must be literal occurrences of the term in the
+    raw text at those offsets."""
+    import shutil
+
+    from lucenenet_spark.datagen import transcripts_spark
+    from lucenenet_spark.operators.index_build import IndexBuilder
+    from lucenenet_spark.operators.search import IndexSearcher
+
+    out = str(tmp_path_factory.mktemp("idxoff") / "main")
+    shutil.rmtree(out, ignore_errors=True)
+    df = transcripts_spark(spark, 200, partitions=2)
+    IndexBuilder(
+        spark, out, n_buckets=2, n_segments=2,
+        index_options="docs_freqs_positions_offsets",
+    ).build(df)
+    s = IndexSearcher(spark, out)
+    src = spark.createDataFrame(
+        transcripts_spark(spark, 200, partitions=2).toPandas()
+    )
+    res = hl.highlight_offsets(
+        s, TermQuery(term="popcorn"), ["popcorn"], src, k=5
+    ).toPandas()
+    assert len(res) == 5
+    assert (res["n_matches"] >= 1).all()
+    assert res["snippet"].str.contains("<b>").all()
+    # each marked region is exactly the term as it appears in the text
+    import re
+
+    for snip in res["snippet"]:
+        for m in re.finditer(r"<b>([^<]*)</b>", snip):
+            assert m.group(1).lower() == "popcorn"
+
+
+def test_highlight_offsets_requires_offsets_index(searcher, spark, corpus_pdf):
+    """The conftest index stores positions only -> a clear error, like
+    Lucene's PostingsHighlighter IllegalArgumentException on missing
+    offsets."""
+    import pytest
+
+    src = spark.createDataFrame(corpus_pdf)
+    with pytest.raises(NotImplementedError):
+        hl.highlight_offsets(searcher, TermQuery(term="popcorn"), ["popcorn"], src)
+
+
+def test_highlight_offsets_survive_merge(spark, tmp_path_factory):
+    """Offsets flow through segment merge (decode -> partials -> re-encode)
+    and the merged manifest keeps the index_options level."""
+    import shutil
+
+    from lucenenet_spark.datagen import transcripts_spark
+    from lucenenet_spark.operators.index_build import IndexBuilder
+    from lucenenet_spark.operators.merge import merge_segments
+    from lucenenet_spark.operators.search import IndexSearcher
+
+    base = tmp_path_factory.mktemp("idxoffm")
+    dirs = []
+    for i, (lo, hi) in enumerate([(0, 100), (100, 200)]):
+        out = str(base / f"seg{i}")
+        pdf = (
+            transcripts_spark(spark, 200, partitions=1)
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .iloc[lo:hi]
+        )
+        IndexBuilder(
+            spark, out, n_buckets=2, n_segments=1,
+            index_options="docs_freqs_positions_offsets",
+        ).build(spark.createDataFrame(pdf), build_id=f"s{i}")
+        dirs.append(out)
+    merged = str(base / "merged")
+    m = merge_segments(spark, dirs, merged, n_buckets=2)
+    assert m["index_options"] == "docs_freqs_positions_offsets"
+    s = IndexSearcher(spark, merged)
+    src = spark.createDataFrame(transcripts_spark(spark, 200, partitions=1).toPandas())
+    res = hl.highlight_offsets(
+        s, TermQuery(term="popcorn"), ["popcorn"], src, k=3
+    ).toPandas()
+    assert len(res) == 3 and (res["n_matches"] >= 1).all()
+    assert res["snippet"].str.contains("<b>popcorn</b>").all()
