@@ -253,6 +253,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["term_ib"] = term_ib
 
+    def term_ib_spl(spark, sf_dir):
+        s = _searcher(spark, sf_dir, similarity="ib_spl")
+        return s.search(TermQuery(term=HOT), 15)
+
+    out["term_ib_spl"] = term_ib_spl
+
     # -- highlighting + suggest/spellcheck satellites ------------------------
     from lucenenet_spark.operators import highlight as hl
 
@@ -499,6 +505,7 @@ GROUP BY v.byte ORDER BY norm_byte""",
     out["term_dfr"] = es.dfr_gb2_term_sql(HOT, k=15)
     out["term_pl2"] = es.dfr_pl2_term_sql(HOT, k=15)
     out["term_ib"] = es.ib_ll_term_sql(HOT, k=15)
+    out["term_ib_spl"] = es.ib_spl_term_sql(HOT, k=15)
 
     from lucenenet_spark.operators import highlight as hl
 

@@ -148,9 +148,15 @@ def main():
     # binary row per (block, clause, range) instead of one row per position
     # occurrence — the previous gather path's shuffle volume
     hh = [("text", "common3"), ("text", "common4")]
-    km = s_ev.term_meta(hh)
+    km = s.term_meta(hh)
+    dfs_hh = [m[0] for m in km.values()]
+    # same rule as _phrase_scores: bulk whenever the rare-slot conjunction
+    # prune would NOT bound the per-position gather
+    prune_bounds = (sum(dfs_hh) - min(dfs_hh)) >= max(
+        min(dfs_hh) * 4, s.prune_min_postings
+    )
     extras["phrase_hot_hot"] = {
-        "bulk_path": min(m[0] for m in km.values()) >= s.PHRASE_BULK_MIN,
+        "bulk_path": not prune_bounds,
         "position_occurrences": int(sum(m[1] for m in km.values())),
         "shuffled_block_rows": int(s_ev._blocks_for(hh).count()),
     }

@@ -829,6 +829,41 @@ ORDER BY score DESC, p.docid ASC
 LIMIT {k}"""
 
 
+def ib_spl_term_sql(term: str, k: int = 10, boost: float = 1.0) -> str:
+    """Top-k TermQuery under IB SPL-D-H2, float32-exact
+    (DistributionSPL.cs:33-43; λ = LambdaDF clamped to 0.99f at 1)."""
+    one = "CAST(CAST(1.0 AS DOUBLE) AS REAL)"
+    lam_raw = (
+        f"CAST(CAST(CAST(t.df AS REAL) + {one} AS REAL) /"
+        f" CAST(CAST(f.max_doc AS REAL) + {one} AS REAL) AS REAL)"
+    )
+    lam = (
+        f"(CASE WHEN {lam_raw} = {one} THEN {_f32lit(0.99)} ELSE {lam_raw} END)"
+    )
+    consts = f"""
+  SELECT {lam} AS lam,
+         CAST(CAST(f.sum_ttf AS REAL) / CAST(f.max_doc AS REAL) AS REAL) AS avg32
+  FROM tstats t CROSS JOIN fstats f WHERE t.term = '{term}'"""
+    tfn = _tfn_sql()
+    expo = f"CAST({tfn} / CAST({tfn} + {one} AS REAL) AS REAL)"
+    num = f"(pow(CAST(c.lam AS DOUBLE), CAST({expo} AS DOUBLE)) - CAST(c.lam AS DOUBLE))"
+    den = f"CAST(CAST({one} - c.lam AS REAL) AS DOUBLE)"
+    dist = f"CAST(-ln({num} / {den}) AS REAL)"
+    score = f"CAST({_f32lit(boost)} * {dist} AS REAL)"
+    return f"""{prelude()},
+cdfr AS ({consts}),
+dlv AS (
+  SELECT l.docid, v.nt FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+)
+SELECT p.docid AS docid, {score} AS score
+FROM posting p
+CROSS JOIN cdfr c
+JOIN dlv d ON p.docid = d.docid
+WHERE p.term = '{term}'
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+
+
 def constant_score_sql(term_cond: str, k: int) -> str:
     """Docids of terms matching a terms-dict predicate, constant score 1.0f."""
     return f"""{prelude()}

@@ -159,7 +159,8 @@ class IndexSearcher:
         # decodes them raw (byte315ToFloat), omitNorms fields score raw
         # (norms == null -> no multiply, TFIDFSimScorer.Score:691)
         if similarity not in (
-            "bm25", "classic", "lmd", "lmjm", "dfr_gb2", "dfr_pl2", "ib_ll"
+            "bm25", "classic", "lmd", "lmjm",
+            "dfr_gb2", "dfr_pl2", "ib_ll", "ib_spl",
         ):
             raise ValueError(f"unknown similarity {similarity!r}")
         self.similarity = similarity
@@ -599,30 +600,29 @@ class IndexSearcher:
             return self.docs().select("docid", F.lit(float(np.float32(q.boost))).cast("float").alias("score"))
         cond = self._multiterm_cond(q)
         if cond is not None:
-            # CONSTANT_SCORE filter rewrite, distributed: semi-join posting
-            # blocks against the matching slice of the terms dict. The
-            # broadcast set comes from the RAW stat rows (duplicates across
-            # salts are harmless under left_semi) — no groupBy job. Prefix
-            # and range predicates additionally push down to parquet
-            # row-group term min/max stats on the (term-sorted) postings.
-            matching = F.broadcast(
-                self._stat_rows()
-                .filter(F.col("field") == FIELD)
-                .filter(cond)
-                .select("term")
-            )
-            blocks = (
-                self.postings()
-                .filter(F.col("field") == FIELD)
-                .join(matching, "term", "left_semi")
-            )
-            rng = None
+            # CONSTANT_SCORE filter rewrite, distributed. Prefix/range
+            # predicates are plain term comparisons, so they evaluate
+            # DIRECTLY on the (term-sorted) postings scan and push down to
+            # parquet row-group min/max stats — one job, no terms-dict
+            # expansion at all. Wildcard/regexp keep the broadcast
+            # semi-join against the raw stat rows (regex runs once per
+            # vocab row, the block scan then hash-probes; duplicates
+            # across salts are harmless under left_semi, no groupBy job).
+            blocks = self.postings().filter(F.col("field") == FIELD)
             if isinstance(q, PrefixQuery):
-                rng = (F.col("term") >= q.prefix) & (F.col("term") < q.prefix + "￿")
+                blocks = blocks.filter(
+                    (F.col("term") >= q.prefix) & (F.col("term") < q.prefix + "￿")
+                )
             elif isinstance(q, TermRangeQuery):
-                rng = cond  # pure term comparisons — row-group prunable
-            if rng is not None:
-                blocks = blocks.filter(rng)
+                blocks = blocks.filter(cond)
+            else:
+                matching = F.broadcast(
+                    self._stat_rows()
+                    .filter(F.col("field") == FIELD)
+                    .filter(cond)
+                    .select("term")
+                )
+                blocks = blocks.join(matching, "term", "left_semi")
             docids = self._decode_docids(blocks)
             return docids.select(
                 "docid", F.lit(float(np.float32(q.boost))).cast("float").alias("score")
@@ -638,7 +638,7 @@ class IndexSearcher:
             if isinstance(q, BooleanQuery):
                 if self.similarity == "classic":
                     return self._classic_boolean_scores(q)
-                if self.similarity in ("dfr_gb2", "dfr_pl2", "ib_ll"):
+                if self.similarity in ("dfr_gb2", "dfr_pl2", "ib_ll", "ib_spl"):
                     return self._dfr_boolean_scores(q)
                 return self._lmd_boolean_scores(q)
             raise NotImplementedError(
@@ -996,7 +996,12 @@ class IndexSearcher:
           ib_ll (IBSimilarity(DistributionLL, LambdaDF, H2)):
             λ = f32(f32(df+1) / f32(N+1)) (LambdaDF.cs:36-39);
             score = f32(boost * f32(-ln(f32(λ / f32(tfn+λ)))))
-            (DistributionLL.cs:37-40, IBSimilarity.cs:90-93)."""
+            (DistributionLL.cs:37-40, IBSimilarity.cs:90-93).
+          ib_spl (IBSimilarity(DistributionSPL, LambdaDF, H2)):
+            λ as above, clamped to 0.99f when == 1;
+            score = f32(boost * f32(-ln((λ^f32(tfn/f32(tfn+1)) − λ) /
+            f32(1−λ)))) — pow/sub/div in double over the float32 inner
+            terms (DistributionSPL.cs:33-43)."""
         from ..functions.smallfloat import NORM_TABLE
 
         if not q.must and not q.should:
@@ -1086,7 +1091,7 @@ class IndexSearcher:
                             bm = (term1 + term2 + term3).astype(np.float32)
                             ae = np.float32(1.0) / (tfn + np.float32(1.0))
                             sc = (np.float32(boost) * bm) * ae
-                        else:  # ib_ll
+                        elif sim == "ib_ll":
                             lam = np.float32(
                                 (np.float32(df_) + np.float32(1.0))
                                 / (np.float32(N) + np.float32(1.0))
@@ -1095,6 +1100,20 @@ class IndexSearcher:
                             dist = (-np.log(ratio.astype(np.float64))).astype(
                                 np.float32
                             )
+                            sc = np.float32(boost) * dist
+                        else:  # ib_spl
+                            lam = np.float32(
+                                (np.float32(df_) + np.float32(1.0))
+                                / (np.float32(N) + np.float32(1.0))
+                            )
+                            if lam == np.float32(1.0):
+                                lam = np.float32(0.99)
+                            expo = tfn / (tfn + np.float32(1.0))  # float32
+                            num = np.power(
+                                np.float64(lam), expo.astype(np.float64)
+                            ) - np.float64(lam)
+                            den = np.float64(np.float32(1.0) - lam)
+                            dist = (-np.log(num / den)).astype(np.float32)
                             sc = np.float32(boost) * dist
                         outs.append(
                             pd.DataFrame(
@@ -1298,21 +1317,23 @@ class IndexSearcher:
             if dfs[(q.field, t)] > 0:
                 by_term.setdefault(t, []).append((slot, offsets[slot]))
 
-        # hot x hot: when no rare single-term slot bounds the candidate set
-        # (a pure hot-hot phrase), the per-position-row shuffle below is
-        # O(total positions of all matching terms). Switch to the bulk-
-        # scorer shape (VERDICT r02 #2): docid-range-sliced BINARY position
-        # sub-arrays (O(blocks) shuffle rows), evaluated per range in
-        # mapInPandas — Lucene streams positions docid-at-a-time under the
-        # conjunction; this is the partition-granular analogue.
+        # hot x hot: when no rare single-term slot bounds the candidate set,
+        # the per-position-row shuffle below is O(total positions of all
+        # matching terms). Switch to the bulk-scorer shape (VERDICT r02
+        # #2): docid-range-sliced BINARY position sub-arrays (O(blocks)
+        # shuffle rows), evaluated per range in mapInPandas — Lucene
+        # streams positions docid-at-a-time under the conjunction; this is
+        # the partition-granular analogue. The rule mirrors
+        # _conjunction_prune's own pay-off condition: gather ONLY when the
+        # rare-slot prune actually bounds it.
         mode = getattr(self, "phrase_mode", "auto")
         rare_df = min((dfs[k] for k in single_keys), default=None)
+        total_df = sum(dfs[k] for k in set(keys))
+        prune_bounds = rare_df is not None and (
+            total_df - rare_df
+        ) >= max(rare_df * 4, self.prune_min_postings)
         use_bulk = len(arrays) <= 63 and (
-            mode == "bulk"
-            or (
-                mode == "auto"
-                and (rare_df is None or rare_df >= self.PHRASE_BULK_MIN)
-            )
+            mode == "bulk" or (mode == "auto" and not prune_bounds)
         )
         if use_bulk:
             return self._phrase_scores_bulk(
@@ -1417,11 +1438,6 @@ class IndexSearcher:
         return pf.filter(F.col("freq") > 0).select(
             "docid", ((w_lit * freq_f) / (freq_f + nc)).cast("float").alias("score")
         )
-
-    # below this df for the rarest single-term slot, the conjunction-pruned
-    # per-position gather is cheap; at or above it (hot x hot) the bulk
-    # range-sliced path wins
-    PHRASE_BULK_MIN = 1 << 15
 
     def _phrase_scores_bulk(
         self,

@@ -484,6 +484,39 @@ def ib_ll_term_scores(
     return out
 
 
+def ib_spl_term_scores(
+    index: OracleIndex, term: str, boost: float = 1.0
+) -> dict[int, np.float32]:
+    """IB SPL-D-H2 (DistributionSPL.cs:33-43): λ as LambdaDF (clamped to
+    0.99f at 1); score = f32(boost · f32(−ln((λ^f32(tfn/f32(tfn+1)) − λ)
+    / f32(1−λ))))."""
+    plist = index.postings.get(term)
+    if not plist:
+        return {}
+    df = len(plist)
+    N = float(index.max_doc)
+    lam = np.float32(
+        (np.float32(df) + np.float32(1.0)) / (np.float32(N) + np.float32(1.0))
+    )
+    if lam == np.float32(1.0):
+        lam = np.float32(0.99)
+    ln2 = np.log(2.0)
+    avg = np.float32(np.float32(index.sum_ttf) / np.float32(index.max_doc))
+    out = {}
+    for docid, tf in plist:
+        dl = NORM_TABLE[index.norm_bytes[docid]]
+        inner = np.float32(1.0) + np.float32(
+            np.float32(np.float32(1.0) * avg) / dl
+        )
+        tfn = np.float32(np.float64(np.float32(tf)) * (np.log(np.float64(inner)) / ln2))
+        expo = np.float32(tfn / np.float32(tfn + np.float32(1.0)))
+        num = np.power(np.float64(lam), np.float64(expo)) - np.float64(lam)
+        den = np.float64(np.float32(np.float32(1.0) - lam))
+        dist = np.float32(-np.log(num / den))
+        out[docid] = np.float32(np.float32(boost) * dist)
+    return out
+
+
 def kw_term_scores(
     index: OracleIndex, fieldname: str, term: str, k1: float = 1.2, boost: float = 1.0
 ) -> dict[int, np.float32]:

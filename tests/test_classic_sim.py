@@ -144,3 +144,11 @@ def test_ib_ll_term_parity(spark, index_dir, oracle_index):
         want = oracle.top_k(oracle.ib_ll_term_scores(oracle_index, t), 15)
         got = hits(s.search(TermQuery(term=t), 15))
         assert got == want, t
+
+
+def test_ib_spl_term_parity(spark, index_dir, oracle_index):
+    s = IndexSearcher(spark, index_dir, similarity="ib_spl")
+    for t in ["popcorn", "hello", "common7"]:
+        want = oracle.top_k(oracle.ib_spl_term_scores(oracle_index, t), 15)
+        got = hits(s.search(TermQuery(term=t), 15))
+        assert got == want, t
