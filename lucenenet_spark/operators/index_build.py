@@ -623,9 +623,10 @@ class IndexBuilder:
                                 np.ones(m, dtype=np.int32),
                                 np.zeros(m, dtype=np.uint8),
                                 np.zeros(m, dtype=np.int32),
-                                np.zeros(2 * m, dtype=np.int32)
-                                if with_offsets
-                                else np.empty(0, dtype=np.int32),
+                                # StringFields never carry offsets (the
+                                # value is untokenized) — off_enc stays
+                                # empty even at the offsets level
+                                np.empty(0, dtype=np.int32),
                             )
                         )
                 sum_len += int(lengths.sum())

@@ -48,7 +48,7 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
 
     # -- decode every block once: recount + chain + bound + position checks --
     def scan_blocks(it):
-        from .operators.codec import decode_block, decode_positions
+        from .operators.codec import decode_block, decode_offsets, decode_positions
 
         for pdf in it:
             rows = []
@@ -71,6 +71,19 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
                         brk = np.ones(len(poss) - 1, dtype=bool)
                         brk[cum - 1] = False  # run boundaries may reset
                         pos_ok = bool(np.all(d[brk] > 0))
+                    # offsets payload (…_AND_OFFSETS level): end > start and
+                    # starts non-decreasing within each posting's run
+                    # (CheckIndex.cs offset validations)
+                    if pos_ok and getattr(r, "off_enc", b""):
+                        st, en = decode_offsets(r.off_enc, int(tfs.sum()))
+                        if np.any(en <= st) or np.any(st < 0):
+                            pos_ok = False
+                        elif len(st) > 1:
+                            cum = np.cumsum(tfs)[:-1]
+                            d = np.diff(st)
+                            brk = np.ones(len(st) - 1, dtype=bool)
+                            brk[cum - 1] = False
+                            pos_ok = bool(np.all(d[brk] > 0))
                 rows.append(
                     {
                         "field": r.field,

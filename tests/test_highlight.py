@@ -80,6 +80,11 @@ def test_highlight_offsets_marks_at_char_offsets(spark, corpus_pdf, tmp_path_fac
     src = spark.createDataFrame(
         transcripts_spark(spark, 200, partitions=2).toPandas()
     )
+    # CheckIndex validates the offsets payload too (end>start, per-posting
+    # start monotonicity)
+    from lucenenet_spark.validate import check_index
+
+    assert check_index(spark, out)["ok"]
     res = hl.highlight_offsets(
         s, TermQuery(term="popcorn"), ["popcorn"], src, k=5
     ).toPandas()

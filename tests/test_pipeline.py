@@ -230,3 +230,30 @@ def test_multimodal_plumbing(docs):
 def test_real_codec_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_ivf_kmeans_refinement_on_clustered_data(spark):
+    """On a CLUSTERED corpus (the realistic embedding shape) the Lloyd-
+    refined centroids reach high recall at a small probe fraction — the
+    property the fixed-C + k-means design claims at scale."""
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(10, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for i in range(400):
+        v = centers[i % 10] + 0.05 * rng.normal(size=16)
+        vecs.append([float(x) for x in v])
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(400), "embedding": vecs}),
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs[7]
+    exact = set(similarity.cosine_topk(df, q, 10).toPandas()["vec_id"])
+    approx = set(
+        similarity.ivf_topk_refined(df, q, 10, c=10, iters=2, nprobe=2)
+        .toPandas()["vec_id"]
+    )
+    # probing 2 of 10 refined cells recovers the true neighborhood
+    assert len(exact & approx) >= 9
