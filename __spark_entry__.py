@@ -378,6 +378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.embedding_near_dup_pairs(planted, threshold=0.9)
 
     out["emb_near_dups"] = emb_near_dups
+    # analyzer parity on a planted punctuated corpus (UAX#29 word-break
+    # joins the pure-[a-z0-9 ] transcript corpus never exercises)
+    out["analyze_uax29"] = lambda s, d: es.analyze_uax29(s)
     # rows-only entries (no SQL oracle — Python-side media/simhash logic)
     out["doc_simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     out["media_features"] = lambda s, d: multimodal.media_features(
@@ -573,4 +576,5 @@ JOIN ({sim.ivf_topk_sql(QV, 10)}) b USING (vec_id)"""
 
     out["doc_simhash"] = dd.simhash_sql()
     out["media_features"] = mm.media_features_sql()
+    out["analyze_uax29"] = es.analyze_uax29_sql()
     return out

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from .functions.analysis import (
     ENGLISH_STOP_WORDS,
     MAX_TOKEN_LENGTH,
-    TOKEN_PATTERN_RE2,
+    TOKEN_PATTERN_RE2_SQL,
 )
 from .functions.smallfloat import (
     DECODE_TABLE,
@@ -161,7 +161,7 @@ def _tokens_expr(text_expr: str) -> str:
     stop_list = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
     return (
         f"list_filter(list_transform(regexp_extract_all(COALESCE({text_expr}, ''), "
-        f"'{TOKEN_PATTERN_RE2}'), t -> lower(t)), "
+        f"'{TOKEN_PATTERN_RE2_SQL}'), t -> lower(t)), "
         f"t -> length(t) <= {MAX_TOKEN_LENGTH} AND t NOT IN ({stop_list}))"
     )
 
@@ -391,7 +391,7 @@ def _positions_cte() -> str:
     stop_list = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
     return f"""rawtoks AS (
   SELECT docid,
-         list_transform(regexp_extract_all(COALESCE(text, ''), '{TOKEN_PATTERN_RE2}'),
+         list_transform(regexp_extract_all(COALESCE(text, ''), '{TOKEN_PATTERN_RE2_SQL}'),
                         t -> lower(t)) AS raw
   FROM docs
 ),
@@ -872,3 +872,67 @@ FROM posting
 WHERE {term_cond}
 ORDER BY score DESC, docid ASC
 LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# UAX#29 analyzer-parity gate: a planted punctuated corpus exercising the
+# word-break joins the transcript corpus (pure [a-z0-9 ]) never does —
+# MidLetter/MidNumLet/MidNum/ExtendNumLet rules per the reference's
+# StandardTokenizerImpl.cs and the expectations in its own
+# Tests.Analysis.Common/Analysis/Core/TestStandardAnalyzer.cs.
+
+UAX29_GATE_TEXTS: list[tuple[int, str]] = [
+    (0, "The server won't connect to 10.0.0.1: retry_count 3,000"),
+    (1, "don't re-use O'Reilly's b.com A::B guide v2.1.4"),
+    (2, "foo_bar _tag x_ ___ B2B 2B ac/dc some-dashed-phrase"),
+    (3, ""),
+    (4, "A:B a.:b 1,.2 21.35 word 216.239.63.104 Mixed.Case:Chain"),
+]
+
+
+def analyze_uax29(spark):
+    """(id, pos, term) for the planted corpus via the REAL analyzer UDF —
+    positions use reference slot semantics (dropped tokens leave gaps)."""
+    from pyspark.sql import functions as F
+
+    from .functions.analysis import tokenize_positions_udf
+
+    df = spark.createDataFrame(UAX29_GATE_TEXTS, "id long, text string")
+    tp = tokenize_positions_udf()
+    return (
+        df.select("id", F.explode(tp(F.col("text"))).alias("tp"))
+        .select(
+            "id",
+            F.col("tp.pos").cast("long").alias("pos"),
+            F.col("tp.term").alias("term"),
+        )
+        .orderBy("id", "pos")
+    )
+
+
+def analyze_uax29_sql() -> str:
+    """DuckDB oracle: same corpus as VALUES, same RE2 token pattern, same
+    slot-position semantics (filter AFTER enumerating raw matches)."""
+    stop_list = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    values = ",\n    ".join(
+        f"({i}, '{t.replace(chr(39), chr(39) * 2)}')" for i, t in UAX29_GATE_TEXTS
+    )
+    return f"""WITH udocs AS (
+  SELECT * FROM (VALUES
+    {values}
+  ) AS v(id, text)
+),
+uraw AS (
+  SELECT id,
+         list_transform(regexp_extract_all(COALESCE(text, ''), '{TOKEN_PATTERN_RE2_SQL}'),
+                        t -> lower(t)) AS raw
+  FROM udocs
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(p - 1 AS BIGINT) AS pos, tok AS term
+FROM (
+  SELECT id, unnest(raw) AS tok,
+         unnest(generate_series(1, len(raw))) AS p
+  FROM uraw
+)
+WHERE length(tok) <= {MAX_TOKEN_LENGTH} AND tok NOT IN ({stop_list})
+ORDER BY id, pos"""

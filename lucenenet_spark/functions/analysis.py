@@ -10,12 +10,29 @@ The whole chain is fused into ONE vectorized pandas UDF (tokenize_udf) —
 tokenizer -> lowercase -> stop removal — so ingestion stays Arrow-batched
 end to end (no per-row Python at the DataFrame level).
 
-Token grammar (deliberately also expressible in RE2 for the DuckDB oracle):
-    [\\p{L}\\p{N}]+(?:\\.[0-9]+)*
-i.e. runs of Unicode letters/digits, keeping dot-separated digit groups
-attached ("3.14" one token, "foo.bar" two, "c3po" one) — the useful core of
-UAX#29 ALPHANUM/NUM without the full JFlex DFA. Documented divergence from
-the reference: "a@b.com" yields [a, b, com] here vs [a, b.com] in Lucene.
+Token grammar: a regex transcription of the UAX#29 word-break rules the
+reference's generated JFlex DFA implements (Unicode 6.x classes,
+StandardTokenizerImpl.cs) — deliberately expressible BOTH in Python `re`
+and in RE2 (no lookaround) so the DuckDB oracle tokenizes identically:
+
+    WB5/6/7   letter runs join across ONE MidLetter|MidNumLet ([':.·’‘])
+              with a letter on both sides — "don't", "O'Reilly's", "A:B",
+              "b.com" are single tokens; "A::B", "A.:B" split.
+    WB8/11/12 digit runs join across ONE MidNum|MidNumLet ([',.;’‘]) with
+              a digit on both sides — "21.35", "3,000.5", "216.239.63.104"
+              single tokens; "1,,2", "1.,2" split.
+    WB9/10    letters and digits concatenate freely — "B2B", "R2D2".
+    WB13a/b   ExtendNumLet (underscore) joins at either edge — "foo_bar",
+              "_tag", "x_" single tokens (but "_" alone is not a token:
+              the JFlex word rule needs >=1 letter/digit).
+
+Verified against the expectations in the reference's own
+Lucene.Net.Tests.Analysis.Common/Analysis/Core/TestStandardAnalyzer.cs
+(TestMid, TestApostrophesSA, TestNumericSA, TestAlphanumericSA).
+Documented divergences (irrelevant to the ASCII transcript corpus):
+CJK ideographs tokenize as whole runs, not per-character; the exotic
+non-ASCII members of the Mid*/ExtendNumLet classes (U+05F4, U+FE13,
+fullwidth forms, …) and Extend/Format transparency are not modeled.
 """
 
 from __future__ import annotations
@@ -26,13 +43,44 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-# Python \w minus underscore == Unicode letters+digits (L* and N*); the
-# (?:\.[0-9]+)* tail keeps decimal/version numbers whole like UAX#29 MidNum.
-TOKEN_PATTERN = r"[^\W_]+(?:\.[0-9]+)*"
-# RE2-compatible equivalent for DuckDB oracle SQL (regexp_extract_all):
-TOKEN_PATTERN_RE2 = r"[\p{L}\p{N}]+(?:\.[0-9]+)*"
+
+def _token_pattern(letter: str, digit: str) -> str:
+    """UAX#29 word-break regex over the given letter/digit classes.
+
+    Letter runs chain across single MidLetter∪MidNumLet chars flanked by
+    letters; digit runs across single MidNum∪MidNumLet chars flanked by
+    digits; runs and underscores concatenate. Same construction for the
+    Python and RE2 dialects — the language is regular, no lookaround.
+    """
+    mid_letter = "['‘’.:·]"  # MidLetter (: ·) ∪ MidNumLet (' ‘ ’ .)
+    mid_num = "['‘’.,;]"  # MidNum (, ;) ∪ MidNumLet (' ‘ ’ .)
+    lrun = f"{letter}+(?:{mid_letter}{letter}+)*"
+    nrun = f"{digit}+(?:{mid_num}{digit}+)*"
+    return f"_*(?:{lrun}|{nrun})(?:{lrun}|{nrun}|_)*"
+
+
+# Python dialect: [^\W\d_] = Unicode letters, \d = Unicode decimal digits.
+TOKEN_PATTERN = _token_pattern(r"[^\W\d_]", r"\d")
+# RE2 dialect for DuckDB oracle SQL (regexp_extract_all / _split_to_array):
+TOKEN_PATTERN_RE2 = _token_pattern(r"\p{L}", r"\p{Nd}")
+# Same, with apostrophes doubled for embedding in a single-quoted SQL
+# string literal. ALWAYS use this one inside f"... '{pattern}' ..." SQL.
+TOKEN_PATTERN_RE2_SQL = TOKEN_PATTERN_RE2.replace("'", "''")
 
 _TOKEN_RE = re.compile(TOKEN_PATTERN, re.UNICODE)
+
+# Fast path: on text containing NONE of the joinable chars (Mid* classes +
+# ExtendNumLet underscore) the full pattern degenerates to plain
+# letter/digit runs — `(?:lrun|nrun)+` with every mid/underscore branch
+# dead — so a much cheaper run regex tokenizes identically. One C-speed
+# containment scan picks the path; the transcript corpus (pure [a-z0-9 ])
+# takes the fast branch for every row.
+_SIMPLE_RE = re.compile(r"[^\W_]+", re.UNICODE)
+_NEEDS_FULL = re.compile(r"['‘’.:·,;_]").search
+
+
+def _findall(text: str) -> list[str]:
+    return (_TOKEN_RE if _NEEDS_FULL(text) else _SIMPLE_RE).findall(text)
 
 MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.cs:52 — longer tokens are dropped
 
@@ -48,7 +96,7 @@ def tokenize_text(text: str | None) -> list[str]:
     if not text:
         return []
     out = []
-    for tok in _TOKEN_RE.findall(text):
+    for tok in _findall(text):
         if len(tok) > MAX_TOKEN_LENGTH:
             continue
         low = tok.lower()
@@ -72,7 +120,7 @@ def tokenize_with_positions(text: str | None) -> tuple[list[str], list[int]]:
         return [], []
     toks: list[str] = []
     poss: list[int] = []
-    for i, tok in enumerate(_TOKEN_RE.findall(text)):
+    for i, tok in enumerate(_findall(text)):
         if len(tok) > MAX_TOKEN_LENGTH:
             continue
         low = tok.lower()
@@ -97,7 +145,8 @@ def tokenize_with_offsets(
     poss: list[int] = []
     starts: list[int] = []
     ends: list[int] = []
-    for i, m in enumerate(_TOKEN_RE.finditer(text)):
+    it = (_TOKEN_RE if _NEEDS_FULL(text) else _SIMPLE_RE).finditer(text)
+    for i, m in enumerate(it):
         tok = m.group(0)
         if len(tok) > MAX_TOKEN_LENGTH:
             continue
@@ -116,7 +165,7 @@ def _tokenize_series(texts: pd.Series) -> pd.Series:
     # happens inside a single Arrow batch (no Spark-row-level Python).
     stop = ENGLISH_STOP_WORDS
     maxlen = MAX_TOKEN_LENGTH
-    findall = _TOKEN_RE.findall
+    findall = _findall
     return pd.Series(
         [
             [
@@ -137,6 +186,20 @@ def tokenize_udf():
     return F.pandas_udf(_tokenize_series, ArrayType(StringType()))
 
 
+def tokenize_positions_udf():
+    """pandas UDF: text -> array<struct<term,pos>> with reference position
+    semantics (dropped stop/too-long tokens leave position gaps)."""
+
+    def batch(texts: pd.Series) -> pd.Series:
+        rows = []
+        for t in texts:
+            toks, poss = tokenize_with_positions(t if isinstance(t, str) else None)
+            rows.append([{"term": tk, "pos": p} for tk, p in zip(toks, poss)])
+        return pd.Series(rows, index=texts.index)
+
+    return F.pandas_udf(batch, "array<struct<term:string,pos:int>>")
+
+
 def tokens_col(text_col):
     """Column expression: analyzer chain applied to a text column."""
     return tokenize_udf()(text_col)
@@ -152,6 +215,6 @@ def duckdb_tokens_sql(text_expr: str) -> str:
     stop_list = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
     return (
         f"list_filter(list_transform(regexp_extract_all({text_expr}, "
-        f"'{TOKEN_PATTERN_RE2}'), t -> lower(t)), "
+        f"'{TOKEN_PATTERN_RE2_SQL}'), t -> lower(t)), "
         f"t -> length(t) <= {MAX_TOKEN_LENGTH} AND t NOT IN ({stop_list}))"
     )

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..functions.analysis import (
     ENGLISH_STOP_WORDS,
     MAX_TOKEN_LENGTH,
-    TOKEN_PATTERN_RE2,
+    TOKEN_PATTERN_RE2_SQL,
     _TOKEN_RE,
 )
 from ..plans.query import Query
@@ -133,7 +133,7 @@ def highlight_sql(
     scored top-k (prelude's `scored` CTE supplies the hits)."""
     raw = (
         f"list_filter(list_transform(regexp_extract_all(COALESCE(d.text, ''), "
-        f"'{TOKEN_PATTERN_RE2}'), t -> lower(t)), t -> length(t) <= {MAX_TOKEN_LENGTH})"
+        f"'{TOKEN_PATTERN_RE2_SQL}'), t -> lower(t)), t -> length(t) <= {MAX_TOKEN_LENGTH})"
     )
     return f"""topk AS (
   SELECT docid, s AS score FROM scored WHERE term = '{term}'
@@ -310,7 +310,7 @@ def highlight_offsets_sql(
     the inter-token gaps, so start(tok_i) = cum(len(gaps) thru i) +
     cum(len(toks) before i); the fragment is rebuilt segment-by-segment
     with string_agg at those offsets."""
-    from ..functions.analysis import TOKEN_PATTERN_RE2
+    from ..functions.analysis import TOKEN_PATTERN_RE2_SQL
 
     return f"""topk AS (
   SELECT docid, s AS score FROM scored WHERE term = '{term}'
@@ -318,8 +318,8 @@ def highlight_offsets_sql(
 ),
 rawm AS (
   SELECT d.docid, d.text,
-         regexp_extract_all(COALESCE(d.text, ''), '{TOKEN_PATTERN_RE2}') AS tks,
-         regexp_split_to_array(COALESCE(d.text, ''), '{TOKEN_PATTERN_RE2}') AS gaps
+         regexp_extract_all(COALESCE(d.text, ''), '{TOKEN_PATTERN_RE2_SQL}') AS tks,
+         regexp_split_to_array(COALESCE(d.text, ''), '{TOKEN_PATTERN_RE2_SQL}') AS gaps
   FROM docs d JOIN topk USING (docid)
 ),
 tokoff AS (

@@ -249,11 +249,11 @@ def simhash_sql(table: str = "documents", text: str = "text", id_col: str = "doc
     chars); acc[i] = sum over distinct tokens of (+tf if bit i of h else
     -tf); output bit i set iff acc[i] > 0; rendered as 16 lowercase hex
     chars. Docs with zero tokens hash to all-zero."""
-    from ..functions.analysis import TOKEN_PATTERN_RE2
+    from ..functions.analysis import TOKEN_PATTERN_RE2_SQL
 
     toks = (
         f"list_transform(regexp_extract_all(COALESCE({text}, ''), "
-        f"'{TOKEN_PATTERN_RE2}'), t -> lower(t))"
+        f"'{TOKEN_PATTERN_RE2_SQL}'), t -> lower(t))"
     )
     return f"""WITH tf AS (
   SELECT {id_col}, tok, count(*) AS tf

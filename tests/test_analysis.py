@@ -42,10 +42,76 @@ def test_long_token_dropped():
 
 
 def test_punctuation_splits():
-    assert tokenize_text("foo-bar foo.bar") == ["foo", "bar", "foo", "bar"]
-    # dot-separated digit groups stay whole (UAX#29 MidNum-ish)
-    assert tokenize_text("3.14 v1.2.3") == ["3.14", "v1.2.3"]
-    assert tokenize_text("a@b.com") == ["b", "com"]  # 'a' is a stopword
+    assert tokenize_text("foo-bar ac/dc") == ["foo", "bar", "ac", "dc"]
+    # MidNumLet '.' joins across letters AND digits (UAX#29 WB6/7/11/12)
+    assert tokenize_text("3.14 v1.2.3 foo.bar") == ["3.14", "v1.2.3", "foo.bar"]
+    assert tokenize_text("a@b.com") == ["b.com"]  # 'a' is a stopword
+
+
+# raw-tokenizer expectations lifted verbatim from the reference's
+# Lucene.Net.Tests.Analysis.Common/Analysis/Core/TestStandardAnalyzer.cs
+# (TestMid, TestApostrophesSA, TestNumericSA, TestAlphanumericSA,
+# TestVariousTextSA) — pre-lowercase/stop, so compare on the raw regex.
+UAX29_REFERENCE_CASES = {
+    "A:B": ["A:B"],  # ':' MidLetter, letter both sides
+    "A::B": ["A", "B"],  # consecutive mids split
+    "1.2": ["1.2"],
+    "A.B": ["A.B"],
+    "1..2": ["1", "2"],
+    "1,2": ["1,2"],  # ',' MidNum, digit both sides
+    "1,,2": ["1", "2"],
+    "A.:B": ["A", "B"],
+    "A:.B": ["A", "B"],
+    "1,.2": ["1", "2"],
+    "1.,2": ["1", "2"],
+    "O'Reilly's": ["O'Reilly's"],
+    "don't": ["don't"],
+    "B2B": ["B2B"],
+    "2B": ["2B"],
+    "21.35": ["21.35"],
+    "216.239.63.104": ["216.239.63.104"],
+    "some-dashed-phrase": ["some", "dashed", "phrase"],
+    "dogs,chase,cats": ["dogs", "chase", "cats"],
+    "David has 5000 bones": ["David", "has", "5000", "bones"],
+    "a@b.com": ["a", "b.com"],
+    "3.com": ["3", "com"],  # '.' needs SAME side types
+    "foo_bar _tag x_ ___": ["foo_bar", "_tag", "x_"],  # ExtendNumLet
+    "\"QUOTED\" word": ["QUOTED", "word"],
+}
+
+
+def test_uax29_reference_fixtures():
+    import re
+
+    from lucenenet_spark.functions.analysis import TOKEN_PATTERN
+
+    rx = re.compile(TOKEN_PATTERN, re.UNICODE)
+    for text, want in UAX29_REFERENCE_CASES.items():
+        assert rx.findall(text) == want, text
+
+
+def test_uax29_duckdb_parity_randomized():
+    """The RE2 pattern fed to the DuckDB oracles must tokenize EXACTLY like
+    the Python pattern used by the Spark UDFs — fuzz over the joinable
+    punctuation alphabet."""
+    import random
+    import re
+
+    import duckdb
+
+    from lucenenet_spark.functions.analysis import (
+        TOKEN_PATTERN,
+        TOKEN_PATTERN_RE2_SQL,
+    )
+
+    rx = re.compile(TOKEN_PATTERN, re.UNICODE)
+    rng = random.Random(429)
+    alphabet = "ab z19'.,:;_-·’‘@ "
+    con = duckdb.connect()
+    sql = f"select regexp_extract_all(?, '{TOKEN_PATTERN_RE2_SQL}')"
+    for _ in range(400):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 24)))
+        assert con.execute(sql, [s]).fetchone()[0] == rx.findall(s), repr(s)
 
 
 def test_repeated_tokens_kept():
