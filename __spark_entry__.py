@@ -25,6 +25,7 @@ from lucenenet_spark.plans.query import (
     DisMaxQuery,
     MatchAllQuery,
     MultiPhraseQuery,
+    PayloadTermQuery,
     PhraseQuery,
     PrefixQuery,
     TermQuery,
@@ -102,6 +103,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             MultiPhraseQuery(
                 term_arrays=(("value", "small"), ("table",)), slop=3
             ),
+            k=15,
+        ),
+        "payload_term": topk(PayloadTermQuery(term=MID), k=15),
+        "payload_term_max": topk(
+            PayloadTermQuery(term=HOT, function="max", include_span_score=False),
             k=15,
         ),
         "field_role_term": topk(TermQuery(term="user", field="role"), k=15),
@@ -407,6 +413,10 @@ def oracle_sql() -> dict[str, str]:
         "multi_phrase": es.phrase_sql([["table", "value"], ["hash"]], k=15),
         "multi_phrase_sloppy": es.phrase_sql(
             [["value", "small"], ["table"]], slop=3, k=15
+        ),
+        "payload_term": es.payload_term_sql(MID, k=15),
+        "payload_term_max": es.payload_term_sql(
+            HOT, function="max", include_span_score=False, k=15
         ),
         "field_role_term": es.kw_term_sql("role", "user", k=15),
         "bool_cross_field": es.cross_field_sql(HOT, "role", "user", k=15),

@@ -85,13 +85,16 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
         import shutil
 
         with open(mpath) as f:
-            if json.load(f).get("format_version") != 4:
+            if json.load(f).get("format_version") != 5:
                 shutil.rmtree(out, ignore_errors=True)
     IndexBuilder(
         spark, out, k1=K1, b=B, n_buckets=8, n_segments=8, salt_target=2000,
         # gate indexes carry the full 4th IndexOptions level so the
         # offset-highlighting gate runs against indexed char offsets
         index_options="docs_freqs_positions_offsets",
+        # per-occurrence payload channel for the payload_term gates: the
+        # position_float provider writes f32(position+1), mirrorable in SQL
+        payload_provider="position_float",
     ).build(transcripts_from_documents(spark, sf_dir), build_id=f"gate-{tag}")
     _INDEX_CACHE[sf_dir] = out
     return out
@@ -571,6 +574,69 @@ pf AS (
   FROM qual GROUP BY docid
 )"""
     return _span_score_select([t1, t2], freq_cte, k)
+
+
+def payload_term_sql(
+    term: str, function: str = "avg", include_span_score: bool = True,
+    k: int = 10, boost: float = 1.0,
+) -> str:
+    """PayloadTermQuery SQL, float32-identical to the engine.
+
+    The gate index is built with payload_provider='position_float', so the
+    per-occurrence payload factor is f32(f32(pos) + 1f) — recomputed here
+    relationally from the positions CTE. Span freq = f32(0.5 * tf) (every
+    term span contributes sloppyFreq(1) = 0.5f; halves are exact in f32);
+    avg folds the factors left-to-right in REAL in position order exactly
+    like PayloadTermSpanScorer.ProcessPayload, then one f32 division by the
+    count; min/max are order-independent. Final score = f32(spanScore *
+    DocScore) or DocScore alone (PayloadTermQuery.cs GetScore)."""
+    w = (
+        f"CAST(CAST({_idf_sql(term)} * {_f32lit(boost)} AS REAL) "
+        f"* {K1P1_32} AS REAL)"
+    )
+    if function == "avg":
+        factor = "CAST(psum / CAST(tf AS REAL) AS REAL)"
+    elif function == "min":
+        factor = "pmin"
+    elif function == "max":
+        factor = "pmax"
+    else:
+        raise ValueError(f"unknown payload function {function!r}")
+    one = "CAST(CAST(1.0 AS DOUBLE) AS REAL)"
+    pay_cte = f"""pocc AS (
+  SELECT docid, pos,
+         CAST(CAST(pos AS REAL) + {one} AS REAL) AS pf
+  FROM pos WHERE term = '{term}'
+),
+pagg AS (
+  SELECT docid, count(*) AS tf,
+         list_reduce(list(pf ORDER BY pos), (x, y) -> CAST(x + y AS REAL)) AS psum,
+         min(pf) AS pmin, max(pf) AS pmax
+  FROM pocc GROUP BY docid
+),
+pfac AS (
+  SELECT docid,
+         CAST(CAST(tf AS REAL) * {_f32lit(0.5)} AS REAL) AS freq,
+         {factor} AS factor
+  FROM pagg
+)"""
+    if include_span_score:
+        score = (
+            f"CAST(CAST(CAST({w} * p.freq AS REAL) / "
+            "CAST(p.freq + n.nc AS REAL) AS REAL) * p.factor AS REAL)"
+        )
+        tail = (
+            f"SELECT p.docid AS docid, {score} AS score\n"
+            "FROM pfac p JOIN ncache n ON p.docid = n.docid"
+        )
+    else:
+        tail = "SELECT p.docid AS docid, p.factor AS score\nFROM pfac p"
+    return f"""{prelude()},
+{_positions_cte()},
+{pay_cte}
+{tail}
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
 
 
 def _kw_score_sql(field: str, value: str, boost: float = 1.0) -> str:

@@ -113,6 +113,57 @@ def decode_offsets(off_enc: bytes, n_positions: int) -> tuple[np.ndarray, np.nda
     return starts, starts + flat[1::2]
 
 
+def _packed_len(buf: bytes, n: int) -> int:
+    """Byte length of a _pack(values) prefix of n values inside buf."""
+    width = buf[0]
+    if width == 0:
+        return 9
+    return 1 + (n * width + 7) // 8
+
+
+def encode_payloads(lens: np.ndarray, payload_buf: bytes) -> bytes:
+    """Encode per-occurrence payload bytes (the PayloadAttribute channel —
+    Lucene41PostingsWriter.cs stores payload length + bytes inside the pos
+    block). Wire format: _pack(lens) ++ concatenated payload bytes; no
+    header needed — the packed-lengths prefix size is derivable from its
+    width byte and the occurrence count."""
+    return _pack(np.asarray(lens, dtype=np.int64)) + payload_buf
+
+
+def decode_payloads(pay_enc: bytes, n_positions: int) -> tuple[np.ndarray, bytes]:
+    """Decode a block's payloads payload -> (lens int64 array aligned with
+    the positions payload, concatenated payload bytes). A zero len means
+    'no payload at this occurrence'."""
+    if n_positions == 0 or not pay_enc:
+        return np.zeros(n_positions, dtype=np.int64), b""
+    plen = _packed_len(pay_enc, n_positions)
+    lens = _unpack(pay_enc[:plen], n_positions)
+    return lens, pay_enc[plen:]
+
+
+def decode_float_payloads(pay_enc: bytes, n_positions: int) -> np.ndarray:
+    """Decode payloads that are all 4-byte big-endian float32
+    (PayloadHelper.EncodeSingle — Analysis.Common/Analysis/Payloads/
+    PayloadHelper.cs); occurrences without a payload decode as NaN."""
+    lens, buf = decode_payloads(pay_enc, n_positions)
+    out = np.full(n_positions, np.nan, dtype=np.float32)
+    if not len(buf):
+        return out
+    has = lens == 4
+    if not has.all():
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        vals = np.frombuffer(
+            b"".join(
+                buf[int(s) : int(s) + 4] for s, h in zip(starts, has) if h
+            ),
+            dtype=">f4",
+        )
+        out[has] = vals
+        return out
+    out[:] = np.frombuffer(buf, dtype=">f4", count=n_positions)
+    return out
+
+
 def encode_posting_list(
     docids: np.ndarray,
     tfs: np.ndarray,
@@ -121,6 +172,8 @@ def encode_posting_list(
     block_size: int = BLOCK_SIZE,
     positions: np.ndarray | None = None,
     offsets: np.ndarray | None = None,
+    payload_lens: np.ndarray | None = None,
+    payload_bytes: bytes | None = None,
 ) -> list[dict]:
     """Split one term's (sorted) postings into encoded block rows.
 
@@ -133,6 +186,10 @@ def encode_posting_list(
     (2*len(positions) values) — the …_AND_OFFSETS level
     (FieldInfo.cs:315-356; Lucene41 stores startOffset/length deltas in
     the pos block). None -> off_enc = b"".
+    payload_lens/payload_bytes: per-occurrence payload byte lengths
+    (aligned with positions; 0 = no payload) + their concatenated bytes —
+    the PayloadAttribute channel (Lucene41 stores payload length + bytes
+    in the pos block). None -> pay_enc = b"".
 
     Returns list of dicts matching the postings table schema (minus
     field/term/salt, which the caller adds).
@@ -140,19 +197,29 @@ def encode_posting_list(
     n = len(docids)
     out = []
     cum = None
+    pay_starts = None
     if positions is not None:
         cum = np.concatenate([[0], np.cumsum(np.asarray(tfs, dtype=np.int64))])
+        if payload_lens is not None:
+            pay_starts = np.concatenate(
+                [[0], np.cumsum(np.asarray(payload_lens, dtype=np.int64))]
+            )
     for b0 in range(0, n, block_size):
         b1 = min(b0 + block_size, n)
         d, t, nb = docids[b0:b1], tfs[b0:b1], norm_bytes[b0:b1]
         de, te = encode_block(d, t)
-        pe = oe = b""
+        pe = oe = ye = b""
         if positions is not None:
             p = positions[cum[b0] : cum[b1]]
             pe = _pack(np.asarray(p, dtype=np.int64)) if len(p) else b""
             if offsets is not None:
                 o = offsets[2 * cum[b0] : 2 * cum[b1]]
                 oe = _pack(np.asarray(o, dtype=np.int64)) if len(o) else b""
+            if pay_starts is not None and len(p):
+                ye = encode_payloads(
+                    payload_lens[cum[b0] : cum[b1]],
+                    payload_bytes[int(pay_starts[cum[b0]]) : int(pay_starts[cum[b1]])],
+                )
         out.append(
             {
                 "block_no": b0 // block_size,
@@ -165,6 +232,7 @@ def encode_posting_list(
                 "norms_enc": np.asarray(nb, dtype=np.uint8).tobytes(),
                 "pos_enc": pe,
                 "off_enc": oe,
+                "pay_enc": ye,
             }
         )
     return out

@@ -101,7 +101,8 @@ STAGING_DDL = (
     "pid int, local_rank long, conv_id string, turn_idx int, role string,"
     " tool string, ts timestamp, field_length int, norm_byte short,"
     " meta string, field string, term string, pcount int, first_local long,"
-    " docids binary, tfs binary, norms binary, poss binary, offs binary"
+    " docids binary, tfs binary, norms binary, poss binary, offs binary,"
+    " pay_lens binary, pays binary"
 )
 
 _STAGING_COLS = [c.strip().split()[0] for c in STAGING_DDL.split(",")]
@@ -110,7 +111,7 @@ POSTINGS_DDL = (
     "field string, term string, salt int, block_no int, first_docid long,"
     " last_docid long, count int, sum_tf long, max_score_bound float,"
     " docids_enc binary, tfs_enc binary, norms_enc binary, pos_enc binary,"
-    " off_enc binary, bucket int"
+    " off_enc binary, pay_enc binary, bucket int"
 )
 
 POSTINGS_COLS = [c.split()[0] for c in POSTINGS_DDL.split(",")]
@@ -158,7 +159,7 @@ def term_stats_view(spark: SparkSession, postings_path: str) -> DataFrame:
 PARTIALS_DDL = (
     "field string, term string, salt int, count int, first_docid long,"
     " docids binary, tfs binary, norms binary, poss binary, offs binary,"
-    " pid int"
+    " pay_lens binary, pays binary, pid int"
 )
 
 
@@ -215,6 +216,8 @@ def make_merge_encode(
         n_bins = pdf["norms"].to_numpy()[order]
         p_bins = pdf["poss"].to_numpy()[order]
         o_bins = pdf["offs"].to_numpy()[order]
+        yl_bins = pdf["pay_lens"].to_numpy()[order]
+        yb_bins = pdf["pays"].to_numpy()[order]
         pids = pdf["pid"].to_numpy()[order]
         change = np.nonzero((codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1]))[0]
         bounds = np.concatenate([[0], change + 1, [len(codes)]])
@@ -249,11 +252,21 @@ def make_merge_encode(
             offs = np.concatenate(
                 [np.frombuffer(o_bins[i], dtype=np.int32) for i in range(b0, b1)]
             ).astype(np.int64)
+            pay_lens = np.concatenate(
+                [np.frombuffer(yl_bins[i], dtype=np.int32) for i in range(b0, b1)]
+            ).astype(np.int64)
+            pay_bytes = b"".join(
+                yb_bins[i] for i in range(b0, b1) if len(yb_bins[i])
+            )
             postings += len(docids)
             cache = caches[field]
             rows = encode_posting_list(
                 docids, tfs, norms, cache, block, positions=positions,
                 offsets=offs if len(offs) == 2 * len(positions) and len(offs) else None,
+                payload_lens=pay_lens
+                if len(pay_lens) == len(positions) and len(pay_lens)
+                else None,
+                payload_bytes=pay_bytes,
             )
             bucket = term_bucket(term, n_buckets)
             for i, r in enumerate(rows):
@@ -285,6 +298,7 @@ def make_merge_encode(
                     "norms_enc": b"",
                     "pos_enc": b"",
                     "off_enc": b"",
+                    "pay_enc": b"",
                     "bucket": bucket,
                 }
             )
@@ -317,6 +331,7 @@ def make_merge_encode(
                     "norms_enc": b"",
                     "pos_enc": b"",
                     "off_enc": b"",
+                    "pay_enc": b"",
                     "bucket": -1,
                 }
             ]
@@ -359,6 +374,7 @@ class IndexBuilder:
         input_clustered: bool | None = None,
         keyword_fields: tuple[str, ...] = DEFAULT_KEYWORD_FIELDS,
         index_options: str = "docs_freqs_positions",
+        payload_provider: str | None = None,
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -379,6 +395,19 @@ class IndexBuilder:
         ):
             raise ValueError(f"unknown index_options {index_options!r}")
         self.index_options = index_options
+        # Per-occurrence payload channel (PayloadAttribute — Lucene payloads
+        # are attached by the analysis chain and stored in the pos block;
+        # Index/DocumentsWriterPerThread payload path). A NAMED provider so
+        # the choice is recorded in the manifest and mirrorable in oracle
+        # SQL: "position_float" = 4-byte big-endian float32 of (position+1)
+        # per emitted token (PayloadHelper.EncodeSingle wire format).
+        # Payloads require positions (FieldInfo.cs: payloads imply
+        # DOCS_AND_FREQS_AND_POSITIONS+).
+        if payload_provider not in (None, "position_float"):
+            raise ValueError(f"unknown payload_provider {payload_provider!r}")
+        if payload_provider and index_options == "docs_freqs":
+            raise ValueError("payloads require positions in index_options")
+        self.payload_provider = payload_provider
         # None = auto-detect via a narrow-column range check; True = trust the
         # input's partitioning (still verified post-hoc); False = force shuffle
         self.input_clustered = input_clustered
@@ -465,6 +494,7 @@ class IndexBuilder:
         keyword_fields = self.keyword_fields
         with_positions = self.index_options != "docs_freqs"
         with_offsets = self.index_options == "docs_freqs_positions_offsets"
+        with_payloads = self.payload_provider == "position_float"
 
         def ingest_partition(it):
             # STREAMING doc rows (pipelined with the JVM read/write) while the
@@ -559,6 +589,7 @@ class IndexBuilder:
                         np.arange(n, dtype=np.int64) + rank, lengths.astype(np.int64)
                     )
                     ov = np.empty((0, 2), dtype=np.int32)
+                    pay = np.empty(0, dtype=">f4")
                     if with_positions:
                         p_arr = np.asarray(pos_flat, dtype=np.int32)
                         o = np.lexsort((p_arr, d_arr, codes))
@@ -567,6 +598,14 @@ class IndexBuilder:
                             ov = np.asarray(off_flat, dtype=np.int32).reshape(
                                 -1, 2
                             )[o]
+                        if with_payloads:
+                            # position_float provider: payload is a pure
+                            # function of the (sorted) position array, so
+                            # it is derived vectorized AFTER the lexsort —
+                            # no per-occurrence bytes to reorder
+                            pay = (p.astype(np.float32) + np.float32(1.0)).astype(
+                                ">f4"
+                            )
                     else:
                         o = np.lexsort((d_arr, codes))
                         c, d = codes[o], d_arr[o]
@@ -594,6 +633,12 @@ class IndexBuilder:
                                 ov[gb[t0] : gb[t1]].reshape(-1)
                                 if with_offsets
                                 else np.empty(0, dtype=np.int32),
+                                np.full(gb[t1] - gb[t0], 4, dtype=np.int32)
+                                if with_payloads
+                                else np.empty(0, dtype=np.int32),
+                                pay[gb[t0] : gb[t1]].tobytes()
+                                if with_payloads
+                                else b"",
                             )
                         )
                 # keyword fields: untokenized exact values, tf=1, pos=0,
@@ -623,10 +668,12 @@ class IndexBuilder:
                                 np.ones(m, dtype=np.int32),
                                 np.zeros(m, dtype=np.uint8),
                                 np.zeros(m, dtype=np.int32),
-                                # StringFields never carry offsets (the
-                                # value is untokenized) — off_enc stays
-                                # empty even at the offsets level
+                                # StringFields never carry offsets or
+                                # payloads (the value is untokenized) —
+                                # off_enc/pay_enc stay empty at every level
                                 np.empty(0, dtype=np.int32),
+                                np.empty(0, dtype=np.int32),
+                                b"",
                             )
                         )
                 sum_len += int(lengths.sum())
@@ -657,8 +704,8 @@ class IndexBuilder:
                     merged[key] = chunks[0]
                 else:
                     merged[key] = tuple(
-                        np.concatenate([ch[j] for ch in chunks]) for j in range(5)
-                    )
+                        np.concatenate([ch[j] for ch in chunks]) for j in range(6)
+                    ) + (b"".join(ch[6] for ch in chunks),)
             for c0 in range(0, len(keys), 65536):
                 chunk = keys[c0 : c0 + 65536]
                 yield _frame(
@@ -680,6 +727,8 @@ class IndexBuilder:
                         "norms": [merged[k][2].tobytes() for k in chunk],
                         "poss": [merged[k][3].tobytes() for k in chunk],
                         "offs": [merged[k][4].tobytes() for k in chunk],
+                        "pay_lens": [merged[k][5].tobytes() for k in chunk],
+                        "pays": [merged[k][6] for k in chunk],
                     },
                     len(chunk),
                 )
@@ -855,7 +904,7 @@ class IndexBuilder:
             .filter(F.col("local_rank") == -2)
             .select(
                 "pid", "field", "term", "pcount", "first_local",
-                "docids", "tfs", "norms", "poss", "offs",
+                "docids", "tfs", "norms", "poss", "offs", "pay_lens", "pays",
             )
         )
         off_expr = F.create_map(
@@ -895,6 +944,8 @@ class IndexBuilder:
             "norms",
             "poss",
             "offs",
+            "pay_lens",
+            "pays",
             "pid",
         )
         lineage = json.dumps({"build_id": build_id, "stage": "encode", "max_doc": max_doc})
@@ -999,10 +1050,11 @@ class IndexBuilder:
         ).coalesce(1).write.mode("overwrite").parquet(self._p("build_checkpoints"))
 
         manifest = {
-            "format_version": 4,
+            "format_version": 5,
             "build_id": build_id,
             "field": FIELD,
             "index_options": self.index_options,
+            "payload_provider": self.payload_provider,
             "fields": stats_info.get("fields"),
             "k1": self.k1,
             "b": self.b,

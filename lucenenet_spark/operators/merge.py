@@ -67,7 +67,12 @@ def _decoded_partials(
     shuffle at ~postings/128 rows."""
 
     def decode_partition(it):
-        from .codec import decode_block, decode_offsets, decode_positions
+        from .codec import (
+            decode_block,
+            decode_offsets,
+            decode_payloads,
+            decode_positions,
+        )
 
         for pdf in it:
             rows = []
@@ -86,6 +91,11 @@ def _decoded_partials(
                     offs[1::2] = en_ - st_
                 else:
                     offs = np.empty(0, dtype=np.int32)
+                if r.pay_enc:
+                    pay_lens, pay_buf = decode_payloads(r.pay_enc, n_pos)
+                    pay_lens = pay_lens.astype(np.int32)
+                else:
+                    pay_lens, pay_buf = np.empty(0, dtype=np.int32), b""
                 cum = np.concatenate([[0], np.cumsum(tfs)])
                 if deleted.size:
                     keep, docids = _remap(docids, deleted)
@@ -95,10 +105,22 @@ def _decoded_partials(
                         poss = poss[pos_keep]
                         if len(offs):
                             offs = offs.reshape(-1, 2)[pos_keep].reshape(-1)
+                        if len(pay_lens):
+                            byte_keep = np.repeat(pos_keep, pay_lens)
+                            pay_buf = (
+                                np.frombuffer(pay_buf, dtype=np.uint8)[byte_keep]
+                                .tobytes()
+                            )
+                            pay_lens = pay_lens[pos_keep]
                     docids, tfs, norms = docids[keep], tfs[keep], norms[keep]
                     cum = np.concatenate([[0], np.cumsum(tfs)])
                 if not len(docids):
                     continue
+                pay_cum = (
+                    np.concatenate([[0], np.cumsum(pay_lens.astype(np.int64))])
+                    if len(pay_lens)
+                    else None
+                )
                 hkey = r.field + "\x1f" + r.term
                 for salt, b0, b1 in split_salts(
                     docids, hot.get(hkey, 1), max_doc
@@ -117,6 +139,12 @@ def _decoded_partials(
                             offs[2 * cum[b0] : 2 * cum[b1]].tobytes()
                             if len(offs)
                             else b"",
+                            pay_lens[cum[b0] : cum[b1]].tobytes()
+                            if pay_cum is not None
+                            else b"",
+                            pay_buf[int(pay_cum[cum[b0]]) : int(pay_cum[cum[b1]])]
+                            if pay_cum is not None
+                            else b"",
                             -1,  # ids already global (offset_map unused)
                         )
                     )
@@ -124,7 +152,7 @@ def _decoded_partials(
                 rows,
                 columns=[
                     "field", "term", "salt", "count", "first_docid", "docids",
-                    "tfs", "norms", "poss", "offs", "pid",
+                    "tfs", "norms", "poss", "offs", "pay_lens", "pays", "pid",
                 ],
             )
 
@@ -136,7 +164,8 @@ def _decoded_partials(
             .withColumn("docbase", F.lit(s["docbase"]))
             .select(
                 "field", "term", "first_docid", "count", "docids_enc",
-                "tfs_enc", "norms_enc", "pos_enc", "off_enc", "docbase",
+                "tfs_enc", "norms_enc", "pos_enc", "off_enc", "pay_enc",
+                "docbase",
             )
             .mapInPandas(decode_partition, PARTIALS_DDL)
         )
@@ -370,11 +399,16 @@ def merge_segments(
             for s in segments
         )
     ]
+    # payloads survive the merge only if EVERY source carries the same
+    # provider (FieldInfos merge: a payload-less segment poisons the field)
+    providers = {s["manifest"].get("payload_provider") for s in segments}
+    payload_provider = providers.pop() if len(providers) == 1 else None
     manifest = {
-        "format_version": 4,
+        "format_version": 5,
         "build_id": build_id,
         "field": FIELD,
         "index_options": index_options,
+        "payload_provider": payload_provider,
         "fields": fields,
         "k1": k1,
         "b": b,

@@ -52,6 +52,7 @@ from ..plans.query import (
     FuzzyQuery,
     MatchAllQuery,
     MultiPhraseQuery,
+    PayloadTermQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
@@ -632,6 +633,14 @@ class IndexSearcher:
             terms = _collect_terms(inner)
             docids = self._docids_of_terms(terms)
             return docids.select("docid", F.lit(float(np.float32(q.boost))).cast("float").alias("score"))
+        if isinstance(q, PayloadTermQuery):
+            if self.similarity != "bm25":
+                raise NotImplementedError(
+                    "payload queries are scored with BM25 here (the reference "
+                    "routes ComputeSlopFactor/ComputePayloadFactor through the "
+                    "active similarity; only the BM25 route is implemented)"
+                )
+            return self._payload_term_scores(q)
         if isinstance(q, TermQuery):
             q = BooleanQuery(should=(q,))
         if self.similarity != "bm25":
@@ -1579,6 +1588,115 @@ class IndexSearcher:
             reduce_ranges, "docid long, score float"
         )
 
+    def _payload_term_scores(self, q: PayloadTermQuery) -> DataFrame:
+        """PayloadTermQuery scorer (Search/Payloads/PayloadTermQuery.cs).
+
+        Span score: each term occurrence is a (p, p+1) span, so every match
+        contributes sloppyFreq(1) = 0.5f (Spans/SpanScorer.cs:79-95 +
+        BM25Similarity sloppy scorer ComputeSlopFactor) — freq = 0.5*tf,
+        exact in float32 for tf < 2^25, then the usual w*freq/(freq+norm)
+        kernel. Payload score: the per-occurrence 4-byte float payload
+        (PayloadHelper.DecodeSingle) folds through the chosen
+        PayloadFunction in position order (ProcessPayload is called once per
+        span in doc order):
+          avg — payloadScore += factor, DocScore = payloadScore/seen
+                (AveragePayloadFunction.cs; strict left-to-right float32
+                fold, emulated with an O(max_tf) vectorized column sweep)
+          min/max — running min/max, order-independent
+                (Min/MaxPayloadFunction.cs; vectorized reduceat)
+        No payloads seen -> DocScore = 1. Final score = f32(spanScore *
+        DocScore), or DocScore alone when include_span_score=False
+        (PayloadTermQuery.cs GetScore). One job: the term's blocks decode
+        and score in a single mapInPandas — no shuffle before top-k."""
+        for s in self.segments:
+            if s["manifest"].get("payload_provider") is None:
+                raise NotImplementedError(
+                    "payload queries need an index built with a "
+                    "payload_provider (this segment has none)"
+                )
+        key = (q.field, q.term)
+        if self.doc_freqs([key])[key] == 0:
+            return self._empty_hits()
+        w = self.weight(q.term, q.boost, q.field)
+        caches = self._field_caches
+        fn, include_span = q.function, q.include_span_score
+        if fn not in ("avg", "min", "max"):
+            raise ValueError(f"unknown payload function {fn!r}")
+
+        def score_batches(it):
+            from .codec import decode_block, decode_float_payloads
+
+            for pdf in it:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    docids, tfs = decode_block(
+                        r.docids_enc, r.tfs_enc, r.first_docid, r.count
+                    )
+                    if r.docbase:
+                        docids = docids + r.docbase
+                    n_pos = int(tfs.sum())
+                    vals = decode_float_payloads(r.pay_enc, n_pos)
+                    valid = ~np.isnan(vals)
+                    starts = np.concatenate(
+                        [[0], np.cumsum(tfs.astype(np.int64))[:-1]]
+                    )
+                    m = len(tfs)
+                    if fn == "avg":
+                        # strict left-to-right f32 fold per doc, vectorized
+                        # across the block's docs one occurrence-column at a
+                        # time (payloadScore accumulates per match in C#)
+                        acc = np.zeros(m, dtype=np.float32)
+                        cnt = np.zeros(m, dtype=np.int64)
+                        for j in range(int(tfs.max())):
+                            live = np.nonzero(tfs > j)[0]
+                            v = vals[starts[live] + j]
+                            ok = valid[starts[live] + j]
+                            upd = live[ok]
+                            acc[upd] = (acc[upd] + v[ok]).astype(np.float32)
+                            cnt[upd] += 1
+                        factor = np.where(
+                            cnt > 0,
+                            acc / cnt.astype(np.float32),
+                            np.float32(1.0),
+                        ).astype(np.float32)
+                    else:
+                        fill = np.float32(np.inf if fn == "min" else -np.inf)
+                        red = np.minimum if fn == "min" else np.maximum
+                        filled = np.where(valid, vals, fill).astype(np.float32)
+                        factor = red.reduceat(filled, starts).astype(np.float32)
+                        cnt = np.add.reduceat(
+                            valid.astype(np.int64), starts
+                        )
+                        factor = np.where(
+                            cnt > 0, factor, np.float32(1.0)
+                        ).astype(np.float32)
+                    if include_span:
+                        freq = tfs.astype(np.float32) * np.float32(0.5)
+                        nbytes = np.frombuffer(r.norms_enc, dtype=np.uint8)
+                        span = (np.float32(w) * freq) / (
+                            freq + caches[r.field][nbytes]
+                        )
+                        score = (span * factor).astype(np.float32)
+                    else:
+                        score = factor
+                    outs.append(pd.DataFrame({"docid": docids, "score": score}))
+                yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                    {
+                        "docid": pd.Series(dtype="int64"),
+                        "score": pd.Series(dtype="float32"),
+                    }
+                )
+
+        cols = [
+            "field", "first_docid", "count", "docids_enc", "tfs_enc",
+            "norms_enc", "pay_enc", "docbase",
+        ]
+        return (
+            self._blocks_for([key])
+            .select(cols)
+            .mapInPandas(score_batches, "docid long, score float")
+        )
+
     def _dismax_scores(self, q: DisMaxQuery) -> DataFrame:
         """max + tie*(sum-max) over clause scores (DisjunctionMaxScorer).
 
@@ -2132,7 +2250,7 @@ def _with_dl_edits(terms_df: DataFrame, query: str) -> DataFrame:
 
 
 def _collect_terms(q: Query) -> list:
-    if isinstance(q, TermQuery):
+    if isinstance(q, (TermQuery, PayloadTermQuery)):
         return [(q.field, q.term)]
     if isinstance(q, PhraseQuery):
         return [(q.field, t) for t in q.terms]

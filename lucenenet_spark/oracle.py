@@ -716,6 +716,65 @@ def multi_phrase_scores(
     return out
 
 
+def payload_term_scores(
+    index: OracleIndex,
+    term: str,
+    function: str = "avg",
+    include_span_score: bool = True,
+    k1: float = 1.2,
+    b: float = 0.75,
+    boost: float = 1.0,
+) -> dict[int, np.float32]:
+    """PayloadTermQuery scores (Search/Payloads/PayloadTermQuery.cs) over
+    the position_float provider: payload at each occurrence decodes to
+    f32(f32(position) + 1f) (PayloadHelper.DecodeSingle of the bytes the
+    builder wrote).
+
+    Span part: each occurrence is a (p, p+1) span -> sloppyFreq(1) = 0.5f
+    per match, folded in float32 (SpanScorer.cs:79-95); score =
+    w*freq/(freq+norm) with the term weight chain. Payload part: the chosen
+    PayloadFunction folds factors in position order (ProcessPayload);
+    DocScore = sum/seen (avg), running min, or running max; no payloads ->
+    1f. Final = f32(spanScore * DocScore), or DocScore alone when
+    include_span_score is False (GetScore)."""
+    plist = index.positions.get(term)
+    if not plist:
+        return {}
+    t_idf = idf(len(index.postings.get(term, [])), index.max_doc)
+    w = np.float32(
+        np.float32(t_idf * np.float32(boost))
+        * np.float32(np.float32(k1) + np.float32(1.0))
+    )
+    cache = norm_cache(k1, b, index.avgdl)
+    out: dict[int, np.float32] = {}
+    for d, poss in sorted(plist.items()):
+        pay_sum = np.float32(0.0)
+        pay_min = pay_max = None
+        for p in poss:
+            f = np.float32(np.float32(p) + np.float32(1.0))
+            pay_sum = np.float32(pay_sum + f)
+            pay_min = f if pay_min is None else min(pay_min, f)
+            pay_max = f if pay_max is None else max(pay_max, f)
+        seen = len(poss)
+        if not seen:
+            factor = np.float32(1.0)
+        elif function == "avg":
+            factor = np.float32(pay_sum / np.float32(seen))
+        elif function == "min":
+            factor = pay_min
+        else:
+            factor = pay_max
+        if include_span_score:
+            freq = np.float32(0.0)
+            for _ in poss:
+                freq = np.float32(freq + np.float32(0.5))
+            span = np.float32(w * freq / (freq + cache[index.norm_bytes[d]]))
+            out[d] = np.float32(span * factor)
+        else:
+            out[d] = np.float32(factor)
+    return out
+
+
 def top_k(scores: dict[int, np.float32], k: int) -> list[tuple[int, np.float32]]:
     """(docid, score) ranked score desc then docID asc — HitQueue.cs:88-100."""
     return sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))[:k]

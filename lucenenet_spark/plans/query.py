@@ -35,6 +35,28 @@ class MatchAllQuery(Query):
 
 
 @dataclass(frozen=True)
+class PayloadTermQuery(Query):
+    """Payload-scored term query (Search/Payloads/PayloadTermQuery.cs).
+
+    Runs as a span-term query: spanScore uses sloppyFreq = sum over matches
+    of 1/(matchLength+1) with matchLength = end-start = 1 for a term span
+    (Spans/SpanScorer.cs:83-84, TermSpans End = position+1), i.e.
+    freq = 0.5*tf — span scores deliberately differ from TermScorer's.
+    Per match, the payload factor (ComputePayloadFactor; here the 4-byte
+    big-endian float payload decoded per PayloadHelper.DecodeSingle, the
+    reference tests' BoostingSimilarity) folds through PayloadFunction
+    (Min/Max/AveragePayloadFunction.cs) in position order; final score =
+    spanScore * function.DocScore (or the payload score alone when
+    include_span_score=False) — PayloadTermQuery.cs GetScore().
+    Occurrences without a payload are skipped (IsPayloadAvailable gate)."""
+
+    term: str = ""
+    field: str = "text"
+    function: str = "avg"  # avg | min | max
+    include_span_score: bool = True
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     query: Query | None = None
 

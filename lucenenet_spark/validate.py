@@ -84,6 +84,19 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
                             brk = np.ones(len(st) - 1, dtype=bool)
                             brk[cum - 1] = False
                             pos_ok = bool(np.all(d[brk] > 0))
+                    # payloads channel: one length per occurrence, lengths
+                    # non-negative, concatenated bytes exactly sum(lens)
+                    # (CheckIndex.cs payload-length validations)
+                    if pos_ok and getattr(r, "pay_enc", b""):
+                        from .operators.codec import decode_payloads
+
+                        lens, buf = decode_payloads(r.pay_enc, int(tfs.sum()))
+                        if (
+                            len(lens) != int(tfs.sum())
+                            or np.any(lens < 0)
+                            or len(buf) != int(lens.sum())
+                        ):
+                            pos_ok = False
                 rows.append(
                     {
                         "field": r.field,
