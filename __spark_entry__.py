@@ -265,6 +265,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["term_ib_spl"] = term_ib_spl
 
+    def term_inb2(spark, sf_dir):
+        s = _searcher(spark, sf_dir, similarity="dfr_inb2")
+        return s.search(TermQuery(term=HOT), 15)
+
+    out["term_inb2"] = term_inb2
+
+    def term_ineb2(spark, sf_dir):
+        s = _searcher(spark, sf_dir, similarity="dfr_ineb2")
+        return s.search(TermQuery(term=HOT), 15)
+
+    out["term_ineb2"] = term_ineb2
+
     # -- highlighting + suggest/spellcheck satellites ------------------------
     from lucenenet_spark.operators import highlight as hl
 
@@ -519,6 +531,8 @@ GROUP BY v.byte ORDER BY norm_byte""",
     out["term_pl2"] = es.dfr_pl2_term_sql(HOT, k=15)
     out["term_ib"] = es.ib_ll_term_sql(HOT, k=15)
     out["term_ib_spl"] = es.ib_spl_term_sql(HOT, k=15)
+    out["term_inb2"] = es.dfr_ixb2_term_sql(HOT, ine=False, k=15)
+    out["term_ineb2"] = es.dfr_ixb2_term_sql(HOT, ine=True, k=15)
 
     from lucenenet_spark.operators import highlight as hl
 

@@ -867,6 +867,49 @@ ORDER BY score DESC, p.docid ASC
 LIMIT {k}"""
 
 
+def dfr_ixb2_term_sql(
+    term: str, ine: bool = False, k: int = 10, boost: float = 1.0
+) -> str:
+    """Top-k TermQuery under DFR I(n)B2 / I(ne)B2, float32-exact.
+
+    BasicModelIn.cs:35-40: BM = tfn * f32(log2((N+1)/(df+0.5))) — log2 in
+    double, cast to REAL, then a REAL multiply. BasicModelIne.cs:35-41:
+    ne = N·(1 − power((N−1)/N, F)) in double replaces df. AfterEffectB and
+    the boost·BM·AE composition as in dfr_gb2_term_sql."""
+    if ine:
+        denom = "(c.nn * (1.0 - power((c.nn - 1.0) / c.nn, c.ff)) + 0.5)"
+    else:
+        denom = "(c.nf + 0.5)"
+    consts = """
+  SELECT CAST(f.max_doc AS DOUBLE) AS nn,
+         CAST(t.df AS DOUBLE) AS nf,
+         CAST(t.ttf AS DOUBLE) AS ff,
+         CAST(t.ttf + 2 AS REAL) AS fv2,
+         CAST(t.df + 1 AS REAL) AS np1,
+         CAST(CAST(f.sum_ttf AS REAL) / CAST(f.max_doc AS REAL) AS REAL) AS avg32
+  FROM tstats t CROSS JOIN fstats f WHERE t.term = '{T}'""".replace("{T}", term)
+    tfn = _tfn_sql()
+    l2c = f"CAST(ln((c.nn + 1.0) / {denom}) / ln(2.0) AS REAL)"
+    bm = f"CAST({tfn} * {l2c} AS REAL)"
+    one = "CAST(CAST(1.0 AS DOUBLE) AS REAL)"
+    ae = (
+        f"CAST(c.fv2 / CAST(c.np1 * CAST({tfn} + {one} AS REAL) AS REAL) AS REAL)"
+    )
+    score = f"CAST(CAST({_f32lit(boost)} * {bm} AS REAL) * {ae} AS REAL)"
+    return f"""{prelude()},
+cdfr AS ({consts}),
+dlv AS (
+  SELECT l.docid, v.nt FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+)
+SELECT p.docid AS docid, {score} AS score
+FROM posting p
+CROSS JOIN cdfr c
+JOIN dlv d ON p.docid = d.docid
+WHERE p.term = '{term}'
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+
+
 def ib_ll_term_sql(term: str, k: int = 10, boost: float = 1.0) -> str:
     """Top-k TermQuery under IB LL-D-H2, float32-exact (LambdaDF.cs:36-39:
     λ = f32(f32(df+1)/f32(N+1)); DistributionLL.cs:37-40:

@@ -161,7 +161,7 @@ class IndexSearcher:
         # (norms == null -> no multiply, TFIDFSimScorer.Score:691)
         if similarity not in (
             "bm25", "classic", "lmd", "lmjm",
-            "dfr_gb2", "dfr_pl2", "ib_ll", "ib_spl",
+            "dfr_gb2", "dfr_pl2", "dfr_inb2", "dfr_ineb2", "ib_ll", "ib_spl",
         ):
             raise ValueError(f"unknown similarity {similarity!r}")
         self.similarity = similarity
@@ -647,7 +647,10 @@ class IndexSearcher:
             if isinstance(q, BooleanQuery):
                 if self.similarity == "classic":
                     return self._classic_boolean_scores(q)
-                if self.similarity in ("dfr_gb2", "dfr_pl2", "ib_ll", "ib_spl"):
+                if self.similarity in (
+                    "dfr_gb2", "dfr_pl2", "dfr_inb2", "dfr_ineb2",
+                    "ib_ll", "ib_spl",
+                ):
                     return self._dfr_boolean_scores(q)
                 return self._lmd_boolean_scores(q)
             raise NotImplementedError(
@@ -997,6 +1000,13 @@ class IndexSearcher:
             (BasicModelG.cs:37-45); AE = f32(f32(ttf+2) / f32(f32(df+1) *
             f32(tfn+1))) (AfterEffectB.cs:33-38); score = f32(f32(boost*BM)*AE)
             (DFRSimilarity.cs:121-125).
+          dfr_inb2 (DFRSimilarity(BasicModelIn, AfterEffectB, H2)):
+            BM = tfn * f32(log2((N+1)/(df+0.5))) — (N+1) integer, (df+0.5)
+            double, cast-to-float THEN f32 multiply (BasicModelIn.cs:35-40);
+            AE = AfterEffectB as in gb2; same composition.
+          dfr_ineb2 (DFRSimilarity(BasicModelIne, AfterEffectB, H2)):
+            ne = N·(1 − ((N−1)/N)^F) in double (BasicModelIne.cs:35-41);
+            BM = tfn * f32(log2((N+1)/(ne+0.5))); AE/composition as inb2.
           dfr_pl2 (DFRSimilarity(BasicModelP, AfterEffectL, H2)):
             λ = f32(f32(ttf+1) / f32(N+1)); BM = f32(tfn*log2(f32(tfn/λ)) +
             (f32(f32(λ + f32(1/f32(12*tfn))) - tfn))*log2(e) +
@@ -1083,6 +1093,21 @@ class IndexSearcher:
                                 np.float32
                             )
                             ae = np.float32(Fv + 1.0) / (
+                                np.float32(df_ + 1) * (tfn + np.float32(1.0))
+                            )
+                            sc = (np.float32(boost) * bm) * ae
+                        elif sim in ("dfr_inb2", "dfr_ineb2"):
+                            if sim == "dfr_inb2":
+                                denom = df_ + 0.5
+                            else:
+                                # ne = N*(1 - ((N-1)/N)^F), all double
+                                denom = (
+                                    N * (1.0 - ((N - 1.0) / N) ** float(ttf))
+                                    + 0.5
+                                )
+                            l2c = np.float32(np.log((N + 1.0) / denom) / ln2)
+                            bm = tfn * l2c  # f32 multiply after the cast
+                            ae = np.float32(float(ttf) + 2.0) / (
                                 np.float32(df_ + 1) * (tfn + np.float32(1.0))
                             )
                             sc = (np.float32(boost) * bm) * ae

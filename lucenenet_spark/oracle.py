@@ -419,6 +419,54 @@ def dfr_gb2_term_scores(
     return out
 
 
+def _dfr_ixb2_term_scores(
+    index: OracleIndex, term: str, ine: bool, boost: float = 1.0
+) -> dict[int, np.float32]:
+    """Shared I(n)B2 / I(ne)B2 oracle (DFRSimilarity + BasicModelIn/Ine +
+    AfterEffectB + NormalizationH2 c=1).
+
+    BasicModelIn.cs:35-40: BM = tfn * f32(log2((N+1)/(df+0.5))) — the log2
+    is computed in double, cast to float, THEN multiplied in float32.
+    BasicModelIne.cs:35-41: same with ne = N·(1 − ((N−1)/N)^F) in double.
+    AfterEffectB.cs:33-38: AE = f32(f32(ttf+2) / f32(f32(df+1)·f32(tfn+1)));
+    DFRSimilarity.cs Score: f32(f32(boost·BM)·AE)."""
+    plist = index.postings.get(term)
+    if not plist:
+        return {}
+    ttf = sum(tf for _d, tf in plist)
+    df = len(plist)
+    N = float(index.max_doc)
+    ln2 = np.log(2.0)
+    if ine:
+        denom = N * (1.0 - ((N - 1.0) / N) ** float(ttf)) + 0.5
+    else:
+        denom = df + 0.5
+    l2c = np.float32(np.log((N + 1.0) / denom) / ln2)
+    avg = np.float32(np.float32(index.sum_ttf) / np.float32(index.max_doc))
+    out = {}
+    for docid, tf in plist:
+        dl = NORM_TABLE[index.norm_bytes[docid]]
+        inner = np.float32(1.0) + np.float32(
+            np.float32(np.float32(1.0) * avg) / dl
+        )
+        tfn = np.float32(np.float64(np.float32(tf)) * (np.log(np.float64(inner)) / ln2))
+        bm = np.float32(tfn * l2c)
+        ae = np.float32(
+            np.float32(float(ttf) + 2.0)
+            / np.float32(np.float32(df + 1) * np.float32(tfn + np.float32(1.0)))
+        )
+        out[docid] = np.float32(np.float32(np.float32(boost) * bm) * ae)
+    return out
+
+
+def dfr_inb2_term_scores(index, term, boost=1.0):
+    return _dfr_ixb2_term_scores(index, term, ine=False, boost=boost)
+
+
+def dfr_ineb2_term_scores(index, term, boost=1.0):
+    return _dfr_ixb2_term_scores(index, term, ine=True, boost=boost)
+
+
 def dfr_pl2_term_scores(
     index: OracleIndex, term: str, boost: float = 1.0
 ) -> dict[int, np.float32]:

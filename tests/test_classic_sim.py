@@ -138,6 +138,22 @@ def test_dfr_pl2_term_parity(spark, index_dir, oracle_index):
         assert got == want, t
 
 
+def test_dfr_inb2_term_parity(spark, index_dir, oracle_index):
+    s = IndexSearcher(spark, index_dir, similarity="dfr_inb2")
+    for t in ["popcorn", "hello", "common7"]:
+        want = oracle.top_k(oracle.dfr_inb2_term_scores(oracle_index, t), 15)
+        got = hits(s.search(TermQuery(term=t), 15))
+        assert got == want, t
+
+
+def test_dfr_ineb2_term_parity(spark, index_dir, oracle_index):
+    s = IndexSearcher(spark, index_dir, similarity="dfr_ineb2")
+    for t in ["popcorn", "hello", "common7"]:
+        want = oracle.top_k(oracle.dfr_ineb2_term_scores(oracle_index, t), 15)
+        got = hits(s.search(TermQuery(term=t), 15))
+        assert got == want, t
+
+
 def test_ib_ll_term_parity(spark, index_dir, oracle_index):
     s = IndexSearcher(spark, index_dir, similarity="ib_ll")
     for t in ["popcorn", "hello", "common7"]:
