@@ -35,6 +35,22 @@ from lucenenet_spark.plans.query import (
 
 # terms chosen from the gate corpus vocabulary (documents.text)
 HOT, MID, T3, T4, T5 = "batch", "stream", "scan", "merge", "small"
+
+# SimilarityBase matrix gates: each new component (BasicModelBE/D/IF,
+# NormalizationH1/H3/Z, AfterEffect-none, LambdaTTF) exercised at least once
+# through the generic "dfr:<bm>:<ae>:<norm>" / "ib:<dist>:<lambda>:<norm>"
+# spec surface (operators/simbase.py).
+SIMBASE_MATRIX_GATES = [
+    ("term_bb2", "dfr_bb2"),  # BasicModelBE + B + H2 (Lucene's BB2)
+    ("term_db2", "dfr_db2"),  # BasicModelD + B + H2
+    ("term_ifb2", "dfr_ifb2"),  # BasicModelIF + B + H2
+    ("term_inl2", "dfr_inl2"),  # BasicModelIn + AfterEffectL + H2
+    ("term_gl1", "dfr:g:l:h1"),  # NormalizationH1
+    ("term_in_z", "dfr:in:b:z"),  # NormalizationZ
+    ("term_if_h3", "dfr:if:b:h3"),  # NormalizationH3 (mu=800)
+    ("term_g_noae", "dfr:g:no:h2"),  # AfterEffect.NoAfterEffect
+    ("term_ib_ttf", "ib_ll_ttf"),  # LambdaTTF
+]
 ABSENT, STOP = "zzzqx", "the"
 
 
@@ -276,6 +292,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.search(TermQuery(term=HOT), 15)
 
     out["term_ineb2"] = term_ineb2
+
+    # -- the rest of the SimilarityBase matrix (one gate per new component:
+    #    BasicModelBE/D/IF, AfterEffect combos, NormalizationH1/H3/Z,
+    #    LambdaTTF) through the generic composable kernels -------------------
+    def _sim_gate(sim):
+        def f(spark, sf_dir):
+            s = _searcher(spark, sf_dir, similarity=sim)
+            return s.search(TermQuery(term=HOT), 15)
+
+        return f
+
+    for _name, _sim in SIMBASE_MATRIX_GATES:
+        out[_name] = _sim_gate(_sim)
 
     # -- highlighting + suggest/spellcheck satellites ------------------------
     from lucenenet_spark.operators import highlight as hl
@@ -533,6 +562,8 @@ GROUP BY v.byte ORDER BY norm_byte""",
     out["term_ib_spl"] = es.ib_spl_term_sql(HOT, k=15)
     out["term_inb2"] = es.dfr_ixb2_term_sql(HOT, ine=False, k=15)
     out["term_ineb2"] = es.dfr_ixb2_term_sql(HOT, ine=True, k=15)
+    for _name, _sim in SIMBASE_MATRIX_GATES:
+        out[_name] = es.simbase_term_sql(HOT, _sim, k=15)
 
     from lucenenet_spark.operators import highlight as hl
 

@@ -973,6 +973,173 @@ ORDER BY score DESC, p.docid ASC
 LIMIT {k}"""
 
 
+def simbase_term_sql(term: str, name: str, k: int = 10, boost: float = 1.0) -> str:
+    """Generic DuckDB oracle for ANY SimilarityBase matrix member — DFR
+    "dfr:<basic>:<ae>:<norm>" or IB "ib:<dist>:<lambda>:<norm>" (aliases
+    accepted). Third independent implementation of the same cited float32
+    op chains (see operators/simbase.py); built compositionally with
+    DuckDB lateral column aliases."""
+    from .operators.simbase import ALIASES
+
+    spec = ALIASES.get(name, name).split(":")
+    assert len(spec) == 4 and spec[0] in ("dfr", "ib"), name
+    family, c1, c2, norm = spec
+    one = "CAST(CAST(1.0 AS DOUBLE) AS REAL)"
+    mu = _f32lit(800.0)  # NormalizationH3 default
+    zz = _f32lit(np.float32(0.30))  # NormalizationZ default
+    # per-term scalar stats (doubles + the float32 derivations)
+    consts = f"""
+  SELECT CAST(f.max_doc AS DOUBLE) AS nn,
+         CAST(t.df AS DOUBLE) AS nf,
+         CAST(t.ttf AS DOUBLE) AS ff,
+         CAST(t.ttf + 2 AS REAL) AS fv2,
+         CAST(t.df + 1 AS REAL) AS np1,
+         CAST(t.ttf AS REAL) AS ff32,
+         CAST(t.df AS REAL) AS nf32,
+         CAST(f.max_doc AS REAL) AS nn32,
+         CAST(f.sum_ttf AS REAL) AS nft32,
+         CAST(CAST(t.ttf + 1 AS REAL) / CAST(f.max_doc + 1 AS REAL) AS REAL) AS lamp,
+         CAST(CAST(f.sum_ttf AS REAL) / CAST(f.max_doc AS REAL) AS REAL) AS avg32
+  FROM tstats t CROSS JOIN fstats f WHERE t.term = '{term}'"""
+    # ---- Normalization.Tfn (over tf32 REAL, nt REAL docLen) ----------------
+    tf32 = "CAST(p.tf AS REAL)"
+    if norm == "no":
+        tfn = tf32
+    elif norm == "h1":
+        tfn = f"CAST(CAST({tf32} * c.avg32 AS REAL) / d.nt AS REAL)"
+    elif norm == "h2":
+        inner = (
+            "CAST(CAST(1.0 AS REAL) + CAST(CAST(CAST(1.0 AS REAL) * c.avg32 AS REAL)"
+            " / d.nt AS REAL) AS REAL)"
+        )
+        tfn = (
+            f"CAST(CAST({tf32} AS DOUBLE)"
+            f" * (ln(CAST({inner} AS DOUBLE)) / ln(2.0)) AS REAL)"
+        )
+    elif norm == "h3":
+        r = (
+            f"CAST(CAST(c.ff32 + {one} AS REAL)"
+            f" / CAST(c.nft32 + {one} AS REAL) AS REAL)"
+        )
+        a = f"CAST({mu} * {r} AS REAL)"
+        tfn = (
+            f"CAST(CAST(CAST({tf32} + {a} AS REAL)"
+            f" / CAST(d.nt + {mu} AS REAL) AS REAL) * {mu} AS REAL)"
+        )
+    else:  # z
+        ratio = "CAST(c.avg32 / d.nt AS REAL)"
+        tfn = (
+            f"CAST(CAST({tf32} AS DOUBLE)"
+            f" * power(CAST({ratio} AS DOUBLE), CAST({zz} AS DOUBLE)) AS REAL)"
+        )
+    # the final SELECT uses DuckDB lateral aliases: tfn, then t64, then score
+    lat = [f"{tfn} AS tfn", "CAST(tfn AS DOUBLE) AS t64"]
+    if family == "dfr":
+        # ---- BasicModel.Score ---------------------------------------------
+        if c1 == "be":
+            lat.append("c.ff + 1.0 + t64 AS bigf")
+            lat.append("bigf + c.nn AS bign")
+
+            def fh(n, m):
+                return (
+                    f"((({m}) + 0.5) * (ln(({n}) / ({m})) / ln(2.0))"
+                    f" + (({n}) - ({m})) * (ln({n}) / ln(2.0)))"
+                )
+
+            bm = (
+                f"CAST(-(ln((bign - 1.0) * exp(1.0)) / ln(2.0))"
+                f" + {fh('bign + bigf - 1.0', 'bign + bigf - t64 - 2.0')}"
+                f" - {fh('bigf', 'bigf - t64')} AS REAL)"
+            )
+        elif c1 == "d":
+            lat.append("c.ff + 1.0 + t64 AS bigf")
+            lat.append("t64 / bigf AS phi")
+            lat.append("1.0 - phi AS nphi")
+            lat.append("1.0 / (c.nn + 1.0) AS pp")
+            bm = (
+                "CAST((phi * (ln(phi / pp) / ln(2.0))"
+                " + nphi * (ln(nphi / (1.0 - pp)) / ln(2.0))) * bigf"
+                " + 0.5 * (ln(1.0 + 2.0 * pi() * t64 * nphi) / ln(2.0)) AS REAL)"
+            )
+        elif c1 == "g":
+            lam = "((c.ff + 1.0) / (c.nn + c.ff + 1.0))"
+            bm = (
+                f"CAST(ln({lam} + 1.0) / ln(2.0)"
+                f" + t64 * (ln((1.0 + {lam}) / {lam}) / ln(2.0)) AS REAL)"
+            )
+        elif c1 == "if":
+            l2 = "CAST(ln(1.0 + (c.nn + 1.0) / (c.ff + 0.5)) / ln(2.0) AS REAL)"
+            bm = f"CAST(tfn * {l2} AS REAL)"
+        elif c1 == "in":
+            l2 = "CAST(ln((c.nn + 1.0) / (c.nf + 0.5)) / ln(2.0) AS REAL)"
+            bm = f"CAST(tfn * {l2} AS REAL)"
+        elif c1 == "ine":
+            ne = "(c.nn * (1.0 - power((c.nn - 1.0) / c.nn, c.ff)))"
+            l2 = f"CAST(ln((c.nn + 1.0) / ({ne} + 0.5)) / ln(2.0) AS REAL)"
+            bm = f"CAST(tfn * {l2} AS REAL)"
+        else:  # p
+            term1 = "t64 * (ln(CAST(CAST(tfn / c.lamp AS REAL) AS DOUBLE)) / ln(2.0))"
+            mid = (
+                f"CAST(CAST(c.lamp + CAST({one} / CAST({_f32lit(12.0)} * tfn"
+                f" AS REAL) AS REAL) AS REAL) - tfn AS REAL)"
+            )
+            term2 = f"CAST({mid} AS DOUBLE) * (1.0 / ln(2.0))"
+            term3 = "0.5 * (ln(2.0 * pi() * t64) / ln(2.0))"
+            bm = f"CAST({term1} + {term2} + {term3} AS REAL)"
+        lat.append(f"{bm} AS bm")
+        # ---- AfterEffect.Score --------------------------------------------
+        if c2 == "no":
+            ae = one
+        elif c2 == "b":
+            ae = (
+                f"CAST(c.fv2 / CAST(c.np1 * CAST(tfn + {one} AS REAL)"
+                f" AS REAL) AS REAL)"
+            )
+        else:  # l
+            ae = f"CAST({one} / CAST(tfn + {one} AS REAL) AS REAL)"
+        score = f"CAST(CAST({_f32lit(boost)} * bm AS REAL) * {ae} AS REAL)"
+    else:  # ib
+        lamnum = "c.nf32" if c2 == "df" else "c.ff32"
+        lam_raw = (
+            f"CAST(CAST({lamnum} + {one} AS REAL)"
+            f" / CAST(c.nn32 + {one} AS REAL) AS REAL)"
+        )
+        if c1 == "spl":
+            lat.append(
+                f"(CASE WHEN {lam_raw} = {one} THEN {_f32lit(0.99)}"
+                f" ELSE {lam_raw} END) AS lam"
+            )
+            expo = f"CAST(tfn / CAST(tfn + {one} AS REAL) AS REAL)"
+            num = (
+                f"(power(CAST(lam AS DOUBLE), CAST({expo} AS DOUBLE))"
+                f" - CAST(lam AS DOUBLE))"
+            )
+            den = f"CAST(CAST({one} - lam AS REAL) AS DOUBLE)"
+            dist = f"CAST(-ln({num} / {den}) AS REAL)"
+        else:  # ll
+            lat.append(f"{lam_raw} AS lam")
+            ratio = "CAST(lam / CAST(tfn + lam AS REAL) AS REAL)"
+            dist = f"CAST(-ln(CAST({ratio} AS DOUBLE)) AS REAL)"
+        score = f"CAST({_f32lit(boost)} * {dist} AS REAL)"
+    lat_sql = ",\n         ".join(lat)
+    return f"""{prelude()},
+cdfr AS ({consts}),
+dlv AS (
+  SELECT l.docid, v.nt FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+)
+SELECT docid, score FROM (
+  SELECT p.docid AS docid,
+         {lat_sql},
+         {score} AS score
+  FROM posting p
+  CROSS JOIN cdfr c
+  JOIN dlv d ON p.docid = d.docid
+  WHERE p.term = '{term}'
+)
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+
+
 def constant_score_sql(term_cond: str, k: int) -> str:
     """Docids of terms matching a terms-dict predicate, constant score 1.0f."""
     return f"""{prelude()}

@@ -159,9 +159,11 @@ class IndexSearcher:
         # (SURVEY §4.2), so this is a pure query-time switch; classic
         # decodes them raw (byte315ToFloat), omitNorms fields score raw
         # (norms == null -> no multiply, TFIDFSimScorer.Score:691)
-        if similarity not in (
-            "bm25", "classic", "lmd", "lmjm",
-            "dfr_gb2", "dfr_pl2", "dfr_inb2", "dfr_ineb2", "ib_ll", "ib_spl",
+        from .simbase import parse_spec
+
+        self.sim_spec = parse_spec(similarity)  # DFR/IB matrix member or None
+        if similarity not in ("bm25", "classic", "lmd", "lmjm") and (
+            self.sim_spec is None
         ):
             raise ValueError(f"unknown similarity {similarity!r}")
         self.similarity = similarity
@@ -647,10 +649,7 @@ class IndexSearcher:
             if isinstance(q, BooleanQuery):
                 if self.similarity == "classic":
                     return self._classic_boolean_scores(q)
-                if self.similarity in (
-                    "dfr_gb2", "dfr_pl2", "dfr_inb2", "dfr_ineb2",
-                    "ib_ll", "ib_spl",
-                ):
+                if self.sim_spec is not None:
                     return self._dfr_boolean_scores(q)
                 return self._lmd_boolean_scores(q)
             raise NotImplementedError(
@@ -987,41 +986,15 @@ class IndexSearcher:
         return scored
 
     def _dfr_boolean_scores(self, q: BooleanQuery) -> DataFrame:
-        """BooleanQuery under the SimilarityBase-derived scorers, float32-
-        exact. Shared machinery (SimilarityBase.cs:117-139, 227-262):
-          avgFieldLength = f32(f32(sumTotalTermFreq) / maxDoc)
-          tfn (NormalizationH2 c=1) = f32(tf * log2(f32(1 + f32(f32(c*avg)
-               / docLen))))                         (NormalizationH2.cs:53-56)
-          docLen from the byte315⁻² table, 1 for omitNorms fields;
-          log2(x) = ln(x)/ln(2) (SimilarityBase.Log2).
-        Kernels:
-          dfr_gb2 (DFRSimilarity(BasicModelG, AfterEffectB, H2)):
-            λ = (ttf+1)/(N + ttf+1) double; BM = f32(log2(λ+1) + tfn*log2((1+λ)/λ))
-            (BasicModelG.cs:37-45); AE = f32(f32(ttf+2) / f32(f32(df+1) *
-            f32(tfn+1))) (AfterEffectB.cs:33-38); score = f32(f32(boost*BM)*AE)
-            (DFRSimilarity.cs:121-125).
-          dfr_inb2 (DFRSimilarity(BasicModelIn, AfterEffectB, H2)):
-            BM = tfn * f32(log2((N+1)/(df+0.5))) — (N+1) integer, (df+0.5)
-            double, cast-to-float THEN f32 multiply (BasicModelIn.cs:35-40);
-            AE = AfterEffectB as in gb2; same composition.
-          dfr_ineb2 (DFRSimilarity(BasicModelIne, AfterEffectB, H2)):
-            ne = N·(1 − ((N−1)/N)^F) in double (BasicModelIne.cs:35-41);
-            BM = tfn * f32(log2((N+1)/(ne+0.5))); AE/composition as inb2.
-          dfr_pl2 (DFRSimilarity(BasicModelP, AfterEffectL, H2)):
-            λ = f32(f32(ttf+1) / f32(N+1)); BM = f32(tfn*log2(f32(tfn/λ)) +
-            (f32(f32(λ + f32(1/f32(12*tfn))) - tfn))*log2(e) +
-            0.5*log2(2π*tfn)) (BasicModelP.cs:43-48); AE = f32(1/f32(tfn+1))
-            (AfterEffectL.cs:32-35); same composition.
-          ib_ll (IBSimilarity(DistributionLL, LambdaDF, H2)):
-            λ = f32(f32(df+1) / f32(N+1)) (LambdaDF.cs:36-39);
-            score = f32(boost * f32(-ln(f32(λ / f32(tfn+λ)))))
-            (DistributionLL.cs:37-40, IBSimilarity.cs:90-93).
-          ib_spl (IBSimilarity(DistributionSPL, LambdaDF, H2)):
-            λ as above, clamped to 0.99f when == 1;
-            score = f32(boost * f32(-ln((λ^f32(tfn/f32(tfn+1)) − λ) /
-            f32(1−λ)))) — pow/sub/div in double over the float32 inner
-            terms (DistributionSPL.cs:33-43)."""
+        """BooleanQuery under any SimilarityBase matrix member (DFR basic
+        model x after-effect x normalization, or IB distribution x lambda x
+        normalization) — see operators/simbase.py for the cited float32-exact
+        component kernels (SimilarityBase.cs:117-139, DFRSimilarity.cs:121-125,
+        IBSimilarity.cs:90-93). docLen comes from the byte315^-2 table
+        (1 for omitNorms fields); per-clause stats are driver-side scalars,
+        so each decoded block scores in a few numpy SIMD passes."""
         from ..functions.smallfloat import NORM_TABLE
+        from . import simbase
 
         if not q.must and not q.should:
             return self._empty_hits()
@@ -1033,7 +1006,6 @@ class IndexSearcher:
         metas = self.term_meta(keys)
         if any(metas[k][0] == 0 for k in keys[:n_must]):
             return self._empty_hits()
-        N = float(self.max_doc)
         field_tokens = {
             f: int(info.get("sum_ttf", 0)) for f, info in self.fields_info.items()
         }
@@ -1042,26 +1014,22 @@ class IndexSearcher:
             df_, ttf, _b = metas[k]
             if df_ == 0:
                 continue
-            avg = np.float32(
-                np.float32(field_tokens.get(c.field, 0)) / np.float32(self.max_doc)
+            st = simbase.make_stats(
+                self.max_doc, df_, ttf, field_tokens.get(c.field, 0)
             )
             boost = np.float32(np.float32(c.boost) * np.float32(q.boost))
-            by_key.setdefault(k, []).append(
-                (i, float(boost), int(df_), int(ttf), float(avg))
-            )
+            by_key.setdefault(k, []).append((i, float(boost), st))
         if not by_key:
             return self._empty_hits()
         blocks = self._blocks_for(list(by_key))
         if n_must:
             blocks = self._conjunction_prune(blocks, keys[:n_must])
         omit = {f for f, info in self.fields_info.items() if info.get("omit_norms")}
-        sim = self.similarity
+        spec = self.sim_spec
 
         def score_batches(it):
             from .codec import decode_block
 
-            ln2 = np.log(2.0)
-            log2e = 1.0 / ln2  # BasicModelP.LOG2_E
             for pdf in it:
                 outs = []
                 for r in pdf.itertuples(index=False):
@@ -1077,78 +1045,8 @@ class IndexSearcher:
                         if r.field in omit
                         else NORM_TABLE[nbytes]
                     )
-                    for cid, boost, df_, ttf, avg in by_key[(r.field, r.term)]:
-                        # tfn = f32(tf * log2(f32(1 + f32(f32(c*avg)/dl))))
-                        inner = np.float32(1.0) + (
-                            np.float32(np.float32(1.0) * np.float32(avg)) / dl
-                        )
-                        log2i = np.log(inner.astype(np.float64)) / ln2
-                        tfn = (freq.astype(np.float64) * log2i).astype(np.float32)
-                        if sim == "dfr_gb2":
-                            Fv = float(ttf + 1)
-                            lam = Fv / (N + Fv)
-                            l1 = np.log(lam + 1.0) / ln2
-                            l2 = np.log((1.0 + lam) / lam) / ln2
-                            bm = (l1 + tfn.astype(np.float64) * l2).astype(
-                                np.float32
-                            )
-                            ae = np.float32(Fv + 1.0) / (
-                                np.float32(df_ + 1) * (tfn + np.float32(1.0))
-                            )
-                            sc = (np.float32(boost) * bm) * ae
-                        elif sim in ("dfr_inb2", "dfr_ineb2"):
-                            if sim == "dfr_inb2":
-                                denom = df_ + 0.5
-                            else:
-                                # ne = N*(1 - ((N-1)/N)^F), all double
-                                denom = (
-                                    N * (1.0 - ((N - 1.0) / N) ** float(ttf))
-                                    + 0.5
-                                )
-                            l2c = np.float32(np.log((N + 1.0) / denom) / ln2)
-                            bm = tfn * l2c  # f32 multiply after the cast
-                            ae = np.float32(float(ttf) + 2.0) / (
-                                np.float32(df_ + 1) * (tfn + np.float32(1.0))
-                            )
-                            sc = (np.float32(boost) * bm) * ae
-                        elif sim == "dfr_pl2":
-                            lam = np.float32(
-                                np.float32(ttf + 1) / np.float32(N + 1)
-                            )
-                            t64 = tfn.astype(np.float64)
-                            term1 = t64 * (np.log((tfn / lam).astype(np.float64)) / ln2)
-                            mid = (
-                                lam + (np.float32(1.0) / (np.float32(12.0) * tfn))
-                            ) - tfn  # float32 left-to-right
-                            term2 = mid.astype(np.float64) * log2e
-                            term3 = 0.5 * (np.log(2.0 * np.pi * t64) / ln2)
-                            bm = (term1 + term2 + term3).astype(np.float32)
-                            ae = np.float32(1.0) / (tfn + np.float32(1.0))
-                            sc = (np.float32(boost) * bm) * ae
-                        elif sim == "ib_ll":
-                            lam = np.float32(
-                                (np.float32(df_) + np.float32(1.0))
-                                / (np.float32(N) + np.float32(1.0))
-                            )
-                            ratio = lam / (tfn + lam)  # float32
-                            dist = (-np.log(ratio.astype(np.float64))).astype(
-                                np.float32
-                            )
-                            sc = np.float32(boost) * dist
-                        else:  # ib_spl
-                            lam = np.float32(
-                                (np.float32(df_) + np.float32(1.0))
-                                / (np.float32(N) + np.float32(1.0))
-                            )
-                            if lam == np.float32(1.0):
-                                lam = np.float32(0.99)
-                            expo = tfn / (tfn + np.float32(1.0))  # float32
-                            num = np.power(
-                                np.float64(lam), expo.astype(np.float64)
-                            ) - np.float64(lam)
-                            den = np.float64(np.float32(1.0) - lam)
-                            dist = (-np.log(num / den)).astype(np.float32)
-                            sc = np.float32(boost) * dist
+                    for cid, boost, st in by_key[(r.field, r.term)]:
+                        sc = simbase.block_scores(spec, st, boost, freq, dl)
                         outs.append(
                             pd.DataFrame(
                                 {"docid": docids, "clause": cid, "score": sc}

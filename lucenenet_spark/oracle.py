@@ -565,6 +565,156 @@ def ib_spl_term_scores(
     return out
 
 
+def simbase_term_scores(
+    index: OracleIndex, term: str, name: str, boost: float = 1.0
+) -> dict[int, np.float32]:
+    """Generic SimilarityBase oracle: any DFR (basic model x after-effect x
+    normalization) or IB (distribution x lambda x normalization) member,
+    scalar per-doc np.float32 arithmetic (independent of the engine's
+    vectorized kernels in operators/simbase.py; same citations).
+
+    `name` accepts the alias shorthands (dfr_gb2, ...) or full specs
+    ("dfr:be:b:h2", "ib:spl:ttf:z", ...)."""
+    from .operators.simbase import ALIASES
+
+    spec = ALIASES.get(name, name).split(":")
+    assert len(spec) == 4 and spec[0] in ("dfr", "ib"), name
+    family, c1, c2, norm = spec
+    plist = index.postings.get(term)
+    if not plist:
+        return {}
+    df = len(plist)
+    ttf = sum(tf for _d, tf in plist)
+    nft = index.sum_ttf  # numberOfFieldTokens for the one analyzed field
+    N = index.max_doc
+    Nd = float(N)
+    ln2 = np.log(2.0)
+    avg = (
+        np.float32(np.float32(nft) / np.float32(N))
+        if nft > 0
+        else np.float32(1.0)
+    )
+    mu = np.float32(800.0)  # NormalizationH3 default
+    zz = np.float32(0.30)  # NormalizationZ default
+
+    def log2(x):
+        return np.log(x) / ln2
+
+    out = {}
+    for docid, tf in plist:
+        dl = NORM_TABLE[index.norm_bytes[docid]]
+        tf32 = np.float32(tf)
+        # --- Normalization.Tfn ------------------------------------------
+        if norm == "no":
+            tfn = tf32
+        elif norm == "h1":
+            tfn = np.float32(np.float32(tf32 * avg) / dl)
+        elif norm == "h2":
+            inner = np.float32(1.0) + np.float32(
+                np.float32(np.float32(1.0) * avg) / dl
+            )
+            tfn = np.float32(np.float64(tf32) * (np.log(np.float64(inner)) / ln2))
+        elif norm == "h3":
+            r = np.float32(
+                (np.float32(ttf) + np.float32(1.0))
+                / (np.float32(nft) + np.float32(1.0))
+            )
+            tfn = np.float32(
+                np.float32(
+                    np.float32(tf32 + np.float32(mu * r)) / np.float32(dl + mu)
+                )
+                * mu
+            )
+        else:  # z
+            ratio = np.float32(avg / dl)
+            tfn = np.float32(
+                np.float64(tf32) * np.power(np.float64(ratio), np.float64(zz))
+            )
+        t64 = np.float64(tfn)
+        if family == "dfr":
+            # --- BasicModel.Score ---------------------------------------
+            if c1 == "be":
+                F = float(ttf) + 1.0 + t64
+                Nn = F + Nd
+
+                def fh(n, m):
+                    return (m + 0.5) * log2(n / m) + (n - m) * log2(n)
+
+                bm = np.float32(
+                    -log2((Nn - 1.0) * np.e)
+                    + fh(Nn + F - 1.0, Nn + F - t64 - 2.0)
+                    - fh(F, F - t64)
+                )
+            elif c1 == "d":
+                F = float(ttf) + 1.0 + t64
+                phi = t64 / F
+                nphi = 1.0 - phi
+                p = 1.0 / (Nd + 1.0)
+                D = phi * log2(phi / p) + nphi * log2(nphi / (1.0 - p))
+                bm = np.float32(D * F + 0.5 * log2(1.0 + 2.0 * np.pi * t64 * nphi))
+            elif c1 == "g":
+                Fv = float(ttf + 1)
+                lam = Fv / (Nd + Fv)
+                bm = np.float32(log2(lam + 1.0) + t64 * log2((1.0 + lam) / lam))
+            elif c1 == "if":
+                bm = np.float32(
+                    tfn * np.float32(log2(1.0 + (Nd + 1.0) / (float(ttf) + 0.5)))
+                )
+            elif c1 == "in":
+                bm = np.float32(
+                    tfn * np.float32(log2((Nd + 1.0) / (float(df) + 0.5)))
+                )
+            elif c1 == "ine":
+                ne = Nd * (1.0 - ((Nd - 1.0) / Nd) ** float(ttf))
+                bm = np.float32(
+                    tfn * np.float32(log2((Nd + 1.0) / (ne + 0.5)))
+                )
+            else:  # p
+                lam = np.float32(np.float32(ttf + 1) / np.float32(N + 1))
+                term1 = t64 * (np.log(np.float64(np.float32(tfn / lam))) / ln2)
+                mid = np.float32(
+                    np.float32(
+                        lam
+                        + np.float32(
+                            np.float32(1.0) / np.float32(np.float32(12.0) * tfn)
+                        )
+                    )
+                    - tfn
+                )
+                term2 = np.float64(mid) * (1.0 / ln2)
+                term3 = 0.5 * log2(2.0 * np.pi * t64)
+                bm = np.float32(term1 + term2 + term3)
+            # --- AfterEffect.Score --------------------------------------
+            if c2 == "no":
+                ae = np.float32(1.0)
+            elif c2 == "b":
+                ae = np.float32(
+                    np.float32(ttf + 2)
+                    / np.float32(np.float32(df + 1) * np.float32(tfn + np.float32(1.0)))
+                )
+            else:  # l
+                ae = np.float32(np.float32(1.0) / np.float32(tfn + np.float32(1.0)))
+            out[docid] = np.float32(np.float32(np.float32(boost) * bm) * ae)
+        else:  # ib
+            lamnum = df if c2 == "df" else ttf
+            lam = np.float32(
+                (np.float32(lamnum) + np.float32(1.0))
+                / (np.float32(N) + np.float32(1.0))
+            )
+            if c1 == "ll":
+                ratio = np.float32(lam / np.float32(tfn + lam))
+                dist = np.float32(-np.log(np.float64(ratio)))
+            else:  # spl
+                if lam == np.float32(1.0):
+                    lam = np.float32(0.99)
+                expo = np.float32(tfn / np.float32(tfn + np.float32(1.0)))
+                num = np.power(np.float64(lam), np.float64(expo)) - np.float64(lam)
+                den = np.float64(np.float32(np.float32(1.0) - lam))
+                dist = np.float32(-np.log(num / den))
+            out[docid] = np.float32(np.float32(boost) * dist)
+    return out
+
+
 def kw_term_scores(
     index: OracleIndex, fieldname: str, term: str, k1: float = 1.2, boost: float = 1.0
 ) -> dict[int, np.float32]:
