@@ -343,8 +343,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return sp.span_search(s, q, 15)
 
+    def _payload_near(function):
+        def f(spark, sf_dir):
+            s = _searcher(spark, sf_dir)
+            q = sp.PayloadNearQuery(
+                clauses=(sp.SpanTermQuery(term=HOT), sp.SpanTermQuery(term=MID)),
+                slop=4,
+                function=function,
+            )
+            return sp.payload_near_search(s, q, 15)
+
+        return f
+
     out["span_first"] = span_first
     out["span_near"] = span_near
+    out["payload_near_avg"] = _payload_near("avg")
+    out["payload_near_min"] = _payload_near("min")
 
     # -- MoreLikeThis --------------------------------------------------------
     from lucenenet_spark.operators import mlt as _mlt
@@ -576,6 +590,8 @@ GROUP BY v.byte ORDER BY norm_byte""",
     out["more_like_this"] = f"{P},\n{_mlt.more_like_this_sql(7, k=15)}"
     out["span_first"] = es.span_first_sql(HOT, 5, k=15)
     out["span_near"] = es.span_near_ordered_sql(HOT, MID, 4, k=15)
+    out["payload_near_avg"] = es.payload_near_sql(HOT, MID, 4, "avg", k=15)
+    out["payload_near_min"] = es.payload_near_sql(HOT, MID, 4, "min", k=15)
     out["join_parent_max"] = f"""{P}
 SELECT d.conv_id AS parent, CAST(max(s.s) AS REAL) AS score,
        count(*) AS n_hits

@@ -576,6 +576,73 @@ pf AS (
     return _span_score_select([t1, t2], freq_cte, k)
 
 
+def payload_near_sql(
+    t1: str, t2: str, slop: int, function: str = "avg", k: int = 10,
+    boost: float = 1.0,
+) -> str:
+    """2-clause ordered PayloadNearQuery SQL, float32-identical to the
+    engine (Search/Payloads/PayloadNearQuery.cs).
+
+    Matches are the span_near_ordered closed form (for each t2 position q,
+    partner p = latest t1 position < q, gap <= slop). Per match the two
+    payloads process LAST clause first (NearSpansOrdered.cs:357-434 unions
+    the last clause's payload before the backward shrink loop), so the avg
+    fold order is [f32(q+1), f32(p+1)] per match, matches in span order —
+    emitted here as (q, idx) ordered rows folded with REAL adds. DocScore =
+    psum / seen (avg) | min | max; no payloads -> 1. Final score =
+    f32(spanScore * DocScore)."""
+    one = "CAST(CAST(1.0 AS DOUBLE) AS REAL)"
+    wsum = _idf_sql(t1)
+    wsum = f"CAST({wsum} + {_idf_sql(t2)} AS REAL)"
+    w = f"CAST(CAST({wsum} * {_f32lit(boost)} AS REAL) * {K1P1_32} AS REAL)"
+    if function == "avg":
+        factor = "CAST(psum / CAST(seen AS REAL) AS REAL)"
+    elif function == "min":
+        factor = "pmin"
+    elif function == "max":
+        factor = "pmax"
+    else:
+        raise ValueError(f"unknown payload function {function!r}")
+    return f"""{prelude()},
+{_positions_cte()},
+bp AS (SELECT docid, pos AS q FROM pos WHERE term = '{t2}'),
+ap AS (SELECT docid, pos AS p FROM pos WHERE term = '{t1}'),
+mt AS (
+  SELECT bp.docid, bp.q, max(ap.p) AS p
+  FROM bp JOIN ap ON bp.docid = ap.docid AND ap.p < bp.q
+  GROUP BY bp.docid, bp.q
+),
+qual AS (
+  SELECT docid, p, q,
+         CAST({one} / CAST(q + 1 - p + 1 AS REAL) AS REAL) AS sf
+  FROM mt WHERE greatest(q - p - 1, 0) <= {slop}
+),
+pay AS (
+  SELECT docid, q, 0 AS idx, CAST(CAST(q AS REAL) + {one} AS REAL) AS pv FROM qual
+  UNION ALL
+  SELECT docid, q, 1 AS idx, CAST(CAST(p AS REAL) + {one} AS REAL) AS pv FROM qual
+),
+pagg AS (
+  SELECT docid,
+         list_reduce(list(pv ORDER BY q, idx), (x, y) -> CAST(x + y AS REAL)) AS psum,
+         count(*) AS seen, min(pv) AS pmin, max(pv) AS pmax
+  FROM pay GROUP BY docid
+),
+pf AS (
+  SELECT docid,
+         list_reduce(list(sf ORDER BY p, q), (x, y) -> CAST(x + y AS REAL)) AS freq
+  FROM qual GROUP BY docid
+)
+SELECT p.docid AS docid,
+       CAST(CAST(CAST({w} * p.freq AS REAL) / CAST(p.freq + n.nc AS REAL) AS REAL)
+            * {factor} AS REAL) AS score
+FROM pf p
+JOIN pagg g ON p.docid = g.docid
+JOIN ncache n ON p.docid = n.docid
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+
+
 def payload_term_sql(
     term: str, function: str = "avg", include_span_score: bool = True,
     k: int = 10, boost: float = 1.0,

@@ -76,6 +76,32 @@ class SpanNotQuery(Query):
     exclude: Query | None = None
 
 
+@dataclass(frozen=True)
+class PayloadNearQuery(Query):
+    """Payload-scored ordered SpanNear (Search/Payloads/PayloadNearQuery.cs).
+
+    Flat SpanTermQuery clauses only (the reference also accepts nested span
+    trees; its GetPayloads recursion then re-processes nested nears'
+    payloads — a quirk we do not reproduce). in_order=True only
+    (NearSpansUnordered payload collection order is heap-dependent;
+    documented out of scope).
+
+    Scoring (PayloadNearSpanScorer.SetFreqCurrentDoc + GetScore):
+    per minimal match, freq += sloppyFreq(end - start) in span order; the
+    match's payloads are processed through the PayloadFunction in
+    NearSpansOrdered collection order — LAST clause first, then clauses
+    n-2 .. 0 (ShrinkToAfterShortestMatch unions the last clause's payload
+    before the backward shrink loop, NearSpansOrdered.cs:357-434).
+    Payload factor = the 4-byte float payload (PayloadHelper.DecodeSingle,
+    as in PayloadTermQuery). Final score = spanScore * DocScore where
+    DocScore = avg|min|max of seen factors (1.0 when none seen)."""
+
+    clauses: tuple = ()  # SpanTermQuery only
+    slop: int = 0
+    in_order: bool = True
+    function: str = "avg"  # avg | min | max
+
+
 def leaf_terms(q: Query) -> list[tuple[str, str]]:
     """(field, term) leaves in query order (duplicates kept — idf sums them)."""
     if isinstance(q, SpanTermQuery):
@@ -144,8 +170,13 @@ def _ordered(a: Span, b: Span) -> bool:
     return (a[1] < b[1]) if a[0] == b[0] else (a[0] < b[0])
 
 
-def _near_ordered(children: list[list[Span]], slop: int) -> list[Span]:
-    out: list[Span] = []
+def _near_ordered_chains(
+    children: list[list[Span]], slop: int
+) -> list[tuple[Span, tuple[Span, ...]]]:
+    """Minimal ordered matches WITH their per-clause chain spans (payload
+    collection needs the chain; one candidate per anchor of the last
+    clause — NearSpansOrdered emits at most one match per Next())."""
+    out: list[tuple[Span, tuple[Span, ...]]] = []
     n = len(children)
     for anchor in children[-1]:
         chain = [anchor]
@@ -171,9 +202,57 @@ def _near_ordered(children: list[list[Span]], slop: int) -> list[Span]:
             if cur[0] > prev[1]:  # only non-overlapping spans add to slop
                 match_slop += cur[0] - prev[1]
         if match_slop <= slop:
-            out.append((chain[0][0], chain[-1][1]))
+            out.append(((chain[0][0], chain[-1][1]), tuple(chain)))
+    return out
+
+
+def _near_ordered(children: list[list[Span]], slop: int) -> list[Span]:
     # minimal matches can coincide for different anchors; keep one each
-    return sorted(set(out))
+    return sorted({m for m, _chain in _near_ordered_chains(children, slop)})
+
+
+def payload_near_doc_score(
+    children: list[list[Span]],
+    slop: int,
+    payload_of: list[dict[int, float]],
+    function: str,
+) -> tuple[np.float32, np.float32]:
+    """(freq, DocScore) for ONE document (PayloadNearSpanScorer semantics).
+
+    children[i] = sorted (p, p+1) spans of flat term clause i; payload_of[i]
+    maps position -> decoded f32 payload. Matches fold in span order; each
+    match's payloads process in collection order (last clause, then
+    clauses n-2 .. 0 — NearSpansOrdered.cs:357-434)."""
+    matches = _near_ordered_chains(children, slop)
+    matches.sort(key=lambda mc: mc[0])
+    freq = np.float32(0.0)
+    acc = np.float32(0.0)
+    seen = 0
+    mn = np.float32(np.inf)
+    mx = np.float32(-np.inf)
+    for (s0, e0), chain in matches:
+        freq = np.float32(freq + np.float32(1.0) / np.float32(1 + (e0 - s0)))
+        order = [len(chain) - 1] + list(range(len(chain) - 2, -1, -1))
+        for i in order:
+            v = payload_of[i].get(chain[i][0])
+            if v is None or np.isnan(v):
+                continue  # IsPayloadAvailable gate: absent payloads skip
+            v32 = np.float32(v)
+            acc = np.float32(acc + v32)
+            seen += 1
+            mn = min(mn, v32)
+            mx = max(mx, v32)
+    if seen == 0:
+        return freq, np.float32(1.0)
+    if function == "avg":
+        ds = np.float32(acc / np.float32(seen))
+    elif function == "min":
+        ds = mn
+    elif function == "max":
+        ds = mx
+    else:
+        raise ValueError(f"unknown payload function {function!r}")
+    return freq, ds
 
 
 def _near_unordered(children: list[list[Span]], slop: int) -> list[Span]:
@@ -235,6 +314,48 @@ def span_scores_oracle(index, q: Query, k1=1.2, b=0.75, boost=1.0):
         freq = span_freq(spans)
         norm = cache[index.norm_bytes[d]]
         out[d] = np.float32(w * freq / (freq + norm))
+    return out
+
+
+def payload_near_scores_oracle(
+    index, q: "PayloadNearQuery", k1=1.2, b=0.75
+) -> dict[int, np.float32]:
+    """Oracle-side PayloadNearQuery scores over an OracleIndex (the
+    position_float provider: payload at occurrence p = f32(f32(p) + 1f))."""
+    from ..oracle import idf as idf_f32
+    from ..oracle import norm_cache
+
+    terms = [c.term for c in q.clauses]
+    s = np.float32(0.0)
+    for t in terms:
+        s = np.float32(s + idf_f32(len(index.postings.get(t, [])), index.max_doc))
+    w = np.float32(
+        np.float32(s * np.float32(q.boost))
+        * np.float32(np.float32(k1) + np.float32(1.0))
+    )
+    cache = norm_cache(k1, b, index.avgdl)
+    cand: set[int] | None = None
+    for t in terms:
+        docs = set(index.positions.get(t, {}))
+        cand = docs if cand is None else cand & docs
+    out: dict[int, np.float32] = {}
+    for d in sorted(cand or ()):
+        children = [
+            [(p, p + 1) for p in sorted(index.positions.get(t, {}).get(d, []))]
+            for t in terms
+        ]
+        payload_of = [
+            {
+                p: float(np.float32(np.float32(p) + np.float32(1.0)))
+                for p in index.positions.get(t, {}).get(d, [])
+            }
+            for t in terms
+        ]
+        freq, ds = payload_near_doc_score(children, q.slop, payload_of, q.function)
+        if freq <= 0:
+            continue
+        norm = cache[index.norm_bytes[d]]
+        out[d] = np.float32(np.float32(w * freq / (freq + norm)) * ds)
     return out
 
 
@@ -367,6 +488,158 @@ def span_scores(searcher, q: Query) -> DataFrame:
 def span_search(searcher, q: Query, k: int = 10) -> DataFrame:
     """Top-k span search with the standard tie-break."""
     scored = span_scores(searcher, q)
+    dels = searcher._deleted_docids()
+    if dels is not None:
+        scored = scored.join(F.broadcast(dels), "docid", "left_anti")
+    return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+def payload_near_scores(searcher, q: PayloadNearQuery) -> DataFrame:
+    """DataFrame(docid, score) for a PayloadNearQuery (flat term clauses).
+
+    Same scale-safe shape as span_scores — positions AND the aligned f32
+    payload channel ship as docid-range-sliced binary sub-arrays (O(blocks)
+    shuffle rows), evaluated per range. The candidate set is conjunction-
+    pruned on all clauses (a near requires every clause)."""
+    if not q.in_order:
+        raise NotImplementedError(
+            "PayloadNearQuery: unordered payload collection order is "
+            "heap-dependent in the reference (NearSpansUnordered); ordered "
+            "only here"
+        )
+    for seg in searcher.segments:
+        if seg["manifest"].get("payload_provider") is None:
+            raise NotImplementedError(
+                "payload queries need an index built with a payload_provider"
+            )
+    clauses = [
+        (c.field, c.term) for c in q.clauses
+    ]  # SpanTermQuery only (dataclass has .field/.term)
+    keys = sorted(set(clauses))
+    dfs = searcher.doc_freqs(keys)
+    if any(dfs[k] == 0 for k in keys):
+        return searcher._empty_hits()
+    from ..oracle import idf as idf_f32
+
+    s = np.float32(0.0)
+    for k in clauses:
+        s = np.float32(s + idf_f32(dfs[k], searcher.max_doc))
+    w32 = np.float32(
+        np.float32(s * np.float32(q.boost))
+        * np.float32(np.float32(searcher.k1) + np.float32(1.0))
+    )
+    blocks = searcher._blocks_for(keys)
+    if len(keys) >= 2:
+        blocks = searcher._conjunction_prune(blocks, keys)
+    key_of = {k: i for i, k in enumerate(keys)}
+    clause_keys = [key_of[c] for c in clauses]
+    cache = searcher._field_caches[keys[0][0]]
+    req_mask = 0
+    for k in keys:
+        req_mask |= 1 << key_of[k]
+    slop, fn = q.slop, q.function
+    if fn not in ("avg", "min", "max"):
+        raise ValueError(f"unknown payload function {fn!r}")
+    R = searcher.BULK_RANGE
+
+    def slice_ranges(it):
+        from .codec import decode_block, decode_float_payloads, decode_positions
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                docids, tfs = decode_block(
+                    r.docids_enc, r.tfs_enc, r.first_docid, r.count
+                )
+                if r.docbase:
+                    docids = docids + r.docbase
+                nbytes = np.frombuffer(r.norms_enc, dtype=np.uint8)
+                n_pos = int(tfs.sum())
+                poss = decode_positions(r.pos_enc, n_pos)
+                pays = decode_float_payloads(r.pay_enc, n_pos)
+                drep = np.repeat(docids, tfs)
+                nrep = np.repeat(nbytes, tfs)
+                rid = drep // R
+                change = np.nonzero(rid[1:] != rid[:-1])[0]
+                bounds = np.concatenate([[0], change + 1, [len(drep)]])
+                leaf = key_of[(r.field, r.term)]
+                for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                    rows.append(
+                        (
+                            int(rid[b0]),
+                            leaf,
+                            drep[b0:b1].tobytes(),
+                            poss[b0:b1].tobytes(),
+                            pays[b0:b1].astype(np.float32).tobytes(),
+                            nrep[b0:b1].tobytes(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["rid", "leaf", "docids", "pos", "pay", "norms"]
+            )
+
+    def reduce_ranges(it):
+        bufs = [p for p in it if len(p)]
+        if not bufs:
+            return
+        pdf = pd.concat(bufs, ignore_index=True) if len(bufs) > 1 else bufs[0]
+        counts = np.array([len(b) // 8 for b in pdf["docids"]], dtype=np.int64)
+        d = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in pdf["docids"]])
+        p = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in pdf["pos"]])
+        pv = np.concatenate([np.frombuffer(b, dtype=np.float32) for b in pdf["pay"]])
+        nb = np.concatenate([np.frombuffer(b, dtype=np.uint8) for b in pdf["norms"]])
+        lf = np.repeat(pdf["leaf"].to_numpy(), counts)
+        order = np.lexsort((p, lf, d))
+        d, p, pv, nb, lf = d[order], p[order], pv[order], nb[order], lf[order]
+        starts = np.concatenate([[0], np.nonzero(d[1:] != d[:-1])[0] + 1, [len(d)]])
+        out_d, out_s = [], []
+        for g0, g1 in zip(starts[:-1], starts[1:]):
+            present = 0
+            for leaf in lf[g0:g1]:
+                present |= 1 << int(leaf)
+            if (present & req_mask) != req_mask:
+                continue
+            pos_k: list[list[int]] = [[] for _ in keys]
+            pay_k: list[dict] = [{} for _ in keys]
+            for i in range(g0, g1):
+                ki = int(lf[i])
+                pos_k[ki].append(int(p[i]))
+                pay_k[ki][int(p[i])] = float(pv[i])
+            children = [
+                [(pp, pp + 1) for pp in pos_k[ck]] for ck in clause_keys
+            ]
+            payload_of = [pay_k[ck] for ck in clause_keys]
+            freq, ds = payload_near_doc_score(children, slop, payload_of, fn)
+            if freq <= 0:
+                continue
+            span_score = np.float32(w32 * freq / (freq + cache[int(nb[g0])]))
+            out_d.append(int(d[g0]))
+            out_s.append(np.float32(span_score * ds))
+        if out_d:
+            yield pd.DataFrame(
+                {
+                    "docid": np.array(out_d, dtype=np.int64),
+                    "score": np.array(out_s, dtype=np.float32),
+                }
+            )
+
+    n_shuffle = max(
+        int(searcher.spark.conf.get("spark.sql.shuffle.partitions", "32")), 8
+    )
+    sliced = blocks.select(
+        "field", "term", "first_docid", "count", "docids_enc", "tfs_enc",
+        "norms_enc", "pos_enc", "pay_enc", "docbase",
+    ).mapInPandas(
+        slice_ranges,
+        "rid long, leaf int, docids binary, pos binary, pay binary, norms binary",
+    )
+    return sliced.repartition(n_shuffle, "rid").mapInPandas(
+        reduce_ranges, "docid long, score float"
+    )
+
+
+def payload_near_search(searcher, q: PayloadNearQuery, k: int = 10) -> DataFrame:
+    scored = payload_near_scores(searcher, q)
     dels = searcher._deleted_docids()
     if dels is not None:
         scored = scored.join(F.broadcast(dels), "docid", "left_anti")

@@ -227,3 +227,79 @@ def test_merge_mixed_providers_drops_payloads(
     assert m.segments[0]["manifest"]["payload_provider"] is None
     with pytest.raises(NotImplementedError, match="payload"):
         m.search(PayloadTermQuery(term="popcorn"), 10).collect()
+
+
+# -- PayloadNearQuery ---------------------------------------------------------
+
+
+def _top_pairs(corpus_pdf, n=2):
+    from lucenenet_spark.functions.analysis import tokenize_text
+
+    cnt = {}
+    for text in corpus_pdf["text"]:
+        toks = tokenize_text(text)
+        for a, b in zip(toks, toks[1:]):
+            if a != b:
+                cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    return [p for p, _ in sorted(cnt.items(), key=lambda kv: -kv[1])[:n]]
+
+
+@pytest.mark.parametrize("fn", FUNCS)
+@pytest.mark.parametrize("slop", [0, 3])
+def test_payload_near_matches_oracle(pay_searcher, oracle_index, corpus_pdf, fn, slop):
+    from lucenenet_spark.operators import spans as sp
+
+    for t1, t2 in _top_pairs(corpus_pdf):
+        q = sp.PayloadNearQuery(
+            clauses=(sp.SpanTermQuery(term=t1), sp.SpanTermQuery(term=t2)),
+            slop=slop,
+            function=fn,
+        )
+        want = oracle.top_k(sp.payload_near_scores_oracle(oracle_index, q), 15)
+        got = hits(sp.payload_near_search(pay_searcher, q, 15))
+        assert got == want, (t1, t2, fn, slop)
+
+
+def test_payload_near_three_clauses(pay_searcher, oracle_index, corpus_pdf):
+    """3-clause near: payload collection order (last clause first, then
+    backward) matters for the f32 avg fold — SQL oracles stop at 2 clauses,
+    so this is the coverage for >2."""
+    from lucenenet_spark.functions.analysis import tokenize_text
+    from lucenenet_spark.operators import spans as sp
+
+    cnt = {}
+    for text in corpus_pdf["text"]:
+        toks = tokenize_text(text)
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            if len({a, b, c}) == 3:
+                cnt[(a, b, c)] = cnt.get((a, b, c), 0) + 1
+    (t1, t2, t3), _n = sorted(cnt.items(), key=lambda kv: -kv[1])[0]
+    q = sp.PayloadNearQuery(
+        clauses=(
+            sp.SpanTermQuery(term=t1),
+            sp.SpanTermQuery(term=t2),
+            sp.SpanTermQuery(term=t3),
+        ),
+        slop=2,
+        function="avg",
+    )
+    want = oracle.top_k(sp.payload_near_scores_oracle(oracle_index, q), 15)
+    got = hits(sp.payload_near_search(pay_searcher, q, 15))
+    assert want, "fixture must produce matches"
+    assert got == want
+
+
+def test_payload_near_guards(pay_searcher, searcher):
+    from lucenenet_spark.operators import spans as sp
+
+    q = sp.PayloadNearQuery(
+        clauses=(sp.SpanTermQuery(term="hello"), sp.SpanTermQuery(term="world")),
+        in_order=False,
+    )
+    with pytest.raises(NotImplementedError, match="unordered"):
+        sp.payload_near_search(pay_searcher, q, 10)
+    q2 = sp.PayloadNearQuery(
+        clauses=(sp.SpanTermQuery(term="hello"), sp.SpanTermQuery(term="world"))
+    )
+    with pytest.raises(NotImplementedError, match="payload"):
+        sp.payload_near_search(searcher, q2, 10)
