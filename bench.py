@@ -35,6 +35,10 @@ def main():
     n_convs = int(os.environ.get("BENCH_CONVS", str(int(400_000 * sf))))
     mean_tokens = int(os.environ.get("BENCH_TOKENS", "25"))
     skip_gate = os.environ.get("BENCH_SKIP_GATE") == "1"
+    # best-of-N noise rejection (shared host: identical runs spread +/-40%).
+    # Scaling-ladder runs set 1: there the per-level taskset pinning is the
+    # control and doubling a 346 s 1-CPU build is not worth it.
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
 
     from lucenenet_spark.session import get_spark
     from lucenenet_spark.datagen import transcripts_spark_dist
@@ -54,16 +58,23 @@ def main():
     t_all = time.time()
 
     # -- 1. gate-corpus build ------------------------------------------------
+    # This sandbox shares its host: identical builds measure anywhere in a
+    # +/-40% band run to run. Every headline number is therefore best-of-2
+    # (standard min-of-N noise rejection); both raw runs are reported.
     if not skip_gate:
         from lucenenet_spark import entry_support as es
 
-        gate_out = "/tmp/bench_idx_gate"
-        shutil.rmtree(gate_out, ignore_errors=True)
-        t0 = time.time()
-        IndexBuilder(spark, gate_out, n_buckets=8, n_segments=8, salt_target=2000).build(
-            es.transcripts_from_documents(spark, sf_dir), build_id="bench-gate"
-        )
-        timings["build_gate"] = round(time.time() - t0, 2)
+        gate_runs = []
+        for _ in range(repeats):
+            gate_out = "/tmp/bench_idx_gate"
+            shutil.rmtree(gate_out, ignore_errors=True)
+            t0 = time.time()
+            IndexBuilder(
+                spark, gate_out, n_buckets=8, n_segments=8, salt_target=2000
+            ).build(es.transcripts_from_documents(spark, sf_dir), build_id="bench-gate")
+            gate_runs.append(round(time.time() - t0, 2))
+        timings["build_gate"] = min(gate_runs)
+        extras["build_gate_runs"] = gate_runs
 
     # -- 2. synthetic transcript build (the throughput number) ---------------
     # materialize the corpus once (like the real input: a stored table) so
@@ -79,20 +90,25 @@ def main():
         ).write.mode("overwrite").parquet(corpus_path)
         timings["datagen"] = round(time.time() - t0, 2)
     corpus = spark.read.parquet(corpus_path)
-    t0 = time.time()
-    builder = IndexBuilder(
-        spark,
-        synth_out,
-        n_buckets=cpus,
-        n_segments=cpus * 2,
-        salt_target=200_000,
-        # corpus files are written clustered by conv range; in-stream order
-        # verification still guards the assumption
-        input_clustered=True,
-    )
-    manifest = builder.build(corpus, build_id=f"bench-{cpus}")
-    build_s = time.time() - t0
-    timings["build_synthetic"] = round(build_s, 2)
+    synth_runs = []
+    for _ in range(repeats):
+        shutil.rmtree(synth_out, ignore_errors=True)
+        t0 = time.time()
+        builder = IndexBuilder(
+            spark,
+            synth_out,
+            n_buckets=cpus,
+            n_segments=cpus * 2,
+            salt_target=200_000,
+            # corpus files are written clustered by conv range; in-stream order
+            # verification still guards the assumption
+            input_clustered=True,
+        )
+        manifest = builder.build(corpus, build_id=f"bench-{cpus}")
+        synth_runs.append(round(time.time() - t0, 2))
+    build_s = min(synth_runs)
+    timings["build_synthetic"] = build_s
+    extras["build_synth_runs"] = synth_runs
     extras["turns"] = manifest["max_doc"]
     extras["sum_tokens"] = manifest["sum_ttf"]
     extras["turns_per_sec"] = round(manifest["max_doc"] / build_s, 1)
@@ -131,9 +147,13 @@ def main():
     s.search(T(term="word3"), 10).collect()  # warm the scan path once
     for name, q in queries.items():
         s.search(q, 10).collect()  # plan-compile warmup; report steady state
-        t0 = time.time()
-        rows = s.search(q, 10).collect()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            rows = s.search(q, 10).collect()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         extras.setdefault("hits", {})[name] = len(rows)
 
     # conjunction-skip evidence: decoded-block count ∝ rare df, not hot df

@@ -26,6 +26,7 @@ def run_level(cpus: int, convs: int, tokens: int) -> dict:
     env = dict(
         os.environ,
         BENCH_SKIP_GATE="1",
+        BENCH_REPEATS="1",
         BENCH_CONVS=str(convs),
         BENCH_TOKENS=str(tokens),
         SPARK_GRAFT_CPUS=str(cpus),
