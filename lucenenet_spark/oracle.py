@@ -179,6 +179,86 @@ def boolean_scores(
     return out
 
 
+def common_terms_scores(
+    index: OracleIndex,
+    terms: list[str],
+    max_term_frequency: float,
+    low_occur: str = "MUST",
+    high_occur: str = "SHOULD",
+    low_msm: float = 0.0,
+    high_msm: float = 0.0,
+    boost: float = 1.0,
+    low_boost: float = 1.0,
+    high_boost: float = 1.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict[int, np.float32]:
+    """CommonTermsQuery oracle (Lucene.Net.Queries/CommonTermsQuery.cs:193-259).
+
+    Classifies each term high iff df>0 AND ((mtf>=1 AND df>mtf) OR
+    df > ceil(f32(mtf)*f32(maxDoc))), then scores the rewritten
+    MUST(lowGroup)+SHOULD(highGroup) boolean: group folds in term order,
+    group boosts (x outer boost) folded into the term weights; all-high
+    with msm 0 flips to a conjunction; fractional msm rounds half-even
+    like .NET Math.Round."""
+    import math
+
+    dfs = {t: len(index.postings.get(t, ())) for t in terms}
+    thr = math.ceil(float(np.float32(max_term_frequency) * np.float32(index.max_doc)))
+    high = [
+        t
+        for t in terms
+        if dfs[t] > 0
+        and ((max_term_frequency >= 1.0 and dfs[t] > max_term_frequency) or dfs[t] > thr)
+    ]
+    low = [t for t in terms if t not in high]
+
+    def _minnr(f: float, n: int) -> int:
+        return int(f) if (f >= 1.0 or f == 0.0) else int(round(f * n))
+
+    lb = float(np.float32(low_boost) * np.float32(boost))
+    hb = float(np.float32(high_boost) * np.float32(boost))
+    ob = float(np.float32(boost))
+
+    def _group_scores(ts, occur, gboost, msm_f, force_must=False):
+        maps = [term_scores(index, t, k1, b, boost=gboost) for t in ts]
+        if occur == "MUST" or force_must:
+            docs = set(maps[0].keys()) if maps else set()
+            for m in maps[1:]:
+                docs &= m.keys()
+        else:
+            need = max(1, _minnr(msm_f, len(ts)))
+            cnt: Counter[int] = Counter()
+            for m in maps:
+                cnt.update(m.keys())
+            docs = {d for d, c in cnt.items() if c >= need}
+        out: dict[int, np.float32] = {}
+        for d in docs:
+            s = np.float32(0.0)
+            for m in maps:
+                if d in m:
+                    s = np.float32(s + m[d])
+            out[d] = s
+        return out
+
+    if not terms:
+        return {}
+    if len(terms) == 1:
+        return term_scores(index, terms[0], k1, b, boost=ob)
+    if not low:
+        # degenerate branches overwrite the group boost with the outer
+        # boost (highFreq.Boost = Boost — CommonTermsQuery.cs:241,:247)
+        flip = _minnr(high_msm, len(high)) == 0 and high_occur != "MUST"
+        return _group_scores(high, high_occur, ob, high_msm, force_must=flip)
+    if not high:
+        return _group_scores(low, low_occur, ob, low_msm)
+    low_s = _group_scores(low, low_occur, lb, low_msm)
+    high_s = _group_scores(high, high_occur, hb, high_msm)
+    return {
+        d: np.float32(s + high_s.get(d, np.float32(0.0))) for d, s in low_s.items()
+    }
+
+
 def dismax_scores(
     index: OracleIndex,
     terms: list[str],

@@ -76,6 +76,32 @@ class DisMaxQuery(Query):
 
 
 @dataclass(frozen=True)
+class CommonTermsQuery(Query):
+    """High/low-frequency split boolean (Lucene.Net.Queries/CommonTermsQuery.cs).
+
+    Terms whose docFreq exceeds max_term_frequency (absolute when >= 1,
+    else a fraction: df > ceil(f32(max_term_frequency) * f32(maxDoc)))
+    are "high frequency" and become an OPTIONAL sub-query; the rest are the
+    required "low frequency" sub-query — stopword-style terms stop gating
+    the match set without a stopword file. Rewrites at search time against
+    the index's term stats (CommonTermsQuery.cs:153-171 Rewrite +
+    :193-259 BuildQuery); all-high -> conjunction, all-low -> low only.
+    Occur MUST_NOT is rejected for either group like the reference ctor.
+    min-should-match values are the reference's floats: >=1 or 0 taken as
+    int, else round-half-even(f * numOptional)."""
+
+    terms: tuple[str, ...] = ()
+    field: str = "text"
+    high_freq_occur: str = "SHOULD"  # MUST | SHOULD
+    low_freq_occur: str = "MUST"  # MUST | SHOULD
+    max_term_frequency: float = 0.01
+    low_freq_min_should_match: float = 0.0
+    high_freq_min_should_match: float = 0.0
+    low_freq_boost: float = 1.0
+    high_freq_boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PhraseQuery(Query):
     """Exact/sloppy phrase (Search/PhraseQuery.cs; ExactPhraseScorer.cs /
     SloppyPhraseScorer.cs). `positions` are the analyzer-assigned query
