@@ -239,6 +239,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     out["fuzzy"] = topk(FuzzyQuery(term="batc", max_edits=1), k=20)
 
+    # -- CommonTermsQuery: df-driven high/low split ---------------------------
+    from lucenenet_spark.plans.query import CommonTermsQuery
+
+    # 'dup' is the corpus's one low-df term (df 25 at sf0.01); the 0.5
+    # threshold classifies the hot terms (~80% df) high on every sf
+    out["common_terms"] = topk(
+        CommonTermsQuery(terms=(HOT, T5, "dup"), max_term_frequency=0.5), k=15
+    )
+    out["common_terms_msm"] = topk(
+        CommonTermsQuery(
+            terms=(HOT, T5, "dup", ABSENT),
+            max_term_frequency=0.5,
+            low_freq_occur="SHOULD",
+            low_freq_min_should_match=1.0,
+            high_freq_min_should_match=2.0,
+        ),
+        k=15,
+    )
+    out["common_terms_allhigh"] = topk(
+        CommonTermsQuery(terms=(HOT, T5), max_term_frequency=0.05), k=15
+    )
+
     def term_tfidf(spark, sf_dir):
         s = _searcher(spark, sf_dir, similarity="classic")
         return s.search(TermQuery(term=HOT), 15)
@@ -342,6 +364,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             slop=4,
         )
         return sp.span_search(s, q, 15)
+
+    def span_prefix_first(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        from lucenenet_spark.plans.query import PrefixQuery
+
+        q = sp.SpanFirstQuery(
+            match=sp.SpanMultiTermQueryWrapper(query=PrefixQuery(prefix="st")),
+            end=6,
+        )
+        return sp.span_search(s, q, 15)
+
+    def span_prefix_near(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        from lucenenet_spark.plans.query import PrefixQuery
+
+        q = sp.SpanNearQuery(
+            clauses=(
+                sp.SpanMultiTermQueryWrapper(query=PrefixQuery(prefix="sc")),
+                sp.SpanTermQuery(term=HOT),
+            ),
+            slop=5,
+        )
+        return sp.span_search(s, q, 15)
+
+    out["span_prefix_first"] = span_prefix_first
+    out["span_prefix_near"] = span_prefix_near
 
     def _payload_near(function):
         def f(spark, sf_dir):
@@ -561,6 +609,12 @@ GROUP BY v.byte ORDER BY norm_byte""",
 
     # boosted / filtered / fuzzy
     out["boost_should"] = es.boosted_should_sql([(HOT, 2.5), (MID, 1.0)], k=15)
+    out["common_terms"] = es.common_terms_sql([HOT, T5, "dup"], 0.5, k=15)
+    out["common_terms_msm"] = es.common_terms_sql(
+        [HOT, T5, "dup", ABSENT], 0.5,
+        low_occur="SHOULD", low_msm=1, high_msm=2, k=15,
+    )
+    out["common_terms_allhigh"] = es.common_terms_sql([HOT, T5], 0.05, k=15)
     out["filtered_role"] = es.boolean_sql(
         should=[HOT],
         k=15,
@@ -590,6 +644,8 @@ GROUP BY v.byte ORDER BY norm_byte""",
     out["more_like_this"] = f"{P},\n{_mlt.more_like_this_sql(7, k=15)}"
     out["span_first"] = es.span_first_sql(HOT, 5, k=15)
     out["span_near"] = es.span_near_ordered_sql(HOT, MID, 4, k=15)
+    out["span_prefix_first"] = es.span_first_prefix_sql("st", 6, k=15)
+    out["span_prefix_near"] = es.span_near_prefix_sql("sc", HOT, 5, k=15)
     out["payload_near_avg"] = es.payload_near_sql(HOT, MID, 4, "avg", k=15)
     out["payload_near_min"] = es.payload_near_sql(HOT, MID, 4, "min", k=15)
     out["join_parent_max"] = f"""{P}

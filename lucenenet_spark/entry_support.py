@@ -316,6 +316,110 @@ ORDER BY score DESC, docid ASC
 LIMIT {k}"""
 
 
+def common_terms_sql(
+    terms: list[str],
+    max_term_frequency: float,
+    low_occur: str = "MUST",
+    high_occur: str = "SHOULD",
+    low_msm: int = 0,
+    high_msm: int = 0,
+    k: int = 10,
+) -> str:
+    """CommonTermsQuery SQL oracle (Lucene.Net.Queries/CommonTermsQuery.cs).
+
+    The high/low split is DATA-DRIVEN inside the SQL (a `split` CTE
+    classifies each term by its df against the same threshold arithmetic as
+    BuildQuery, so the oracle verifies the classification, not just the
+    scores): term i is high iff df>0 AND ((mtf>=1 AND df>mtf) OR
+    df > ceil(f32(mtf)*f32(maxDoc))). Scores fold per group in term order
+    with f32 adds (a +0.0f for the other group's slot — an exact no-op), the
+    high group's fold gated by its own occur/msm condition, then
+    f32(low + high) like the engine's outer MUST(low)+SHOULD(high) pivot.
+    msm values must be integral here (fractional round-half-even msm is
+    covered by the pytest oracle; DuckDB ROUND is half-away)."""
+    assert len(terms) >= 2, "1-term CommonTermsQuery rewrites to TermQuery"
+    assert float(low_msm).is_integer() and float(high_msm).is_integer()
+    mtf = max_term_frequency
+    n = len(terms)
+    joins = "\n  ".join(
+        f"LEFT JOIN tstats td{i} ON td{i}.term = '{t}'" for i, t in enumerate(terms)
+    )
+    thr = (
+        f"CAST(ceil(CAST({_f32lit(mtf)} * CAST(f.max_doc AS REAL) AS REAL)) AS BIGINT)"
+    )
+    his = []
+    for i in range(n):
+        df = f"COALESCE(td{i}.df, 0)"
+        arms = []
+        if mtf >= 1.0:
+            arms.append(f"{df} > {mtf}")
+        arms.append(f"{df} > {thr}")
+        his.append(f"({df} > 0 AND ({' OR '.join(arms)})) AS hi{i}")
+    n_low = " + ".join(f"(CASE WHEN NOT hi{i} THEN 1 ELSE 0 END)" for i in range(n))
+    n_high = " + ".join(f"(CASE WHEN hi{i} THEN 1 ELSE 0 END)" for i in range(n))
+    zero = "CAST(0.0 AS REAL)"
+
+    def _cfold(high_side: bool) -> str:
+        cols = [
+            f"CASE WHEN {'' if high_side else 'NOT '}sp.hi{i} "
+            f"THEN COALESCE(p.s{i}, {zero}) ELSE {zero} END"
+            for i in range(n)
+        ]
+        return _fold(cols)
+
+    matched_low = " + ".join(
+        f"(CASE WHEN NOT sp.hi{i} AND p.s{i} IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(n)
+    )
+    matched_high = " + ".join(
+        f"(CASE WHEN sp.hi{i} AND p.s{i} IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(n)
+    )
+    if high_occur == "MUST":
+        high_gate = f"({matched_high}) = sp.n_high"
+        all_high_cond = f"({matched_high}) = sp.n_high"
+    else:
+        high_gate = f"({matched_high}) >= {high_msm}" if high_msm else "TRUE"
+        # all-high with msm=0 flips SHOULD to MUST (conjunction rewrite)
+        all_high_cond = (
+            f"({matched_high}) = sp.n_high"
+            if high_msm == 0
+            else f"({matched_high}) >= GREATEST(1, {high_msm})"
+        )
+    low_cond = (
+        f"({matched_low}) = sp.n_low"
+        if low_occur == "MUST"
+        else f"({matched_low}) >= GREATEST(1, {low_msm})"
+    )
+    high_gated = (
+        f"CASE WHEN sp.n_high > 0 AND ({high_gate}) THEN {_cfold(True)} "
+        f"ELSE {zero} END"
+    )
+    score = (
+        f"CASE WHEN sp.n_low = 0 THEN {_cfold(True)} "
+        f"ELSE CAST({_cfold(False)} + {high_gated} AS REAL) END"
+    )
+    match = (
+        f"CASE WHEN sp.n_low > 0 THEN ({low_cond}) ELSE ({all_high_cond}) END"
+    )
+    return f"""{prelude()},
+split AS (
+  SELECT {', '.join(his)},
+         {n_low} AS n_low,
+         {n_high} AS n_high
+  FROM fstats f
+  {joins}
+),
+pivoted AS (
+  {_pivot(list(terms))}
+)
+SELECT p.docid AS docid, {score} AS score
+FROM pivoted p CROSS JOIN split sp
+WHERE {match}
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+
+
 def _weight_sql(term: str, boost: float) -> str:
     """Scalar subquery: float32 weight = f32(f32(idf*boost) * (k1+1))."""
     idf = (
@@ -574,6 +678,81 @@ pf AS (
   FROM qual GROUP BY docid
 )"""
     return _span_score_select([t1, t2], freq_cte, k)
+
+
+def _prefix_idf_fold_sql(prefix: str) -> str:
+    """Scalar: f32 fold of idfs over ALL terms matching the prefix, in term
+    order — the ScoringRewrite enumeration order SpanMultiTermQueryWrapper
+    sums weights in."""
+    idf = (
+        "CAST(ln(CAST(1.0 AS DOUBLE) + (CAST(f.max_doc AS DOUBLE) - "
+        "CAST(t.df AS DOUBLE) + 0.5) / (CAST(t.df AS DOUBLE) + 0.5)) AS REAL)"
+    )
+    return (
+        f"(SELECT list_reduce(list({idf} ORDER BY t.term), "
+        f"(x, y) -> CAST(x + y AS REAL)) "
+        f"FROM tstats t CROSS JOIN fstats f WHERE t.term LIKE '{prefix}%')"
+    )
+
+
+def span_first_prefix_sql(prefix: str, end: int, k: int = 10) -> str:
+    """SpanFirst(SpanMultiTermQueryWrapper(Prefix(prefix)), end): the
+    wrapper rewrites to SpanOr over every prefix-matching term, so spans are
+    the (p, p+1) positions of ANY matching term with p+1 <= end, each
+    contributing sloppyFreq(1) = 0.5f; the weight sums matched-term idfs in
+    term order."""
+    wsum = _prefix_idf_fold_sql(prefix)
+    w = f"CAST(CAST({wsum} * {_f32lit(1.0)} AS REAL) * {K1P1_32} AS REAL)"
+    return f"""{prelude()},
+{_positions_cte()},
+pf AS (
+  SELECT docid,
+         CAST(CAST(count(*) AS REAL) * {_f32lit(0.5)} AS REAL) AS freq
+  FROM pos WHERE term LIKE '{prefix}%' AND pos + 1 <= {end}
+  GROUP BY docid
+)
+SELECT p.docid AS docid,
+       CAST(CAST({w} * p.freq AS REAL) / CAST(p.freq + n.nc AS REAL) AS REAL) AS score
+FROM pf p JOIN ncache n ON p.docid = n.docid
+WHERE p.freq > 0
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+
+
+def span_near_prefix_sql(prefix: str, t2: str, slop: int, k: int = 10) -> str:
+    """2-clause ordered SpanNear whose FIRST clause is a prefix wrapper:
+    the t1 position pool is the union of every prefix-matching term's
+    positions (SpanOr), then the same minimal-match closed form as
+    span_near_ordered_sql. Weight = f32(fold(prefix idfs, term order) +
+    idf(t2)) — leaf order is clause order, the wrapper's leaves sorted."""
+    one = "CAST(CAST(1.0 AS DOUBLE) AS REAL)"
+    wsum = f"CAST({_prefix_idf_fold_sql(prefix)} + {_idf_sql(t2)} AS REAL)"
+    w = f"CAST(CAST({wsum} * {_f32lit(1.0)} AS REAL) * {K1P1_32} AS REAL)"
+    return f"""{prelude()},
+{_positions_cte()},
+bp AS (SELECT docid, pos AS q FROM pos WHERE term = '{t2}'),
+ap AS (SELECT docid, pos AS p FROM pos WHERE term LIKE '{prefix}%'),
+mt AS (
+  SELECT bp.docid, bp.q, max(ap.p) AS p
+  FROM bp JOIN ap ON bp.docid = ap.docid AND ap.p < bp.q
+  GROUP BY bp.docid, bp.q
+),
+qual AS (
+  SELECT docid, p, q,
+         CAST({one} / CAST(q + 1 - p + 1 AS REAL) AS REAL) AS sf
+  FROM mt WHERE greatest(q - p - 1, 0) <= {slop}
+),
+pf AS (
+  SELECT docid,
+         list_reduce(list(sf ORDER BY p, q), (x, y) -> CAST(x + y AS REAL)) AS freq
+  FROM qual GROUP BY docid
+)
+SELECT p.docid AS docid,
+       CAST(CAST({w} * p.freq AS REAL) / CAST(p.freq + n.nc AS REAL) AS REAL) AS score
+FROM pf p JOIN ncache n ON p.docid = n.docid
+WHERE p.freq > 0
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
 
 
 def payload_near_sql(

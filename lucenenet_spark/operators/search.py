@@ -46,6 +46,7 @@ from ..oracle import idf as idf_f32
 from ..oracle import norm_cache
 from ..plans.query import (
     BooleanQuery,
+    CommonTermsQuery,
     ConstantScoreQuery,
     DisMaxQuery,
     FilteredQuery,
@@ -539,6 +540,8 @@ class IndexSearcher:
             return ConstantScoreQuery(
                 boost=q.boost, query=BooleanQuery(should=tuple(TermQuery(term=t) for t in terms))
             )
+        elif isinstance(q, CommonTermsQuery):
+            return self._rewrite_common_terms(q)
         elif isinstance(q, PhraseQuery) and len(q.terms) == 1:
             # 1-term phrase rewrites to TermQuery (PhraseQuery.cs Rewrite)
             return TermQuery(term=q.terms[0], field=q.field, boost=q.boost)
@@ -577,6 +580,92 @@ class IndexSearcher:
             )
         else:
             return q
+
+    def _rewrite_common_terms(self, q: CommonTermsQuery) -> Query:
+        """CommonTermsQuery.Rewrite + BuildQuery (CommonTermsQuery.cs:153-259).
+
+        One doc_freqs job classifies every term; group boosts and the outer
+        boost fold multiplicatively into the leaf TermQuery boosts (exact:
+        with queryNorm=1 a weight's boost enters the score once, as the
+        product of the boosts on the path to the root — BooleanWeight
+        Normalize). The rewritten tree is the reference's: an outer
+        BooleanQuery with the low-frequency group as MUST and the
+        high-frequency group as SHOULD, degenerating to a single group
+        (all-high flips its SHOULD clauses to MUST: conjunction of common
+        terms to keep the query bounded)."""
+        for occ, name in (
+            (q.low_freq_occur, "low_freq_occur"),
+            (q.high_freq_occur, "high_freq_occur"),
+        ):
+            if occ not in ("MUST", "SHOULD"):
+                raise ValueError(f"{name} should be MUST or SHOULD but was {occ!r}")
+        if not q.terms:
+            return BooleanQuery()
+        if len(q.terms) == 1:
+            return TermQuery(term=q.terms[0], field=q.field, boost=q.boost)
+        keys = [(q.field, t) for t in q.terms]
+        dfs = self.doc_freqs(sorted(set(keys)))
+        # (int)Math.Ceiling(maxTermFrequency * (float)maxDoc) — float32 mult
+        rel_thr = int(
+            math.ceil(float(np.float32(q.max_term_frequency) * np.float32(self.max_doc)))
+        )
+        low: list[str] = []
+        high: list[str] = []
+        for t in q.terms:
+            df = dfs[(q.field, t)]
+            # absent terms (null TermContext) always classify low
+            if df > 0 and (
+                (q.max_term_frequency >= 1.0 and df > q.max_term_frequency)
+                or df > rel_thr
+            ):
+                high.append(t)
+            else:
+                low.append(t)
+
+        def _min_nr(f: float, num_optional: int) -> int:
+            if f >= 1.0 or f == 0.0:
+                return int(f)
+            return int(round(f * num_optional))  # round-half-even, like .NET
+
+        def _group(terms, occur, boost, msm_f, force_must=False):
+            leaves = tuple(
+                TermQuery(term=t, field=q.field, boost=float(np.float32(boost)))
+                for t in terms
+            )
+            if occur == "MUST" or force_must:
+                return BooleanQuery(must=leaves)
+            return BooleanQuery(should=leaves, min_should_match=_min_nr(msm_f, len(leaves)))
+
+        if not low:
+            # all-high: conjunction rewrite unless msm/MUST already bounds it.
+            # The reference OVERWRITES the group boost with the outer boost
+            # here (highFreq.Boost = Boost — CommonTermsQuery.cs:241), so
+            # high_freq_boost does not apply in this branch (same for the
+            # all-low branch below).
+            msm = _min_nr(q.high_freq_min_should_match, len(high))
+            flip = msm == 0 and q.high_freq_occur != "MUST"
+            return _group(
+                high,
+                q.high_freq_occur,
+                q.boost,
+                q.high_freq_min_should_match,
+                force_must=flip,
+            )
+        if not high:
+            return _group(low, q.low_freq_occur, q.boost, q.low_freq_min_should_match)
+        low_q = _group(
+            low,
+            q.low_freq_occur,
+            np.float32(q.low_freq_boost) * np.float32(q.boost),
+            q.low_freq_min_should_match,
+        )
+        high_q = _group(
+            high,
+            q.high_freq_occur,
+            np.float32(q.high_freq_boost) * np.float32(q.boost),
+            q.high_freq_min_should_match,
+        )
+        return BooleanQuery(must=(low_q,), should=(high_q,))
 
     # -- scoring (returns docid/score DF, unordered) --------------------------------
     def scores(self, q: Query, prune_k: int | None = None) -> DataFrame:
@@ -1959,7 +2048,11 @@ class IndexSearcher:
     def _hits_bound(self, q: Query) -> int | None:
         """Upper bound on the match count: Σ df over the query's terms
         (None when the query shape doesn't expose one, e.g. MatchAll)."""
-        q = self.rewrite(q) if isinstance(q, (FuzzyQuery, BooleanQuery)) else q
+        q = (
+            self.rewrite(q)
+            if isinstance(q, (FuzzyQuery, BooleanQuery, CommonTermsQuery))
+            else q
+        )
         if isinstance(q, (MatchAllQuery, PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery)):
             return None
         keys = _collect_terms(q)

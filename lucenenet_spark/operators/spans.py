@@ -102,6 +102,75 @@ class PayloadNearQuery(Query):
     function: str = "avg"  # avg | min | max
 
 
+@dataclass(frozen=True)
+class SpanMultiTermQueryWrapper(Query):
+    """Span wrapper over a MultiTermQuery (Search/Spans/
+    SpanMultiTermQueryWrapper.cs): rewrites to a SpanOrQuery containing a
+    SpanTermQuery for every term the wrapped query matches in the index,
+    visited in term (bytes) order like ScoringRewrite's TermsEnum walk —
+    the idf-sum fold order is therefore sorted-term order. SpanOrQuery
+    accepts all terms (CheckMaxClauseCount is a no-op, :185-188); the
+    optional top_terms cap mirrors TopTermsSpanBooleanQueryRewrite with the
+    constant-boost tie-break (equal boosts -> lexicographically smallest
+    terms survive, TopTermsRewrite ScoreTerm comparer)."""
+
+    query: Query | None = None  # Prefix/Wildcard/Regexp/TermRange query
+    field: str = "text"
+    top_terms: int | None = None
+
+
+def expand_span_multiterm(searcher, q: Query) -> Query:
+    """Replace every SpanMultiTermQueryWrapper in the tree with its
+    SpanOrQuery expansion against the searcher's terms dict (one distributed
+    predicate scan per wrapper; only the matched TERM STRINGS reach the
+    driver — the same driver-side footprint as Lucene's rewrite, which
+    enumerates matching terms to build the SpanOr)."""
+    if isinstance(q, SpanMultiTermQueryWrapper):
+        cond = searcher._multiterm_cond(q.query)
+        if cond is None:
+            raise TypeError(
+                f"not a multi-term query: {type(q.query).__name__}"
+            )
+        rows = (
+            searcher._stat_rows()
+            .filter(F.col("field") == q.field)
+            .filter(cond)
+            .select("term")
+            .distinct()
+            .orderBy("term")
+        )
+        if q.top_terms is not None:
+            rows = rows.limit(q.top_terms)
+        terms = [r["term"] for r in rows.collect()]
+        return SpanOrQuery(
+            clauses=tuple(SpanTermQuery(term=t, field=q.field) for t in terms),
+            boost=q.boost,
+        )
+    if isinstance(q, SpanOrQuery):
+        return SpanOrQuery(
+            clauses=tuple(expand_span_multiterm(searcher, c) for c in q.clauses),
+            boost=q.boost,
+        )
+    if isinstance(q, SpanNearQuery):
+        return SpanNearQuery(
+            clauses=tuple(expand_span_multiterm(searcher, c) for c in q.clauses),
+            slop=q.slop,
+            in_order=q.in_order,
+            boost=q.boost,
+        )
+    if isinstance(q, SpanFirstQuery):
+        return SpanFirstQuery(
+            match=expand_span_multiterm(searcher, q.match), end=q.end, boost=q.boost
+        )
+    if isinstance(q, SpanNotQuery):
+        return SpanNotQuery(
+            include=expand_span_multiterm(searcher, q.include),
+            exclude=expand_span_multiterm(searcher, q.exclude),
+            boost=q.boost,
+        )
+    return q
+
+
 def leaf_terms(q: Query) -> list[tuple[str, str]]:
     """(field, term) leaves in query order (duplicates kept — idf sums them)."""
     if isinstance(q, SpanTermQuery):
@@ -366,7 +435,11 @@ def span_scores(searcher, q: Query) -> DataFrame:
     for the tree's terms (conjunction-pruned by the required set), gather
     per candidate doc, evaluate the span algebra per doc (few docs survive),
     score with the phrase weight chain."""
+    q = expand_span_multiterm(searcher, q)
     leaves = leaf_terms(q)
+    if not leaves:
+        # e.g. a wrapper whose multi-term query matched nothing
+        return searcher._empty_hits()
     keys = sorted(set(leaves))
     dfs = searcher.doc_freqs(keys)
     req = required_terms(q)

@@ -131,3 +131,76 @@ def test_span_or_nested_in_near_parity(searcher, oracle_index, corpus_pdf):
     want = oracle.top_k(sp.span_scores_oracle(oracle_index, q), 10)
     got = hits(sp.span_search(searcher, q, 10))
     assert got == want
+
+
+# -- SpanMultiTermQueryWrapper ------------------------------------------------
+
+
+def _prefix_vocab(oracle_index, prefix):
+    return sorted(t for t in oracle_index.postings if t.startswith(prefix))
+
+
+def test_span_multiterm_expands_to_sorted_span_or(searcher, oracle_index):
+    from lucenenet_spark.plans.query import PrefixQuery
+
+    terms = _prefix_vocab(oracle_index, "wo")
+    assert len(terms) >= 2, "fixture needs a multi-term prefix"
+    w = sp.SpanMultiTermQueryWrapper(query=PrefixQuery(prefix="wo"))
+    rw = sp.expand_span_multiterm(searcher, w)
+    assert isinstance(rw, sp.SpanOrQuery)
+    assert [c.term for c in rw.clauses] == terms  # term order = fold order
+
+
+def test_span_multiterm_wrapper_parity(searcher, oracle_index):
+    """wrapper == the hand-built SpanOr over the same vocab slice, and both
+    match the oracle (ScoringRewrite semantics)."""
+    from lucenenet_spark.plans.query import PrefixQuery
+
+    terms = _prefix_vocab(oracle_index, "wo")
+    w = sp.SpanFirstQuery(
+        match=sp.SpanMultiTermQueryWrapper(query=PrefixQuery(prefix="wo")), end=8
+    )
+    manual = sp.SpanFirstQuery(
+        match=sp.SpanOrQuery(clauses=tuple(sp.SpanTermQuery(term=t) for t in terms)),
+        end=8,
+    )
+    want = oracle.top_k(sp.span_scores_oracle(oracle_index, manual), 10)
+    assert want, "fixture must match documents"
+    assert hits(sp.span_search(searcher, w, 10)) == want
+    assert hits(sp.span_search(searcher, manual, 10)) == want
+
+
+def test_span_multiterm_in_near_parity(searcher, oracle_index, corpus_pdf):
+    from lucenenet_spark.plans.query import PrefixQuery
+
+    (t1, t2), *_ = _pairs(corpus_pdf)
+    pre = t1[:3]
+    terms = _prefix_vocab(oracle_index, pre)
+    q = sp.SpanNearQuery(
+        clauses=(
+            sp.SpanMultiTermQueryWrapper(query=PrefixQuery(prefix=pre)),
+            sp.SpanTermQuery(term=t2),
+        ),
+        slop=4,
+    )
+    manual = sp.SpanNearQuery(
+        clauses=(
+            sp.SpanOrQuery(clauses=tuple(sp.SpanTermQuery(term=t) for t in terms)),
+            sp.SpanTermQuery(term=t2),
+        ),
+        slop=4,
+    )
+    want = oracle.top_k(sp.span_scores_oracle(oracle_index, manual), 10)
+    assert want
+    assert hits(sp.span_search(searcher, q, 10)) == want
+
+
+def test_span_multiterm_top_terms_and_empty(searcher, oracle_index):
+    from lucenenet_spark.plans.query import PrefixQuery
+
+    terms = _prefix_vocab(oracle_index, "wo")
+    w = sp.SpanMultiTermQueryWrapper(query=PrefixQuery(prefix="wo"), top_terms=2)
+    rw = sp.expand_span_multiterm(searcher, w)
+    assert [c.term for c in rw.clauses] == terms[:2]  # smallest-term tie-break
+    empty = sp.SpanMultiTermQueryWrapper(query=PrefixQuery(prefix="zzzq"))
+    assert hits(sp.span_search(searcher, empty, 10)) == []
