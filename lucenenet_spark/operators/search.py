@@ -720,10 +720,25 @@ class IndexSearcher:
                 "docid", F.lit(float(np.float32(q.boost))).cast("float").alias("score")
             )
         if isinstance(q, ConstantScoreQuery):
+            # ConstantScoreQuery.cs: matches exactly the docs the wrapped
+            # query matches, score = boost. Docid-union of the inner terms is
+            # only that set for a pure term disjunction (the FuzzyQuery
+            # rewrite shape) — anything else evaluates the inner query and
+            # keeps its docids.
             inner = q.query
-            terms = _collect_terms(inner)
-            docids = self._docids_of_terms(terms)
-            return docids.select("docid", F.lit(float(np.float32(q.boost))).cast("float").alias("score"))
+            const = F.lit(float(np.float32(q.boost))).cast("float").alias("score")
+            pure_should = isinstance(inner, TermQuery) or (
+                isinstance(inner, BooleanQuery)
+                and not inner.must
+                and not inner.must_not
+                and inner.min_should_match <= 1
+                and all(isinstance(c, TermQuery) for c in inner.should)
+            )
+            if pure_should:
+                terms = _collect_terms(inner)
+                docids = self._docids_of_terms(terms)
+                return docids.select("docid", const)
+            return self._scores_raw(inner, None).select("docid", const)
         if isinstance(q, PayloadTermQuery):
             if self.similarity != "bm25":
                 raise NotImplementedError(

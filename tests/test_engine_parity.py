@@ -248,3 +248,39 @@ def test_block_join_parent_scores(searcher, oracle_index, corpus_pdf):
             ).collect()
         ]
         assert got == [(c, np.float32(s)) for c, s in want], mode
+
+
+def test_constant_score_conjunction(searcher, oracle_index):
+    """ConstantScoreQuery over a MUST boolean matches exactly the
+    conjunction's docs (ConstantScoreQuery.cs wraps the inner query's
+    matches, not the union of its terms' postings)."""
+    from lucenenet_spark.plans.query import ConstantScoreQuery
+
+    by_df = sorted(oracle_index.postings, key=lambda t: -len(oracle_index.postings[t]))
+    t1, t2 = None, None
+    for a in by_df[:10]:
+        for b in by_df[:10]:
+            if a == b:
+                continue
+            da = {d for d, _tf in oracle_index.postings[a]}
+            db = {d for d, _tf in oracle_index.postings[b]}
+            if da & db and da - db and db - da:
+                t1, t2 = a, b
+                break
+        if t1:
+            break
+    assert t1, "fixture needs a co-occurring, non-nested term pair"
+    inner = BooleanQuery(must=(TermQuery(term=t1), TermQuery(term=t2)))
+    got = {
+        r["docid"]: np.float32(r["score"])
+        for r in searcher.scores(ConstantScoreQuery(query=inner, boost=2.0)).collect()
+    }
+    want_docs = set(oracle.boolean_scores(oracle_index, must=[t1, t2]))
+    assert set(got) == want_docs and want_docs
+    assert all(s == np.float32(2.0) for s in got.values())
+    # union of the two postings lists is strictly larger — the old fast
+    # path's answer would have been wrong
+    union = set(oracle.term_scores(oracle_index, t1)) | set(
+        oracle.term_scores(oracle_index, t2)
+    )
+    assert want_docs < union
