@@ -261,6 +261,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         CommonTermsQuery(terms=(HOT, T5), max_term_frequency=0.05), k=15
     )
 
+    # ConstantScoreQuery over a NON-disjunction inner query: matches exactly
+    # the conjunction's docs with constant score (ConstantScoreQuery.cs)
+    from lucenenet_spark.plans.query import ConstantScoreQuery
+
+    out["constant_score_bool"] = topk(
+        ConstantScoreQuery(
+            query=BooleanQuery(must=(TermQuery(term=HOT), TermQuery(term=T3))),
+            boost=2.0,
+        ),
+        k=30,
+    )
+
     def term_tfidf(spark, sf_dir):
         s = _searcher(spark, sf_dir, similarity="classic")
         return s.search(TermQuery(term=HOT), 15)
@@ -390,6 +402,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["span_prefix_first"] = span_prefix_first
     out["span_prefix_near"] = span_prefix_near
+
+    # -- term vectors (doc-major channel) -------------------------------------
+    def term_vector_doc(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        from lucenenet_spark.operators import termvectors as tv
+
+        tv.build_term_vectors(
+            spark, es.transcripts_from_documents(spark, sf_dir), s.index_dir
+        )
+        df = tv.term_vectors(s, docids=list(range(5)))
+        return df.select("docid", "term", F.explode("positions").alias("pos"))
+
+    out["term_vector_doc"] = term_vector_doc
 
     def _payload_near(function):
         def f(spark, sf_dir):
@@ -615,6 +640,12 @@ GROUP BY v.byte ORDER BY norm_byte""",
         low_occur="SHOULD", low_msm=1, high_msm=2, k=15,
     )
     out["common_terms_allhigh"] = es.common_terms_sql([HOT, T5], 0.05, k=15)
+    out["constant_score_bool"] = f"""{P}
+SELECT docid, CAST(CAST(2.0 AS DOUBLE) AS REAL) AS score
+FROM posting WHERE term = '{HOT}'
+  AND docid IN (SELECT docid FROM posting WHERE term = '{T3}')
+ORDER BY score DESC, docid ASC
+LIMIT 30"""
     out["filtered_role"] = es.boolean_sql(
         should=[HOT],
         k=15,
@@ -646,6 +677,9 @@ GROUP BY v.byte ORDER BY norm_byte""",
     out["span_near"] = es.span_near_ordered_sql(HOT, MID, 4, k=15)
     out["span_prefix_first"] = es.span_first_prefix_sql("st", 6, k=15)
     out["span_prefix_near"] = es.span_near_prefix_sql("sc", HOT, 5, k=15)
+    out["term_vector_doc"] = f"""{es.prelude()},
+{es._positions_cte()}
+SELECT docid, term, pos FROM pos WHERE docid <= 4"""
     out["payload_near_avg"] = es.payload_near_sql(HOT, MID, 4, "avg", k=15)
     out["payload_near_min"] = es.payload_near_sql(HOT, MID, 4, "min", k=15)
     out["join_parent_max"] = f"""{P}
