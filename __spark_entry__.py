@@ -443,6 +443,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["more_like_this"] = more_like_this
 
+    def more_like_this_tv(spark, sf_dir):
+        # the GetTermVector path: terms come from the tvectors channel,
+        # no source-text join
+        s = _searcher(spark, sf_dir)
+        from lucenenet_spark.operators import termvectors as tvch
+
+        tvch.build_term_vectors(
+            spark, es.transcripts_from_documents(spark, sf_dir), s.index_dir
+        )
+        return _mlt.more_like_this(s, None, docid=7, k=15)
+
+    out["more_like_this_tv"] = more_like_this_tv
+
     # -- parent/child block join (conversation = parent block) ---------------
     out["join_parent_max"] = lambda s, d: _searcher(s, d).to_parent_join(
         TermQuery(term=HOT), "max", k=15
@@ -673,6 +686,9 @@ LIMIT 30"""
     from lucenenet_spark.operators import mlt as _mlt
 
     out["more_like_this"] = f"{P},\n{_mlt.more_like_this_sql(7, k=15)}"
+    # the posting CTE IS the term vector relationally (same tf per
+    # (docid, term)), so the tv-path oracle is the same SQL
+    out["more_like_this_tv"] = f"{P},\n{_mlt.more_like_this_sql(7, k=15)}"
     out["span_first"] = es.span_first_sql(HOT, 5, k=15)
     out["span_near"] = es.span_near_ordered_sql(HOT, MID, 4, k=15)
     out["span_prefix_first"] = es.span_first_prefix_sql("st", 6, k=15)

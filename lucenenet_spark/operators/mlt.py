@@ -30,16 +30,10 @@ MIN_DOC_FREQ = 5
 MAX_QUERY_TERMS = 25
 
 
-def interesting_terms(
-    searcher, text: str,
-    min_term_freq: int = MIN_TERM_FREQ,
-    min_doc_freq: int = MIN_DOC_FREQ,
-    max_query_terms: int = MAX_QUERY_TERMS,
+def _rank_terms(
+    searcher, tf: dict[str, int],
+    min_term_freq: int, min_doc_freq: int, max_query_terms: int,
 ) -> list[str]:
-    """Ranked MLT query terms for a piece of text."""
-    from collections import Counter
-
-    tf = Counter(tokenize_text(text))
     cand = [t for t, c in tf.items() if c >= min_term_freq]
     if not cand:
         return []
@@ -55,13 +49,52 @@ def interesting_terms(
     return [t for _s, t in ranked[:max_query_terms]]
 
 
+def interesting_terms(
+    searcher, text: str,
+    min_term_freq: int = MIN_TERM_FREQ,
+    min_doc_freq: int = MIN_DOC_FREQ,
+    max_query_terms: int = MAX_QUERY_TERMS,
+) -> list[str]:
+    """Ranked MLT query terms for a piece of text."""
+    from collections import Counter
+
+    tf = Counter(tokenize_text(text))
+    return _rank_terms(searcher, tf, min_term_freq, min_doc_freq, max_query_terms)
+
+
+def interesting_terms_for_doc(
+    searcher, docid: int,
+    min_term_freq: int = MIN_TERM_FREQ,
+    min_doc_freq: int = MIN_DOC_FREQ,
+    max_query_terms: int = MAX_QUERY_TERMS,
+) -> list[str]:
+    """Ranked MLT query terms straight from the term-vectors channel —
+    the RetrieveTerms(docID) path (MoreLikeThis.cs:760-800 uses
+    IndexReader.GetTermVector when the field stored vectors, avoiding the
+    stored-text re-analysis). One row-group-pruned scan, no source join."""
+    from .termvectors import term_vectors
+
+    rows = term_vectors(searcher, docids=[docid]).select("term", "tf").collect()
+    tf = {r["term"]: int(r["tf"]) for r in rows}
+    return _rank_terms(searcher, tf, min_term_freq, min_doc_freq, max_query_terms)
+
+
 def more_like_this(
-    searcher, source: DataFrame, docid: int, k: int = 10, **kw
+    searcher, source: DataFrame | None, docid: int, k: int = 10, **kw
 ) -> DataFrame:
     """Top-k documents most like `docid` (excluded from the result).
 
     `source` is the transcript table carrying text (looked up via the
-    stored-fields join, one row)."""
+    stored-fields join, one row). Pass source=None to read the document's
+    terms from the index's term-vectors channel instead (the
+    GetTermVector path — raises if the channel wasn't built)."""
+    if source is None:
+        terms = interesting_terms_for_doc(searcher, docid, **kw)
+        if not terms:
+            return searcher._empty_hits()
+        q = BooleanQuery(should=tuple(TermQuery(term=t) for t in terms))
+        scored = searcher.scores(q).filter(F.col("docid") != docid)
+        return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
     row = (
         searcher.docs()
         .filter(F.col("docid") == docid)

@@ -57,3 +57,32 @@ def test_term_vectors_build_idempotent(spark, tv_searcher, index_dir):
 def test_missing_channel_guard(spark, index_dir_1seg, searcher_1seg):
     with pytest.raises(NotImplementedError, match="term-vectors"):
         tv.term_vectors(searcher_1seg, docids=[0])
+
+
+def test_mlt_from_term_vectors_matches_text_path(spark, tv_searcher, corpus_pdf):
+    """MoreLikeThis via GetTermVector == MoreLikeThis via re-analysis
+    (MoreLikeThis.cs:760-800: the two RetrieveTerms paths select the same
+    terms when the vector stores the same tokens)."""
+    from collections import Counter
+
+    from lucenenet_spark.functions.analysis import tokenize_text
+    from lucenenet_spark.operators import mlt
+
+    # docids whose text repeats a term (min_term_freq=2 needs tf >= 2)
+    docids = [
+        i
+        for i, text in enumerate(corpus_pdf["text"])
+        if (c := Counter(tokenize_text(text))) and c.most_common(1)[0][1] >= 2
+    ][:3]
+    assert len(docids) == 3, "fixture needs docs with repeated terms"
+    src = transcripts_spark(spark, N_DOCS, partitions=4)
+    for d in docids:
+        a = [
+            (r["docid"], r["score"])
+            for r in mlt.more_like_this(tv_searcher, src, docid=d, k=10).collect()
+        ]
+        b = [
+            (r["docid"], r["score"])
+            for r in mlt.more_like_this(tv_searcher, None, docid=d, k=10).collect()
+        ]
+        assert a == b and a, d
