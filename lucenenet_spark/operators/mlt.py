@@ -89,6 +89,10 @@ def more_like_this(
     terms from the index's term-vectors channel instead (the
     GetTermVector path — raises if the channel wasn't built)."""
     if source is None:
+        # distinguish "docid absent from index" (KeyError, like the text
+        # path below) from "doc has no interesting terms" (empty result)
+        if searcher.docs().filter(F.col("docid") == docid).first() is None:
+            raise KeyError(f"docid {docid} not in index")
         terms = interesting_terms_for_doc(searcher, docid, **kw)
         if not terms:
             return searcher._empty_hits()

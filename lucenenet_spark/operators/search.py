@@ -625,7 +625,9 @@ class IndexSearcher:
         def _min_nr(f: float, num_optional: int) -> int:
             if f >= 1.0 or f == 0.0:
                 return int(f)
-            return int(round(f * num_optional))  # round-half-even, like .NET
+            # CommonTermsQuery.cs:189 multiplies in float32 BEFORE Math.Round;
+            # 0.7f*5 != 0.7*5 at the round-half-even boundary.
+            return int(round(float(np.float32(f) * np.float32(num_optional))))
 
         def _group(terms, occur, boost, msm_f, force_must=False):
             leaves = tuple(

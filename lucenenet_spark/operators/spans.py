@@ -580,14 +580,24 @@ def payload_near_scores(searcher, q: PayloadNearQuery) -> DataFrame:
             "heap-dependent in the reference (NearSpansUnordered); ordered "
             "only here"
         )
+    for c in q.clauses:
+        if not isinstance(c, SpanTermQuery):
+            raise TypeError(
+                "PayloadNearQuery clauses must be SpanTermQuery, got "
+                f"{type(c).__name__}"
+            )
+    fields = {c.field for c in q.clauses}
+    if len(fields) > 1:
+        # SpanNearQuery ctor: "all clauses must have same field"
+        raise ValueError(
+            f"PayloadNearQuery clauses must share one field, got {sorted(fields)}"
+        )
     for seg in searcher.segments:
         if seg["manifest"].get("payload_provider") is None:
             raise NotImplementedError(
                 "payload queries need an index built with a payload_provider"
             )
-    clauses = [
-        (c.field, c.term) for c in q.clauses
-    ]  # SpanTermQuery only (dataclass has .field/.term)
+    clauses = [(c.field, c.term) for c in q.clauses]
     keys = sorted(set(clauses))
     dfs = searcher.doc_freqs(keys)
     if any(dfs[k] == 0 for k in keys):

@@ -39,11 +39,15 @@ def build_term_vectors(
     transcripts must be the same source the index was built from (per-turn
     text equality is the invariant); the docid mapping comes from the
     index's own docs view, so vectors use the index's docids. Idempotent:
-    returns immediately if the channel exists."""
+    returns immediately if a channel stamped with the CURRENT manifest's
+    (build_id, committed_at) exists; a rebuilt index (docids shift)
+    invalidates the stamp and the channel is rebuilt."""
     out = os.path.join(index_dir, "tvectors")
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
-        return out
     manifest = load_manifest(index_dir)
+    if os.path.exists(os.path.join(out, "_SUCCESS")) and _stamp_matches(
+        out, manifest
+    ):
+        return out
     ids = docs_view(spark, manifest).select("docid", "conv_id", "turn_idx")
     src = transcripts.select("conv_id", "turn_idx", "text")
     joined = ids.join(src, ["conv_id", "turn_idx"]).select("docid", "text")
@@ -73,7 +77,27 @@ def build_term_vectors(
         .write.mode("overwrite")
         .parquet(out)
     )
+    _write_stamp(out, manifest)
     return out
+
+
+def _stamp_of(manifest: dict) -> str:
+    return f"{manifest.get('build_id')}@{manifest.get('committed_at')}"
+
+
+def _write_stamp(out: str, manifest: dict) -> None:
+    tmp = os.path.join(out, "_index_stamp.tmp")
+    with open(tmp, "w") as f:
+        f.write(_stamp_of(manifest))
+    os.replace(tmp, os.path.join(out, "_index_stamp"))
+
+
+def _stamp_matches(out: str, manifest: dict) -> bool:
+    p = os.path.join(out, "_index_stamp")
+    if not os.path.exists(p):
+        return False  # pre-stamp channel: treat as stale, rebuild
+    with open(p) as f:
+        return f.read() == _stamp_of(manifest)
 
 
 def term_vectors(searcher, docids: list[int] | None = None) -> DataFrame:

@@ -214,7 +214,10 @@ def common_terms_scores(
     low = [t for t in terms if t not in high]
 
     def _minnr(f: float, n: int) -> int:
-        return int(f) if (f >= 1.0 or f == 0.0) else int(round(f * n))
+        # float32 product before rounding (CommonTermsQuery.cs:189)
+        if f >= 1.0 or f == 0.0:
+            return int(f)
+        return int(round(float(np.float32(f) * np.float32(n))))
 
     lb = float(np.float32(low_boost) * np.float32(boost))
     hb = float(np.float32(high_boost) * np.float32(boost))

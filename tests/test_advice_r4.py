@@ -1,0 +1,118 @@
+"""Regression tests for the round-3 ADVICE findings.
+
+1. CommonTermsQuery min-should-match multiplies msm * numOptional in
+   FLOAT32 before rounding (CommonTermsQuery.cs:189): 0.7f*5 = 3.4999998
+   rounds to 3, where float64 0.7*5 = 3.5 rounds (half-even) to 4.
+2. payload_near_scores validates clauses up front: non-SpanTermQuery ->
+   TypeError, mixed fields -> ValueError (SpanNearQuery ctor parity).
+3. build_term_vectors stamps the channel with the manifest's
+   (build_id, committed_at); a rebuilt index invalidates the channel.
+4. more_like_this(source=None) raises KeyError for a docid absent from
+   the index (matching the text path) instead of silently returning
+   empty hits.
+"""
+import numpy as np
+import pytest
+
+from lucenenet_spark import oracle
+from lucenenet_spark.operators.search import IndexSearcher
+from lucenenet_spark.operators.spans import (
+    PayloadNearQuery,
+    SpanOrQuery,
+    SpanTermQuery,
+    payload_near_scores,
+)
+from lucenenet_spark.plans.query import BooleanQuery, CommonTermsQuery
+
+
+def test_msm_product_is_float32(searcher, oracle_index):
+    # 32 df=0 terms all classify low -> SHOULD group with fractional msm.
+    # f*32 = 19.4999997686 in float64 (rounds to 19) but the float32
+    # product is exactly 19.5 (rounds half-even to 20) — the reference
+    # multiplies in float32 (CommonTermsQuery.cs:189).
+    f = 0.6093749927690183
+    assert round(f * 32) == 19  # the old float64 behavior
+    assert float(np.float32(np.float32(f) * np.float32(32))) == 19.5
+    terms = tuple(f"zzzqabsent{i}" for i in range(32))
+    q = CommonTermsQuery(
+        terms=terms,
+        max_term_frequency=0.1,
+        low_freq_occur="SHOULD",
+        low_freq_min_should_match=f,
+    )
+    rewritten = searcher._rewrite_common_terms(q)
+    assert isinstance(rewritten, BooleanQuery)
+    assert rewritten.min_should_match == 20
+
+
+def test_oracle_minnr_matches_engine(oracle_index):
+    # drive the oracle's common_terms_scores through the same boundary:
+    # both sides must agree that msm=0.7 over 5 optionals needs 3
+    scores = oracle.common_terms_scores(
+        oracle_index,
+        ["zzzqa", "zzzqb", "zzzqc", "zzzqd", "zzzqe"],
+        0.1,
+        low_occur="SHOULD",
+        low_msm=0.7,
+    )
+    assert scores == {}  # df=0 everywhere; just exercises the path
+
+
+def test_payload_near_rejects_non_term_clause(searcher):
+    q = PayloadNearQuery(
+        clauses=(
+            SpanTermQuery(term="hello"),
+            SpanOrQuery(clauses=(SpanTermQuery(term="world"),)),
+        )
+    )
+    with pytest.raises(TypeError, match="SpanTermQuery"):
+        payload_near_scores(searcher, q)
+
+
+def test_payload_near_rejects_mixed_fields(searcher):
+    q = PayloadNearQuery(
+        clauses=(
+            SpanTermQuery(term="hello", field="text"),
+            SpanTermQuery(term="user", field="role"),
+        )
+    )
+    with pytest.raises(ValueError, match="share one field"):
+        payload_near_scores(searcher, q)
+
+
+def test_term_vectors_stamp_invalidates_on_rebuild(spark, tmp_path):
+    import os
+    import shutil
+
+    from lucenenet_spark.datagen import transcripts_spark
+    from lucenenet_spark.operators.index_build import IndexBuilder
+    from lucenenet_spark.operators.termvectors import build_term_vectors
+
+    d = str(tmp_path / "tvstamp")
+    df = transcripts_spark(spark, 60, partitions=2)
+    IndexBuilder(spark, d, n_buckets=2).build(df, build_id="b1")
+    build_term_vectors(spark, df, d)
+    assert spark.read.parquet(f"{d}/tvectors").count() > 0
+
+    # rebuild the index over a DIFFERENT corpus at the same path: docids
+    # shift; the stale channel must be rebuilt, not silently reused
+    tvdir = f"{d}/tvectors"
+    for f in os.listdir(d):
+        p = os.path.join(d, f)
+        if p == tvdir:
+            continue
+        shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
+    df2 = transcripts_spark(spark, 40, seed=7, partitions=2)
+    IndexBuilder(spark, d, n_buckets=2).build(df2, build_id="b2")
+    build_term_vectors(spark, df2, d)
+    tv = spark.read.parquet(f"{d}/tvectors")
+    max_docid = tv.agg({"docid": "max"}).first()[0]
+    s2 = IndexSearcher(spark, d)
+    assert max_docid < s2.max_doc  # channel matches the NEW (smaller) index
+
+
+def test_mlt_tv_unknown_docid_raises(spark, searcher):
+    from lucenenet_spark.operators.mlt import more_like_this
+
+    with pytest.raises(KeyError):
+        more_like_this(searcher, None, docid=10**9)
