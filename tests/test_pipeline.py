@@ -257,3 +257,33 @@ def test_ivf_kmeans_refinement_on_clustered_data(spark):
     )
     # probing 2 of 10 refined cells recovers the true neighborhood
     assert len(exact & approx) >= 9
+
+
+def test_ivf_materialized_index_matches_inline(emb, tmp_path):
+    """The build-time index (cells partitioned by cell + centroid table)
+    must answer probes identically to the DataFrame-input path, via a
+    partition-pruned read with NO per-query assignment job."""
+    pdf = emb.toPandas()
+    row = pdf[pdf["vec_id"] == 7].iloc[0]
+    q = [float(x) for x in row["embedding"]]
+    d = str(tmp_path / "ivfidx")
+    meta = similarity.build_ivf_index(emb, d)
+    assert meta["n"] == len(pdf)
+    spark = emb.sparkSession
+    inline = similarity.ivf_topk(emb, q, 10).toPandas()
+    indexed = similarity.ivf_index_topk(spark, d, q, 10).toPandas()
+    assert list(indexed["vec_id"]) == list(inline["vec_id"])
+    assert list(indexed["cosine"]) == list(inline["cosine"])
+    # the probe plan is a pruned scan of the cell partitions only
+    plan = similarity.ivf_index_topk(spark, d, q, 10)._jdf.queryExecution()
+    s = plan.executedPlan().toString()
+    assert "PartitionFilters: [cell" in s
+    stats = similarity.ivf_probe_stats(spark, d, q, similarity.IVF_NPROBE)
+    assert stats["per_query_assignment_job"] is False
+    assert stats["rows_scanned"] < stats["rows_total"]
+    # scan volume ~ cells_probed/cells_total of the corpus (cells vary in
+    # size; allow 2x slack)
+    frac = stats["cells_probed"] / stats["cells_total"]
+    assert stats["scanned_fraction"] <= 2 * frac
+    # build is idempotent: second call returns the cached meta, no rewrite
+    assert similarity.build_ivf_index(emb, d) == meta
