@@ -291,6 +291,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["term_lmjm"] = term_lmjm
 
+    def phrase_tfidf(spark, sf_dir):
+        # PhraseQuery under classic TF-IDF: every Similarity scores every
+        # Scorer (TFIDFSimScorer.Score over the phrase freq)
+        s = _searcher(spark, sf_dir, similarity="classic")
+        return s.search(PhraseQuery(terms=("table", "hash")), 15)
+
+    out["phrase_tfidf"] = phrase_tfidf
+
+    def phrase_lmd(spark, sf_dir):
+        # sloppy phrase under LM-Dirichlet (MultiSimScorer sums the
+        # per-term kernels at the shared sloppyFreq)
+        s = _searcher(spark, sf_dir, similarity="lmd")
+        return s.search(PhraseQuery(terms=("value", "table"), slop=2), 15)
+
+    out["phrase_lmd"] = phrase_lmd
+
     def term_dfr(spark, sf_dir):
         s = _searcher(spark, sf_dir, similarity="dfr_gb2")
         return s.search(TermQuery(term=HOT), 15)
@@ -569,7 +585,7 @@ _NEVER_DRIVER_CHECKED = [
     "ann_ivf_topk", "ann_ivf_recall", "emb_cell_hist", "analyze_uax29",
 ]
 # round-4 additions are also unseen by the driver — list them here as they land
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = ["phrase_tfidf", "phrase_lmd"]
 
 
 def _prioritize(out: dict) -> dict:
@@ -709,6 +725,8 @@ LIMIT 30"""
     out["fuzzy"] = es.fuzzy_sql("batc", 1, 20)
     out["term_tfidf"] = es.classic_term_sql(HOT, k=15)
     out["term_lmd"] = es.lmd_term_sql(HOT, k=15)
+    out["phrase_tfidf"] = es.phrase_sim_sql(["table", "hash"], "classic", k=15)
+    out["phrase_lmd"] = es.phrase_sim_sql(["value", "table"], "lmd", k=15, slop=2)
     out["term_lmjm"] = es.lmjm_term_sql(HOT, k=15)
     out["term_dfr"] = es.dfr_gb2_term_sql(HOT, k=15)
     out["term_pl2"] = es.dfr_pl2_term_sql(HOT, k=15)

@@ -537,8 +537,6 @@ def phrase_sql(
         offsets = list(range(len(terms)))
     arrays = [[t] if isinstance(t, str) else list(t) for t in terms]
     n = len(arrays)
-    if slop > 0 and n != 2:
-        raise NotImplementedError("sloppy phrase oracle SQL covers 2-slot phrases")
     # float32 fold of idfs over all (slot, term) pairs in declaration order,
     # then the term weight chain
     flat = [t for arr in arrays for t in arr]
@@ -546,6 +544,27 @@ def phrase_sql(
     for t in flat[1:]:
         wsum = f"CAST({wsum} + {_idf_sql(t)} AS REAL)"
     w = f"CAST(CAST({wsum} * {_f32lit(boost)} AS REAL) * {K1P1_32} AS REAL)"
+    freq_cte = _phrase_freq_cte(arrays, offsets, slop)
+    p = prelude()
+    if slop > 0:
+        p = "WITH RECURSIVE " + p[len("WITH ") :]
+    return f"""{p},
+{_positions_cte()},
+{freq_cte}
+SELECT p.docid AS docid,
+       CAST(CAST({w} * p.freq AS REAL) / CAST(p.freq + n.nc AS REAL) AS REAL) AS score
+FROM pf p JOIN ncache n ON p.docid = n.docid
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+
+
+def _phrase_freq_cte(arrays: list, offsets: list[int], slop: int) -> str:
+    """CTE chain ending in pf(docid, freq REAL): per-doc phrase frequency
+    (exact alignment count, or the 2-stream SloppyPhraseScorer recursive
+    merge). Shared by the BM25 and the per-similarity phrase oracles."""
+    n = len(arrays)
+    if slop > 0 and n != 2:
+        raise NotImplementedError("sloppy phrase oracle SQL covers 2-slot phrases")
     clauses = "\nUNION ALL\n".join(
         "SELECT docid, {i} AS clause, pos - {off} AS bpos FROM pos "
         "WHERE term IN ({ts})".format(
@@ -554,19 +573,19 @@ def phrase_sql(
         for i, (arr, off) in enumerate(zip(arrays, offsets))
     )
     if slop == 0:
-        freq_cte = f"""m AS ({clauses}),
+        return f"""m AS ({clauses}),
 aligned AS (
   SELECT docid, bpos FROM m GROUP BY docid, bpos
   HAVING count(DISTINCT clause) = {n}
 ),
 pf AS (SELECT docid, CAST(count(*) AS REAL) AS freq FROM aligned GROUP BY docid)"""
-    else:
+    if True:
         one = "CAST(CAST(1.0 AS DOUBLE) AS REAL)"
         sc = (
             f"CASE WHEN ml <= {slop} THEN CAST({one} / CAST(ml + 1 AS REAL) AS REAL) "
             "ELSE CAST(0.0 AS REAL) END"
         )
-        freq_cte = f"""m AS ({clauses}),
+        return f"""m AS ({clauses}),
 plist AS (
   SELECT docid,
          list_sort(list(bpos) FILTER (WHERE clause = 0)) AS la,
@@ -610,15 +629,91 @@ rec AS (
   ) s
 ),
 pf AS (SELECT docid, freq FROM rec WHERE done AND freq > 0)"""
+
+
+def phrase_sim_sql(
+    terms: list, similarity: str, k: int = 10, slop: int = 0,
+    boost: float = 1.0, mu: float = 2000.0,
+) -> str:
+    """Phrase under classic TF-IDF or LM-Dirichlet, float32-exact.
+
+    classic (TFIDFSimilarity.IdfExplain + TFIDFSimScorer.Score): one value
+    from the f32 fold of per-term classic idfs; score =
+    f32(f32(f32(sqrt(freq)) * value) * byte315Decode(norm)) — no coord.
+    lmd (SimilarityBase multi-stats -> MultiSimScorer): per-term Dirichlet
+    kernels evaluated at the SHARED phrase freq, clamped at 0, summed in
+    f32 declaration order. Gate terms must exist in the corpus."""
+    arrays = [[t] if isinstance(t, str) else list(t) for t in terms]
+    offsets = list(range(len(arrays)))
+    freq_cte = _phrase_freq_cte(arrays, offsets, slop)
     p = prelude()
     if slop > 0:
         p = "WITH RECURSIVE " + p[len("WITH ") :]
+    flat = [t for arr in arrays for t in arr]
+    if similarity == "classic":
+
+        def cidf(t):
+            return (
+                "(SELECT CAST(ln(CAST(f.max_doc AS DOUBLE) / "
+                "(CAST(t.df AS DOUBLE) + 1.0)) + CAST(1.0 AS DOUBLE) AS REAL) "
+                f"FROM tstats t CROSS JOIN fstats f WHERE t.term = '{t}')"
+            )
+
+        ssum = cidf(flat[0])
+        for t in flat[1:]:
+            ssum = f"CAST({ssum} + {cidf(t)} AS REAL)"
+        qw = f"CAST({ssum} * {_f32lit(boost)} AS REAL)"
+        ssq = f"CAST({qw} * {qw} AS REAL)"
+        qnorm = f"CAST(CAST(1.0 AS DOUBLE) / sqrt(CAST({ssq} AS DOUBLE)) AS REAL)"
+        value = f"CAST(CAST({qw} * {qnorm} AS REAL) * {ssum} AS REAL)"
+        return f"""{p},
+{_positions_cte()},
+{freq_cte},
+cval AS (SELECT {value} AS v),
+dnorm AS (
+  SELECT l.docid, v.dt FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+)
+SELECT p.docid AS docid,
+       CAST(CAST(CAST(sqrt(CAST(p.freq AS DOUBLE)) AS REAL) * c.v AS REAL)
+            * d.dt AS REAL) AS score
+FROM pf p CROSS JOIN cval c JOIN dnorm d ON p.docid = d.docid
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+    if similarity != "lmd":
+        raise NotImplementedError(
+            "phrase_sim_sql covers classic and lmd (others are pytest-only)"
+        )
+    mu32 = _f32lit(mu)
+    b32 = _f32lit(boost)
+    zero = "CAST(CAST(0.0 AS DOUBLE) AS REAL)"
+    inner2 = f"CAST({mu32} / CAST(d.nt + {mu32} AS REAL) AS REAL)"
+    pieces = []
+    for t in flat:
+        cp = (
+            "(SELECT CAST(CAST(CAST(t.ttf AS REAL) + CAST(1.0 AS REAL) AS REAL) / "
+            "CAST(CAST(f.sum_ttf AS REAL) + CAST(1.0 AS REAL) AS REAL) AS REAL) "
+            f"FROM tstats t CROSS JOIN fstats f WHERE t.term = '{t}')"
+        )
+        mucp = f"CAST({mu32} * {cp} AS REAL)"
+        inner1 = (
+            f"CAST(CAST(1.0 AS REAL) + CAST(p.freq / {mucp} AS REAL) AS REAL)"
+        )
+        raws = (
+            f"CAST({b32} * CAST(ln(CAST({inner1} AS DOUBLE)) "
+            f"+ ln(CAST({inner2} AS DOUBLE)) AS REAL) AS REAL)"
+        )
+        pieces.append(f"GREATEST({raws}, {zero})")
+    total = pieces[0]
+    for piece in pieces[1:]:
+        total = f"CAST({total} + {piece} AS REAL)"
     return f"""{p},
 {_positions_cte()},
-{freq_cte}
-SELECT p.docid AS docid,
-       CAST(CAST({w} * p.freq AS REAL) / CAST(p.freq + n.nc AS REAL) AS REAL) AS score
-FROM pf p JOIN ncache n ON p.docid = n.docid
+{freq_cte},
+dnorm AS (
+  SELECT l.docid, v.nt FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+)
+SELECT p.docid AS docid, {total} AS score
+FROM pf p JOIN dnorm d ON p.docid = d.docid
 ORDER BY score DESC, p.docid ASC
 LIMIT {k}"""
 

@@ -758,9 +758,16 @@ class IndexSearcher:
                 if self.sim_spec is not None:
                     return self._dfr_boolean_scores(q)
                 return self._lmd_boolean_scores(q)
+            if isinstance(q, (PhraseQuery, MultiPhraseQuery)):
+                # every Similarity scores every Scorer in the reference
+                # (SimilarityBase.cs Score(stats, freq, docLen);
+                # TestSimilarityBase exercises PhraseQuery under all sims):
+                # the phrase machinery computes (docid, phraseFreq, norm)
+                # and _phrase_finalize applies the active kernel
+                return self._phrase_scores(q)
             raise NotImplementedError(
-                f"{self.similarity} similarity supports term/boolean queries "
-                f"(got {type(q).__name__}); phrase/dismax are BM25-only"
+                f"{self.similarity} similarity supports term/boolean/phrase "
+                f"queries (got {type(q).__name__}); dismax is BM25-only"
             )
         if isinstance(q, (PhraseQuery, MultiPhraseQuery)):
             return self._phrase_scores(q)
@@ -1341,6 +1348,7 @@ class IndexSearcher:
             np.float32(s * np.float32(q.boost))
             * np.float32(np.float32(self.k1) + np.float32(1.0))
         )
+        emit_freq = self.similarity != "bm25"
         live_keys = sorted({k for k in keys if dfs[k] > 0})
         blocks = self._blocks_for(live_keys)
         single_keys = [
@@ -1374,9 +1382,13 @@ class IndexSearcher:
             mode == "bulk" or (mode == "auto" and not prune_bounds)
         )
         if use_bulk:
-            return self._phrase_scores_bulk(
-                blocks, by_term, len(arrays), int(q.slop), q.field, w
+            out = self._phrase_scores_bulk(
+                blocks, by_term, len(arrays), int(q.slop), q.field, w,
+                emit_freq=emit_freq,
             )
+            if emit_freq:
+                out = self._phrase_finalize(out, flat, q.field, q.boost)
+            return out
 
         def expand(it):
             from .codec import decode_block, decode_positions
@@ -1471,9 +1483,14 @@ class IndexSearcher:
             pf = present.select("docid", "nb", "ps").mapInPandas(
                 sloppy, "docid long, freq float, nb short"
             )
+        pf = pf.filter(F.col("freq") > 0)
+        if emit_freq:
+            return self._phrase_finalize(
+                pf.select("docid", "freq", "nb"), flat, q.field, q.boost
+            )
         freq_f = F.col("freq").cast("float")
         nc = F.element_at(nc_arr, F.col("nb").cast("int") + 1)
-        return pf.filter(F.col("freq") > 0).select(
+        return pf.select(
             "docid", ((w_lit * freq_f) / (freq_f + nc)).cast("float").alias("score")
         )
 
@@ -1485,6 +1502,7 @@ class IndexSearcher:
         slop: int,
         field: str,
         w: np.float32,
+        emit_freq: bool = False,
     ) -> DataFrame:
         """Scale-safe phrase evaluation: positions shuffled as docid-range-
         sliced binary sub-arrays (one row per (range, clause, block-slice),
@@ -1567,6 +1585,11 @@ class IndexSearcher:
                 uniq_d, freq = np.unique(gd, return_counts=True)
                 nbu = nb[np.searchsorted(d, uniq_d)]
                 f32 = freq.astype(np.float32)
+                if emit_freq:
+                    yield pd.DataFrame(
+                        {"docid": uniq_d, "freq": f32, "nb": nbu.astype(np.int16)}
+                    )
+                    return
                 sc = (np.float32(w) * f32) / (f32 + cache[nbu])
                 yield pd.DataFrame({"docid": uniq_d, "score": sc})
                 return
@@ -1590,18 +1613,34 @@ class IndexSearcher:
                 if freq > 0:
                     fr = np.float32(freq)
                     out_d.append(int(d[g0]))
-                    out_s.append(
-                        np.float32(
-                            np.float32(w) * fr / (fr + cache[int(nb[g0])])
+                    if emit_freq:
+                        out_s.append((fr, int(nb[g0])))
+                    else:
+                        out_s.append(
+                            np.float32(
+                                np.float32(w) * fr / (fr + cache[int(nb[g0])])
+                            )
                         )
-                    )
             if out_d:
-                yield pd.DataFrame(
-                    {
-                        "docid": np.array(out_d, dtype=np.int64),
-                        "score": np.array(out_s, dtype=np.float32),
-                    }
-                )
+                if emit_freq:
+                    yield pd.DataFrame(
+                        {
+                            "docid": np.array(out_d, dtype=np.int64),
+                            "freq": np.array(
+                                [x[0] for x in out_s], dtype=np.float32
+                            ),
+                            "nb": np.array(
+                                [x[1] for x in out_s], dtype=np.int16
+                            ),
+                        }
+                    )
+                else:
+                    yield pd.DataFrame(
+                        {
+                            "docid": np.array(out_d, dtype=np.int64),
+                            "score": np.array(out_s, dtype=np.float32),
+                        }
+                    )
 
         n_shuffle = max(
             int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")), 8
@@ -1613,9 +1652,151 @@ class IndexSearcher:
             slice_ranges,
             "rid long, clause int, docids binary, bpos binary, norms binary",
         )
-        return sliced.repartition(n_shuffle, "rid").mapInPandas(
-            reduce_ranges, "docid long, score float"
+        out_schema = (
+            "docid long, freq float, nb short"
+            if emit_freq
+            else "docid long, score float"
         )
+        return sliced.repartition(n_shuffle, "rid").mapInPandas(
+            reduce_ranges, out_schema
+        )
+
+    def _phrase_finalize(
+        self, pf: DataFrame, flat: list[tuple[int, str]], field: str, qboost: float
+    ) -> DataFrame:
+        """Score phrase candidates (docid, freq float, nb short) under the
+        active non-BM25 similarity.
+
+        Reference semantics (every Similarity scores every Scorer):
+        - classic TF-IDF: PhraseWeight idf = f32 SUM of per-term idfs over
+          allTermStats in declaration order (TFIDFSimilarity.IdfExplain);
+          one IDFStats value; score = f32(f32(sqrt(freq)) * value) *
+          DecodeNormValue(norm) (TFIDFSimScorer.Score) — no coord (a
+          standalone phrase has no BooleanWeight).
+        - SimilarityBase members (LM-Dirichlet/JM, DFR, IB): ComputeWeight
+          over several termStats builds ONE BasicStats per term, and
+          MultiSimilarity.MultiSimScorer SUMS the per-term kernels at the
+          SAME phrase freq (SimilarityBase.cs GetSimScorer multi branch) —
+          f32 accumulation in declaration order."""
+        from ..functions.smallfloat import DECODE_TABLE, NORM_TABLE
+
+        keys = [(field, t) for _slot, t in flat]
+        omit = field in {
+            f for f, info in self.fields_info.items() if info.get("omit_norms")
+        }
+        if self.similarity == "classic":
+            from ..oracle import classic_idf
+
+            dfs = self.doc_freqs(sorted(set(keys)))
+            s = np.float32(0.0)
+            for k in keys:
+                s = np.float32(s + classic_idf(dfs[k], self.max_doc))
+            qw = np.float32(s * np.float32(qboost))
+            ssq = np.float32(qw * qw)
+            qnorm = (
+                np.float32(np.float64(1.0) / np.sqrt(np.float64(ssq)))
+                if ssq > 0
+                else np.float32(1.0)
+            )
+            value = np.float32(np.float32(qw * qnorm) * s)
+            raw = (
+                F.sqrt(F.col("freq").cast("float")).cast("float")
+                * F.lit(float(value)).cast("float")
+            ).cast("float")
+            if omit:
+                return pf.select("docid", raw.alias("score"))
+            dec = F.array(*[F.lit(float(x)).cast("float") for x in DECODE_TABLE])
+            sc = (raw * F.element_at(dec, F.col("nb").cast("int") + 1)).cast(
+                "float"
+            )
+            return pf.select("docid", sc.alias("score"))
+
+        # SimilarityBase family: per-term scalar params, kernels summed at
+        # the shared phrase freq in one tiny mapInPandas over the few
+        # surviving candidates (one row per matching doc)
+        metas = self.term_meta(sorted(set(keys)))
+        field_tokens = {
+            f: int(info.get("sum_ttf", 0)) for f, info in self.fields_info.items()
+        }
+        nft = field_tokens.get(field, 0)
+        boost32 = np.float32(qboost)
+        if self.sim_spec is not None:
+            from . import simbase
+
+            spec = self.sim_spec
+            stats = [
+                simbase.make_stats(self.max_doc, metas[k][0], metas[k][1], nft)
+                for k in keys
+            ]
+
+            def fin(it):
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    freq = pdf["freq"].to_numpy().astype(np.float32)
+                    nb = pdf["nb"].to_numpy().astype(np.int64) & 0xFF
+                    dl = (
+                        np.ones(len(freq), dtype=np.float32)
+                        if omit
+                        else NORM_TABLE[nb]
+                    )
+                    total = np.zeros(len(freq), dtype=np.float32)
+                    for st in stats:
+                        sc = simbase.block_scores(spec, st, boost32, freq, dl)
+                        total = (total + sc).astype(np.float32)
+                    yield pd.DataFrame({"docid": pdf["docid"], "score": total})
+
+        else:  # lmd / lmjm
+            mu = np.float32(self.mu)
+            jm = self.similarity == "lmjm"
+            smooth = np.float32(self.lam) if jm else mu
+            oml = np.float32(np.float32(1.0) - np.float32(self.lam))
+            scps = []
+            for k in keys:
+                cp = np.float32(
+                    (np.float32(metas[k][1]) + np.float32(1.0))
+                    / (np.float32(nft) + np.float32(1.0))
+                )
+                scps.append(np.float32(smooth * cp))
+            mu_f = float(self.mu)
+
+            def fin(it):
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    freq = pdf["freq"].to_numpy().astype(np.float32)
+                    nb = pdf["nb"].to_numpy().astype(np.int64) & 0xFF
+                    dl = (
+                        np.ones(len(freq), dtype=np.float32)
+                        if omit
+                        else NORM_TABLE[nb]
+                    )
+                    if not jm:
+                        l2 = np.log(
+                            (np.float32(mu_f) / (dl + np.float32(mu_f))).astype(
+                                np.float64
+                            )
+                        )
+                    total = np.zeros(len(freq), dtype=np.float32)
+                    for scp in scps:
+                        if jm:
+                            inner = (
+                                np.float32(1.0)
+                                + ((oml * freq) / dl) / np.float32(scp)
+                            )
+                            sc = boost32 * np.log(inner.astype(np.float64)).astype(
+                                np.float32
+                            )
+                        else:
+                            inner1 = np.float32(1.0) + freq / np.float32(scp)
+                            sc = boost32 * (
+                                np.log(inner1.astype(np.float64)) + l2
+                            ).astype(np.float32)
+                            np.maximum(sc, np.float32(0.0), out=sc)
+                        total = (total + sc).astype(np.float32)
+                    yield pd.DataFrame({"docid": pdf["docid"], "score": total})
+
+        return pf.mapInPandas(fin, "docid long, score float")
 
     def _payload_term_scores(self, q: PayloadTermQuery) -> DataFrame:
         """PayloadTermQuery scorer (Search/Payloads/PayloadTermQuery.cs).

@@ -386,6 +386,37 @@ def span_scores_oracle(index, q: Query, k1=1.2, b=0.75, boost=1.0):
     return out
 
 
+def span_scores_sim_oracle(index, q: Query, similarity: str, boost=1.0):
+    """Oracle-side span scores under a non-BM25 similarity: the span freq
+    machinery + the shared SimScorer kernel step (SpanWeight computes
+    stats over ALL leaf termStats; SimilarityBase multi-stats sums the
+    per-term kernels at the span freq)."""
+    from ..oracle import sim_scores_from_freqs
+
+    leaves = leaf_terms(q)
+    req = required_terms(q)
+    cand: set[int] | None = None
+    for _f, t in req or {lf for lf in leaves}:
+        docs = set(index.positions.get(t, {}))
+        cand = docs if cand is None else cand & docs
+    if req == set():  # pure-or tree: union of leaves
+        cand = set()
+        for _f, t in leaves:
+            cand |= set(index.positions.get(t, {}))
+    freqs: dict[int, np.float32] = {}
+    for d in sorted(cand or ()):
+        pos = {
+            (f, t): index.positions.get(t, {}).get(d, []) for f, t in set(leaves)
+        }
+        spans = eval_spans(q, pos)
+        if not spans:
+            continue
+        freqs[d] = np.float32(span_freq(spans))
+    return sim_scores_from_freqs(
+        index, [t for _f, t in leaves], freqs, similarity, boost=boost
+    )
+
+
 def payload_near_scores_oracle(
     index, q: "PayloadNearQuery", k1=1.2, b=0.75
 ) -> dict[int, np.float32]:
@@ -464,6 +495,11 @@ def span_scores(searcher, q: Query) -> DataFrame:
         req_mask |= 1 << clause_of[k]
     qq = q
     R = searcher.BULK_RANGE
+    # non-BM25 similarity: the span machinery emits (docid, spanFreq, norm)
+    # and the shared phrase/span finalize applies the active kernel (the
+    # reference scores spans under every Similarity via SpanWeight ->
+    # Similarity.ComputeWeight over all leaf termStats)
+    emit_freq = searcher.similarity != "bm25"
 
     # Scale-safe gather (VERDICT r02 #2): positions are shuffled as docid-
     # range-sliced BINARY sub-arrays — O(blocks) rows, never one row per
@@ -534,14 +570,26 @@ def span_scores(searcher, q: Query) -> DataFrame:
                 continue
             freq = span_freq(spans)
             out_d.append(int(d[g0]))
-            out_s.append(np.float32(w32 * freq / (freq + cache[int(nb[g0])])))
+            if emit_freq:
+                out_s.append((np.float32(freq), int(nb[g0])))
+            else:
+                out_s.append(np.float32(w32 * freq / (freq + cache[int(nb[g0])])))
         if out_d:
-            yield pd.DataFrame(
-                {
-                    "docid": np.array(out_d, dtype=np.int64),
-                    "score": np.array(out_s, dtype=np.float32),
-                }
-            )
+            if emit_freq:
+                yield pd.DataFrame(
+                    {
+                        "docid": np.array(out_d, dtype=np.int64),
+                        "freq": np.array([x[0] for x in out_s], dtype=np.float32),
+                        "nb": np.array([x[1] for x in out_s], dtype=np.int16),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "docid": np.array(out_d, dtype=np.int64),
+                        "score": np.array(out_s, dtype=np.float32),
+                    }
+                )
 
     n_shuffle = max(
         int(searcher.spark.conf.get("spark.sql.shuffle.partitions", "32")), 8
@@ -553,9 +601,18 @@ def span_scores(searcher, q: Query) -> DataFrame:
         slice_ranges,
         "rid long, leaf int, docids binary, pos binary, norms binary",
     )
-    return sliced.repartition(n_shuffle, "rid").mapInPandas(
-        reduce_ranges, "docid long, score float"
+    out_schema = (
+        "docid long, freq float, nb short"
+        if emit_freq
+        else "docid long, score float"
     )
+    out = sliced.repartition(n_shuffle, "rid").mapInPandas(
+        reduce_ranges, out_schema
+    )
+    if emit_freq:
+        flat = [(i, t) for i, (_f, t) in enumerate(leaves)]
+        return searcher._phrase_finalize(out, flat, keys[0][0], q.boost)
+    return out
 
 
 def span_search(searcher, q: Query, k: int = 10) -> DataFrame:
@@ -579,6 +636,12 @@ def payload_near_scores(searcher, q: PayloadNearQuery) -> DataFrame:
             "PayloadNearQuery: unordered payload collection order is "
             "heap-dependent in the reference (NearSpansUnordered); ordered "
             "only here"
+        )
+    if searcher.similarity != "bm25":
+        raise NotImplementedError(
+            "payload queries are scored with BM25 here (the reference routes "
+            "ComputeSlopFactor/ComputePayloadFactor through the active "
+            "similarity; only the BM25 route is implemented)"
         )
     for c in q.clauses:
         if not isinstance(c, SpanTermQuery):

@@ -658,11 +658,6 @@ def simbase_term_scores(
 
     `name` accepts the alias shorthands (dfr_gb2, ...) or full specs
     ("dfr:be:b:h2", "ib:spl:ttf:z", ...)."""
-    from .operators.simbase import ALIASES
-
-    spec = ALIASES.get(name, name).split(":")
-    assert len(spec) == 4 and spec[0] in ("dfr", "ib"), name
-    family, c1, c2, norm = spec
     plist = index.postings.get(term)
     if not plist:
         return {}
@@ -670,6 +665,27 @@ def simbase_term_scores(
     ttf = sum(tf for _d, tf in plist)
     nft = index.sum_ttf  # numberOfFieldTokens for the one analyzed field
     N = index.max_doc
+    out = {}
+    for docid, tf in plist:
+        dl = NORM_TABLE[index.norm_bytes[docid]]
+        out[docid] = simbase_kernel(
+            name, N, df, ttf, nft, np.float32(tf), dl, boost
+        )
+    return out
+
+
+def simbase_kernel(
+    name: str, N: int, df: int, ttf: int, nft: int,
+    freq32: np.float32, dl: np.float32, boost: float = 1.0,
+) -> np.float32:
+    """One SimilarityBase score for a (stats, freq, docLen) triple — the
+    SimilarityBase.Score(stats, freq, docLen) scalar (works for phrase
+    freqs too, which may be fractional sloppyFreq sums)."""
+    from .operators.simbase import ALIASES
+
+    spec = ALIASES.get(name, name).split(":")
+    assert len(spec) == 4 and spec[0] in ("dfr", "ib"), name
+    family, c1, c2, norm = spec
     Nd = float(N)
     ln2 = np.log(2.0)
     avg = (
@@ -683,10 +699,8 @@ def simbase_term_scores(
     def log2(x):
         return np.log(x) / ln2
 
-    out = {}
-    for docid, tf in plist:
-        dl = NORM_TABLE[index.norm_bytes[docid]]
-        tf32 = np.float32(tf)
+    if True:
+        tf32 = np.float32(freq32)
         # --- Normalization.Tfn ------------------------------------------
         if norm == "no":
             tfn = tf32
@@ -777,7 +791,7 @@ def simbase_term_scores(
                 )
             else:  # l
                 ae = np.float32(np.float32(1.0) / np.float32(tfn + np.float32(1.0)))
-            out[docid] = np.float32(np.float32(np.float32(boost) * bm) * ae)
+            return np.float32(np.float32(np.float32(boost) * bm) * ae)
         else:  # ib
             lamnum = df if c2 == "df" else ttf
             lam = np.float32(
@@ -794,8 +808,7 @@ def simbase_term_scores(
                 num = np.power(np.float64(lam), np.float64(expo)) - np.float64(lam)
                 den = np.float64(np.float32(np.float32(1.0) - lam))
                 dist = np.float32(-np.log(num / den))
-            out[docid] = np.float32(np.float32(boost) * dist)
-    return out
+            return np.float32(np.float32(boost) * dist)
 
 
 def kw_term_scores(
@@ -994,6 +1007,146 @@ def multi_phrase_scores(
         if freq > 0:
             norm = cache[index.norm_bytes[d]]
             out[d] = np.float32(w * freq / (freq + norm))
+    return out
+
+
+def phrase_scores_sim(
+    index: OracleIndex,
+    terms: list[str],
+    similarity: str,
+    offsets: list[int] | None = None,
+    slop: int = 0,
+    boost: float = 1.0,
+    mu: float = 2000.0,
+    lam: float = 0.1,
+) -> dict[int, np.float32]:
+    """PhraseQuery under a non-BM25 similarity, float32-exact.
+
+    Reference: every Similarity scores every Scorer. classic TF-IDF:
+    PhraseWeight idf = f32 SUM of per-term idfs (TFIDFSimilarity.IdfExplain
+    over allTermStats), score = f32(f32(sqrt(freq)) * value) *
+    DecodeNormValue(norm) (TFIDFSimScorer.Score) — no coord for a
+    standalone phrase. SimilarityBase members (lmd/lmjm/DFR/IB):
+    ComputeWeight builds one BasicStats per term and MultiSimScorer SUMS
+    the per-term kernels at the SAME phrase freq in declaration order
+    (SimilarityBase.cs GetSimScorer multi branch), f32 accumulation."""
+    if offsets is None:
+        offsets = list(range(len(terms)))
+    if not terms:
+        return {}
+    cand = None
+    for t in terms:
+        docs = set(index.positions.get(t, {}))
+        cand = docs if cand is None else cand & docs
+    if not cand:
+        return {}
+    freqs: dict[int, np.float32] = {}
+    for d in sorted(cand):
+        if slop == 0:
+            fr = np.float32(exact_phrase_freq(index, terms, offsets, d))
+        else:
+            fr = sloppy_phrase_freq(
+                [index.positions[t][d] for t in terms], offsets, slop
+            )
+        if fr > 0:
+            freqs[d] = fr
+    return sim_scores_from_freqs(
+        index, terms, freqs, similarity, boost=boost, mu=mu, lam=lam
+    )
+
+
+def sim_scores_from_freqs(
+    index: OracleIndex,
+    terms: list[str],
+    freqs: dict[int, np.float32],
+    similarity: str,
+    boost: float = 1.0,
+    mu: float = 2000.0,
+    lam: float = 0.1,
+) -> dict[int, np.float32]:
+    """Apply a non-BM25 similarity to precomputed per-doc frequencies (a
+    phrase freq, a span sloppyFreq sum, ...) with the given leaf terms
+    providing the stats — the Similarity.SimScorer.Score(doc, freq) step
+    shared by phrase and span scoring."""
+    from .functions.smallfloat import DECODE_TABLE
+
+    out: dict[int, np.float32] = {}
+    if similarity == "classic":
+        s = np.float32(0.0)
+        for t in terms:
+            s = np.float32(
+                s + classic_idf(len(index.postings.get(t, [])), index.max_doc)
+            )
+        qw = np.float32(s * np.float32(boost))
+        ssq = np.float32(qw * qw)
+        qnorm = (
+            np.float32(np.float64(1.0) / np.sqrt(np.float64(ssq)))
+            if ssq > 0
+            else np.float32(1.0)
+        )
+        value = np.float32(np.float32(qw * qnorm) * s)
+        for d, fr in freqs.items():
+            raw = np.float32(np.float32(np.sqrt(np.float32(fr))) * value)
+            out[d] = np.float32(raw * DECODE_TABLE[index.norm_bytes[d]])
+        return out
+    if similarity in ("lmd", "lmjm"):
+        cps = []
+        for t in terms:
+            ttf = sum(tf for _d, tf in index.postings.get(t, ()))
+            cps.append(
+                np.float32(
+                    (np.float32(ttf) + np.float32(1.0))
+                    / (np.float32(index.sum_ttf) + np.float32(1.0))
+                )
+            )
+        for d, fr in freqs.items():
+            dl = NORM_TABLE[index.norm_bytes[d]]
+            total = np.float32(0.0)
+            for cp in cps:
+                if similarity == "lmd":
+                    mucp = np.float32(np.float32(mu) * cp)
+                    inner1 = np.float32(1.0) + np.float32(np.float32(fr) / mucp)
+                    inner2 = np.float32(
+                        np.float32(mu) / np.float32(dl + np.float32(mu))
+                    )
+                    sc = np.float32(
+                        np.float32(boost)
+                        * np.float32(
+                            np.log(np.float64(inner1)) + np.log(np.float64(inner2))
+                        )
+                    )
+                    if not sc > 0:
+                        sc = np.float32(0.0)
+                else:
+                    lcp = np.float32(np.float32(lam) * cp)
+                    oml = np.float32(np.float32(1.0) - np.float32(lam))
+                    inner = np.float32(
+                        np.float32(1.0)
+                        + np.float32(
+                            np.float32(np.float32(oml * np.float32(fr)) / dl) / lcp
+                        )
+                    )
+                    sc = np.float32(
+                        np.float32(boost) * np.float32(np.log(np.float64(inner)))
+                    )
+                total = np.float32(total + sc)
+            out[d] = total
+        return out
+    # DFR / IB matrix member: per-term stats, kernels summed at phrase freq
+    stats = []
+    for t in terms:
+        plist = index.postings.get(t, ())
+        stats.append((len(plist), sum(tf for _d, tf in plist)))
+    for d, fr in freqs.items():
+        dl = NORM_TABLE[index.norm_bytes[d]]
+        total = np.float32(0.0)
+        for df_, ttf in stats:
+            sc = simbase_kernel(
+                similarity, index.max_doc, df_, ttf, index.sum_ttf,
+                np.float32(fr), dl, boost,
+            )
+            total = np.float32(total + sc)
+        out[d] = total
     return out
 
 

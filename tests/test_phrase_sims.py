@@ -1,0 +1,116 @@
+"""Phrase scoring under every similarity (not just BM25).
+
+Reference: every Similarity scores every Scorer — PhraseQuery works under
+DefaultSimilarity, the LM models and the whole SimilarityBase matrix
+(Search/Similarities/SimilarityBase.cs Score(stats, freq, docLen);
+Lucene.Net.Tests/Search/Similarities/TestSimilarityBase.cs:1 exercises
+phrase queries under all sims). classic folds the per-term idfs into one
+value (TFIDFSimilarity.IdfExplain); SimilarityBase members build one
+BasicStats per term and MultiSimScorer sums the kernels at the shared
+phrase freq.
+"""
+import pytest
+
+from lucenenet_spark import oracle
+from lucenenet_spark.operators.search import IndexSearcher
+from lucenenet_spark.plans.query import PhraseQuery
+
+from .conftest import hits
+
+SIMS = ["classic", "lmd", "lmjm", "dfr_gb2", "dfr_pl2", "ib_ll", "dfr:in:b:z"]
+
+
+@pytest.fixture(scope="module")
+def pair(corpus_pdf):
+    """The most frequent adjacent-token pair actually in the corpus."""
+    from lucenenet_spark.functions.analysis import tokenize_text
+
+    pairs = {}
+    for text in corpus_pdf["text"]:
+        toks = tokenize_text(text)
+        for a, b in zip(toks, toks[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    return max(pairs.items(), key=lambda kv: kv[1])[0]
+
+
+def _want(oracle_index, terms, sim, slop=0, boost=1.0, k=15):
+    return oracle.top_k(
+        oracle.phrase_scores_sim(
+            oracle_index, list(terms), sim, slop=slop, boost=boost
+        ),
+        k,
+    )
+
+
+@pytest.mark.parametrize("sim", SIMS)
+def test_exact_phrase_parity(spark, index_dir, oracle_index, sim, pair):
+    s = IndexSearcher(spark, index_dir, similarity=sim)
+    q = PhraseQuery(terms=pair)
+    got = hits(s.search(q, 15))
+    want = _want(oracle_index, q.terms, sim)
+    assert got == want, sim
+    assert got  # non-vacuous
+
+
+@pytest.mark.parametrize("sim", SIMS)
+def test_sloppy_phrase_parity(spark, index_dir, oracle_index, sim, pair):
+    s = IndexSearcher(spark, index_dir, similarity=sim)
+    q = PhraseQuery(terms=pair, slop=3)
+    got = hits(s.search(q, 15))
+    want = _want(oracle_index, q.terms, sim, slop=3)
+    assert got == want, sim
+    assert got
+
+
+@pytest.mark.parametrize("sim", ["classic", "lmd"])
+def test_phrase_boost_parity(spark, index_dir, oracle_index, sim, pair):
+    s = IndexSearcher(spark, index_dir, similarity=sim)
+    q = PhraseQuery(terms=pair, boost=2.5)
+    got = hits(s.search(q, 15))
+    want = _want(oracle_index, pair, sim, boost=2.5)
+    assert got == want, sim
+
+
+@pytest.mark.parametrize("sim", ["classic", "lmd", "dfr_gb2"])
+def test_phrase_bulk_path_parity(spark, index_dir, oracle_index, sim, pair):
+    """Force the bulk (range-sliced binary) path: freq/nb must ride through
+    it bit-identically before the non-BM25 kernel applies."""
+    s = IndexSearcher(spark, index_dir, similarity=sim)
+    s.phrase_mode = "bulk"
+    q = PhraseQuery(terms=pair)
+    got = hits(s.search(q, 15))
+    want = _want(oracle_index, q.terms, sim)
+    assert got == want, sim
+
+
+@pytest.mark.parametrize("sim", ["classic", "lmd", "dfr_gb2"])
+def test_phrase_gather_path_parity(spark, index_dir, oracle_index, sim, pair):
+    s = IndexSearcher(spark, index_dir, similarity=sim)
+    s.phrase_mode = "gather"
+    q = PhraseQuery(terms=pair, slop=2)
+    got = hits(s.search(q, 15))
+    want = _want(oracle_index, q.terms, sim, slop=2)
+    assert got == want, sim
+
+
+@pytest.mark.parametrize("sim", ["classic", "lmd", "dfr_gb2", "ib_ll"])
+def test_span_near_parity_under_sims(spark, index_dir, oracle_index, sim, pair):
+    """SpanNear under every similarity: span freq rides through the range
+    reduce and the shared finalize applies the active kernel."""
+    from lucenenet_spark.operators.spans import (
+        SpanNearQuery,
+        SpanTermQuery,
+        span_scores_sim_oracle,
+        span_search,
+    )
+
+    s = IndexSearcher(spark, index_dir, similarity=sim)
+    q = SpanNearQuery(
+        clauses=(SpanTermQuery(term=pair[0]), SpanTermQuery(term=pair[1])),
+        slop=2,
+        in_order=True,
+    )
+    got = hits(span_search(s, q, 15))
+    want = oracle.top_k(span_scores_sim_oracle(oracle_index, q, sim), 15)
+    assert got == want, sim
+    assert got
