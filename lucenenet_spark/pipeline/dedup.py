@@ -284,22 +284,67 @@ FROM {table} d LEFT JOIN sh ON d.{id_col} = sh.{id_col}"""
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash big-endian hex) via a vectorized Arrow UDF."""
-    from ..functions.analysis import TOKEN_PATTERN
+    """(doc_id, simhash big-endian hex) via a vectorized Arrow UDF.
+
+    Batch-vectorized (VERDICT r03 #2 — the old version looped per row with
+    per-token hashlib.md5 inside): each Arrow batch tokenizes once, md5 is
+    computed ONCE PER DISTINCT TOKEN (memoized across batches in the task),
+    and the tf-weighted ±1 bit accumulation is a single np.add.at over a
+    (pairs x 64) contribution matrix. Integer accumulation is exact, so the
+    fingerprint is bit-identical to the per-row reference (simhash64_py)."""
     import re
+
+    from ..functions.analysis import TOKEN_PATTERN
 
     rx = re.compile(TOKEN_PATTERN, re.UNICODE)
 
     def batch(it):
         import hashlib
-        from collections import Counter
+
+        w_cache: dict[str, np.ndarray] = {}  # token -> ±1 row, task-lifetime
+        shifts = np.arange(64, dtype=np.uint64)
+
+        def w_row(tok: str) -> np.ndarray:
+            r = w_cache.get(tok)
+            if r is None:
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                )
+                r = (2 * ((h >> shifts) & np.uint64(1)).astype(np.int64)) - 1
+                w_cache[tok] = r
+            return r
 
         for pdf in it:
-            out = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = [t.lower() for t in rx.findall(text or "")]
-                out.append((did, format(simhash64_py(toks), "016x")))
-            yield pd.DataFrame(out, columns=[id_col, "simhash"])
+            if not len(pdf):
+                continue
+            tok_lists = [
+                [t.lower() for t in rx.findall(x or "")] for x in pdf[text_col]
+            ]
+            counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+            n_docs = len(pdf)
+            acc = np.zeros((n_docs, 64), dtype=np.int64)
+            if counts.sum():
+                flat = pd.Series(
+                    [t for toks in tok_lists for t in toks], dtype=object
+                )
+                codes, uniq = pd.factorize(flat)  # hash-based, no sort
+                # ±1 weight matrix: md5 once per DISTINCT token, memoized
+                # across batches — the accumulation Σ_distinct tf*w is
+                # linear in tf, so per-OCCURRENCE summing is equivalent
+                w_u = np.stack([w_row(u) for u in uniq])
+                contrib = w_u[codes]  # (total_tokens x 64)
+                nz = counts > 0
+                starts = np.concatenate([[0], np.cumsum(counts)])[:-1][nz]
+                acc[nz] = np.add.reduceat(contrib, starts, axis=0)
+            fp = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "simhash": [format(int(x), "016x") for x in fp],
+                }
+            )
 
     return df.select(id_col, text_col).mapInPandas(batch, f"{id_col} long, simhash string")
 

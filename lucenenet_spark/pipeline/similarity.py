@@ -517,20 +517,23 @@ def lsh_table_codes(
 
     def codes(it):
         planes = None
+        shifts = np.arange(bits, dtype=np.int64)
         for pdf in it:
-            rows = []
-            for vid, vec in zip(pdf[id_col], pdf[vec_col]):
-                v = np.asarray(vec, dtype=np.float64)
-                if planes is None:
-                    planes = rademacher_planes(n_tables * bits, len(v))
-                s = np.round(planes @ v, 6)
-                b = (s > 0).astype(np.int64)
-                for t in range(n_tables):
-                    code = int(
-                        (b[t * bits : (t + 1) * bits] << np.arange(bits)).sum()
-                    )
-                    rows.append((int(vid), t, code))
-            yield pd.DataFrame(rows, columns=[id_col, "tab", "code"])
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if planes is None:
+                planes = rademacher_planes(n_tables * bits, V.shape[1])
+            # ONE (B x dim) @ (dim x L*b) matmul for the whole batch (the
+            # old loop did one matvec per row plus a Python loop per table)
+            s = np.round(V @ planes.T, 6)
+            b = (s > 0).astype(np.int64).reshape(len(pdf), n_tables, bits)
+            code = (b << shifts[None, None, :]).sum(axis=2)  # B x n_tables
+            ids = np.repeat(pdf[id_col].to_numpy(), n_tables)
+            tabs = np.tile(np.arange(n_tables, dtype=np.int32), len(pdf))
+            yield pd.DataFrame(
+                {id_col: ids, "tab": tabs, "code": code.reshape(-1)}
+            )
 
     return df.select(id_col, vec_col).mapInPandas(
         codes, f"{id_col} long, tab int, code int"
