@@ -307,6 +307,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["phrase_lmd"] = phrase_lmd
 
+    def term_stemmed(spark, sf_dir):
+        # English analyzer (Porter stem slot): "merging" parses to the
+        # stemmed index term "merg" (QueryParser(analyzer) semantics)
+        from lucenenet_spark.operators.search import IndexSearcher
+
+        s = IndexSearcher(spark, es.ensure_stemmed_index(spark, sf_dir))
+        return s.search(parse("merging", analyzer=s.analyzer), 15)
+
+    out["term_stemmed"] = term_stemmed
+
+    def bool_stemmed(spark, sf_dir):
+        from lucenenet_spark.operators.search import IndexSearcher
+
+        s = IndexSearcher(spark, es.ensure_stemmed_index(spark, sf_dir))
+        return s.search(parse("+merging valuing", analyzer=s.analyzer), 15)
+
+    out["bool_stemmed"] = bool_stemmed
+
     def term_dfr(spark, sf_dir):
         s = _searcher(spark, sf_dir, similarity="dfr_gb2")
         return s.search(TermQuery(term=HOT), 15)
@@ -585,7 +603,7 @@ _NEVER_DRIVER_CHECKED = [
     "ann_ivf_topk", "ann_ivf_recall", "emb_cell_hist", "analyze_uax29",
 ]
 # round-4 additions are also unseen by the driver — list them here as they land
-_NEW_THIS_ROUND: list[str] = ["phrase_tfidf", "phrase_lmd"]
+_NEW_THIS_ROUND: list[str] = ["phrase_tfidf", "phrase_lmd", "term_stemmed", "bool_stemmed"]
 
 
 def _prioritize(out: dict) -> dict:
@@ -727,6 +745,10 @@ LIMIT 30"""
     out["term_lmd"] = es.lmd_term_sql(HOT, k=15)
     out["phrase_tfidf"] = es.phrase_sim_sql(["table", "hash"], "classic", k=15)
     out["phrase_lmd"] = es.phrase_sim_sql(["value", "table"], "lmd", k=15, slop=2)
+    out["term_stemmed"] = es.term_sql("merg", k=15, analyzer="english")
+    out["bool_stemmed"] = es.boolean_sql(
+        must=["merg"], should=["valu"], k=15, analyzer="english"
+    )
     out["term_lmjm"] = es.lmjm_term_sql(HOT, k=15)
     out["term_dfr"] = es.dfr_gb2_term_sql(HOT, k=15)
     out["term_pl2"] = es.dfr_pl2_term_sql(HOT, k=15)

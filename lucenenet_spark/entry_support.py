@@ -100,6 +100,36 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+_STEM_INDEX_CACHE: dict[str, str] = {}
+
+
+def ensure_stemmed_index(spark: SparkSession, sf_dir: str) -> str:
+    """Like ensure_index, but the analysis chain appends a PorterStemFilter
+    (analyzer="english") — the stemmed-search gates query this index."""
+    if sf_dir in _STEM_INDEX_CACHE:
+        return _STEM_INDEX_CACHE[sf_dir]
+    from .operators.index_build import IndexBuilder
+
+    _add_pyfiles(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join("/tmp/lucenenet_entry", f"idxstem_{tag}")
+    mpath = os.path.join(out, "_manifest.json")
+    if os.path.exists(mpath):
+        import json
+        import shutil
+
+        with open(mpath) as f:
+            m = json.load(f)
+        if m.get("format_version") != 5 or m.get("analyzer") != "english":
+            shutil.rmtree(out, ignore_errors=True)
+    IndexBuilder(
+        spark, out, k1=K1, b=B, n_buckets=8, n_segments=8, salt_target=2000,
+        analyzer="english",
+    ).build(transcripts_from_documents(spark, sf_dir), build_id=f"gate-stem-{tag}")
+    _STEM_INDEX_CACHE[sf_dir] = out
+    return out
+
+
 def _add_pyfiles(spark: SparkSession) -> None:
     import zipfile
 
@@ -169,7 +199,185 @@ def _tokens_expr(text_expr: str) -> str:
     )
 
 
-def prelude() -> str:
+def _porter_sql_pipeline() -> str:
+    """CTE chain vocab(tok) -> stemmap(tok, stem): the full Porter (1980)
+    algorithm in SQL, mirroring functions/porter.py step for step (same
+    departures: BLI->BLE, LOGI->LOG). An INDEPENDENT implementation of the
+    published algorithm (regexp-based cv classification; y is a vowel iff
+    preceded by a consonant), so the stemmed gates are non-circular. Stems
+    are computed once per DISTINCT token (like the memoized Python side).
+    Expects CTEs `rawtoks(docid, ord, tok)` upstream."""
+
+    def cv(e):
+        # markers are UPPERCASE so they cannot collide with the lowercase
+        # letters v/c appearing in tokens
+        a = f"regexp_replace({e}, '[aeiou]', 'V', 'g')"
+        b = f"regexp_replace({a}, '([^V])y', '\\1V', 'g')"
+        return f"regexp_replace({b}, '[^V]', 'C', 'g')"
+
+    def m(e):
+        return f"len(regexp_extract_all({cv(e)}, 'V+C+'))"
+
+    def hasv(e):
+        return f"contains({cv(e)}, 'V')"
+
+    def st(e, n):
+        return f"left({e}, length({e}) - {n})"
+
+    def ends(e, suf):
+        return f"ends_with({e}, '{suf}')"
+
+    def dbl(e):
+        # *d: last two chars equal AND the last classifies consonant
+        return (
+            f"(length({e}) >= 2 AND right({e}, 1) = substr({e}, length({e}) - 1, 1)"
+            f" AND ends_with({cv(e)}, 'C'))"
+        )
+
+    def cvc(e):
+        # *o: ends consonant-vowel-consonant, final not w/x/y
+        return (
+            f"(ends_with({cv(e)}, 'CVC')"
+            f" AND right({e}, 1) NOT IN ('w', 'x', 'y'))"
+        )
+
+    w = "w"
+    s1a = (
+        f"CASE WHEN {ends(w,'sses')} THEN {st(w,2)}"
+        f" WHEN {ends(w,'ies')} THEN {st(w,2)}"
+        f" WHEN {ends(w,'ss')} THEN {w}"
+        f" WHEN {ends(w,'s')} THEN {st(w,1)} ELSE {w} END"
+    )
+    s1b_w = (
+        f"CASE WHEN {ends(w,'eed')} THEN"
+        f" CASE WHEN {m(st(w,3))} > 0 THEN {st(w,1)} ELSE {w} END"
+        f" WHEN {ends(w,'ed')} AND {hasv(st(w,2))} THEN {st(w,2)}"
+        f" WHEN {ends(w,'ing')} AND {hasv(st(w,3))} THEN {st(w,3)}"
+        f" ELSE {w} END"
+    )
+    s1b_fl = (
+        f"CASE WHEN {ends(w,'eed')} THEN FALSE"
+        f" WHEN {ends(w,'ed')} AND {hasv(st(w,2))} THEN TRUE"
+        f" WHEN {ends(w,'ing')} AND {hasv(st(w,3))} THEN TRUE"
+        f" ELSE FALSE END"
+    )
+    s1b2 = (
+        f"CASE WHEN fl THEN"
+        f" CASE WHEN {ends(w,'at')} OR {ends(w,'bl')} OR {ends(w,'iz')} THEN {w} || 'e'"
+        f" WHEN {dbl(w)} AND right({w}, 1) NOT IN ('l', 's', 'z') THEN {st(w,1)}"
+        f" WHEN {m(w)} = 1 AND {cvc(w)} THEN {w} || 'e'"
+        f" ELSE {w} END"
+        f" ELSE {w} END"
+    )
+    s1c = (
+        f"CASE WHEN {ends(w,'y')} AND {hasv(st(w,1))}"
+        f" THEN {st(w,1)} || 'i' ELSE {w} END"
+    )
+
+    step2_rules = [
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("bli", "ble"), ("alli", "al"),
+        ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+        ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+        ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+        ("biliti", "ble"), ("logi", "log"),
+    ]
+    step3_rules = [
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ]
+
+    def rules_case(rules, cond_gt):
+        parts = []
+        for suf, rep in rules:
+            stem = st(w, len(suf))
+            new = f"{stem} || '{rep}'" if rep else stem
+            parts.append(
+                f"WHEN {ends(w, suf)} THEN"
+                f" CASE WHEN {m(stem)} > {cond_gt} THEN {new} ELSE {w} END"
+            )
+        return "CASE " + " ".join(parts) + f" ELSE {w} END"
+
+    s2 = rules_case(step2_rules, 0)
+    s3 = rules_case(step3_rules, 0)
+
+    step4_sufs = [
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ]
+    parts4 = []
+    for suf in step4_sufs:
+        stem = st(w, len(suf))
+        if suf == "ion":
+            parts4.append(
+                f"WHEN {ends(w, suf)} THEN CASE WHEN"
+                f" (ends_with({stem}, 's') OR ends_with({stem}, 't'))"
+                f" AND {m(stem)} > 1 THEN {stem} ELSE {w} END"
+            )
+        else:
+            parts4.append(
+                f"WHEN {ends(w, suf)} THEN"
+                f" CASE WHEN {m(stem)} > 1 THEN {stem} ELSE {w} END"
+            )
+    s4 = "CASE " + " ".join(parts4) + f" ELSE {w} END"
+
+    s5a = (
+        f"CASE WHEN {ends(w,'e')} AND ({m(w)} > 1 OR"
+        f" ({m(w)} = 1 AND NOT {cvc(st(w,1))})) THEN {st(w,1)} ELSE {w} END"
+    )
+    s5b = (
+        f"CASE WHEN {m(w)} > 1 AND {dbl(w)} AND {ends(w,'l')}"
+        f" THEN {st(w,1)} ELSE {w} END"
+    )
+
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+pv0 AS (SELECT tok, tok AS w FROM vocab WHERE length(tok) > 2),
+pv1 AS (SELECT tok, {s1a} AS w FROM pv0),
+pv2 AS (SELECT tok, {s1b_w} AS w, {s1b_fl} AS fl FROM pv1),
+pv3 AS (SELECT tok, {s1b2} AS w FROM pv2),
+pv4 AS (SELECT tok, {s1c} AS w FROM pv3),
+pv5 AS (SELECT tok, {s2} AS w FROM pv4),
+pv6 AS (SELECT tok, {s3} AS w FROM pv5),
+pv7 AS (SELECT tok, {s4} AS w FROM pv6),
+pv8 AS (SELECT tok, {s5a} AS w FROM pv7),
+pv9 AS (SELECT tok, {s5b} AS w FROM pv8),
+stemmap AS (
+  SELECT tok, w AS stem FROM pv9
+  UNION ALL
+  SELECT tok, tok AS stem FROM vocab WHERE length(tok) <= 2
+)"""
+
+
+def _toks_cte(analyzer: str) -> str:
+    """The `toks(docid, tokens)` CTE: plain StandardAnalyzer tokens, or the
+    Porter-stemmed stream (stems computed once per distinct token via the
+    SQL Porter pipeline, then rejoined in order; docs with zero tokens keep
+    an empty list so lens/fstats still count them)."""
+    base = f"""toks AS (
+  SELECT docid, {_tokens_expr('text')} AS tokens FROM docs
+)"""
+    if analyzer == "standard":
+        return base
+    assert analyzer == "english", analyzer
+    return f"""toks0 AS (
+  SELECT docid, {_tokens_expr('text')} AS tokens FROM docs
+),
+rawtoks AS (
+  SELECT docid, unnest(tokens) AS tok, generate_subscripts(tokens, 1) AS ord
+  FROM toks0
+),
+{_porter_sql_pipeline()},
+toks AS (
+  SELECT d.docid, COALESCE(s.tokens, CAST([] AS VARCHAR[])) AS tokens
+  FROM docs d LEFT JOIN (
+    SELECT r.docid, list(m.stem ORDER BY r.ord) AS tokens
+    FROM rawtoks r JOIN stemmap m ON r.tok = m.tok GROUP BY r.docid
+  ) s ON d.docid = s.docid
+)"""
+
+
+def prelude(analyzer: str = "standard") -> str:
     """Shared WITH-clause: docs/toks/lens/stats/postings/weights/ncache/scored.
 
     Arithmetic mirrors, step for step in REAL:
@@ -188,9 +396,7 @@ def prelude() -> str:
          text
   FROM documents
 ),
-toks AS (
-  SELECT docid, {_tokens_expr('text')} AS tokens FROM docs
-),
+{_toks_cte(analyzer)},
 lens AS (SELECT docid, len(tokens) AS fl FROM toks),
 fstats AS (
   SELECT count(*) AS max_doc,
@@ -258,6 +464,7 @@ def boolean_sql(
     k: int = 10,
     offset: int = 0,
     extra_where: str | None = None,
+    analyzer: str = "standard",
 ) -> str:
     """Top-k BooleanQuery SQL, float32-identical to the engine's scorer."""
     terms = list(must) + list(should)
@@ -284,7 +491,7 @@ def boolean_sql(
     where = " AND ".join(conds) if conds else "TRUE"
     fold = _fold([f"s{i}" for i in range(len(terms))])
     off = f" OFFSET {offset}" if offset else ""
-    return f"""{prelude()},
+    return f"""{prelude(analyzer)},
 pivoted AS (
   {_pivot(terms)}
 )
@@ -295,8 +502,8 @@ ORDER BY score DESC, docid ASC
 LIMIT {k}{off}"""
 
 
-def term_sql(term: str, k: int = 10) -> str:
-    return boolean_sql(should=[term], k=k)
+def term_sql(term: str, k: int = 10, analyzer: str = "standard") -> str:
+    return boolean_sql(should=[term], k=k, analyzer=analyzer)
 
 
 def dismax_sql(terms: list[str], tie_breaker: float, k: int = 10) -> str:

@@ -91,8 +91,23 @@ ENGLISH_STOP_WORDS = frozenset(
 )
 
 
-def tokenize_text(text: str | None) -> list[str]:
+def _stem_filter(analyzer: str):
+    """Optional final TokenFilter slot: analyzer "english" appends a
+    PorterStemFilter (Analysis/En/PorterStemFilter.cs) after stop removal,
+    "standard" is the plain StandardAnalyzer chain. Stemming never changes
+    token COUNT or positions — only the token text."""
+    if analyzer == "standard":
+        return None
+    if analyzer == "english":
+        from .porter import porter_stem
+
+        return porter_stem
+    raise ValueError(f"unknown analyzer {analyzer!r} (standard|english)")
+
+
+def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
     """Single-string analyzer chain (used by the pure-Python oracle and tests)."""
+    stemf = _stem_filter(analyzer)
     if not text:
         return []
     out = []
@@ -102,11 +117,13 @@ def tokenize_text(text: str | None) -> list[str]:
         low = tok.lower()
         if low in ENGLISH_STOP_WORDS:
             continue
-        out.append(low)
+        out.append(stemf(low) if stemf else low)
     return out
 
 
-def tokenize_with_positions(text: str | None) -> tuple[list[str], list[int]]:
+def tokenize_with_positions(
+    text: str | None, analyzer: str = "standard"
+) -> tuple[list[str], list[int]]:
     """Analyzer chain emitting (tokens, positions).
 
     Position semantics match the reference chain exactly: every token the
@@ -116,6 +133,7 @@ def tokenize_with_positions(text: str | None) -> tuple[list[str], list[int]]:
     (FilteringTokenFilter enablePositionIncrements, mandatory since 4.4) —
     so the position of an emitted token is its 0-based index over ALL raw
     tokenizer matches. len(tokens) stays the normed fieldLength."""
+    stemf = _stem_filter(analyzer)
     if not text:
         return [], []
     toks: list[str] = []
@@ -126,19 +144,20 @@ def tokenize_with_positions(text: str | None) -> tuple[list[str], list[int]]:
         low = tok.lower()
         if low in ENGLISH_STOP_WORDS:
             continue
-        toks.append(low)
+        toks.append(stemf(low) if stemf else low)
         poss.append(i)
     return toks, poss
 
 
 def tokenize_with_offsets(
-    text: str | None,
+    text: str | None, analyzer: str = "standard"
 ) -> tuple[list[str], list[int], list[int], list[int]]:
     """Analyzer chain emitting (tokens, positions, start_offsets,
     end_offsets) — the DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS payload
     (FieldInfo.cs:315-356). Offsets are char indexes into the RAW text of
     the tokenizer match (OffsetAttribute start/end, end exclusive), before
     lowercasing — exactly what PostingsHighlighter consumes."""
+    stemf = _stem_filter(analyzer)
     if not text:
         return [], [], [], []
     toks: list[str] = []
@@ -153,23 +172,27 @@ def tokenize_with_offsets(
         low = tok.lower()
         if low in ENGLISH_STOP_WORDS:
             continue
-        toks.append(low)
+        toks.append(stemf(low) if stemf else low)
         poss.append(i)
         starts.append(m.start())
         ends.append(m.end())
     return toks, poss, starts, ends
 
 
-def _tokenize_series(texts: pd.Series) -> pd.Series:
+def _tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     # vectorized-enough: one findall per row, list-comp filtering; all work
     # happens inside a single Arrow batch (no Spark-row-level Python).
     stop = ENGLISH_STOP_WORDS
     maxlen = MAX_TOKEN_LENGTH
     findall = _findall
+    stemf = _stem_filter(analyzer)
+    if stemf is None:
+        def stemf(x):  # noqa: E306 - identity for the standard chain
+            return x
     return pd.Series(
         [
             [
-                low
+                stemf(low)
                 for tok in findall(t)
                 if len(tok) <= maxlen and (low := tok.lower()) not in stop
             ]
@@ -181,9 +204,13 @@ def _tokenize_series(texts: pd.Series) -> pd.Series:
     )
 
 
-def tokenize_udf():
+def tokenize_udf(analyzer: str = "standard"):
     """pandas UDF: text:string -> tokens:array<string> (post-stop, lowercase)."""
-    return F.pandas_udf(_tokenize_series, ArrayType(StringType()))
+
+    def batch(texts: pd.Series) -> pd.Series:
+        return _tokenize_series(texts, analyzer)
+
+    return F.pandas_udf(batch, ArrayType(StringType()))
 
 
 def tokenize_positions_udf():
@@ -200,9 +227,9 @@ def tokenize_positions_udf():
     return F.pandas_udf(batch, "array<struct<term:string,pos:int>>")
 
 
-def tokens_col(text_col):
+def tokens_col(text_col, analyzer: str = "standard"):
     """Column expression: analyzer chain applied to a text column."""
-    return tokenize_udf()(text_col)
+    return tokenize_udf(analyzer)(text_col)
 
 
 def duckdb_tokens_sql(text_expr: str) -> str:

@@ -375,6 +375,7 @@ class IndexBuilder:
         keyword_fields: tuple[str, ...] = DEFAULT_KEYWORD_FIELDS,
         index_options: str = "docs_freqs_positions",
         payload_provider: str | None = None,
+        analyzer: str = "standard",
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -395,6 +396,12 @@ class IndexBuilder:
         ):
             raise ValueError(f"unknown index_options {index_options!r}")
         self.index_options = index_options
+        # Analyzer choice (recorded in the manifest so query-side analysis
+        # can match): "standard" = StandardAnalyzer chain; "english" adds a
+        # PorterStemFilter after stop removal (EnglishAnalyzer's stem slot)
+        if analyzer not in ("standard", "english"):
+            raise ValueError(f"unknown analyzer {analyzer!r}")
+        self.analyzer = analyzer
         # Per-occurrence payload channel (PayloadAttribute — Lucene payloads
         # are attached by the analysis chain and stored in the pos block;
         # Index/DocumentsWriterPerThread payload path). A NAMED provider so
@@ -495,6 +502,7 @@ class IndexBuilder:
         with_positions = self.index_options != "docs_freqs"
         with_offsets = self.index_options == "docs_freqs_positions_offsets"
         with_payloads = self.payload_provider == "position_float"
+        analyzer = self.analyzer
 
         def ingest_partition(it):
             # STREAMING doc rows (pipelined with the JVM read/write) while the
@@ -567,9 +575,11 @@ class IndexBuilder:
                 off_flat: list[int] = []  # interleaved [start, end-start]
                 for i, text in enumerate(pdf["text"].to_numpy()):
                     if with_offsets:
-                        toks, poss, st_, en_ = tokenize_with_offsets(text)
+                        toks, poss, st_, en_ = tokenize_with_offsets(
+                            text, analyzer
+                        )
                     else:
-                        toks, poss = tokenize_with_positions(text)
+                        toks, poss = tokenize_with_positions(text, analyzer)
                     lengths[i] = len(toks)
                     term_flat.extend(toks)
                     if with_positions:
@@ -1055,6 +1065,7 @@ class IndexBuilder:
             "field": FIELD,
             "index_options": self.index_options,
             "payload_provider": self.payload_provider,
+            "analyzer": self.analyzer,
             "fields": stats_info.get("fields"),
             "k1": self.k1,
             "b": self.b,

@@ -58,7 +58,7 @@ def interesting_terms(
     """Ranked MLT query terms for a piece of text."""
     from collections import Counter
 
-    tf = Counter(tokenize_text(text))
+    tf = Counter(tokenize_text(text, getattr(searcher, "analyzer", "standard")))
     return _rank_terms(searcher, tf, min_term_freq, min_doc_freq, max_query_terms)
 
 

@@ -123,6 +123,10 @@ class IndexSearcher:
         self.manifest = self.segments[0]["manifest"]
         self.k1 = float(self.manifest["k1"])
         self.b = float(self.manifest["b"])
+        # the index's analysis chain — query-side analysis (parser, MLT,
+        # highlighting re-analysis) must run the same chain or stemmed
+        # indexes silently miss (QueryParser(analyzer) parity)
+        self.analyzer = self.manifest.get("analyzer", "standard")
         assert all(
             float(s["manifest"]["k1"]) == self.k1 and float(s["manifest"]["b"]) == self.b
             for s in self.segments

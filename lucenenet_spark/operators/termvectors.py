@@ -52,13 +52,15 @@ def build_term_vectors(
     src = transcripts.select("conv_id", "turn_idx", "text")
     joined = ids.join(src, ["conv_id", "turn_idx"]).select("docid", "text")
 
+    analyzer = manifest.get("analyzer", "standard")
+
     def vectorize(it):
         from ..functions.analysis import tokenize_with_positions
 
         for pdf in it:
             rows = []
             for docid, text in zip(pdf["docid"], pdf["text"]):
-                toks, poss = tokenize_with_positions(text)
+                toks, poss = tokenize_with_positions(text, analyzer)
                 by_term: dict[str, list[int]] = {}
                 for t, p in zip(toks, poss):
                     by_term.setdefault(t, []).append(p)

@@ -54,12 +54,13 @@ class OracleIndex:
 def build_index(
     texts: list[str | None],
     keyword_docs: dict[str, list[str | None]] | None = None,
+    analyzer: str = "standard",
 ) -> OracleIndex:
     postings: dict[str, list[tuple[int, int]]] = {}
     positions: dict[str, dict[int, list[int]]] = {}
     lengths: list[int] = []
     for docid, text in enumerate(texts):
-        toks, poss = tokenize_with_positions(text)
+        toks, poss = tokenize_with_positions(text, analyzer)
         lengths.append(len(toks))
         per_term: dict[str, list[int]] = {}
         for t, p in zip(toks, poss):

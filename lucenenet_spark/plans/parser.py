@@ -53,7 +53,7 @@ def _lex(s: str) -> list[str]:
     return out
 
 
-def _atom_query(tok: str) -> Query | None:
+def _atom_query(tok: str, analyzer: str = "standard") -> Query | None:
     boost = 1.0
     bm = re.search(r"\^(\d+(?:\.\d+)?)$", tok)
     if bm:
@@ -83,10 +83,10 @@ def _atom_query(tok: str) -> Query | None:
             raise ValueError(f"malformed phrase token {tok!r}")
         body, slop = pm.group(1), int(pm.group(2) or 0)
         if re.search(r"\(.*\|.*\)", body):
-            return _multi_phrase(body, slop, boost)
+            return _multi_phrase(body, slop, boost, analyzer)
         from ..functions.analysis import tokenize_with_positions
 
-        toks, poss = tokenize_with_positions(body)
+        toks, poss = tokenize_with_positions(body, analyzer)
         if not toks:
             return None
         if len(toks) == 1:
@@ -110,7 +110,7 @@ def _atom_query(tok: str) -> Query | None:
             return PrefixQuery(prefix=low[:-1], boost=boost)
         return WildcardQuery(pattern=low, boost=boost)
     # plain term: run through the same analyzer as indexing (QueryBuilder.cs)
-    toks = tokenize_text(tok)
+    toks = tokenize_text(tok, analyzer)
     if not toks:
         return None  # stopword/empty -> no clause, like the analyzer dropping it
     if len(toks) == 1:
@@ -118,7 +118,9 @@ def _atom_query(tok: str) -> Query | None:
     return BooleanQuery(should=tuple(TermQuery(term=t) for t in toks), boost=boost)
 
 
-def _multi_phrase(body: str, slop: int, boost: float) -> Query | None:
+def _multi_phrase(
+    body: str, slop: int, boost: float, analyzer: str = "standard"
+) -> Query | None:
     """'(a|b) c' phrase body -> MultiPhraseQuery. One position slot per
     whitespace spec; a (x|y) group's alternatives are analyzed individually;
     specs that analyze away (stopwords) leave a position gap, like the
@@ -133,7 +135,7 @@ def _multi_phrase(body: str, slop: int, boost: float) -> Query | None:
         alts = gm.group(1).split("|") if gm else [spec]
         terms: list[str] = []
         for a in alts:
-            terms.extend(tokenize_text(a))
+            terms.extend(tokenize_text(a, analyzer))
         if terms:
             arrays.append(tuple(dict.fromkeys(terms)))
             positions.append(pos_i)
@@ -150,8 +152,14 @@ def _multi_phrase(body: str, slop: int, boost: float) -> Query | None:
     )
 
 
-def parse(s: str, default_operator: str = "OR") -> Query:
-    """Parse a classic query string into a Query tree."""
+def parse(s: str, default_operator: str = "OR", analyzer: str = "standard") -> Query:
+    """Parse a classic query string into a Query tree.
+
+    `analyzer` runs term/phrase words through the same chain as indexing
+    (QueryParser(analyzer) semantics — "english" stems, so parse("merging",
+    analyzer="english") searches the stemmed index term "merg"). Wildcard/
+    prefix/regexp/range/fuzzy tokens bypass analysis like the classic QP.
+    """
     toks = _lex(s)
     pos = 0
 
@@ -215,7 +223,7 @@ def parse(s: str, default_operator: str = "OR") -> Query:
                     )
                 )
             else:
-                add(_atom_query(t))
+                add(_atom_query(t, analyzer))
         return simplify(
             BooleanQuery(must=tuple(must), should=tuple(should), must_not=tuple(must_not))
         )
