@@ -325,6 +325,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bool_stemmed"] = bool_stemmed
 
+    def join_terms_avg(spark, sf_dir):
+        # JoinUtil term join: docs sharing a tool with the HOT-term hits,
+        # scored by the per-tool average of from-hit scores
+        s = _searcher(spark, sf_dir)
+        return s.join_terms(
+            TermQuery(term=HOT), "tool", "tool", score_mode="avg", k=15
+        )
+
+    out["join_terms_avg"] = join_terms_avg
+
+    def join_terms_none(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.join_terms(
+            TermQuery(term=HOT), "tool", "tool", score_mode="none",
+            k=100000, boost=2.0,
+        )
+
+    out["join_terms_none"] = join_terms_none
+
     def term_dfr(spark, sf_dir):
         s = _searcher(spark, sf_dir, similarity="dfr_gb2")
         return s.search(TermQuery(term=HOT), 15)
@@ -603,7 +622,7 @@ _NEVER_DRIVER_CHECKED = [
     "ann_ivf_topk", "ann_ivf_recall", "emb_cell_hist", "analyze_uax29",
 ]
 # round-4 additions are also unseen by the driver — list them here as they land
-_NEW_THIS_ROUND: list[str] = ["phrase_tfidf", "phrase_lmd", "term_stemmed", "bool_stemmed"]
+_NEW_THIS_ROUND: list[str] = ["phrase_tfidf", "phrase_lmd", "term_stemmed", "bool_stemmed", "join_terms_avg", "join_terms_none"]
 
 
 def _prioritize(out: dict) -> dict:
@@ -746,6 +765,10 @@ LIMIT 30"""
     out["phrase_tfidf"] = es.phrase_sim_sql(["table", "hash"], "classic", k=15)
     out["phrase_lmd"] = es.phrase_sim_sql(["value", "table"], "lmd", k=15, slop=2)
     out["term_stemmed"] = es.term_sql("merg", k=15, analyzer="english")
+    out["join_terms_avg"] = es.join_terms_sql(HOT, "tool", "tool", "avg", k=15)
+    out["join_terms_none"] = es.join_terms_sql(
+        HOT, "tool", "tool", "none", k=100000, boost=2.0
+    )
     out["bool_stemmed"] = es.boolean_sql(
         must=["merg"], should=["valu"], k=15, analyzer="english"
     )

@@ -393,6 +393,7 @@ def prelude(analyzer: str = "standard") -> str:
          'conv-' || lpad(CAST(doc_id // 4 AS VARCHAR), 8, '0') AS conv_id,
          CAST(doc_id % 4 AS INT) AS turn_idx,
          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         CASE WHEN CAST(doc_id % 3 AS INT) = 2 THEN source END AS tool,
          text
   FROM documents
 ),
@@ -1202,6 +1203,52 @@ def _kw_score_sql(field: str, value: str, boost: float = 1.0) -> str:
         f"CAST(CAST({w} * {one} AS REAL) / "
         f"CAST({one} + {K1_32} AS REAL) AS REAL)"
     )
+
+
+def join_terms_sql(
+    from_term: str, from_field: str, to_field: str,
+    score_mode: str = "none", k: int = 10, boost: float = 1.0,
+) -> str:
+    """JoinUtil.CreateJoinQuery oracle: from-hits' from_field terms ->
+    to-docs matched on to_field, scores per JoinUtil ScoreMode (none =
+    constant boost; total = f32 fold in from-docid order; max; avg =
+    f32(total / f32(count)))."""
+    base = f"""{prelude()},
+fromv AS (
+  SELECT d.docid, d.{from_field} AS jterm, CAST(s.s AS REAL) AS score
+  FROM scored s JOIN docs d ON s.docid = d.docid
+  WHERE s.term = '{from_term}' AND d.{from_field} IS NOT NULL
+)"""
+    if score_mode == "none":
+        return f"""{base}
+SELECT d.docid AS docid, {_f32lit(boost)} AS score
+FROM docs d
+WHERE d.{to_field} IN (SELECT DISTINCT jterm FROM fromv)
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+    if score_mode == "max":
+        per = "SELECT jterm, max(score) AS jscore FROM fromv GROUP BY jterm"
+    else:
+        tot = (
+            "list_reduce(list(score ORDER BY docid), "
+            "(x, y) -> CAST(x + y AS REAL))"
+        )
+        if score_mode == "total":
+            per = f"SELECT jterm, {tot} AS jscore FROM fromv GROUP BY jterm"
+        elif score_mode == "avg":
+            per = (
+                f"SELECT jterm, CAST(CAST({tot} AS REAL) / "
+                f"CAST(count(*) AS REAL) AS REAL) AS jscore "
+                f"FROM fromv GROUP BY jterm"
+            )
+        else:
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+    return f"""{base},
+per_term AS ({per})
+SELECT d.docid AS docid, p.jscore AS score
+FROM docs d JOIN per_term p ON d.{to_field} = p.jterm
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
 
 
 def kw_term_sql(field: str, value: str, k: int = 10) -> str:

@@ -2403,6 +2403,75 @@ class IndexSearcher:
             )
         return agg.orderBy(F.desc("score"), F.asc("parent")).limit(k)
 
+    def join_terms(
+        self, from_query: Query, from_field: str, to_field: str,
+        score_mode: str = "none", k: int = 10, boost: float = 1.0,
+    ) -> DataFrame:
+        """Query-time term join (Lucene.Net.Join/JoinUtil.cs
+        CreateJoinQuery, tests Lucene.Net.Tests.Join/TestJoinUtil.cs):
+        collect the from_field terms of the from-query's hits, then match
+        every doc whose to_field carries one of those terms.
+
+        score_mode (JoinUtil ScoreMode):
+          none  — constant score = boost (TermsQuery rewrite)
+          total — to-doc score = f32 fold of the from-hits' scores for its
+                  term, in from-docid order (TermsWithScoreCollector
+                  accumulation order)
+          max   — float32 max over the term's from-hit scores
+          avg   — f32(total / f32(count))
+        Fields are the doc-side keyword columns (single-valued here; the
+        reference supports multi-valued via SortedSet terms). Null
+        from_field values contribute no term, null to_field never matches.
+        Spark shape: the per-term score table is tiny (<= distinct terms of
+        the from side) and broadcasts into the to-side scan — one narrow
+        join, no shuffle of the corpus."""
+        if score_mode not in ("none", "total", "max", "avg"):
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        docs = self.docs()
+        hits = self.scores(from_query)
+        fromv = (
+            docs.select("docid", F.col(from_field).alias("jterm"))
+            .join(hits, "docid")
+            .filter(F.col("jterm").isNotNull())
+        )
+        if score_mode == "none":
+            terms = fromv.select("jterm").distinct()
+            out = docs.join(
+                F.broadcast(terms),
+                docs[to_field] == F.col("jterm"),
+                "left_semi",
+            ).select(
+                "docid",
+                F.lit(float(np.float32(boost))).cast("float").alias("score"),
+            )
+        else:
+            if score_mode == "max":
+                per_term = fromv.groupBy("jterm").agg(
+                    F.max("score").alias("jscore")
+                )
+            else:
+                folded = fromv.groupBy("jterm").agg(
+                    F.sort_array(
+                        F.collect_list(F.struct("docid", "score"))
+                    ).alias("fh")
+                )
+                total = F.aggregate(
+                    F.col("fh"),
+                    F.lit(0.0).cast("float"),
+                    lambda acc, x: (acc + x["score"]).cast("float"),
+                )
+                score = (
+                    total
+                    if score_mode == "total"
+                    else (total / F.size("fh").cast("float")).cast("float")
+                )
+                per_term = folded.select("jterm", score.alias("jscore"))
+            out = docs.join(
+                F.broadcast(per_term), docs[to_field] == F.col("jterm")
+            ).select("docid", F.col("jscore").alias("score"))
+        out = self._apply_live_docs(out)
+        return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
     def rescore(self, q: Query, rescore_q: Query, n: int = 100, k: int = 10) -> DataFrame:
         """QueryRescorer: re-rank top-n of q by q's score + rescore_q's score."""
         first = self.search(q, n).select("docid", F.col("score").alias("first_score"))

@@ -24,6 +24,8 @@ from lucenenet_spark.operators.spans import (
 )
 from lucenenet_spark.plans.query import BooleanQuery, CommonTermsQuery
 
+from .conftest import hits
+
 
 def test_msm_product_is_float32(searcher, oracle_index):
     # 32 df=0 terms all classify low -> SHOULD group with fractional msm.
@@ -116,3 +118,49 @@ def test_mlt_tv_unknown_docid_raises(spark, searcher):
 
     with pytest.raises(KeyError):
         more_like_this(searcher, None, docid=10**9)
+
+
+def test_join_terms_modes(spark, searcher, oracle_index, corpus_pdf):
+    """JoinUtil term join (Lucene.Net.Join/JoinUtil.cs): all four ScoreModes
+    against a pure-pandas recomputation from the oracle's from-hit scores."""
+    import pandas as pd
+
+    from lucenenet_spark.plans.query import TermQuery
+
+    q = TermQuery(term="popcorn")
+    from_scores = oracle.term_scores(oracle_index, "popcorn")
+    docs = (
+        corpus_pdf.reset_index(drop=True)
+        .reset_index()
+        .rename(columns={"index": "docid"})
+    )
+    fromv = docs[docs["docid"].isin(from_scores)][["docid", "role"]].copy()
+    fromv["score"] = fromv["docid"].map(from_scores)
+    fromv = fromv.sort_values("docid")
+
+    per = {}
+    for term, grp in fromv.groupby("role"):
+        tot = np.float32(0.0)
+        for sc in grp["score"]:
+            tot = np.float32(tot + np.float32(sc))
+        per[term] = {
+            "total": tot,
+            "max": np.float32(grp["score"].max()),
+            "avg": np.float32(tot / np.float32(len(grp))),
+        }
+    for mode in ["total", "max", "avg"]:
+        want_rows = docs[docs["role"].isin(per)][["docid", "role"]]
+        want = sorted(
+            ((int(d), per[r][mode]) for d, r in want_rows.itertuples(index=False)),
+            key=lambda x: (-x[1], x[0]),
+        )[:20]
+        got = hits(searcher.join_terms(q, "role", "role", score_mode=mode, k=20))
+        assert got == want, mode
+    # none: constant boost over the matched to-docs
+    got_none = searcher.join_terms(
+        q, "role", "role", score_mode="none", k=10**6, boost=3.0
+    ).toPandas()
+    assert set(got_none["docid"]) == set(
+        docs[docs["role"].isin(per)]["docid"].astype(int)
+    )
+    assert (got_none["score"] == np.float32(3.0)).all()
