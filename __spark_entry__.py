@@ -344,6 +344,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["join_terms_none"] = join_terms_none
 
+    def function_score(spark, sf_dir):
+        # FunctionQuery: score = value source over doc columns (all docs)
+        s = _searcher(spark, sf_dir)
+        return s.function_score(
+            "CAST(CAST(turn_idx + 1 AS FLOAT) / CAST(field_length + 1 AS FLOAT) AS FLOAT)",
+            k=20,
+        )
+
+    out["function_score"] = function_score
+
+    def custom_score(spark, sf_dir):
+        # CustomScoreQuery: sub-query score x value source, float32
+        s = _searcher(spark, sf_dir)
+        return s.custom_score(
+            TermQuery(term=HOT), "CAST(turn_idx + 1 AS FLOAT)", k=15
+        )
+
+    out["custom_score"] = custom_score
+
+    def boosting_demote(spark, sf_dir):
+        # BoostingQuery: demote HOT hits that also mention T3
+        s = _searcher(spark, sf_dir)
+        return s.boosting(
+            TermQuery(term=HOT), TermQuery(term=T3), demote=0.5, k=15
+        )
+
+    out["boosting_demote"] = boosting_demote
+
+    def filtered_ts_range(spark, sf_dir):
+        # parser date-range production -> constant-score FilteredQuery with
+        # the predicate pushed to the typed ts column
+        s = _searcher(spark, sf_dir)
+        q = parse("ts:[2024-01-01T00:00:30 TO 2024-01-01T00:02:00]")
+        return s.search(q, 100000, prune=False)
+
+    out["filtered_ts_range"] = filtered_ts_range
+
+    def filtered_turn_range(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.search(parse("turn_idx:{0 TO 2]"), 100000, prune=False)
+
+    out["filtered_turn_range"] = filtered_turn_range
+
     def term_dfr(spark, sf_dir):
         s = _searcher(spark, sf_dir, similarity="dfr_gb2")
         return s.search(TermQuery(term=HOT), 15)
@@ -622,7 +665,7 @@ _NEVER_DRIVER_CHECKED = [
     "ann_ivf_topk", "ann_ivf_recall", "emb_cell_hist", "analyze_uax29",
 ]
 # round-4 additions are also unseen by the driver — list them here as they land
-_NEW_THIS_ROUND: list[str] = ["phrase_tfidf", "phrase_lmd", "term_stemmed", "bool_stemmed", "join_terms_avg", "join_terms_none"]
+_NEW_THIS_ROUND: list[str] = ["phrase_tfidf", "phrase_lmd", "term_stemmed", "bool_stemmed", "join_terms_avg", "join_terms_none", "function_score", "custom_score", "boosting_demote", "filtered_ts_range", "filtered_turn_range"]
 
 
 def _prioritize(out: dict) -> dict:
@@ -769,6 +812,23 @@ LIMIT 30"""
     out["join_terms_none"] = es.join_terms_sql(
         HOT, "tool", "tool", "none", k=100000, boost=2.0
     )
+    out["function_score"] = es.function_score_sql(k=20)
+    out["custom_score"] = es.custom_score_sql(HOT, k=15)
+    out["boosting_demote"] = es.boosting_sql(HOT, T3, 0.5, k=15)
+    out["filtered_ts_range"] = f"""{es.prelude()}
+SELECT d.docid AS docid, CAST(CAST(1.0 AS DOUBLE) AS REAL) AS score
+FROM docs d
+WHERE (TIMESTAMP '2024-01-01 00:00:00' + to_seconds(d.doc_id))
+        >= TIMESTAMP '2024-01-01 00:00:30'
+  AND (TIMESTAMP '2024-01-01 00:00:00' + to_seconds(d.doc_id))
+        <= TIMESTAMP '2024-01-01 00:02:00'
+ORDER BY score DESC, docid ASC
+LIMIT 100000"""
+    out["filtered_turn_range"] = f"""{es.prelude()}
+SELECT d.docid AS docid, CAST(CAST(1.0 AS DOUBLE) AS REAL) AS score
+FROM docs d WHERE d.turn_idx > 0 AND d.turn_idx <= 2
+ORDER BY score DESC, docid ASC
+LIMIT 100000"""
     out["bool_stemmed"] = es.boolean_sql(
         must=["merg"], should=["valu"], k=15, analyzer="english"
     )

@@ -1251,6 +1251,45 @@ ORDER BY score DESC, docid ASC
 LIMIT {k}"""
 
 
+def function_score_sql(k: int = 20) -> str:
+    """FunctionQuery oracle: score = f32(f32(turn_idx+1) / f32(fl+1))
+    over every doc (qWeight = 1 for boost 1)."""
+    val = (
+        "CAST(CAST(d.turn_idx + 1 AS REAL) / CAST(l.fl + 1 AS REAL) AS REAL)"
+    )
+    return f"""{prelude()}
+SELECT d.docid AS docid, {val} AS score
+FROM docs d JOIN lens l ON d.docid = l.docid
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+
+
+def custom_score_sql(term: str, k: int = 15) -> str:
+    """CustomScoreQuery oracle: f32(subScore * f32(turn_idx+1))."""
+    return f"""{prelude()}
+SELECT s.docid AS docid,
+       CAST(s.s * CAST(d.turn_idx + 1 AS REAL) AS REAL) AS score
+FROM scored s JOIN docs d ON s.docid = d.docid
+WHERE s.term = '{term}'
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+
+
+def boosting_sql(match: str, context: str, demote: float, k: int = 15) -> str:
+    """BoostingQuery oracle: match score, multiplied by demote (f32) when
+    the context term also matches."""
+    d32 = _f32lit(demote)
+    return f"""{prelude()}
+SELECT m.docid AS docid,
+       CASE WHEN c.docid IS NOT NULL
+            THEN CAST(m.s * {d32} AS REAL) ELSE m.s END AS score
+FROM (SELECT docid, s FROM scored WHERE term = '{match}') m
+LEFT JOIN (SELECT docid FROM scored WHERE term = '{context}') c
+  ON m.docid = c.docid
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+
+
 def kw_term_sql(field: str, value: str, k: int = 10) -> str:
     """Top-k keyword-field TermQuery SQL (field: role/tool on the docs view)."""
     return f"""{prelude()}

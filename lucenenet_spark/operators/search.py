@@ -2472,6 +2472,75 @@ class IndexSearcher:
         out = self._apply_live_docs(out)
         return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
 
+    def function_score(
+        self, value_expr: str, k: int = 10, boost: float = 1.0
+    ) -> DataFrame:
+        """FunctionQuery (Lucene.Net.Queries/Function/FunctionQuery.cs):
+        matches every live doc; score = qWeight * valueSource(doc).
+        qWeight follows CreateNormalizedWeight: queryNorm =
+        f32(1/sqrt(f32(boost^2))), qWeight = f32(boost * queryNorm) — a
+        standalone query's boost cancels through the norm, float32-exactly.
+        value_expr is a SQL expression over the docs view's columns (the
+        ValueSource: IntFieldSource & friends are just typed columns
+        here); it is cast to float like Single-valued field sources."""
+        b = np.float32(boost)
+        ssq = np.float32(b * b)
+        qn = (
+            np.float32(np.float64(1.0) / np.sqrt(np.float64(ssq)))
+            if ssq > 0
+            else np.float32(1.0)
+        )
+        qw = np.float32(b * qn)
+        val = F.expr(value_expr).cast("float")
+        out = self.docs().select(
+            "docid",
+            (F.lit(float(qw)).cast("float") * val).cast("float").alias("score"),
+        )
+        out = self._apply_live_docs(out)
+        return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+    def custom_score(
+        self, sub_query: Query, value_expr: str, k: int = 10
+    ) -> DataFrame:
+        """CustomScoreQuery (Queries/CustomScoreQuery.cs, default provider
+        CustomScoreProvider.CustomScore): score = f32(subQueryScore *
+        f32(valueSource(doc))) — single value source, multiplication in
+        float32. Docs the sub-query does not match are not matched."""
+        sub = self.scores(sub_query)
+        vals = self.docs().select(
+            "docid", F.expr(value_expr).cast("float").alias("v")
+        )
+        out = sub.join(vals, "docid").select(
+            "docid", (F.col("score") * F.col("v")).cast("float").alias("score")
+        )
+        return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+    def boosting(
+        self, match_q: Query, context_q: Query, demote: float = 0.5,
+        k: int = 10,
+    ) -> DataFrame:
+        """BoostingQuery (Queries/BoostingQuery.cs) contract: docs matching
+        the context query have their match score multiplied by `demote`
+        (typically < 1); others score unchanged. The reference implements
+        this with a zero-boost SHOULD clause plus a coord override — here
+        the equivalent direct multiply (our boolean scorer has coord = 1),
+        float32 multiplication."""
+        m = self.scores(match_q)
+        c = self.scores(context_q).select("docid", F.lit(True).alias("ctx"))
+        d32 = F.lit(float(np.float32(demote))).cast("float")
+        # no forced broadcast: the context side can match the whole corpus;
+        # AQE picks the strategy from runtime sizes
+        out = m.join(c, "docid", "left").select(
+            "docid",
+            F.when(
+                F.col("ctx").isNotNull(),
+                (F.col("score") * d32).cast("float"),
+            )
+            .otherwise(F.col("score"))
+            .alias("score"),
+        )
+        return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
     def rescore(self, q: Query, rescore_q: Query, n: int = 100, k: int = 10) -> DataFrame:
         """QueryRescorer: re-rank top-n of q by q's score + rescore_q's score."""
         first = self.search(q, n).select("docid", F.col("score").alias("first_score"))

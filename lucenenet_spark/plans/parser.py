@@ -53,6 +53,41 @@ def _lex(s: str) -> list[str]:
     return out
 
 
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2})?)?$")
+_INT_RE = re.compile(r"^-?\d+$")
+
+
+def _field_range_query(
+    field: str, lo: str, hi: str, incl_lo: bool, incl_hi: bool
+) -> Query:
+    """field:[a TO b] over a typed doc column — NumericRangeQuery /
+    DateTools semantics (Search/NumericRangeQuery.cs:1,
+    Document/DateTools.cs): bounds parse as ints or ISO dates ('*' = open);
+    the match set is a constant-score filter whose predicate pushes down to
+    the typed parquet column (FilteredQuery over MatchAll)."""
+    from .query import FilteredQuery, MatchAllQuery
+
+    def lit(v: str) -> str:
+        if _INT_RE.match(v):
+            return v
+        if _DATE_RE.match(v):
+            iso = v.replace("T", " ")
+            if len(iso) == 10:
+                iso += " 00:00:00"
+            elif len(iso) == 16:
+                iso += ":00"
+            return f"timestamp'{iso}'"
+        return "'" + v.replace("'", "''") + "'"
+
+    conds = []
+    if lo != "*":
+        conds.append(f"{field} >{'=' if incl_lo else ''} {lit(lo)}")
+    if hi != "*":
+        conds.append(f"{field} <{'=' if incl_hi else ''} {lit(hi)}")
+    where = " AND ".join(conds) if conds else "TRUE"
+    return FilteredQuery(query=MatchAllQuery(), where=where)
+
+
 def _atom_query(tok: str, analyzer: str = "standard") -> Query | None:
     boost = 1.0
     bm = re.search(r"\^(\d+(?:\.\d+)?)$", tok)
@@ -220,6 +255,29 @@ def parse(s: str, default_operator: str = "OR", analyzer: str = "standard") -> Q
                         upper=None if hi == "*" else hi.lower(),
                         include_lower=t == "[",
                         include_upper=closer == "]",
+                    )
+                )
+            elif (
+                re.fullmatch(r"\w+:", t)
+                and pos + 4 < len(toks) + 1
+                and pos < len(toks)
+                and toks[pos] in ("[", "{")
+            ):
+                # field:[a TO b] — numeric/date/keyword range on a typed doc
+                # column: NumericRangeQuery/DateTools semantics
+                # (Search/NumericRangeQuery.cs:1, Document/DateTools.cs) —
+                # constant-score filter, predicate pushed to the typed
+                # parquet column via FilteredQuery
+                field = t[:-1]
+                opener = toks[pos]
+                lo = toks[pos + 1]
+                assert toks[pos + 2] == "TO", "range syntax: field:[a TO b]"
+                hi = toks[pos + 3]
+                closer = toks[pos + 4]
+                pos += 5
+                add(
+                    _field_range_query(
+                        field, lo, hi, opener == "[", closer == "]"
                     )
                 )
             else:

@@ -99,3 +99,41 @@ def test_field_term_syntax():
     assert parse("text:Popcorn") == TermQuery(term="popcorn")
     q3 = parse('text:"quick fox"')
     assert isinstance(q3, PhraseQuery) and q3.terms == ("quick", "fox")
+
+
+def test_field_range_productions():
+    """field:[a TO b] -> constant-score FilteredQuery over typed columns
+    (NumericRangeQuery.cs:1 / Document/DateTools.cs semantics)."""
+    from lucenenet_spark.plans.parser import parse
+    from lucenenet_spark.plans.query import FilteredQuery, MatchAllQuery
+
+    q = parse("ts:[2024-01-01 TO 2024-02-01T12:30]")
+    assert isinstance(q, FilteredQuery) and isinstance(q.query, MatchAllQuery)
+    assert q.where == (
+        "ts >= timestamp'2024-01-01 00:00:00' "
+        "AND ts <= timestamp'2024-02-01 12:30:00'"
+    )
+    q2 = parse("turn_idx:{1 TO 3]")
+    assert q2.where == "turn_idx > 1 AND turn_idx <= 3"
+    q3 = parse("role:[assistant TO user}")
+    assert q3.where == "role >= 'assistant' AND role < 'user'"
+    q4 = parse("ts:[* TO 2024-01-01]")
+    assert q4.where == "ts <= timestamp'2024-01-01 00:00:00'"
+    # bare ranges still lex as text TermRangeQuery
+    from lucenenet_spark.plans.query import TermRangeQuery
+
+    assert isinstance(parse("[aaa TO bbb]"), TermRangeQuery)
+
+
+def test_field_range_search(spark, index_dir, corpus_pdf):
+    from lucenenet_spark.operators.search import IndexSearcher
+    from lucenenet_spark.plans.parser import parse
+
+    s = IndexSearcher(spark, index_dir)
+    got = s.search(parse("turn_idx:[2 TO 3]"), 10**6, prune=False).toPandas()
+    want = corpus_pdf.reset_index(drop=True)
+    want_ids = set(
+        want.index[(want["turn_idx"] >= 2) & (want["turn_idx"] <= 3)].astype(int)
+    )
+    assert set(got["docid"]) == want_ids
+    assert (got["score"] == 1.0).all()
