@@ -387,6 +387,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["filtered_turn_range"] = filtered_turn_range
 
+    def suggest_analyzing(spark, sf_dir):
+        # AnalyzingSuggester: entries = first-3-token prefix of each doc,
+        # weight = doc_id; lookup the analyzed prefix, weight-ordered
+        import hashlib as _h
+
+        from lucenenet_spark.functions.analysis import tokenize_udf
+        from lucenenet_spark.operators import suggest as sg
+
+        tag = _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+        sdir = os.path.join("/tmp/lucenenet_entry", f"sugg_{tag}")
+        if not os.path.exists(os.path.join(sdir, "_suggest_meta.json")):
+            docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            entries = docs.select(
+                F.array_join(
+                    F.slice(tokenize_udf("standard")(F.col("text")), 1, 3), " "
+                ).alias("surface"),
+                F.col("doc_id").alias("weight"),
+            )
+            sg.build_analyzing_suggester(spark, entries, sdir)
+        return sg.analyzing_lookup(spark, sdir, HOT, k=12)
+
+    out["suggest_analyzing"] = suggest_analyzing
+
     def term_dfr(spark, sf_dir):
         s = _searcher(spark, sf_dir, similarity="dfr_gb2")
         return s.search(TermQuery(term=HOT), 15)
@@ -665,7 +688,7 @@ _NEVER_DRIVER_CHECKED = [
     "ann_ivf_topk", "ann_ivf_recall", "emb_cell_hist", "analyze_uax29",
 ]
 # round-4 additions are also unseen by the driver — list them here as they land
-_NEW_THIS_ROUND: list[str] = ["phrase_tfidf", "phrase_lmd", "term_stemmed", "bool_stemmed", "join_terms_avg", "join_terms_none", "function_score", "custom_score", "boosting_demote", "filtered_ts_range", "filtered_turn_range"]
+_NEW_THIS_ROUND: list[str] = ["phrase_tfidf", "phrase_lmd", "term_stemmed", "bool_stemmed", "join_terms_avg", "join_terms_none", "function_score", "custom_score", "boosting_demote", "filtered_ts_range", "filtered_turn_range", "suggest_analyzing"]
 
 
 def _prioritize(out: dict) -> dict:
@@ -829,6 +852,27 @@ SELECT d.docid AS docid, CAST(CAST(1.0 AS DOUBLE) AS REAL) AS score
 FROM docs d WHERE d.turn_idx > 0 AND d.turn_idx <= 2
 ORDER BY score DESC, docid ASC
 LIMIT 100000"""
+    from lucenenet_spark.functions.analysis import ENGLISH_STOP_WORDS as _STOPS
+    from lucenenet_spark.functions.analysis import TOKEN_PATTERN_RE2_SQL as _PAT
+    _stoplist = ", ".join(f"'{w}'" for w in sorted(_STOPS))
+    _toks = (
+        f"list_filter(list_transform(regexp_extract_all(COALESCE(text, ''), "
+        f"'{_PAT}'), t -> lower(t)), "
+        f"t -> length(t) <= 255 AND t NOT IN ({_stoplist}))"
+    )
+    out["suggest_analyzing"] = f"""WITH entries AS (
+  SELECT array_to_string(list_slice({_toks}, 1, 3), ' ') AS surface,
+         doc_id AS weight
+  FROM documents
+),
+dedup AS (
+  SELECT surface, max(weight) AS weight FROM entries
+  WHERE surface <> '' GROUP BY surface
+)
+SELECT surface, CAST(weight AS BIGINT) AS weight FROM dedup
+WHERE starts_with(surface, '{HOT}')
+ORDER BY weight DESC, surface ASC
+LIMIT 12"""
     out["bool_stemmed"] = es.boolean_sql(
         must=["merg"], should=["valu"], k=15, analyzer="english"
     )

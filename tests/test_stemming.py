@@ -191,3 +191,40 @@ def test_stem_unifies_inflection_family(spark, stemmed_index):
     assert df_merg == 9  # 3 distinct docs x 3 repeats
     # the surface forms are NOT in the stemmed index
     assert s.doc_freqs([("text", "merging")])[("text", "merging")] == 0
+
+
+def test_analyzing_suggester(spark, tmp_path):
+    """AnalyzingSuggester: analyzed-form prefix match, weight-ordered,
+    surface dedup keeps max weight; the english analyzer matches inflected
+    queries against stemmed analyzed forms."""
+    from lucenenet_spark.operators import suggest as sg
+
+    rows = [
+        ("merging tables", 10),
+        ("merging tables", 4),  # dup surface: keep weight 10
+        ("merged table stats", 7),
+        ("merge conflict", 9),
+        ("the stopword start", 3),
+        ("stream processing", 8),
+    ]
+    entries = spark.createDataFrame(rows, "surface string, weight long")
+    d = str(tmp_path / "sugg")
+    sg.build_analyzing_suggester(spark, entries, d, analyzer="english")
+    # query "merges" stems to "merg" -> matches all three merge entries
+    got = [
+        (r["surface"], r["weight"])
+        for r in sg.analyzing_lookup(spark, d, "merges", k=10).collect()
+    ]
+    assert got == [
+        ("merging tables", 10),
+        ("merge conflict", 9),
+        ("merged table stats", 7),
+    ]
+    # two-token analyzed prefix
+    got2 = [
+        r["surface"] for r in sg.analyzing_lookup(spark, d, "merging tab", 10).collect()
+    ]
+    assert got2 == ["merging tables", "merged table stats"]
+    # empty analyzed query (all stopwords) -> full channel, weight-ordered
+    got3 = [r["surface"] for r in sg.analyzing_lookup(spark, d, "the", 2).collect()]
+    assert got3 == ["merging tables", "merge conflict"]
