@@ -410,6 +410,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["suggest_analyzing"] = suggest_analyzing
 
+    CLS_TEXT_KNN = "batch stream scan merge small table hash batch stream batch"
+    CLS_TEXT_NB = "batch stream scan merge small"
+
+    def classify_knn(spark, sf_dir):
+        from lucenenet_spark.operators import classification as cl
+
+        s = _searcher(spark, sf_dir)
+        cls, score = cl.knn_classify(s, CLS_TEXT_KNN, k=10)
+        return spark.createDataFrame(
+            [(cls, float(score))], "cls string, score double"
+        )
+
+    out["classify_knn"] = classify_knn
+
+    def classify_nb(spark, sf_dir):
+        from lucenenet_spark.operators import classification as cl
+
+        s = _searcher(spark, sf_dir)
+        cls, score = cl.naive_bayes_classify(s, CLS_TEXT_NB)
+        return spark.createDataFrame(
+            [(cls, float(score))], "cls string, score double"
+        )
+
+    out["classify_nb"] = classify_nb
+
     def term_dfr(spark, sf_dir):
         s = _searcher(spark, sf_dir, similarity="dfr_gb2")
         return s.search(TermQuery(term=HOT), 15)
@@ -688,7 +713,7 @@ _NEVER_DRIVER_CHECKED = [
     "ann_ivf_topk", "ann_ivf_recall", "emb_cell_hist", "analyze_uax29",
 ]
 # round-4 additions are also unseen by the driver — list them here as they land
-_NEW_THIS_ROUND: list[str] = ["phrase_tfidf", "phrase_lmd", "term_stemmed", "bool_stemmed", "join_terms_avg", "join_terms_none", "function_score", "custom_score", "boosting_demote", "filtered_ts_range", "filtered_turn_range", "suggest_analyzing"]
+_NEW_THIS_ROUND: list[str] = ["phrase_tfidf", "phrase_lmd", "term_stemmed", "bool_stemmed", "join_terms_avg", "join_terms_none", "function_score", "custom_score", "boosting_demote", "filtered_ts_range", "filtered_turn_range", "suggest_analyzing", "classify_knn", "classify_nb"]
 
 
 def _prioritize(out: dict) -> dict:
@@ -873,6 +898,10 @@ SELECT surface, CAST(weight AS BIGINT) AS weight FROM dedup
 WHERE starts_with(surface, '{HOT}')
 ORDER BY weight DESC, surface ASC
 LIMIT 12"""
+    out["classify_knn"] = es.classify_knn_sql(
+        "batch stream scan merge small table hash batch stream batch", k=10
+    )
+    out["classify_nb"] = es.classify_nb_sql("batch stream scan merge small")
     out["bool_stemmed"] = es.boolean_sql(
         must=["merg"], should=["valu"], k=15, analyzer="english"
     )

@@ -1290,6 +1290,81 @@ ORDER BY score DESC, docid ASC
 LIMIT {k}"""
 
 
+def classify_nb_sql(text: str) -> str:
+    """SimpleNaiveBayesClassifier oracle, fully relational: tokens of the
+    literal input (duplicates kept), per-class prior + add-1-smoothed log
+    likelihood with den = avgUniqueTermsPerDoc*docFreq(c) + docsWithClass;
+    winner = max score with earliest class on ties; score = 10/|max|."""
+    esc = text.replace("'", "''")
+    toks = _tokens_expr(f"'{esc}'")
+    return f"""{prelude()},
+itoks AS (SELECT unnest({toks}) AS w),
+cls AS (SELECT role AS c, count(*) AS dfc FROM docs GROUP BY role),
+consts AS (
+  SELECT (SELECT CAST(sum(df) AS DOUBLE) FROM tstats)
+           / (SELECT CAST(count(*) AS DOUBLE) FROM lens WHERE fl > 0) AS avgu,
+         (SELECT count(*) FROM docs WHERE role IS NOT NULL) AS dwc
+),
+wdoc AS (
+  SELECT p.term, d.role AS c, count(DISTINCT p.docid) AS hits
+  FROM posting p JOIN docs d ON p.docid = d.docid
+  GROUP BY 1, 2
+),
+scores AS (
+  SELECT c.c,
+         ln(CAST(c.dfc AS DOUBLE)) - ln(CAST(k.dwc AS DOUBLE))
+         + sum(ln((COALESCE(w.hits, 0) + 1)
+                  / (k.avgu * c.dfc + k.dwc))) AS score
+  FROM itoks t CROSS JOIN cls c CROSS JOIN consts k
+  LEFT JOIN wdoc w ON w.term = t.w AND w.c = c.c
+  GROUP BY c.c, c.dfc, k.dwc, k.avgu
+)
+SELECT c AS cls, 10.0 / abs(score) AS score FROM scores
+ORDER BY score DESC, c ASC LIMIT 1"""
+
+
+def classify_knn_sql(
+    text: str, k: int = 10,
+    min_term_freq: int = 2, min_doc_freq: int = 5, max_query_terms: int = 25,
+) -> str:
+    """KNearestNeighborClassifier oracle: MLT term selection from the
+    literal text (same float64 tf*idf 9-dp ranking as the MLT oracle),
+    BM25 SHOULD fold, top-k, majority class (count desc, class asc),
+    score = count/k."""
+    esc = text.replace("'", "''")
+    toks = _tokens_expr(f"'{esc}'")
+    return f"""{prelude()},
+itf AS (
+  SELECT w, count(*) AS tf FROM (SELECT unnest({toks}) AS w) GROUP BY w
+),
+mlt AS (
+  SELECT t.term,
+         row_number() OVER (
+           ORDER BY round(i.tf * (ln(CAST(f.max_doc AS DOUBLE) / (t.df + 1.0)) + 1.0), 9) DESC,
+                    t.term ASC
+         ) AS rk
+  FROM itf i JOIN tstats t ON t.term = i.w CROSS JOIN fstats f
+  WHERE i.tf >= {min_term_freq} AND t.df >= {min_doc_freq}
+),
+sel AS (SELECT term, rk FROM mlt WHERE rk <= {max_query_terms}),
+persc AS (
+  SELECT s.docid, s.s, m.rk FROM scored s JOIN sel m ON s.term = m.term
+),
+folded AS (
+  SELECT docid,
+         list_reduce(list(CAST(s AS REAL) ORDER BY rk), (x, y) -> CAST(x + y AS REAL)) AS score
+  FROM persc GROUP BY docid
+),
+topk AS (
+  SELECT f.docid, d.role AS cls FROM folded f
+  JOIN docs d ON f.docid = d.docid
+  WHERE d.role IS NOT NULL
+  ORDER BY f.score DESC, f.docid ASC LIMIT {k}
+)
+SELECT cls, CAST(count(*) AS DOUBLE) / {k} AS score FROM topk
+GROUP BY cls ORDER BY score DESC, cls ASC LIMIT 1"""
+
+
 def kw_term_sql(field: str, value: str, k: int = 10) -> str:
     """Top-k keyword-field TermQuery SQL (field: role/tool on the docs view)."""
     return f"""{prelude()}

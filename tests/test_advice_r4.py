@@ -164,3 +164,53 @@ def test_join_terms_modes(spark, searcher, oracle_index, corpus_pdf):
         docs[docs["role"].isin(per)]["docid"].astype(int)
     )
     assert (got_none["score"] == np.float32(3.0)).all()
+
+
+def test_classification(spark, searcher, oracle_index, corpus_pdf):
+    """kNN (MLT majority vote) and Naive Bayes classifiers: the kNN winner
+    must match a recomputation from the oracle's MLT ranking; NB scores
+    must match a direct float64 recomputation of the reference formula."""
+    import math
+
+    from lucenenet_spark.functions.analysis import tokenize_text
+    from lucenenet_spark.operators import classification as cl
+    from lucenenet_spark.operators.mlt import interesting_terms
+
+    docs = corpus_pdf.reset_index(drop=True)
+    text = "popcorn hello popcorn common3 common3 popcorn"
+    # --- kNN ---
+    terms = interesting_terms(searcher, text)
+    scores = oracle.boolean_scores(oracle_index, should=terms)
+    top10 = oracle.top_k(scores, 10)
+    import collections
+
+    counts = collections.Counter(docs.iloc[d]["role"] for d, _s in top10)
+    want_cls = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    got_cls, got_score = cl.knn_classify(searcher, text, k=10)
+    assert got_cls == want_cls[0]
+    assert got_score == want_cls[1] / 10.0
+    # --- Naive Bayes ---
+    toks = tokenize_text(text)
+    roles = sorted(docs["role"].unique())
+    n_docs = len(docs)
+    tok_sets = [set(tokenize_text(t)) for t in docs["text"]]
+    sum_df = sum(len(s) for s in tok_sets)
+    doc_count = sum(1 for s in tok_sets if s)
+    avg_unique = sum_df / doc_count
+    best = None
+    for c in roles:
+        dfc = int((docs["role"] == c).sum())
+        score = math.log(dfc) - math.log(n_docs)
+        den = avg_unique * dfc + n_docs
+        for w in toks:
+            hits = sum(
+                1
+                for s, r in zip(tok_sets, docs["role"])
+                if r == c and w in s
+            )
+            score += math.log((hits + 1) / den)
+        if best is None or score > best[1]:
+            best = (c, score)
+    got_cls, got_score = cl.naive_bayes_classify(searcher, text)
+    assert got_cls == best[0]
+    assert abs(got_score - 10.0 / abs(best[1])) < 1e-12
