@@ -82,11 +82,16 @@ def main():
     # then index from parquet. Datagen time is reported separately.
     synth_out = f"/tmp/bench_idx_synth_{cpus}"
     shutil.rmtree(synth_out, ignore_errors=True)
-    corpus_path = f"/tmp/bench_corpus_{n_convs}_{mean_tokens}"
+    # corpus layout is FIXED (64 files) regardless of the level's CPU
+    # count: the ingest stage parallelizes over input splits, so a corpus
+    # written by a small-N run must not cap a large-N run's task count
+    # (the scaling ladder shares this cache across levels)
+    corpus_parts = max(cpus * 2, 64)
+    corpus_path = f"/tmp/bench_corpus_{n_convs}_{mean_tokens}_p{corpus_parts}"
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         t0 = time.time()
         transcripts_spark_dist(
-            spark, n_convs, partitions=cpus * 2, mean_tokens=mean_tokens
+            spark, n_convs, partitions=corpus_parts, mean_tokens=mean_tokens
         ).write.mode("overwrite").parquet(corpus_path)
         timings["datagen"] = round(time.time() - t0, 2)
     corpus = spark.read.parquet(corpus_path)
