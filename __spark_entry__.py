@@ -435,6 +435,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["classify_nb"] = classify_nb
 
+    def rescore_topn(spark, sf_dir):
+        # QueryRescorer: top-50 of HOT re-ranked by + MID's score
+        s = _searcher(spark, sf_dir)
+        return s.rescore(TermQuery(term=HOT), TermQuery(term=MID), n=50, k=15)
+
+    out["rescore_topn"] = rescore_topn
+
+    def suggest_fuzzy(spark, sf_dir):
+        # FuzzySuggester: "batsh" (1 edit from "batch") completes against
+        # the same suggest channel
+        import hashlib as _h
+
+        from lucenenet_spark.operators import suggest as sg
+
+        tag = _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+        sdir = os.path.join("/tmp/lucenenet_entry", f"sugg_{tag}")
+        out["suggest_analyzing"](spark, sf_dir).collect()  # ensure channel
+        return sg.fuzzy_lookup(spark, sdir, "batsh", k=12)
+
+    out["suggest_fuzzy"] = suggest_fuzzy
+
     def term_dfr(spark, sf_dir):
         s = _searcher(spark, sf_dir, similarity="dfr_gb2")
         return s.search(TermQuery(term=HOT), 15)
@@ -713,7 +734,7 @@ _NEVER_DRIVER_CHECKED = [
     "ann_ivf_topk", "ann_ivf_recall", "emb_cell_hist", "analyze_uax29",
 ]
 # round-4 additions are also unseen by the driver — list them here as they land
-_NEW_THIS_ROUND: list[str] = ["phrase_tfidf", "phrase_lmd", "term_stemmed", "bool_stemmed", "join_terms_avg", "join_terms_none", "function_score", "custom_score", "boosting_demote", "filtered_ts_range", "filtered_turn_range", "suggest_analyzing", "classify_knn", "classify_nb"]
+_NEW_THIS_ROUND: list[str] = ["phrase_tfidf", "phrase_lmd", "term_stemmed", "bool_stemmed", "join_terms_avg", "join_terms_none", "function_score", "custom_score", "boosting_demote", "filtered_ts_range", "filtered_turn_range", "suggest_analyzing", "classify_knn", "classify_nb", "rescore_topn", "suggest_fuzzy"]
 
 
 def _prioritize(out: dict) -> dict:
@@ -898,10 +919,41 @@ SELECT surface, CAST(weight AS BIGINT) AS weight FROM dedup
 WHERE starts_with(surface, '{HOT}')
 ORDER BY weight DESC, surface ASC
 LIMIT 12"""
+    # fuzzy: prefix-DL(akey, q) <= 1 with exact first char; akey == surface
+    # under the standard analyzer
+    _fq = "batsh"
+    _hiL = len(_fq) + 1
+    out["suggest_fuzzy"] = f"""WITH entries AS (
+  SELECT array_to_string(list_slice({_toks}, 1, 3), ' ') AS surface,
+         doc_id AS weight
+  FROM documents
+),
+dedup AS (
+  SELECT surface, max(weight) AS weight FROM entries
+  WHERE surface <> '' GROUP BY surface
+)
+SELECT surface, CAST(weight AS BIGINT) AS weight FROM dedup
+WHERE starts_with(surface, '{_fq[0]}')
+  AND list_min(list_transform(generate_series(0, {_hiL}),
+        L -> damerau_levenshtein(substr(surface, 1, L), '{_fq}'))) <= 1
+ORDER BY weight DESC, surface ASC
+LIMIT 12"""
     out["classify_knn"] = es.classify_knn_sql(
         "batch stream scan merge small table hash batch stream batch", k=10
     )
     out["classify_nb"] = es.classify_nb_sql("batch stream scan merge small")
+    out["rescore_topn"] = f"""{es.prelude()},
+first AS (
+  SELECT docid, s FROM scored WHERE term = '{HOT}'
+  ORDER BY s DESC, docid ASC LIMIT 50
+)
+SELECT f.docid AS docid,
+       CAST(f.s + COALESCE(r.s, CAST(CAST(0.0 AS DOUBLE) AS REAL)) AS REAL) AS score
+FROM first f
+LEFT JOIN (SELECT docid, s FROM scored WHERE term = '{MID}') r
+  ON f.docid = r.docid
+ORDER BY score DESC, docid ASC
+LIMIT 15"""
     out["bool_stemmed"] = es.boolean_sql(
         must=["merg"], should=["valu"], k=15, analyzer="english"
     )

@@ -74,6 +74,56 @@ def build_analyzing_suggester(
     return out_dir
 
 
+def prefix_dl(query: str, key: str, max_edits: int) -> int:
+    """Prefix Damerau-Levenshtein: min over prefixes p of `key` of
+    DL(query, p) — the FuzzySuggester automaton-intersection contract (a
+    completion matches when SOME prefix of its analyzed form is within
+    the edit budget of the analyzed query). Prefixes longer than
+    len(query)+max_edits cannot qualify, so the scan is bounded."""
+    from .search import dl_distance
+
+    hi = min(len(key), len(query) + max_edits)
+    return min(dl_distance(query, key[:j]) for j in range(hi + 1))
+
+
+def fuzzy_lookup(
+    spark: SparkSession, suggester_dir: str, query: str, k: int = 10,
+    max_edits: int = 1, non_fuzzy_prefix: int = 1, min_fuzzy_length: int = 4,
+) -> DataFrame:
+    """FuzzySuggester (Suggest/Analyzing/FuzzySuggester.cs defaults:
+    maxEdits=1, transpositions=true, nonFuzzyPrefix=1, minFuzzyLength=4):
+    completions whose analyzed form extends the analyzed query within the
+    edit budget. The first non_fuzzy_prefix chars must match exactly (that
+    band stays a pushed-down range predicate); queries shorter than
+    min_fuzzy_length match exactly. Ordered weight desc, surface asc."""
+    import pandas as pd
+
+    with open(os.path.join(suggester_dir, "_suggest_meta.json")) as f:
+        analyzer = json.load(f)["analyzer"]
+    p = analyzed_key(query, analyzer)
+    if len(p) < min_fuzzy_length or max_edits == 0:
+        return analyzing_lookup(spark, suggester_dir, query, k)
+    df = spark.read.parquet(os.path.join(suggester_dir, "suggest"))
+    band = p[:non_fuzzy_prefix]
+    if band:
+        df = df.filter((F.col("akey") >= band) & (F.col("akey") < band + _HI))
+    me = int(max_edits)
+
+    def match(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            keep = [
+                prefix_dl(p, a, me) <= me for a in pdf["akey"]
+            ]
+            out = pdf[pd.Series(keep, index=pdf.index)]
+            if len(out):
+                yield out[["surface", "weight"]]
+
+    cand = df.mapInPandas(match, "surface string, weight long")
+    return cand.orderBy(F.desc("weight"), F.asc("surface")).limit(k)
+
+
 def analyzing_lookup(
     spark: SparkSession, suggester_dir: str, query: str, k: int = 10
 ) -> DataFrame:

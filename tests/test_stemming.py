@@ -228,3 +228,30 @@ def test_analyzing_suggester(spark, tmp_path):
     # empty analyzed query (all stopwords) -> full channel, weight-ordered
     got3 = [r["surface"] for r in sg.analyzing_lookup(spark, d, "the", 2).collect()]
     assert got3 == ["merging tables", "merge conflict"]
+
+
+def test_fuzzy_suggester(spark, tmp_path):
+    """FuzzySuggester: completions whose analyzed form extends the query
+    within the edit budget; exact non-fuzzy prefix; short queries exact."""
+    from lucenenet_spark.operators import suggest as sg
+
+    rows = [
+        ("merge conflict", 9),
+        ("marge simpson", 5),      # 1 sub from "merge"
+        ("merge", 3),
+        ("ranger", 2),             # shares no prefix char with 'm'
+        ("emerge now", 7),         # first char differs -> excluded by band
+    ]
+    entries = spark.createDataFrame(rows, "surface string, weight long")
+    d = str(tmp_path / "fsugg")
+    sg.build_analyzing_suggester(spark, entries, d)
+    got = [
+        (r["surface"], r["weight"])
+        for r in sg.fuzzy_lookup(spark, d, "merge", k=10, max_edits=1).collect()
+    ]
+    assert got == [("merge conflict", 9), ("marge simpson", 5), ("merge", 3)]
+    # short query (< min_fuzzy_length): exact prefix only
+    got2 = [r["surface"] for r in sg.fuzzy_lookup(spark, d, "mar", k=10).collect()]
+    assert got2 == ["marge simpson"]
+    # prefix_dl sanity: transposition counts one edit
+    assert sg.prefix_dl("mereg", "merge conflict", 1) <= 1
