@@ -456,6 +456,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["suggest_fuzzy"] = suggest_fuzzy
 
+    def simple_query(spark, sf_dir):
+        # SimpleQueryParser: lenient human-input grammar
+        from lucenenet_spark.plans.parser import simple_parse
+
+        s = _searcher(spark, sf_dir)
+        return s.search(simple_parse(f"{HOT} | {T4} -{T5}"), 15, prune=False)
+
+    out["simple_query"] = simple_query
+
     def term_dfr(spark, sf_dir):
         s = _searcher(spark, sf_dir, similarity="dfr_gb2")
         return s.search(TermQuery(term=HOT), 15)
@@ -734,7 +743,7 @@ _NEVER_DRIVER_CHECKED = [
     "ann_ivf_topk", "ann_ivf_recall", "emb_cell_hist", "analyze_uax29",
 ]
 # round-4 additions are also unseen by the driver — list them here as they land
-_NEW_THIS_ROUND: list[str] = ["phrase_tfidf", "phrase_lmd", "term_stemmed", "bool_stemmed", "join_terms_avg", "join_terms_none", "function_score", "custom_score", "boosting_demote", "filtered_ts_range", "filtered_turn_range", "suggest_analyzing", "classify_knn", "classify_nb", "rescore_topn", "suggest_fuzzy"]
+_NEW_THIS_ROUND: list[str] = ["phrase_tfidf", "phrase_lmd", "term_stemmed", "bool_stemmed", "join_terms_avg", "join_terms_none", "function_score", "custom_score", "boosting_demote", "filtered_ts_range", "filtered_turn_range", "suggest_analyzing", "classify_knn", "classify_nb", "rescore_topn", "suggest_fuzzy", "simple_query"]
 
 
 def _prioritize(out: dict) -> dict:
@@ -942,6 +951,7 @@ LIMIT 12"""
         "batch stream scan merge small table hash batch stream batch", k=10
     )
     out["classify_nb"] = es.classify_nb_sql("batch stream scan merge small")
+    out["simple_query"] = es.boolean_sql(should=[HOT, T4], must_not=[T5], k=15)
     out["rescore_topn"] = f"""{es.prelude()},
 first AS (
   SELECT docid, s FROM scored WHERE term = '{HOT}'

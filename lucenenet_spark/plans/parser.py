@@ -288,3 +288,197 @@ def parse(s: str, default_operator: str = "OR", analyzer: str = "standard") -> Q
 
     q = parse_clauses(0)
     return q
+
+
+# ---------------------------------------------------------------------------
+# SimpleQueryParser: lenient human-input grammar, never raises
+# ---------------------------------------------------------------------------
+
+
+def simple_parse(
+    s: str, analyzer: str = "standard", default_operator: str = "OR"
+) -> Query:
+    """SimpleQueryParser (Lucene.Net.QueryParser/Simple/SimpleQueryParser.cs):
+    interpret whatever the user typed, ignoring syntax errors.
+
+    Grammar: whitespace = default operator (OR); `+` AND; `|` OR; leading
+    `-` negates one token; `"..."` phrase (+~N near slop); trailing `*`
+    prefix; `~N` fuzzy on terms; `( )` precedence; `\\` escapes
+    + | " ( ) ' \\ and leading -/trailing *. Left-associative folding: the
+    accumulated tree becomes one operand when the operator changes
+    (`t1 | t2 + t3` -> AND(OR(t1, t2), t3)). Unbalanced quotes/parens and
+    dangling operators are ignored, never raised."""
+    items = _sqp_items(s, analyzer)
+    return _sqp_fold(items, default_operator)
+
+
+def _sqp_items(s: str, analyzer: str) -> list:
+    """Lex + atomize: list of ("op", op) / ("operand", neg, Query)."""
+    out: list = []
+    i, n = 0, len(s)
+    neg = False
+
+    def flush_term(buf: list[str], prefix: bool, fuzzy: int | None):
+        text = "".join(buf)
+        if not text:
+            return None
+        if prefix:
+            return PrefixQuery(prefix=text.lower())
+        if fuzzy is not None:
+            return FuzzyQuery(term=text.lower(), max_edits=fuzzy)
+        toks = tokenize_text(text, analyzer)
+        if not toks:
+            return None
+        if len(toks) == 1:
+            return TermQuery(term=toks[0])
+        return BooleanQuery(should=tuple(TermQuery(term=t) for t in toks))
+
+    while i < n:
+        c = s[i]
+        if c in " \t\r\n":
+            out.append(("op", None))  # default operator slot
+            i += 1
+            continue
+        if c == "+":
+            out.append(("op", "AND"))
+            i += 1
+            continue
+        if c == "|":
+            out.append(("op", "OR"))
+            i += 1
+            continue
+        if c == "-":
+            neg = True
+            i += 1
+            continue
+        if c == "(":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if s[j] == "\\":
+                    j += 1
+                elif s[j] == "(":
+                    depth += 1
+                elif s[j] == ")":
+                    depth -= 1
+                j += 1
+            inner = s[i + 1 : j - 1] if depth == 0 else s[i + 1 :]
+            sub = simple_parse(inner, analyzer)
+            if not _sqp_empty(sub):
+                out.append(("operand", neg, sub))
+            neg = False
+            i = j
+            continue
+        if c == ")":
+            i += 1  # unbalanced: ignore
+            continue
+        if c == '"':
+            j = i + 1
+            buf: list[str] = []
+            while j < n and s[j] != '"':
+                if s[j] == "\\" and j + 1 < n:
+                    buf.append(s[j + 1])
+                    j += 2
+                else:
+                    buf.append(s[j])
+                    j += 1
+            j += 1  # past the closing quote (or end)
+            slop = 0
+            m = re.match(r"~(\d+)", s[j:])
+            if m:
+                slop = int(m.group(1))
+                j += m.end()
+            from ..functions.analysis import tokenize_with_positions
+
+            toks, poss = tokenize_with_positions("".join(buf), analyzer)
+            q: Query | None
+            if not toks:
+                q = None
+            elif len(toks) == 1:
+                q = TermQuery(term=toks[0])
+            else:
+                q = PhraseQuery(
+                    terms=tuple(toks), positions=tuple(poss), slop=slop
+                )
+            if q is not None:
+                out.append(("operand", neg, q))
+            neg = False
+            i = j
+            continue
+        # term: read until an (unescaped) delimiter
+        buf = []
+        escaped: list[bool] = []
+        while i < n and s[i] not in ' \t\r\n+|"()':
+            if s[i] == "\\" and i + 1 < n:
+                buf.append(s[i + 1])
+                escaped.append(True)
+                i += 2
+            else:
+                buf.append(s[i])
+                escaped.append(False)
+                i += 1
+        prefix = False
+        fuzzy: int | None = None
+        if buf and buf[-1] == "*" and not escaped[-1]:
+            buf.pop()
+            prefix = True
+        else:
+            m = re.search(r"~(\d*)$", "".join(buf))
+            if m and m.start() > 0:
+                fuzzy = int(m.group(1)) if m.group(1) else 2
+                buf = list("".join(buf)[: m.start()])
+        q = flush_term(buf, prefix, fuzzy)
+        if q is not None:
+            out.append(("operand", neg, q))
+        neg = False
+    return out
+
+
+def _sqp_empty(q: Query) -> bool:
+    return isinstance(q, BooleanQuery) and not q.must and not q.should and not q.must_not
+
+
+def _sqp_fold(items: list, default_operator: str) -> Query:
+    """Left-associative fold; negated operands attach as MUST_NOT to the
+    boolean level under construction."""
+    cur_op: str | None = None
+    clauses: list[Query] = []
+    nots: list[Query] = []
+    pending: str | None = None
+
+    def finalize() -> Query:
+        if len(clauses) == 1 and not nots:
+            return clauses[0]
+        if cur_op == "AND":
+            return BooleanQuery(must=tuple(clauses), must_not=tuple(nots))
+        return BooleanQuery(should=tuple(clauses), must_not=tuple(nots))
+
+    for it in items:
+        if it[0] == "op":
+            if clauses or nots:
+                pending = it[1] or default_operator if pending is None else (
+                    it[1] or pending
+                )
+            continue
+        _kind, neg, q = it
+        if neg:
+            nots.append(q)
+            pending = None
+            continue
+        if not clauses:
+            clauses.append(q)
+        else:
+            op = pending or default_operator
+            if cur_op is None or op == cur_op:
+                cur_op = op
+                clauses.append(q)
+            else:
+                grouped = finalize()
+                clauses = [grouped, q]
+                nots = []
+                cur_op = op
+        pending = None
+    if not clauses and not nots:
+        return BooleanQuery()
+    if not clauses:  # only negations: match nothing positive
+        return BooleanQuery(must_not=tuple(nots))
+    return finalize()

@@ -1,7 +1,10 @@
 """Classic query-string parser unit tests (subset grammar, SURVEY.md §3.2)."""
 import pytest
 
+from lucenenet_spark import oracle
 from lucenenet_spark.plans.parser import parse
+
+from .conftest import hits
 from lucenenet_spark.plans.query import (
     BooleanQuery,
     FuzzyQuery,
@@ -137,3 +140,59 @@ def test_field_range_search(spark, index_dir, corpus_pdf):
     )
     assert set(got["docid"]) == want_ids
     assert (got["score"] == 1.0).all()
+
+
+def test_simple_query_parser_grammar():
+    """SimpleQueryParser: lenient grammar, left-assoc folding, never raises
+    (Lucene.Net.QueryParser/Simple/SimpleQueryParser.cs docs)."""
+    from lucenenet_spark.plans.parser import simple_parse
+    from lucenenet_spark.plans.query import (
+        BooleanQuery,
+        FuzzyQuery,
+        PhraseQuery,
+        PrefixQuery,
+        TermQuery,
+    )
+
+    q = simple_parse("batch | merge -small")
+    assert isinstance(q, BooleanQuery)
+    assert [c.term for c in q.should] == ["batch", "merge"]
+    assert [c.term for c in q.must_not] == ["small"]
+    # left-assoc: t1 | t2 + t3 -> AND(OR(t1, t2), t3)   (doc example)
+    q2 = simple_parse("t1 | t2 + t3")
+    assert isinstance(q2, BooleanQuery) and len(q2.must) == 2
+    inner = q2.must[0]
+    assert isinstance(inner, BooleanQuery)
+    assert [c.term for c in inner.should] == ["t1", "t2"]
+    assert q2.must[1].term == "t3"
+    # precedence group with prefix
+    q3 = simple_parse("batch + (merge | sc*)")
+    assert q3.must[0].term == "batch"
+    assert isinstance(q3.must[1].should[1], PrefixQuery)
+    # phrase with near
+    q4 = simple_parse('"value table"~2')
+    assert isinstance(q4, PhraseQuery) and q4.slop == 2
+    # fuzzy
+    q5 = simple_parse("brok~1")
+    assert isinstance(q5, FuzzyQuery) and q5.max_edits == 1
+    # escapes: trailing \* is literal (then analysis strips it), \- not a NOT
+    assert isinstance(simple_parse("term1\\*"), TermQuery)
+    assert isinstance(simple_parse("\\-term1"), TermQuery)
+    # garbage never raises
+    for junk in ["(((((", ")|+", '"unterminated', "a+", "-", "~", "the and"]:
+        simple_parse(junk)
+
+
+def test_simple_query_parser_search(spark, index_dir, oracle_index):
+    from lucenenet_spark.operators.search import IndexSearcher
+    from lucenenet_spark.plans.parser import simple_parse
+
+    s = IndexSearcher(spark, index_dir)
+    got = hits(s.search(simple_parse("popcorn | hello -common3"), 15))
+    want = oracle.top_k(
+        oracle.boolean_scores(
+            oracle_index, should=["popcorn", "hello"], must_not=["common3"]
+        ),
+        15,
+    )
+    assert got == want
