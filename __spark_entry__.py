@@ -637,6 +637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["join_parent_total"] = lambda s, d: _searcher(s, d).to_parent_join(
         TermQuery(term=HOT), "total", k=15
     )
+    out["join_parent_avg"] = lambda s, d: _searcher(s, d).to_parent_join(
+        TermQuery(term=HOT), "avg", k=15
+    )
 
     # -- training-data pipeline operators (documents / embeddings tables) ----
     from lucenenet_spark.pipeline import dedup, multimodal, similarity, textstats
@@ -743,7 +746,7 @@ _NEVER_DRIVER_CHECKED = [
     "ann_ivf_topk", "ann_ivf_recall", "emb_cell_hist", "analyze_uax29",
 ]
 # round-4 additions are also unseen by the driver — list them here as they land
-_NEW_THIS_ROUND: list[str] = ["phrase_tfidf", "phrase_lmd", "term_stemmed", "bool_stemmed", "join_terms_avg", "join_terms_none", "function_score", "custom_score", "boosting_demote", "filtered_ts_range", "filtered_turn_range", "suggest_analyzing", "classify_knn", "classify_nb", "rescore_topn", "suggest_fuzzy", "simple_query"]
+_NEW_THIS_ROUND: list[str] = ["phrase_tfidf", "phrase_lmd", "term_stemmed", "bool_stemmed", "join_terms_avg", "join_terms_none", "function_score", "custom_score", "boosting_demote", "filtered_ts_range", "filtered_turn_range", "suggest_analyzing", "classify_knn", "classify_nb", "rescore_topn", "suggest_fuzzy", "simple_query", "join_parent_avg"]
 
 
 def _prioritize(out: dict) -> dict:
@@ -1014,6 +1017,17 @@ ch AS (
   GROUP BY 1
 )
 SELECT parent, score, n_hits FROM ch
+ORDER BY score DESC, parent ASC LIMIT 15"""
+    out["join_parent_avg"] = f"""{P},
+ch AS (
+  SELECT d.conv_id AS parent,
+         list_reduce(list(s.s ORDER BY s.docid), (x, y) -> CAST(x + y AS REAL)) AS tot,
+         count(*) AS n_hits
+  FROM scored s JOIN docs d ON s.docid = d.docid
+  WHERE s.term = '{HOT}'
+  GROUP BY 1
+)
+SELECT parent, CAST(tot / CAST(n_hits AS REAL) AS REAL) AS score, n_hits FROM ch
 ORDER BY score DESC, parent ASC LIMIT 15"""
 
     # training-data pipeline oracles
