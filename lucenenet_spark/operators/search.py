@@ -105,6 +105,7 @@ class IndexSearcher:
         spark: SparkSession,
         index_dir: str | list[str],
         prune_min_postings: int = 1 << 16,
+        wand_min_postings: int | None = None,
         similarity: str = "bm25",
         mu: float = 2000.0,
         lam: float = 0.1,
@@ -186,6 +187,20 @@ class IndexSearcher:
         # below this many candidate postings, block-max pruning costs more
         # (2 extra jobs) than the decode it saves — scan-and-score instead
         self.prune_min_postings = prune_min_postings
+        # Block-max WAND has a HIGHER engage threshold than the other
+        # adaptive guards: it costs 2 extra jobs (block-bound probe +
+        # theta), while the vectorized decode it avoids runs ~10^8
+        # postings/s — measured at sf1 (df 573k) pruning was a net 0.75 s
+        # LOSS. Local crossover sits around ~4M candidate postings; on a
+        # cluster the same rule holds per-executor-job overhead. Callers
+        # that customize prune_min_postings (tests forcing the path) keep
+        # the old coupled behavior.
+        if wand_min_postings is not None:
+            self.wand_min_postings = wand_min_postings
+        elif prune_min_postings == (1 << 16):
+            self.wand_min_postings = 1 << 22
+        else:
+            self.wand_min_postings = prune_min_postings
         self._prunable = len(self.segments) == 1
         self._live_docs_cache: DataFrame | None | bool = False  # False = unloaded
 
@@ -841,7 +856,7 @@ class IndexSearcher:
             and not not_terms
             and q.min_should_match <= 1
             and len(live) > 0
-            and total_df >= self.prune_min_postings
+            and total_df >= self.wand_min_postings
             # deletes inflate probe θ (a high-scoring deleted doc is masked
             # only after scoring) — pruning with a delete log could drop
             # blocks holding live true top-k hits
