@@ -70,22 +70,33 @@ def highlight_hits(
     frag_tokens: int = 16,
     pre: str = "<b>",
     post: str = "</b>",
+    analyzer: str = "standard",
 ) -> DataFrame:
     """(docid, score, n_matches, snippet) for each hit row carrying `text`.
 
     Runs per fetched hit (k rows), not per corpus row — the Highlighter
-    re-analysis cost is bounded by k like Lucene's."""
+    re-analysis cost is bounded by k like Lucene's. On a stemmed index
+    (analyzer="english") matching runs on the STEMMED form of each raw
+    token while the snippet shows the surface form — exactly how Lucene's
+    Highlighter marks "merging" for the query term "merg"."""
     terms = set(query_terms)
+    if analyzer == "english":
+        from ..functions.porter import porter_stem as _match_key
+    else:
+
+        def _match_key(t):
+            return t
 
     def frag(it):
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
                 toks = _raw_tokens(r.text)
-                s, c = best_window(toks, terms, frag_tokens)
-                window = toks[s : s + frag_tokens]
+                keys = [_match_key(t) for t in toks]
+                s, c = best_window(keys, terms, frag_tokens)
+                window = list(zip(toks, keys))[s : s + frag_tokens]
                 snippet = " ".join(
-                    pre + t + post if t in terms else t for t in window
+                    pre + t + post if k in terms else t for t, k in window
                 )
                 rows.append((int(r.docid), float(r.score), int(c), snippet))
             yield pd.DataFrame(
@@ -121,7 +132,10 @@ def highlight(
     withtext = source.select("conv_id", "turn_idx", "text").join(
         F.broadcast(keyed), ["conv_id", "turn_idx"]
     )
-    return highlight_hits(withtext, query_terms, **kw)
+    return highlight_hits(
+        withtext, query_terms,
+        analyzer=getattr(searcher, "analyzer", "standard"), **kw,
+    )
 
 
 def highlight_sql(

@@ -403,12 +403,22 @@ def merge_segments(
     # provider (FieldInfos merge: a payload-less segment poisons the field)
     providers = {s["manifest"].get("payload_provider") for s in segments}
     payload_provider = providers.pop() if len(providers) == 1 else None
+    analyzers = {s["manifest"].get("analyzer", "standard") for s in segments}
+    if len(analyzers) > 1:
+        # segments analyzed with different chains index different term
+        # spaces; a merged index would silently mix them (Lucene cannot
+        # produce this state: the analyzer is fixed at IndexWriter level)
+        raise ValueError(
+            f"cannot merge segments with different analyzers: {sorted(analyzers)}"
+        )
+    analyzer = analyzers.pop()
     manifest = {
         "format_version": 5,
         "build_id": build_id,
         "field": FIELD,
         "index_options": index_options,
         "payload_provider": payload_provider,
+        "analyzer": analyzer,
         "fields": fields,
         "k1": k1,
         "b": b,

@@ -129,6 +129,10 @@ class IndexSearcher:
         # indexes silently miss (QueryParser(analyzer) parity)
         self.analyzer = self.manifest.get("analyzer", "standard")
         assert all(
+            s["manifest"].get("analyzer", "standard") == self.analyzer
+            for s in self.segments
+        ), "segments indexed with different analyzers"
+        assert all(
             float(s["manifest"]["k1"]) == self.k1 and float(s["manifest"]["b"]) == self.b
             for s in self.segments
         ), "segments indexed with different BM25 parameters"

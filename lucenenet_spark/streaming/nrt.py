@@ -51,6 +51,7 @@ class NRTIndex:
         salt_target: int = 1 << 20,
         k1: float = 1.2,
         b: float = 0.75,
+        analyzer: str = "standard",
     ):
         self.spark = spark
         self.base_dir = base_dir
@@ -59,6 +60,7 @@ class NRTIndex:
         self.n_segments = n_segments
         self.salt_target = salt_target
         self.k1, self.b = k1, b
+        self.analyzer = analyzer
         os.makedirs(os.path.join(base_dir, "segments"), exist_ok=True)
 
     # -- segments_N analogue --------------------------------------------------
@@ -101,6 +103,7 @@ class NRTIndex:
             n_buckets=self.n_buckets,
             n_segments=self.n_segments,
             salt_target=self.salt_target,
+            analyzer=self.analyzer,
         ).build(batch_df, build_id=f"nrt-{batch_id}")
         segs = self.segments()
         if seg_dir not in segs:

@@ -255,3 +255,47 @@ def test_fuzzy_suggester(spark, tmp_path):
     assert got2 == ["marge simpson"]
     # prefix_dl sanity: transposition counts one edit
     assert sg.prefix_dl("mereg", "merge conflict", 1) <= 1
+
+
+def test_highlight_marks_stemmed_matches(spark, stemmed_index):
+    """On a stemmed index the highlighter matches on stems but shows the
+    surface form: query stem 'merg' marks 'merging'."""
+    from lucenenet_spark.operators.highlight import highlight
+    from lucenenet_spark.operators.search import IndexSearcher
+    from lucenenet_spark.plans.parser import parse
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    source = spark.createDataFrame(_stem_corpus_pdf(), schema)
+    s = IndexSearcher(spark, stemmed_index)
+    q = parse("merging", analyzer=s.analyzer)
+    rows = highlight(s, q, ["merg"], source, k=5).collect()
+    assert rows
+    marked = [r["snippet"] for r in rows if "<b>" in r["snippet"]]
+    assert marked  # at least one snippet marks a surface form
+    assert any("<b>merging</b>" in m or "<b>merges</b>" in m or "<b>merged</b>" in m
+               for m in marked)
+
+
+def test_merge_rejects_mixed_analyzers(spark, tmp_path, stemmed_index, index_dir):
+    from lucenenet_spark.operators.merge import merge_segments
+
+    with pytest.raises((ValueError, AssertionError)):
+        merge_segments(
+            spark, [index_dir, stemmed_index], str(tmp_path / "mixed")
+        )
