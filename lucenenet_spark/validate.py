@@ -222,3 +222,80 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
     scanned.unpersist()
     out["ok"] = all(v["ok"] for v in out.values() if isinstance(v, dict))
     return out
+
+
+def check_ivf_index(spark: SparkSession, ivf_dir: str) -> dict:
+    """CheckIndex analogue for a materialized IVF index: cell assignments
+    partition the corpus (row count matches meta, every cell id exists in
+    the centroid table, no null cells)."""
+    import json as _json
+    import os as _os
+
+    import pandas as _pd
+
+    with open(_os.path.join(ivf_dir, "_ivf_meta.json")) as f:
+        meta = _json.load(f)
+    cents = _pd.read_parquet(_os.path.join(ivf_dir, "centroids"))
+    cells = spark.read.parquet(_os.path.join(ivf_dir, "cells"))
+    agg = cells.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(meta["id_col"]).alias("ids"),
+        F.countDistinct("cell").alias("used_cells"),
+        F.sum(F.when(F.col("cell").isNull(), 1).otherwise(0)).alias("null_cells"),
+    ).collect()[0]
+    known = set(int(c) for c in cents["cell"])
+    strange = (
+        cells.select("cell").distinct()
+        .filter(~F.col("cell").isin([int(c) for c in known]))
+        .count()
+    )
+    out = {
+        "rows": {
+            "ok": int(agg["n"]) == meta["n"] and int(agg["ids"]) == meta["n"],
+            "n": int(agg["n"]),
+            "meta_n": meta["n"],
+        },
+        "cells": {
+            "ok": strange == 0 and int(agg["null_cells"]) == 0
+            and len(known) == meta["c"],
+            "used": int(agg["used_cells"]),
+            "centroids": len(known),
+            "unknown_cells": int(strange),
+        },
+    }
+    out["ok"] = all(v["ok"] for v in out.values() if isinstance(v, dict))
+    return out
+
+
+def check_suggester(spark: SparkSession, suggester_dir: str) -> dict:
+    """Suggest-channel invariants: akeys non-empty and consistent with
+    re-analyzing the surface; surfaces unique (dedup happened); weights
+    non-null."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(suggester_dir, "_suggest_meta.json")) as f:
+        analyzer = _json.load(f)["analyzer"]
+    df = spark.read.parquet(_os.path.join(suggester_dir, "suggest"))
+
+    from .functions.analysis import tokenize_udf
+
+    re_akey = F.array_join(tokenize_udf(analyzer)(F.col("surface")), " ")
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("surface").alias("surfaces"),
+        F.sum(F.when(F.col("akey") == "", 1).otherwise(0)).alias("empty_keys"),
+        F.sum(F.when(F.col("weight").isNull(), 1).otherwise(0)).alias("null_w"),
+        F.sum(F.when(F.col("akey") != re_akey, 1).otherwise(0)).alias("stale_keys"),
+    ).collect()[0]
+    out = {
+        "dedup": {"ok": int(agg["n"]) == int(agg["surfaces"]), "n": int(agg["n"])},
+        "keys": {
+            "ok": int(agg["empty_keys"]) == 0 and int(agg["stale_keys"]) == 0,
+            "empty": int(agg["empty_keys"]),
+            "stale": int(agg["stale_keys"]),
+        },
+        "weights": {"ok": int(agg["null_w"]) == 0},
+    }
+    out["ok"] = all(v["ok"] for v in out.values() if isinstance(v, dict))
+    return out

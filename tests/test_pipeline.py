@@ -287,3 +287,26 @@ def test_ivf_materialized_index_matches_inline(emb, tmp_path):
     assert stats["scanned_fraction"] <= 2 * frac
     # build is idempotent: second call returns the cached meta, no rewrite
     assert similarity.build_ivf_index(emb, d) == meta
+
+
+def test_check_ivf_index(emb, tmp_path):
+    from lucenenet_spark.validate import check_ivf_index
+
+    d = str(tmp_path / "ivfchk")
+    similarity.build_ivf_index(emb, d)
+    rep = check_ivf_index(emb.sparkSession, d)
+    assert rep["ok"], rep
+
+
+def test_check_suggester(spark, tmp_path):
+    from lucenenet_spark.operators import suggest as sg
+    from lucenenet_spark.validate import check_suggester
+
+    entries = spark.createDataFrame(
+        [("merging tables", 10), ("stream processing", 8), ("the", 1)],
+        "surface string, weight long",
+    )
+    d = str(tmp_path / "suggchk")
+    sg.build_analyzing_suggester(spark, entries, d, analyzer="english")
+    rep = check_suggester(spark, d)
+    assert rep["ok"], rep
