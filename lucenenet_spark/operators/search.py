@@ -776,11 +776,43 @@ class IndexSearcher:
             q = BooleanQuery(should=(q,))
         if self.similarity != "bm25":
             if isinstance(q, BooleanQuery):
+                pure_terms = all(
+                    isinstance(c, TermQuery)
+                    for c in q.must + q.should + q.must_not
+                )
                 if self.similarity == "classic":
                     return self._classic_boolean_scores(q)
-                if self.sim_spec is not None:
-                    return self._dfr_boolean_scores(q)
-                return self._lmd_boolean_scores(q)
+                if pure_terms:
+                    if self.sim_spec is not None:
+                        return self._dfr_boolean_scores(q)
+                    return self._lmd_boolean_scores(q)
+                # SimilarityBase members have queryNorm = 1 and coord = 1
+                # (SimilarityBase.cs Coord/QueryNorm), so a boolean with
+                # phrase/span-shaped clauses composes by the plain f32
+                # clause-order fold — the generic nested path is exact.
+                # Push the outer boost into the clauses first (each
+                # clause's kernel multiplies its own f32 boost).
+                if float(q.boost) != 1.0:
+                    import dataclasses
+
+                    b = np.float32(q.boost)
+                    q = BooleanQuery(
+                        must=tuple(
+                            dataclasses.replace(
+                                c, boost=float(np.float32(np.float32(c.boost) * b))
+                            )
+                            for c in q.must
+                        ),
+                        should=tuple(
+                            dataclasses.replace(
+                                c, boost=float(np.float32(np.float32(c.boost) * b))
+                            )
+                            for c in q.should
+                        ),
+                        must_not=q.must_not,
+                        min_should_match=q.min_should_match,
+                    )
+                return self._boolean_scores_nested(q)
             if isinstance(q, (PhraseQuery, MultiPhraseQuery)):
                 # every Similarity scores every Scorer in the reference
                 # (SimilarityBase.cs Score(stats, freq, docLen);
@@ -920,19 +952,49 @@ class IndexSearcher:
 
         if not q.must and not q.should:
             return self._empty_hits()
-        simple = all(
-            isinstance(c, TermQuery) for c in q.must + q.should + q.must_not
-        )
-        if not simple:
-            raise NotImplementedError("classic similarity scores term clauses")
-        terms = list(q.must) + list(q.should)
+        if not all(isinstance(c, TermQuery) for c in q.must_not):
+            raise NotImplementedError("classic MUST_NOT supports term clauses")
+        ok_types = (TermQuery, PhraseQuery, MultiPhraseQuery)
+        if not all(isinstance(c, ok_types) for c in q.must + q.should):
+            raise NotImplementedError(
+                "classic similarity scores term/phrase clauses"
+            )
+        clauses_q = list(q.must) + list(q.should)
         n_must = len(q.must)
-        keys = [(c.field, c.term) for c in terms]
-        dfs = self.doc_freqs(keys)
-        if any(dfs[k] == 0 for k in keys[:n_must]):
+
+        def _clause_flat(c):
+            """(field, term) pairs in declaration order (phrase: all
+            (slot, term) pairs — TFIDFSimilarity.IdfExplain allTermStats)."""
+            if isinstance(c, TermQuery):
+                return [(c.field, c.term)]
+            if isinstance(c, PhraseQuery):
+                return [(c.field, t) for t in c.terms]
+            return [(c.field, t) for arr in c.term_arrays for t in arr]
+
+        all_keys = sorted({k for c in clauses_q for k in _clause_flat(c)})
+        dfs = self.doc_freqs(all_keys)
+
+        def _clause_matchable(c):
+            if isinstance(c, TermQuery):
+                return dfs[(c.field, c.term)] > 0
+            if isinstance(c, PhraseQuery):
+                return all(dfs[(c.field, t)] > 0 for t in c.terms)
+            return all(
+                any(dfs[(c.field, t)] > 0 for t in arr) for arr in c.term_arrays
+            )
+
+        if any(not _clause_matchable(c) for c in clauses_q[:n_must]):
             return self._empty_hits()
-        idfs = [classic_idf(dfs[k], self.max_doc) for k in keys]
-        qws = [np.float32(i * np.float32(c.boost)) for i, c in zip(idfs, terms)]
+        # per-clause idf: f32 fold over the clause's term stats
+        idfs = []
+        for c in clauses_q:
+            acc = np.float32(0.0)
+            for k in _clause_flat(c):
+                acc = np.float32(acc + classic_idf(dfs[k], self.max_doc))
+            idfs.append(acc)
+        qws = [
+            np.float32(i * np.float32(c.boost)) for i, c in zip(idfs, clauses_q)
+        ]
         ssq = np.float32(0.0)
         for qw in qws:
             ssq = np.float32(ssq + np.float32(qw * qw))
@@ -943,18 +1005,62 @@ class IndexSearcher:
             else np.float32(1.0)
         )
         values = [np.float32(np.float32(qw * qnorm) * i) for qw, i in zip(qws, idfs)]
+        term_ids = [
+            i for i, c in enumerate(clauses_q) if isinstance(c, TermQuery)
+        ]
+        phrase_ids = [
+            i for i, c in enumerate(clauses_q) if not isinstance(c, TermQuery)
+        ]
         clauses = [
-            Clause(i, c.term, v, field=c.field)
-            for i, (c, v) in enumerate(zip(terms, values))
+            Clause(i, clauses_q[i].term, values[i], field=clauses_q[i].field)
+            for i in term_ids
         ]
         live = [c for c in clauses if dfs[c.key] > 0]
-        if not live:
+        rows = None
+        if live:
+            blocks = self._blocks_for([c.key for c in live])
+            must_term_keys = [
+                (clauses_q[i].field, clauses_q[i].term)
+                for i in term_ids
+                if i < n_must
+            ]
+            if must_term_keys and len(must_term_keys) == n_must:
+                blocks = self._conjunction_prune(blocks, must_term_keys)
+            rows = self._score_blocks(blocks, live, classic=True)
+        # phrase clauses: freq stream + the TFIDF kernel with the SHARED
+        # queryNorm-folded value (sqrt(freq) * value * byte315Decode)
+        from ..functions.smallfloat import DECODE_TABLE
+
+        for i in phrase_ids:
+            c = clauses_q[i]
+            if not _clause_matchable(c):
+                continue
+            pf, _flat = self._phrase_scores(c, return_freqs=True)
+            raw = (
+                F.sqrt(F.col("freq").cast("float")).cast("float")
+                * F.lit(float(values[i])).cast("float")
+            ).cast("float")
+            omit = c.field in {
+                f
+                for f, info in self.fields_info.items()
+                if info.get("omit_norms")
+            }
+            if omit:
+                sc = raw
+            else:
+                dec = F.array(
+                    *[F.lit(float(x)).cast("float") for x in DECODE_TABLE]
+                )
+                sc = (raw * F.element_at(dec, F.col("nb").cast("int") + 1)).cast(
+                    "float"
+                )
+            prow = pf.select(
+                "docid", F.lit(i).cast("int").alias("clause"), sc.alias("score")
+            )
+            rows = prow if rows is None else rows.unionByName(prow)
+        if rows is None:
             return self._empty_hits()
-        blocks = self._blocks_for([c.key for c in live])
-        if n_must:
-            blocks = self._conjunction_prune(blocks, keys[:n_must])
-        rows = self._score_blocks(blocks, live, classic=True)
-        n_total = len(clauses)
+        n_total = len(clauses_q)
         agg = self._pivot_agg(rows, n_total)
         cond = F.lit(True)
         for i in range(n_must):
@@ -1321,7 +1427,7 @@ class IndexSearcher:
         return rare_blocks.unionByName(pruned)
 
     # -- phrase scoring --------------------------------------------------------
-    def _phrase_scores(self, q) -> DataFrame:
+    def _phrase_scores(self, q, return_freqs: bool = False):
         """Phrase / MultiPhrase scorer, relational-first.
 
         Exact (slop=0): decode (docid, clause, pos - queryOffset) rows for
@@ -1344,8 +1450,19 @@ class IndexSearcher:
         else:
             arrays = tuple(tuple(a) for a in q.term_arrays)
         offsets = list(q.offsets)
-        if not arrays:
+
+        def _empty(reason=None):
+            if return_freqs:
+                pf0 = self.spark.range(0).select(
+                    F.col("id").alias("docid"),
+                    F.lit(0.0).cast("float").alias("freq"),
+                    F.lit(0).cast("short").alias("nb"),
+                )
+                return pf0, []
             return self._empty_hits()
+
+        if not arrays:
+            return _empty()
         if any(
             s["manifest"].get("index_options") == "docs_freqs"
             for s in self.segments
@@ -1361,7 +1478,7 @@ class IndexSearcher:
         # (MultiPhraseQuery.cs:268-272 returns a null scorer)
         for arr in arrays:
             if all(dfs[(q.field, t)] == 0 for t in arr):
-                return self._empty_hits()
+                return _empty()
         # idf fold over ALL (slot, term) pairs in declaration order,
         # absent terms included with df=0 stats (allTermStats)
         s = np.float32(0.0)
@@ -1371,7 +1488,7 @@ class IndexSearcher:
             np.float32(s * np.float32(q.boost))
             * np.float32(np.float32(self.k1) + np.float32(1.0))
         )
-        emit_freq = self.similarity != "bm25"
+        emit_freq = return_freqs or self.similarity != "bm25"
         live_keys = sorted({k for k in keys if dfs[k] > 0})
         blocks = self._blocks_for(live_keys)
         single_keys = [
@@ -1409,6 +1526,8 @@ class IndexSearcher:
                 blocks, by_term, len(arrays), int(q.slop), q.field, w,
                 emit_freq=emit_freq,
             )
+            if return_freqs:
+                return out, flat
             if emit_freq:
                 out = self._phrase_finalize(out, flat, q.field, q.boost)
             return out
@@ -1507,6 +1626,8 @@ class IndexSearcher:
                 sloppy, "docid long, freq float, nb short"
             )
         pf = pf.filter(F.col("freq") > 0)
+        if return_freqs:
+            return pf.select("docid", "freq", "nb"), flat
         if emit_freq:
             return self._phrase_finalize(
                 pf.select("docid", "freq", "nb"), flat, q.field, q.boost

@@ -1011,6 +1011,170 @@ def multi_phrase_scores(
     return out
 
 
+def _clause_score_map_classic(index, spec, value: np.float32):
+    """docid -> f32 clause score under classic TFIDF for a term or
+    ("phrase", terms, slop) spec, given the normalized value."""
+    from .functions.smallfloat import DECODE_TABLE
+
+    out: dict[int, np.float32] = {}
+    if isinstance(spec, str):
+        for docid, tf in index.postings.get(spec, ()):
+            raw = np.float32(np.float32(np.sqrt(np.float32(tf))) * value)
+            out[docid] = np.float32(raw * DECODE_TABLE[index.norm_bytes[docid]])
+        return out
+    _tag, terms, slop = spec
+    cand = None
+    for t in terms:
+        docs = set(index.positions.get(t, {}))
+        cand = docs if cand is None else cand & docs
+    for d in sorted(cand or ()):
+        if slop == 0:
+            fr = np.float32(
+                exact_phrase_freq(index, terms, list(range(len(terms))), d)
+            )
+        else:
+            fr = sloppy_phrase_freq(
+                [index.positions[t][d] for t in terms],
+                list(range(len(terms))),
+                slop,
+            )
+        if fr > 0:
+            raw = np.float32(np.float32(np.sqrt(np.float32(fr))) * value)
+            out[d] = np.float32(raw * DECODE_TABLE[index.norm_bytes[d]])
+    return out
+
+
+def classic_mixed_boolean_scores(
+    index: OracleIndex,
+    must: list = (),
+    should: list = (),
+    must_not: list[str] = (),
+    min_should_match: int = 0,
+    query_boost: float = 1.0,
+) -> dict[int, np.float32]:
+    """Classic TFIDF BooleanQuery with term AND phrase clauses: the shared
+    sumOfSquaredWeights couples every clause's queryWeight; coord counts
+    all non-prohibited clauses. Clause spec: a term string or
+    ("phrase", [terms], slop)."""
+    clauses = list(must) + list(should)
+    n_must = len(must)
+
+    def _idf(spec):
+        if isinstance(spec, str):
+            return classic_idf(len(index.postings.get(spec, ())), index.max_doc)
+        acc = np.float32(0.0)
+        for t in spec[1]:
+            acc = np.float32(
+                acc + classic_idf(len(index.postings.get(t, ())), index.max_doc)
+            )
+        return acc
+
+    idfs = [_idf(c) for c in clauses]
+    qws = [np.float32(i * np.float32(1.0)) for i in idfs]
+    ssq = np.float32(0.0)
+    for qw in qws:
+        ssq = np.float32(ssq + np.float32(qw * qw))
+    ssq = np.float32(
+        ssq * np.float32(np.float32(query_boost) * np.float32(query_boost))
+    )
+    qnorm = (
+        np.float32(np.float64(1.0) / np.sqrt(np.float64(ssq)))
+        if ssq > 0
+        else np.float32(1.0)
+    )
+    values = [np.float32(np.float32(qw * qnorm) * i) for qw, i in zip(qws, idfs)]
+    maps = [
+        _clause_score_map_classic(index, c, v) for c, v in zip(clauses, values)
+    ]
+    not_docs: set[int] = set()
+    for t in must_not:
+        not_docs.update(d for d, _tf in index.postings.get(t, ()))
+    must_maps, should_maps = maps[:n_must], maps[n_must:]
+    if must:
+        docs = set(must_maps[0].keys())
+        for m in must_maps[1:]:
+            docs &= m.keys()
+    else:
+        need = max(1, min_should_match) if should else 0
+        cnt: Counter[int] = Counter()
+        for m in should_maps:
+            cnt.update(m.keys())
+        docs = {d for d, c in cnt.items() if c >= need}
+    if must and should and min_should_match > 0:
+        cnt = Counter()
+        for m in should_maps:
+            cnt.update(m.keys())
+        docs = {d for d in docs if cnt.get(d, 0) >= min_should_match}
+    docs -= not_docs
+    out: dict[int, np.float32] = {}
+    max_overlap = len(clauses)
+    for d in sorted(docs):
+        ssum = np.float32(0.0)
+        overlap = 0
+        for m in maps:
+            if d in m:
+                ssum = np.float32(ssum + m[d])
+                overlap += 1
+        coord = np.float32(np.float32(overlap) / np.float32(max_overlap))
+        out[d] = np.float32(ssum * coord)
+    return out
+
+
+def sim_mixed_boolean_scores(
+    index: OracleIndex,
+    similarity: str,
+    must: list = (),
+    should: list = (),
+    must_not: list[str] = (),
+    min_should_match: int = 0,
+) -> dict[int, np.float32]:
+    """SimilarityBase-family BooleanQuery with term AND phrase clauses:
+    queryNorm = coord = 1, so the score is the plain f32 clause-order fold
+    of the per-clause scores."""
+
+    def _clause_map(spec):
+        if isinstance(spec, str):
+            if similarity == "lmd":
+                return lmd_term_scores(index, spec)
+            if similarity == "lmjm":
+                return lmjm_term_scores(index, spec)
+            return simbase_term_scores(index, spec, similarity)
+        _tag, terms, slop = spec
+        return phrase_scores_sim(index, list(terms), similarity, slop=slop)
+
+    clauses = list(must) + list(should)
+    maps = [_clause_map(c) for c in clauses]
+    n_must = len(must)
+    must_maps, should_maps = maps[:n_must], maps[n_must:]
+    not_docs: set[int] = set()
+    for t in must_not:
+        not_docs.update(d for d, _tf in index.postings.get(t, ()))
+    if must:
+        docs = set(must_maps[0].keys())
+        for m in must_maps[1:]:
+            docs &= m.keys()
+    else:
+        need = max(1, min_should_match) if should else 0
+        cnt: Counter[int] = Counter()
+        for m in should_maps:
+            cnt.update(m.keys())
+        docs = {d for d, c in cnt.items() if c >= need}
+    if must and should and min_should_match > 0:
+        cnt = Counter()
+        for m in should_maps:
+            cnt.update(m.keys())
+        docs = {d for d in docs if cnt.get(d, 0) >= min_should_match}
+    docs -= not_docs
+    out: dict[int, np.float32] = {}
+    for d in sorted(docs):
+        ssum = np.float32(0.0)
+        for m in maps:
+            if d in m:
+                ssum = np.float32(ssum + m[d])
+        out[d] = ssum
+    return out
+
+
 def phrase_scores_sim(
     index: OracleIndex,
     terms: list[str],

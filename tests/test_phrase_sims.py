@@ -114,3 +114,54 @@ def test_span_near_parity_under_sims(spark, index_dir, oracle_index, sim, pair):
     want = oracle.top_k(span_scores_sim_oracle(oracle_index, q, sim), 15)
     assert got == want, sim
     assert got
+
+
+@pytest.mark.parametrize("sim", ["lmd", "lmjm", "dfr_gb2", "ib_ll"])
+def test_mixed_boolean_under_simbase(spark, index_dir, oracle_index, sim, pair):
+    """BooleanQuery with a phrase clause under SimilarityBase members:
+    queryNorm = coord = 1, so the generic nested fold is exact."""
+    from lucenenet_spark.plans.query import BooleanQuery, PhraseQuery, TermQuery
+
+    s = IndexSearcher(spark, index_dir, similarity=sim)
+    q = BooleanQuery(
+        must=(TermQuery(term="popcorn"),),
+        should=(PhraseQuery(terms=pair),),
+    )
+    want = oracle.top_k(
+        oracle.sim_mixed_boolean_scores(
+            oracle_index, sim, must=["popcorn"],
+            should=[("phrase", list(pair), 0)],
+        ),
+        15,
+    )
+    got = hits(s.search(q, 15))
+    assert got == want, sim
+    assert got
+
+
+@pytest.mark.parametrize("shape", ["must", "should", "sloppy"])
+def test_mixed_boolean_under_classic(spark, index_dir, oracle_index, shape, pair):
+    """Classic TFIDF boolean with phrase clauses: shared queryNorm couples
+    the clause weights, coord counts all non-prohibited clauses."""
+    from lucenenet_spark.plans.query import BooleanQuery, PhraseQuery, TermQuery
+
+    s = IndexSearcher(spark, index_dir, similarity="classic")
+    slop = 2 if shape == "sloppy" else 0
+    pq = PhraseQuery(terms=pair, slop=slop)
+    if shape == "must":
+        q = BooleanQuery(must=(pq,), should=(TermQuery(term="popcorn"),))
+        want = oracle.classic_mixed_boolean_scores(
+            oracle_index, must=[("phrase", list(pair), slop)], should=["popcorn"]
+        )
+    else:
+        q = BooleanQuery(
+            should=(TermQuery(term="popcorn"), pq),
+            must_not=(TermQuery(term="common9"),),
+        )
+        want = oracle.classic_mixed_boolean_scores(
+            oracle_index, should=["popcorn", ("phrase", list(pair), slop)],
+            must_not=["common9"],
+        )
+    got = hits(s.search(q, 15))
+    assert got == oracle.top_k(want, 15), shape
+    assert got
