@@ -820,9 +820,13 @@ class IndexSearcher:
                 # the phrase machinery computes (docid, phraseFreq, norm)
                 # and _phrase_finalize applies the active kernel
                 return self._phrase_scores(q)
+            if isinstance(q, DisMaxQuery):
+                if self.similarity == "classic":
+                    return self._classic_dismax_scores(q)
+                return self._dismax_scores_nested(q)
             raise NotImplementedError(
-                f"{self.similarity} similarity supports term/boolean/phrase "
-                f"queries (got {type(q).__name__}); dismax is BM25-only"
+                f"{self.similarity} similarity supports term/boolean/phrase/"
+                f"dismax queries (got {type(q).__name__})"
             )
         if isinstance(q, (PhraseQuery, MultiPhraseQuery)):
             return self._phrase_scores(q)
@@ -2050,6 +2054,136 @@ class IndexSearcher:
             .select(cols)
             .mapInPandas(score_batches, "docid long, score float")
         )
+
+    def _dismax_scores_nested(self, q: DisMaxQuery) -> DataFrame:
+        """DisjunctionMaxQuery under a SimilarityBase member: queryNorm = 1,
+        so each sub-query scores independently under the active similarity
+        and DisjunctionMaxScorer's fold composes them — score =
+        f32(max + tie * (sum - max)) with the sum accumulated f32 in
+        clause order (Search/DisjunctionMaxScorer.cs)."""
+        if not q.queries:
+            return self._empty_hits()
+        import dataclasses
+
+        b = np.float32(q.boost)
+        parts = []
+        for i, sub in enumerate(q.queries):
+            if float(q.boost) != 1.0:
+                sub = dataclasses.replace(
+                    sub, boost=float(np.float32(np.float32(sub.boost) * b))
+                )
+            parts.append(
+                self.scores(sub).select(
+                    "docid", F.lit(i).alias("clause"), "score"
+                )
+            )
+        union = parts[0]
+        for pdf in parts[1:]:
+            union = union.unionByName(pdf)
+        n = len(parts)
+        agg = self._pivot_agg(union, n)
+        zero = F.lit(0.0).cast("float")
+        cols = [F.coalesce(F.col(f"s{i}"), zero) for i in range(n)]
+        mx = cols[0] if n == 1 else F.greatest(*cols)
+        ssum = cols[0]
+        for c in cols[1:]:
+            ssum = ssum + c
+        tie = F.lit(float(np.float32(q.tie_breaker))).cast("float")
+        return agg.select("docid", (mx + tie * (ssum - mx)).alias("score"))
+
+    def _classic_dismax_scores(self, q: DisMaxQuery) -> DataFrame:
+        """DisjunctionMaxQuery under classic TFIDF: the shared query norm
+        sums every sub-clause's queryWeight^2 (DisjunctionMaxWeight
+        GetValueForNormalization), then each clause scores with its
+        normalized value and DisjunctionMaxScorer folds max + tie*(rest).
+        Term and phrase sub-queries supported; no coord (not a boolean)."""
+        from ..functions.smallfloat import DECODE_TABLE
+        from ..oracle import classic_idf
+
+        clauses_q = list(q.queries)
+        if not clauses_q:
+            return self._empty_hits()
+        ok_types = (TermQuery, PhraseQuery, MultiPhraseQuery)
+        if not all(isinstance(c, ok_types) for c in clauses_q):
+            raise NotImplementedError(
+                "classic dismax scores term/phrase sub-queries"
+            )
+
+        def _flat(c):
+            if isinstance(c, TermQuery):
+                return [(c.field, c.term)]
+            if isinstance(c, PhraseQuery):
+                return [(c.field, t) for t in c.terms]
+            return [(c.field, t) for arr in c.term_arrays for t in arr]
+
+        all_keys = sorted({k for c in clauses_q for k in _flat(c)})
+        dfs = self.doc_freqs(all_keys)
+        idfs = []
+        for c in clauses_q:
+            acc = np.float32(0.0)
+            for k in _flat(c):
+                acc = np.float32(acc + classic_idf(dfs[k], self.max_doc))
+            idfs.append(acc)
+        qws = [
+            np.float32(i * np.float32(c.boost)) for i, c in zip(idfs, clauses_q)
+        ]
+        ssq = np.float32(0.0)
+        for qw in qws:
+            ssq = np.float32(ssq + np.float32(qw * qw))
+        ssq = np.float32(
+            ssq * np.float32(np.float32(q.boost) * np.float32(q.boost))
+        )
+        qnorm = (
+            np.float32(np.float64(1.0) / np.sqrt(np.float64(ssq)))
+            if ssq > 0
+            else np.float32(1.0)
+        )
+        values = [
+            np.float32(np.float32(qw * qnorm) * i) for qw, i in zip(qws, idfs)
+        ]
+        term_ids = [
+            i for i, c in enumerate(clauses_q) if isinstance(c, TermQuery)
+        ]
+        rows = None
+        live = [
+            Clause(i, clauses_q[i].term, values[i], field=clauses_q[i].field)
+            for i in term_ids
+            if dfs[(clauses_q[i].field, clauses_q[i].term)] > 0
+        ]
+        if live:
+            rows = self._score_blocks(
+                self._blocks_for([c.key for c in live]), live, classic=True
+            )
+        for i, c in enumerate(clauses_q):
+            if isinstance(c, TermQuery):
+                continue
+            pf, _flat2 = self._phrase_scores(c, return_freqs=True)
+            raw = (
+                F.sqrt(F.col("freq").cast("float")).cast("float")
+                * F.lit(float(values[i])).cast("float")
+            ).cast("float")
+            dec = F.array(
+                *[F.lit(float(x)).cast("float") for x in DECODE_TABLE]
+            )
+            sc = (raw * F.element_at(dec, F.col("nb").cast("int") + 1)).cast(
+                "float"
+            )
+            prow = pf.select(
+                "docid", F.lit(i).cast("int").alias("clause"), sc.alias("score")
+            )
+            rows = prow if rows is None else rows.unionByName(prow)
+        if rows is None:
+            return self._empty_hits()
+        n = len(clauses_q)
+        agg = self._pivot_agg(rows, n)
+        zero = F.lit(0.0).cast("float")
+        cols = [F.coalesce(F.col(f"s{i}"), zero) for i in range(n)]
+        mx = cols[0] if n == 1 else F.greatest(*cols)
+        ssum = cols[0]
+        for c in cols[1:]:
+            ssum = ssum + c
+        tie = F.lit(float(np.float32(q.tie_breaker))).cast("float")
+        return agg.select("docid", (mx + tie * (ssum - mx)).alias("score"))
 
     def _dismax_scores(self, q: DisMaxQuery) -> DataFrame:
         """max + tie*(sum-max) over clause scores (DisjunctionMaxScorer).

@@ -1175,6 +1175,93 @@ def sim_mixed_boolean_scores(
     return out
 
 
+def sim_dismax_scores(
+    index: OracleIndex,
+    similarity: str,
+    specs: list,
+    tie_breaker: float = 0.0,
+) -> dict[int, np.float32]:
+    """DisMax under a SimilarityBase member (queryNorm = 1): per-clause
+    maps under the active sim, score = f32(max + tie*(sum - max)) with
+    the sum folded f32 in clause order."""
+
+    def _m(spec):
+        if isinstance(spec, str):
+            if similarity == "lmd":
+                return lmd_term_scores(index, spec)
+            if similarity == "lmjm":
+                return lmjm_term_scores(index, spec)
+            return simbase_term_scores(index, spec, similarity)
+        _t, terms, slop = spec
+        return phrase_scores_sim(index, list(terms), similarity, slop=slop)
+
+    maps = [_m(sp) for sp in specs]
+    docs = set()
+    for m in maps:
+        docs |= m.keys()
+    tie = np.float32(tie_breaker)
+    out: dict[int, np.float32] = {}
+    for d in sorted(docs):
+        vals = [m.get(d, np.float32(0.0)) for m in maps]
+        mx = np.float32(max(vals))
+        ssum = np.float32(0.0)
+        for v in vals:
+            ssum = np.float32(ssum + v)
+        out[d] = np.float32(mx + np.float32(tie * np.float32(ssum - mx)))
+    return out
+
+
+def classic_dismax_scores(
+    index: OracleIndex,
+    specs: list,
+    tie_breaker: float = 0.0,
+    query_boost: float = 1.0,
+) -> dict[int, np.float32]:
+    """DisMax under classic TFIDF: shared queryNorm over all sub-clause
+    weights, per-clause TFIDF kernel, max + tie*(sum - max)."""
+
+    def _idf(spec):
+        if isinstance(spec, str):
+            return classic_idf(len(index.postings.get(spec, ())), index.max_doc)
+        acc = np.float32(0.0)
+        for t in spec[1]:
+            acc = np.float32(
+                acc + classic_idf(len(index.postings.get(t, ())), index.max_doc)
+            )
+        return acc
+
+    idfs = [_idf(sp) for sp in specs]
+    qws = [np.float32(i * np.float32(1.0)) for i in idfs]
+    ssq = np.float32(0.0)
+    for qw in qws:
+        ssq = np.float32(ssq + np.float32(qw * qw))
+    ssq = np.float32(
+        ssq * np.float32(np.float32(query_boost) * np.float32(query_boost))
+    )
+    qnorm = (
+        np.float32(np.float64(1.0) / np.sqrt(np.float64(ssq)))
+        if ssq > 0
+        else np.float32(1.0)
+    )
+    values = [np.float32(np.float32(qw * qnorm) * i) for qw, i in zip(qws, idfs)]
+    maps = [
+        _clause_score_map_classic(index, sp, v) for sp, v in zip(specs, values)
+    ]
+    docs = set()
+    for m in maps:
+        docs |= m.keys()
+    tie = np.float32(tie_breaker)
+    out: dict[int, np.float32] = {}
+    for d in sorted(docs):
+        vals = [m.get(d, np.float32(0.0)) for m in maps]
+        mx = np.float32(max(vals))
+        ssum = np.float32(0.0)
+        for v in vals:
+            ssum = np.float32(ssum + v)
+        out[d] = np.float32(mx + np.float32(tie * np.float32(ssum - mx)))
+    return out
+
+
 def phrase_scores_sim(
     index: OracleIndex,
     terms: list[str],

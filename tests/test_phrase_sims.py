@@ -165,3 +165,25 @@ def test_mixed_boolean_under_classic(spark, index_dir, oracle_index, shape, pair
     got = hits(s.search(q, 15))
     assert got == oracle.top_k(want, 15), shape
     assert got
+
+
+@pytest.mark.parametrize("sim", ["classic", "lmd", "dfr_gb2"])
+def test_dismax_under_sims(spark, index_dir, oracle_index, sim, pair):
+    """DisjunctionMaxQuery under non-BM25 sims: classic couples the clause
+    weights through the shared queryNorm; SimilarityBase members compose
+    independently; fold = f32(max + tie*(sum - max))."""
+    from lucenenet_spark.plans.query import DisMaxQuery, PhraseQuery, TermQuery
+
+    s = IndexSearcher(spark, index_dir, similarity=sim)
+    q = DisMaxQuery(
+        queries=(TermQuery(term="popcorn"), PhraseQuery(terms=pair)),
+        tie_breaker=0.3,
+    )
+    specs = ["popcorn", ("phrase", list(pair), 0)]
+    if sim == "classic":
+        want = oracle.classic_dismax_scores(oracle_index, specs, 0.3)
+    else:
+        want = oracle.sim_dismax_scores(oracle_index, sim, specs, 0.3)
+    got = hits(s.search(q, 15))
+    assert got == oracle.top_k(want, 15), sim
+    assert got
