@@ -1,4 +1,5 @@
 """Classic query-string parser unit tests (subset grammar, SURVEY.md §3.2)."""
+import numpy as np
 import pytest
 
 from lucenenet_spark import oracle
@@ -196,3 +197,30 @@ def test_simple_query_parser_search(spark, index_dir, oracle_index):
         15,
     )
     assert got == want
+
+
+def test_range_clause_inside_boolean(spark, index_dir, corpus_pdf, oracle_index):
+    """A field range as a boolean clause: the constant-score FilteredQuery
+    composes through the nested boolean path (score = term score + 1.0
+    for docs in range; MUST range restricts)."""
+    from lucenenet_spark.operators.search import IndexSearcher
+    from lucenenet_spark.plans.parser import parse
+
+    s = IndexSearcher(spark, index_dir)
+    q = parse("+popcorn +turn_idx:[2 TO 3]")
+    got = hits(s.search(q, 20, prune=False))
+    docs = corpus_pdf.reset_index(drop=True)
+    in_range = set(
+        docs.index[(docs["turn_idx"] >= 2) & (docs["turn_idx"] <= 3)].astype(int)
+    )
+    base = oracle.term_scores(oracle_index, "popcorn")
+    want = sorted(
+        (
+            (d, np.float32(np.float32(sc) + np.float32(1.0)))
+            for d, sc in base.items()
+            if d in in_range
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:20]
+    assert got == want
+    assert got
