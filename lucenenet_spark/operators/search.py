@@ -834,6 +834,23 @@ class IndexSearcher:
             return self._dismax_scores(q)
         if isinstance(q, BooleanQuery):
             return self._boolean_scores(q, prune_k)
+        # SpanQuery as a scores() citizen: a span clause inside a boolean
+        # (the reference's SpanQuery IS-A Query) routes through the span
+        # machinery, which already honors the active similarity
+        from . import spans as _spans
+
+        if isinstance(
+            q,
+            (
+                _spans.SpanTermQuery,
+                _spans.SpanOrQuery,
+                _spans.SpanNearQuery,
+                _spans.SpanFirstQuery,
+                _spans.SpanNotQuery,
+                _spans.SpanMultiTermQueryWrapper,
+            ),
+        ):
+            return _spans.span_scores(self, q)
         raise TypeError(f"unsupported query node {type(q).__name__}")
 
     def _term_clauses(self, qs: tuple[Query, ...], start_id: int) -> list[Clause]:

@@ -204,3 +204,39 @@ def test_span_multiterm_top_terms_and_empty(searcher, oracle_index):
     assert [c.term for c in rw.clauses] == terms[:2]  # smallest-term tie-break
     empty = sp.SpanMultiTermQueryWrapper(query=PrefixQuery(prefix="zzzq"))
     assert hits(sp.span_search(searcher, empty, 10)) == []
+
+
+def test_span_clause_inside_boolean(spark, index_dir, oracle_index):
+    """SpanQuery IS-A Query: a span clause composes inside BooleanQuery
+    via the nested path (f32 clause fold), like the reference."""
+    import numpy as np
+
+    from lucenenet_spark.operators.search import IndexSearcher
+    from lucenenet_spark.operators.spans import (
+        SpanNearQuery,
+        SpanTermQuery,
+        span_scores_oracle,
+    )
+    from lucenenet_spark.plans.query import BooleanQuery, TermQuery
+
+    from .conftest import hits as _hits
+
+    s = IndexSearcher(spark, index_dir)
+    near = SpanNearQuery(
+        clauses=(SpanTermQuery(term="common1"), SpanTermQuery(term="common2")),
+        slop=3,
+        in_order=True,
+    )
+    q = BooleanQuery(must=(TermQuery(term="popcorn"),), should=(near,))
+    got = _hits(s.search(q, 15, prune=False))
+    tmap = oracle.term_scores(oracle_index, "popcorn")
+    smap = span_scores_oracle(oracle_index, near)
+    want = sorted(
+        (
+            (d, np.float32(np.float32(sc) + smap.get(d, np.float32(0.0))))
+            for d, sc in tmap.items()
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:15]
+    assert got == want
+    assert got
