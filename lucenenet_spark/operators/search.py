@@ -973,9 +973,11 @@ class IndexSearcher:
 
         if not q.must and not q.should:
             return self._empty_hits()
-        if not all(isinstance(c, TermQuery) for c in q.must_not):
-            raise NotImplementedError("classic MUST_NOT supports term clauses")
         ok_types = (TermQuery, PhraseQuery, MultiPhraseQuery)
+        if not all(isinstance(c, ok_types) for c in q.must_not):
+            raise NotImplementedError(
+                "classic MUST_NOT supports term/phrase clauses"
+            )
         if not all(isinstance(c, ok_types) for c in q.must + q.should):
             raise NotImplementedError(
                 "classic similarity scores term/phrase clauses"
@@ -1105,11 +1107,19 @@ class IndexSearcher:
         scored = agg.filter(cond).select(
             "docid", (acc * coord.cast("float")).cast("float").alias("score")
         )
-        not_keys = [(c.field, c.term) for c in q.must_not]
+        not_keys = [
+            (c.field, c.term) for c in q.must_not if isinstance(c, TermQuery)
+        ]
         if not_keys:
             scored = scored.join(
                 F.broadcast(self._docids_of_terms(not_keys, dedupe=False)), "docid", "left_anti"
             )
+        for c in q.must_not:
+            if not isinstance(c, TermQuery):
+                pf, _fl = self._phrase_scores(c, return_freqs=True)
+                scored = scored.join(
+                    pf.select("docid"), "docid", "left_anti"
+                )
         return scored
 
     def _lmd_boolean_scores(self, q: BooleanQuery) -> DataFrame:

@@ -1044,6 +1044,30 @@ def _clause_score_map_classic(index, spec, value: np.float32):
     return out
 
 
+def _match_docs_spec(index: OracleIndex, spec) -> set[int]:
+    """Docids matching a term-or-phrase clause spec (for MUST_NOT)."""
+    if isinstance(spec, str):
+        return {d for d, _tf in index.postings.get(spec, ())}
+    _t, terms, slop = spec
+    cand = None
+    for t in terms:
+        docs = set(index.positions.get(t, {}))
+        cand = docs if cand is None else cand & docs
+    out = set()
+    for d in cand or ():
+        if slop == 0:
+            fr = exact_phrase_freq(index, terms, list(range(len(terms))), d)
+        else:
+            fr = sloppy_phrase_freq(
+                [index.positions[t][d] for t in terms],
+                list(range(len(terms))),
+                slop,
+            )
+        if fr > 0:
+            out.add(d)
+    return out
+
+
 def classic_mixed_boolean_scores(
     index: OracleIndex,
     must: list = (),
@@ -1087,8 +1111,8 @@ def classic_mixed_boolean_scores(
         _clause_score_map_classic(index, c, v) for c, v in zip(clauses, values)
     ]
     not_docs: set[int] = set()
-    for t in must_not:
-        not_docs.update(d for d, _tf in index.postings.get(t, ()))
+    for spec in must_not:
+        not_docs |= _match_docs_spec(index, spec)
     must_maps, should_maps = maps[:n_must], maps[n_must:]
     if must:
         docs = set(must_maps[0].keys())
@@ -1147,8 +1171,8 @@ def sim_mixed_boolean_scores(
     n_must = len(must)
     must_maps, should_maps = maps[:n_must], maps[n_must:]
     not_docs: set[int] = set()
-    for t in must_not:
-        not_docs.update(d for d, _tf in index.postings.get(t, ()))
+    for spec in must_not:
+        not_docs |= _match_docs_spec(index, spec)
     if must:
         docs = set(must_maps[0].keys())
         for m in must_maps[1:]:
