@@ -344,6 +344,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["join_terms_none"] = join_terms_none
 
+    def join_terms_total_seg(spark, sf_dir):
+        # same join as join_terms_avg but mode=total with the segmented
+        # two-level fold FORCED — the driver proves it against the flat-fold
+        # oracle (the nested aggregate carries the f32 accumulator across
+        # docid ranges, bit-identical accumulation order)
+        s = _searcher(spark, sf_dir)
+        s.JOIN_FLAT_FOLD_MAX = 0
+        s.JOIN_FOLD_RANGE = 1 << 10
+        return s.join_terms(
+            TermQuery(term=HOT), "tool", "tool", score_mode="total", k=15
+        )
+
+    out["join_terms_total_seg"] = join_terms_total_seg
+
+    def join_terms_multi(spark, sf_dir):
+        # multi-valued array<string> join fields on BOTH sides (JoinUtil
+        # SortedSet path, TestJoinUtil.cs multi-value cases): tags = [role]
+        # (+ tool when present); mode=max
+        s = _searcher(spark, sf_dir)
+        d = s.docs().withColumn(
+            "tags",
+            F.when(
+                F.col("tool").isNotNull(), F.array("role", "tool")
+            ).otherwise(F.array("role")),
+        )
+        return s.join_terms(
+            TermQuery(term=HOT), "tags", "tags", score_mode="max", k=15,
+            docs_df=d,
+        )
+
+    out["join_terms_multi"] = join_terms_multi
+
     def function_score(spark, sf_dir):
         # FunctionQuery: score = value source over doc columns (all docs)
         s = _searcher(spark, sf_dir)
@@ -735,22 +767,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _prioritize(out)
 
 
-# The driver gates 50 rows/round and rotates; entries with NO historical
-# CORRECTNESS_r{1,2,3} row (plus anything brand-new this round) go FIRST so
-# every operator gets an independent driver check at least once.
-_NEVER_DRIVER_CHECKED = [
-    "term_db2", "term_ifb2", "term_inl2", "term_gl1", "term_in_z",
-    "term_if_h3", "term_g_noae", "term_ib_ttf", "highlight_offsets",
-    "span_prefix_first", "span_prefix_near", "term_vector_doc",
-    "payload_near_avg", "payload_near_min", "more_like_this_tv",
-    "ann_ivf_topk", "ann_ivf_recall", "emb_cell_hist", "analyze_uax29",
+# The driver gates 50 rows/round and rotates. Priority is never-GREEN first
+# (r4 verdict process finding): gates with a historical driver row but no
+# green one ever, then gates brand-new this round (no row at all), then the
+# stalest green tier (last driver-green r02), then the r03 tier — computed
+# from CORRECTNESS_r0{1..4}.json hash_match history.
+_NEVER_GREEN = ["doc_simhash", "media_features"]  # failed r1 (no_oracle), rotated out since
+# round-5 additions are unseen by the driver — list them here as they land
+_NEW_THIS_ROUND: list[str] = [
+    "payload_term_tfidf", "payload_term_lmd", "join_terms_multi",
+    "multi_phrase_sloppy3", "regexp", "complex_phrase", "join_terms_total_seg",
 ]
-# round-4 additions are also unseen by the driver — list them here as they land
-_NEW_THIS_ROUND: list[str] = ["phrase_tfidf", "phrase_lmd", "term_stemmed", "bool_stemmed", "join_terms_avg", "join_terms_none", "function_score", "custom_score", "boosting_demote", "filtered_ts_range", "filtered_turn_range", "suggest_analyzing", "classify_knn", "classify_nb", "rescore_topn", "suggest_fuzzy", "simple_query", "join_parent_avg"]
+_LAST_GREEN_R02 = [
+    "span_first", "span_near", "suggest_prefix", "spell_suggest",
+    "highlight_hot", "more_like_this", "join_parent_max", "join_parent_total",
+    "dedup_exact", "dedup_minhash_pairs", "dedup_jaccard", "doc_token_stats",
+    "doc_quality", "doc_lang", "doc_fingerprint", "ann_cosine_topk",
+    "ann_lsh_topk", "emb_bucket_hist", "emb_near_dups",
+]
+_LAST_GREEN_R03 = [
+    "bool_cross_field", "boost_should", "common_terms", "common_terms_allhigh",
+    "common_terms_msm", "constant_score_bool", "count_hits", "doclen",
+    "facet_drilldown", "facet_role", "facet_sideways", "facet_tree",
+    "field_role_term", "filtered_role", "fuzzy", "group_top2", "match_all",
+    "multi_phrase_sloppy", "norm_hist", "payload_term", "payload_term_max",
+    "prefix", "search_after", "sort_by_ts", "term_bb2", "term_dfr", "term_ib",
+    "term_ib_spl", "term_inb2", "term_ineb2", "term_lmd", "term_lmjm",
+    "term_pl2", "term_range", "term_stats_top", "term_tfidf", "wildcard",
+]
 
 
 def _prioritize(out: dict) -> dict:
-    front = [k for k in _NEVER_DRIVER_CHECKED + _NEW_THIS_ROUND if k in out]
+    ordered = _NEVER_GREEN + _NEW_THIS_ROUND + _LAST_GREEN_R02 + _LAST_GREEN_R03
+    front = [k for k in ordered if k in out]
     rest = [k for k in out if k not in front]
     return {k: out[k] for k in front + rest}
 
@@ -890,6 +939,10 @@ LIMIT 30"""
     out["phrase_lmd"] = es.phrase_sim_sql(["value", "table"], "lmd", k=15, slop=2)
     out["term_stemmed"] = es.term_sql("merg", k=15, analyzer="english")
     out["join_terms_avg"] = es.join_terms_sql(HOT, "tool", "tool", "avg", k=15)
+    out["join_terms_total_seg"] = es.join_terms_sql(
+        HOT, "tool", "tool", "total", k=15
+    )
+    out["join_terms_multi"] = es.join_terms_multi_sql(HOT, k=15)
     out["join_terms_none"] = es.join_terms_sql(
         HOT, "tool", "tool", "none", k=100000, boost=2.0
     )

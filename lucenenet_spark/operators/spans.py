@@ -617,10 +617,8 @@ def span_scores(searcher, q: Query) -> DataFrame:
 
 def span_search(searcher, q: Query, k: int = 10) -> DataFrame:
     """Top-k span search with the standard tie-break."""
-    scored = span_scores(searcher, q)
-    dels = searcher._deleted_docids()
-    if dels is not None:
-        scored = scored.join(F.broadcast(dels), "docid", "left_anti")
+    # _apply_live_docs carries the broadcast-vs-shuffle size guard
+    scored = searcher._apply_live_docs(span_scores(searcher, q))
     return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
 
 
@@ -785,8 +783,5 @@ def payload_near_scores(searcher, q: PayloadNearQuery) -> DataFrame:
 
 
 def payload_near_search(searcher, q: PayloadNearQuery, k: int = 10) -> DataFrame:
-    scored = payload_near_scores(searcher, q)
-    dels = searcher._deleted_docids()
-    if dels is not None:
-        scored = scored.join(F.broadcast(dels), "docid", "left_anti")
+    scored = searcher._apply_live_docs(payload_near_scores(searcher, q))
     return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
