@@ -568,7 +568,13 @@ class IndexSearcher:
             ) + "$"
             return F.col("term").rlike(rx)
         if isinstance(q, RegexpQuery):
-            return F.col("term").rlike("^(?:" + q.pattern + ")$")
+            # Lucene-automaton grammar, not Java regex: `\d` is a literal
+            # 'd', `^`/`$` are literals, `"..."` quotes, and the automaton
+            # is anchored (Util/Automaton/RegExp.cs); ~/&/<n-m> raise
+            from ..functions.regexp import lucene_regexp_to_java
+
+            rx = lucene_regexp_to_java(q.pattern)
+            return F.col("term").rlike("^(?:" + rx + ")$")
         if isinstance(q, TermRangeQuery):
             cond = F.lit(True)
             if q.lower is not None:
@@ -813,12 +819,8 @@ class IndexSearcher:
                 return docids.select("docid", const)
             return self._scores_raw(inner, None).select("docid", const)
         if isinstance(q, PayloadTermQuery):
-            if self.similarity != "bm25":
-                raise NotImplementedError(
-                    "payload queries are scored with BM25 here (the reference "
-                    "routes ComputeSlopFactor/ComputePayloadFactor through the "
-                    "active similarity; only the BM25 route is implemented)"
-                )
+            # scored under EVERY similarity: the span kernel routes through
+            # the active SimScorer exactly like phrases (_phrase_finalize)
             return self._payload_term_scores(q)
         if isinstance(q, TermQuery):
             q = BooleanQuery(should=(q,))
@@ -1877,10 +1879,18 @@ class IndexSearcher:
         )
 
     def _phrase_finalize(
-        self, pf: DataFrame, flat: list[tuple[int, str]], field: str, qboost: float
+        self, pf: DataFrame, flat: list[tuple[int, str]], field: str,
+        qboost: float, factor_col: str | None = None,
     ) -> DataFrame:
         """Score phrase candidates (docid, freq float, nb short) under the
         active non-BM25 similarity.
+
+        factor_col names an extra float column multiplied into the kernel
+        score LAST (f32) — the payload route: PayloadTermSpanScorer.Score()
+        is GetSpanScore() * GetPayloadScore(), where the span score is the
+        ACTIVE similarity's kernel at the sloppy freq
+        (Search/Payloads/PayloadTermQuery.cs GetScore via
+        Similarity.SimScorer ComputeSlopFactor/ComputePayloadFactor).
 
         Reference semantics (every Similarity scores every Scorer):
         - classic TF-IDF: PhraseWeight idf = f32 SUM of per-term idfs over
@@ -1919,11 +1929,16 @@ class IndexSearcher:
                 * F.lit(float(value)).cast("float")
             ).cast("float")
             if omit:
-                return pf.select("docid", raw.alias("score"))
-            dec = F.array(*[F.lit(float(x)).cast("float") for x in DECODE_TABLE])
-            sc = (raw * F.element_at(dec, F.col("nb").cast("int") + 1)).cast(
-                "float"
-            )
+                sc = raw
+            else:
+                dec = F.array(
+                    *[F.lit(float(x)).cast("float") for x in DECODE_TABLE]
+                )
+                sc = (
+                    raw * F.element_at(dec, F.col("nb").cast("int") + 1)
+                ).cast("float")
+            if factor_col is not None:
+                sc = (sc * F.col(factor_col).cast("float")).cast("float")
             return pf.select("docid", sc.alias("score"))
 
         # SimilarityBase family: per-term scalar params, kernels summed at
@@ -1959,6 +1974,9 @@ class IndexSearcher:
                     for st in stats:
                         sc = simbase.block_scores(spec, st, boost32, freq, dl)
                         total = (total + sc).astype(np.float32)
+                    if factor_col is not None:
+                        fac = pdf[factor_col].to_numpy().astype(np.float32)
+                        total = (total * fac).astype(np.float32)
                     yield pd.DataFrame({"docid": pdf["docid"], "score": total})
 
         else:  # lmd / lmjm
@@ -2009,6 +2027,9 @@ class IndexSearcher:
                             ).astype(np.float32)
                             np.maximum(sc, np.float32(0.0), out=sc)
                         total = (total + sc).astype(np.float32)
+                    if factor_col is not None:
+                        fac = pdf[factor_col].to_numpy().astype(np.float32)
+                        total = (total * fac).astype(np.float32)
                     yield pd.DataFrame({"docid": pdf["docid"], "score": total})
 
         return pf.mapInPandas(fin, "docid long, score float")
@@ -2032,7 +2053,14 @@ class IndexSearcher:
         No payloads seen -> DocScore = 1. Final score = f32(spanScore *
         DocScore), or DocScore alone when include_span_score=False
         (PayloadTermQuery.cs GetScore). One job: the term's blocks decode
-        and score in a single mapInPandas — no shuffle before top-k."""
+        and score in a single mapInPandas — no shuffle before top-k.
+
+        Non-BM25 similarities (the reference routes the span score through
+        the ACTIVE SimScorer — Similarity.SimScorer ComputeSlopFactor is
+        1/(distance+1) in every family, so freq = 0.5*tf everywhere): the
+        decode pass emits (docid, freq, nb, factor) and _phrase_finalize
+        applies the active kernel * factor — still two chained narrow maps,
+        no shuffle."""
         for s in self.segments:
             if s["manifest"].get("payload_provider") is None:
                 raise NotImplementedError(
@@ -2042,11 +2070,16 @@ class IndexSearcher:
         key = (q.field, q.term)
         if self.doc_freqs([key])[key] == 0:
             return self._empty_hits()
-        w = self.weight(q.term, q.boost, q.field)
-        caches = self._field_caches
         fn, include_span = q.function, q.include_span_score
         if fn not in ("avg", "min", "max"):
             raise ValueError(f"unknown payload function {fn!r}")
+        kernel_path = include_span and self.similarity != "bm25"
+        w = (
+            self.weight(q.term, q.boost, q.field)
+            if include_span and not kernel_path
+            else np.float32(0.0)
+        )
+        caches = self._field_caches
 
         def score_batches(it):
             from .codec import decode_block, decode_float_payloads
@@ -2095,6 +2128,22 @@ class IndexSearcher:
                         factor = np.where(
                             cnt > 0, factor, np.float32(1.0)
                         ).astype(np.float32)
+                    if kernel_path:
+                        # hand (freq, norm byte, factor) to the active
+                        # similarity kernel — exactly the phrase route
+                        freq = tfs.astype(np.float32) * np.float32(0.5)
+                        nbytes = np.frombuffer(r.norms_enc, dtype=np.uint8)
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "docid": docids,
+                                    "freq": freq,
+                                    "nb": nbytes.astype(np.int16),
+                                    "factor": factor,
+                                }
+                            )
+                        )
+                        continue
                     if include_span:
                         freq = tfs.astype(np.float32) * np.float32(0.5)
                         nbytes = np.frombuffer(r.norms_enc, dtype=np.uint8)
@@ -2105,22 +2154,38 @@ class IndexSearcher:
                     else:
                         score = factor
                     outs.append(pd.DataFrame({"docid": docids, "score": score}))
-                yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
-                    {
-                        "docid": pd.Series(dtype="int64"),
-                        "score": pd.Series(dtype="float32"),
-                    }
-                )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+                elif kernel_path:
+                    yield pd.DataFrame(
+                        {
+                            "docid": pd.Series(dtype="int64"),
+                            "freq": pd.Series(dtype="float32"),
+                            "nb": pd.Series(dtype="int16"),
+                            "factor": pd.Series(dtype="float32"),
+                        }
+                    )
+                else:
+                    yield pd.DataFrame(
+                        {
+                            "docid": pd.Series(dtype="int64"),
+                            "score": pd.Series(dtype="float32"),
+                        }
+                    )
 
         cols = [
             "field", "first_docid", "count", "docids_enc", "tfs_enc",
             "norms_enc", "pay_enc", "docbase",
         ]
-        return (
-            self._blocks_for([key])
-            .select(cols)
-            .mapInPandas(score_batches, "docid long, score float")
-        )
+        blocks = self._blocks_for([key]).select(cols)
+        if kernel_path:
+            pf = blocks.mapInPandas(
+                score_batches, "docid long, freq float, nb short, factor float"
+            )
+            return self._phrase_finalize(
+                pf, [(0, q.term)], q.field, q.boost, factor_col="factor"
+            )
+        return blocks.mapInPandas(score_batches, "docid long, score float")
 
     def _dismax_scores_nested(self, q: DisMaxQuery) -> DataFrame:
         """DisjunctionMaxQuery under a SimilarityBase member: queryNorm = 1,

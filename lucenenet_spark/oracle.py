@@ -1485,6 +1485,51 @@ def payload_term_scores(
     return out
 
 
+def payload_term_scores_sim(
+    index: OracleIndex,
+    term: str,
+    similarity: str,
+    function: str = "avg",
+    boost: float = 1.0,
+    mu: float = 2000.0,
+    lam: float = 0.1,
+) -> dict[int, np.float32]:
+    """PayloadTermQuery under a non-BM25 similarity: the span part routes
+    through the ACTIVE SimScorer (PayloadTermQuery.cs GetScore;
+    ComputeSlopFactor = 1/(distance+1) in every family, so freq is the
+    same f32 fold of 0.5 per occurrence), then f32(spanScore * factor)
+    with the PayloadFunction fold unchanged."""
+    plist = index.positions.get(term)
+    if not plist:
+        return {}
+    freqs: dict[int, np.float32] = {}
+    factors: dict[int, np.float32] = {}
+    for d, poss in sorted(plist.items()):
+        pay_sum = np.float32(0.0)
+        pay_min = pay_max = None
+        freq = np.float32(0.0)
+        for p in poss:
+            f = np.float32(np.float32(p) + np.float32(1.0))
+            pay_sum = np.float32(pay_sum + f)
+            pay_min = f if pay_min is None else min(pay_min, f)
+            pay_max = f if pay_max is None else max(pay_max, f)
+            freq = np.float32(freq + np.float32(0.5))
+        seen = len(poss)
+        if not seen:
+            factors[d] = np.float32(1.0)
+        elif function == "avg":
+            factors[d] = np.float32(pay_sum / np.float32(seen))
+        elif function == "min":
+            factors[d] = pay_min
+        else:
+            factors[d] = pay_max
+        freqs[d] = freq
+    span = sim_scores_from_freqs(
+        index, [term], freqs, similarity, boost=boost, mu=mu, lam=lam
+    )
+    return {d: np.float32(span[d] * factors[d]) for d in freqs}
+
+
 def top_k(scores: dict[int, np.float32], k: int) -> list[tuple[int, np.float32]]:
     """(docid, score) ranked score desc then docID asc — HitQueue.cs:88-100."""
     return sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))[:k]

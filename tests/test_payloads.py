@@ -303,3 +303,46 @@ def test_payload_near_guards(pay_searcher, searcher):
     )
     with pytest.raises(NotImplementedError, match="payload"):
         sp.payload_near_search(searcher, q2, 10)
+
+
+# -- every similarity (new r5) ------------------------------------------------
+
+SIMS = ["classic", "lmd", "lmjm", "dfr_inl2", "dfr_gb2", "ib_ll"]
+
+
+@pytest.mark.parametrize("sim", SIMS)
+@pytest.mark.parametrize("fn", FUNCS)
+def test_payload_term_every_similarity(spark, pay_index, oracle_index, sim, fn):
+    """PayloadTermQuery.cs GetScore routes the span part through the ACTIVE
+    SimScorer — the engine must match the oracle's kernel-at-sloppy-freq *
+    payload-factor under every similarity family."""
+    s = IndexSearcher(spark, pay_index, similarity=sim)
+    got = hits(s.search(PayloadTermQuery(term="hello", function=fn), 15))
+    want = oracle.top_k(
+        oracle.payload_term_scores_sim(oracle_index, "hello", sim, function=fn),
+        15,
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("sim", ["classic", "lmd"])
+def test_payload_boost_under_sim(spark, pay_index, oracle_index, sim):
+    s = IndexSearcher(spark, pay_index, similarity=sim)
+    got = hits(s.search(PayloadTermQuery(term="popcorn", boost=1.7), 15))
+    want = oracle.top_k(
+        oracle.payload_term_scores_sim(
+            oracle_index, "popcorn", sim, boost=1.7
+        ),
+        15,
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("sim", SIMS)
+def test_payload_only_score_sim_independent(spark, pay_index, sim):
+    """include_span_score=False is the factor alone — identical under every
+    similarity (no kernel involved)."""
+    bm = IndexSearcher(spark, pay_index)
+    other = IndexSearcher(spark, pay_index, similarity=sim)
+    q = PayloadTermQuery(term="hello", function="max", include_span_score=False)
+    assert hits(bm.search(q, 15)) == hits(other.search(q, 15))
