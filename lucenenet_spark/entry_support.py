@@ -739,8 +739,8 @@ def phrase_sql(
     strict crossing score sloppyFreq(matchLength) and swap streams; else
     matchLength = min(matchLength, end - newPos); on stream exhaustion
     score the final matchLength. freq accumulates in float32 (REAL casts
-    per add) exactly like the scorer. n>2 sloppy is engine-side only
-    (pytest-verified vs the Python oracle)."""
+    per add) exactly like the scorer. n>2 sloppy runs the generalized
+    N-stream pq emulation (_sloppy_freq_cte_n, new r5)."""
     if offsets is None:
         offsets = list(range(len(terms)))
     arrays = [[t] if isinstance(t, str) else list(t) for t in terms]
@@ -771,8 +771,8 @@ def _phrase_freq_cte(arrays: list, offsets: list[int], slop: int) -> str:
     (exact alignment count, or the 2-stream SloppyPhraseScorer recursive
     merge). Shared by the BM25 and the per-similarity phrase oracles."""
     n = len(arrays)
-    if slop > 0 and n != 2:
-        raise NotImplementedError("sloppy phrase oracle SQL covers 2-slot phrases")
+    if slop > 0 and n > 2:
+        return _sloppy_freq_cte_n(arrays, offsets, slop)
     clauses = "\nUNION ALL\n".join(
         "SELECT docid, {i} AS clause, pos - {off} AS bpos FROM pos "
         "WHERE term IN ({ts})".format(
@@ -835,6 +835,118 @@ rec AS (
            CASE WHEN is_a = 1 THEN pb ELSE pa END AS other
     FROM rec WHERE NOT done
   ) s
+),
+pf AS (SELECT docid, freq FROM rec WHERE done AND freq > 0)"""
+
+
+def _sloppy_freq_cte_n(arrays: list, offsets: list[int], slop: int) -> str:
+    """N-slot SloppyPhraseScorer.PhraseFreq as a recursive CTE (the pq of
+    PhrasePositions unrolled into per-clause columns; no-repeats algorithm,
+    same documented divergence as the python oracle): pop the min (position,
+    clause) stream, advance it; once it passes the next-lowest, score the
+    best matchLength seen with sloppyFreq = f32(1/(1+ml)), f32-accumulated
+    in match order (SloppyPhraseScorer.cs PhraseFreq)."""
+    n = len(arrays)
+    one = "CAST(CAST(1.0 AS DOUBLE) AS REAL)"
+    rng = list(range(n))
+
+    def least_of(cols):
+        return cols[0] if len(cols) == 1 else f"least({', '.join(cols)})"
+
+    def argmin(cols):
+        # min by (position, clause index): <= keeps the lowest index on ties
+        parts = []
+        for i in rng[:-1]:
+            rest = least_of(cols[i + 1 :])
+            parts.append(f"WHEN {cols[i]} <= {rest} THEN {i}")
+        return f"CASE {' '.join(parts)} ELSE {n - 1} END"
+
+    def pick(ppi_col, cols):
+        whens = " ".join(f"WHEN {i} THEN {cols[i]}" for i in rng)
+        return f"CASE {ppi_col} {whens} END"
+
+    def least_excl(ppi_col, cols):
+        whens = " ".join(
+            f"WHEN {i} THEN {least_of([c for j, c in enumerate(cols) if j != i])}"
+            for i in rng
+        )
+        return f"CASE {ppi_col} {whens} END"
+
+    clauses = "\nUNION ALL\n".join(
+        "SELECT docid, {i} AS clause, pos - {off} AS bpos FROM pos "
+        "WHERE term IN ({ts})".format(
+            i=i, off=off, ts=", ".join(f"'{t}'" for t in arr)
+        )
+        for i, (arr, off) in enumerate(zip(arrays, offsets))
+    )
+    lists = ", ".join(
+        f"list_sort(list(bpos) FILTER (WHERE clause = {i})) AS l{i}" for i in rng
+    )
+    la = [f"l{i}" for i in rng]
+    cur = [f"cur{i}" for i in rng]
+    ncur = [f"ncur{i}" for i in rng]
+    first = ", ".join(f"CAST(l{i}[1] AS BIGINT) AS cur{i}, 2 AS idx{i}" for i in rng)
+    sc = (
+        f"CASE WHEN ml <= {slop} THEN CAST({one} / CAST(ml + 1 AS REAL) AS REAL) "
+        "ELSE CAST(0.0 AS REAL) END"
+    )
+    np_case = " ".join(
+        f"WHEN {i} THEN (CASE WHEN idx{i} <= len(l{i}) "
+        f"THEN CAST(l{i}[idx{i}] AS BIGINT) END)"
+        for i in rng
+    )
+    upd = ", ".join(
+        f"CASE WHEN ppi = {i} AND np IS NOT NULL THEN np ELSE cur{i} END AS ncur{i}, "
+        f"CASE WHEN ppi = {i} AND np IS NOT NULL THEN idx{i} + 1 ELSE idx{i} END AS nidx{i}"
+        for i in rng
+    )
+    carry = ", ".join(
+        [f"l{i}" for i in rng]
+        + [f"ncur{i} AS cur{i}" for i in rng]
+        + [f"nidx{i} AS idx{i}" for i in rng]
+    )
+    return f"""m AS ({clauses}),
+plist AS (
+  SELECT docid, {lists}
+  FROM m GROUP BY docid
+  HAVING count(DISTINCT clause) = {n}
+),
+rec AS (
+  SELECT docid, {', '.join(la)}, {', '.join(cur)},
+         {', '.join(f'idx{i}' for i in rng)},
+         end_, ppi,
+         {least_excl('ppi', cur)} AS next_,
+         end_ - {pick('ppi', cur)} AS ml,
+         CAST(0.0 AS REAL) AS freq,
+         FALSE AS done
+  FROM (
+    SELECT *, greatest({', '.join(cur)}) AS end_, {argmin(cur)} AS ppi
+    FROM (SELECT docid, {', '.join(la)}, {first} FROM plist) a
+  ) b
+  UNION ALL
+  SELECT docid, {carry},
+         nend AS end_,
+         CASE WHEN np IS NULL THEN ppi WHEN push THEN nppi ELSE ppi END AS ppi,
+         CASE WHEN np IS NOT NULL AND push THEN {least_excl('nppi', ncur)}
+              ELSE next_ END AS next_,
+         CASE WHEN np IS NULL THEN ml
+              WHEN push THEN nend - {pick('nppi', ncur)}
+              ELSE least(ml, nend - np) END AS ml,
+         CASE WHEN np IS NULL OR push THEN CAST(freq + {sc} AS REAL)
+              ELSE freq END AS freq,
+         np IS NULL AS done
+  FROM (
+    SELECT *, {argmin(ncur)} AS nppi,
+           (np IS NOT NULL AND np > next_) AS push
+    FROM (
+      SELECT *, {upd},
+             CASE WHEN np IS NULL THEN end_ ELSE greatest(end_, np) END AS nend
+      FROM (
+        SELECT *, CASE ppi {np_case} END AS np
+        FROM rec WHERE NOT done
+      ) s1
+    ) s2
+  ) s3
 ),
 pf AS (SELECT docid, freq FROM rec WHERE done AND freq > 0)"""
 
@@ -1184,6 +1296,105 @@ pfac AS (
 {_positions_cte()},
 {pay_cte}
 {tail}
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+
+
+def payload_term_sim_sql(
+    term: str, similarity: str, function: str = "avg", k: int = 15,
+    boost: float = 1.0, mu: float = 2000.0,
+) -> str:
+    """PayloadTermQuery under classic TF-IDF or LM-Dirichlet, float32-exact.
+
+    The reference routes the span score through the ACTIVE SimScorer
+    (Search/Payloads/PayloadTermQuery.cs GetScore; ComputeSlopFactor is
+    1/(distance+1) in every similarity family) — the payload factor fold
+    is unchanged from payload_term_sql; only the kernel at
+    freq = f32(0.5*tf) swaps:
+      classic — f32(f32(f32(sqrt(freq)) * value) * byte315Decode(norm))
+                (TFIDFSimScorer), value from the standalone-query norm;
+      lmd     — max(0, f32(boost * f32(ln(1 + freq/(mu*cp)) +
+                ln(mu/(dl+mu))))) (LMDirichletSimilarity).
+    Final score = f32(kernel * factor)."""
+    if function == "avg":
+        factor = "CAST(psum / CAST(tf AS REAL) AS REAL)"
+    elif function == "min":
+        factor = "pmin"
+    elif function == "max":
+        factor = "pmax"
+    else:
+        raise ValueError(f"unknown payload function {function!r}")
+    one = "CAST(CAST(1.0 AS DOUBLE) AS REAL)"
+    pay_cte = f"""pocc AS (
+  SELECT docid, pos,
+         CAST(CAST(pos AS REAL) + {one} AS REAL) AS pf
+  FROM pos WHERE term = '{term}'
+),
+pagg AS (
+  SELECT docid, count(*) AS tf,
+         list_reduce(list(pf ORDER BY pos), (x, y) -> CAST(x + y AS REAL)) AS psum,
+         min(pf) AS pmin, max(pf) AS pmax
+  FROM pocc GROUP BY docid
+),
+pfac AS (
+  SELECT docid,
+         CAST(CAST(tf AS REAL) * {_f32lit(0.5)} AS REAL) AS freq,
+         {factor} AS factor
+  FROM pagg
+)"""
+    if similarity == "classic":
+        cidf = (
+            "(SELECT CAST(ln(CAST(f.max_doc AS DOUBLE) / "
+            "(CAST(t.df AS DOUBLE) + 1.0)) + CAST(1.0 AS DOUBLE) AS REAL) "
+            f"FROM tstats t CROSS JOIN fstats f WHERE t.term = '{term}')"
+        )
+        qw = f"CAST({cidf} * {_f32lit(boost)} AS REAL)"
+        ssq = f"CAST({qw} * {qw} AS REAL)"
+        qnorm = (
+            f"CAST(CAST(1.0 AS DOUBLE) / sqrt(CAST({ssq} AS DOUBLE)) AS REAL)"
+        )
+        value = f"CAST(CAST({qw} * {qnorm} AS REAL) * {cidf} AS REAL)"
+        return f"""{prelude()},
+{_positions_cte()},
+{pay_cte},
+cval AS (SELECT {value} AS v),
+dnorm AS (
+  SELECT l.docid, v.dt FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+)
+SELECT p.docid AS docid,
+       CAST(CAST(CAST(CAST(sqrt(CAST(p.freq AS DOUBLE)) AS REAL) * c.v AS REAL)
+            * d.dt AS REAL) * p.factor AS REAL) AS score
+FROM pfac p CROSS JOIN cval c JOIN dnorm d ON p.docid = d.docid
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+    if similarity != "lmd":
+        raise NotImplementedError(
+            "payload_term_sim_sql covers classic and lmd (others pytest-only)"
+        )
+    mu32 = _f32lit(mu)
+    b32 = _f32lit(boost)
+    zero = "CAST(CAST(0.0 AS DOUBLE) AS REAL)"
+    cp = (
+        "(SELECT CAST(CAST(CAST(t.ttf AS REAL) + CAST(1.0 AS REAL) AS REAL) / "
+        "CAST(CAST(f.sum_ttf AS REAL) + CAST(1.0 AS REAL) AS REAL) AS REAL) "
+        f"FROM tstats t CROSS JOIN fstats f WHERE t.term = '{term}')"
+    )
+    mucp = f"CAST({mu32} * {cp} AS REAL)"
+    inner1 = f"CAST(CAST(1.0 AS REAL) + CAST(p.freq / {mucp} AS REAL) AS REAL)"
+    inner2 = f"CAST({mu32} / CAST(d.nt + {mu32} AS REAL) AS REAL)"
+    raws = (
+        f"CAST({b32} * CAST(ln(CAST({inner1} AS DOUBLE)) "
+        f"+ ln(CAST({inner2} AS DOUBLE)) AS REAL) AS REAL)"
+    )
+    return f"""{prelude()},
+{_positions_cte()},
+{pay_cte},
+dnorm AS (
+  SELECT l.docid, v.nt FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+)
+SELECT p.docid AS docid,
+       CAST(GREATEST({raws}, {zero}) * p.factor AS REAL) AS score
+FROM pfac p JOIN dnorm d ON p.docid = d.docid
 ORDER BY score DESC, p.docid ASC
 LIMIT {k}"""
 
