@@ -88,7 +88,7 @@ def _field_range_query(
     return FilteredQuery(query=MatchAllQuery(), where=where)
 
 
-def _atom_query(tok: str, analyzer: str = "standard") -> Query | None:
+def _atom_query(tok: str, analyzer: str = "standard", phrase_fn=None) -> Query | None:
     boost = 1.0
     bm = re.search(r"\^(\d+(?:\.\d+)?)$", tok)
     if bm:
@@ -117,6 +117,10 @@ def _atom_query(tok: str, analyzer: str = "standard") -> Query | None:
         if not pm:
             raise ValueError(f"malformed phrase token {tok!r}")
         body, slop = pm.group(1), int(pm.group(2) or 0)
+        if phrase_fn is not None:
+            # ComplexPhraseQueryParser route: phrase contents may hold
+            # wildcards/fuzzy/negations and compile to span queries
+            return phrase_fn(body, slop, boost)
         if re.search(r"\(.*\|.*\)", body):
             return _multi_phrase(body, slop, boost, analyzer)
         from ..functions.analysis import tokenize_with_positions
@@ -187,13 +191,18 @@ def _multi_phrase(
     )
 
 
-def parse(s: str, default_operator: str = "OR", analyzer: str = "standard") -> Query:
+def parse(
+    s: str, default_operator: str = "OR", analyzer: str = "standard",
+    phrase_fn=None,
+) -> Query:
     """Parse a classic query string into a Query tree.
 
     `analyzer` runs term/phrase words through the same chain as indexing
     (QueryParser(analyzer) semantics — "english" stems, so parse("merging",
     analyzer="english") searches the stemmed index term "merg"). Wildcard/
     prefix/regexp/range/fuzzy tokens bypass analysis like the classic QP.
+    `phrase_fn(body, slop, boost)` overrides quoted-phrase compilation
+    (the ComplexPhraseQueryParser hook).
     """
     toks = _lex(s)
     pos = 0
@@ -281,7 +290,7 @@ def parse(s: str, default_operator: str = "OR", analyzer: str = "standard") -> Q
                     )
                 )
             else:
-                add(_atom_query(t, analyzer))
+                add(_atom_query(t, analyzer, phrase_fn))
         return simplify(
             BooleanQuery(must=tuple(must), should=tuple(should), must_not=tuple(must_not))
         )
@@ -482,3 +491,134 @@ def _sqp_fold(items: list, default_operator: str) -> Query:
     if not clauses:  # only negations: match nothing positive
         return BooleanQuery(must_not=tuple(nots))
     return finalize()
+
+
+# ---------------------------------------------------------------------------
+# ComplexPhraseQueryParser: wildcards/fuzzy/negation INSIDE quoted phrases
+# ---------------------------------------------------------------------------
+
+
+def _span_atom(tok: str, analyzer: str):
+    """One phrase element -> SpanQuery (or None when the analyzer drops it).
+
+    Mirrors the reference's pass-2 clause handling
+    (ComplexPhraseQueryParser.cs Rewrite): a multiterm clause becomes a
+    SpanMultiTermQueryWrapper (rewritten to SpanOr over matching terms at
+    search time — 'one* becomes (one OR onerous)'), a plain term a
+    SpanTermQuery analyzed with the index chain."""
+    from ..operators import spans as sp
+
+    fuzz = re.search(r"~(\d*)$", tok)
+    if fuzz and fuzz.start() > 0:
+        base = tok[: fuzz.start()].lower()
+        edits = int(fuzz.group(1)) if fuzz.group(1) else 2
+        return sp.SpanMultiTermQueryWrapper(
+            query=FuzzyQuery(term=base, max_edits=edits)
+        )
+    if "*" in tok or "?" in tok:
+        low = tok.lower()
+        if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
+            return sp.SpanMultiTermQueryWrapper(query=PrefixQuery(prefix=low[:-1]))
+        return sp.SpanMultiTermQueryWrapper(query=WildcardQuery(pattern=low))
+    toks = tokenize_text(tok, analyzer)
+    if not toks:
+        return None
+    return sp.SpanTermQuery(term=toks[0])
+
+
+def _complex_phrase(
+    body: str, slop: int, boost: float, analyzer: str, in_order: bool = True
+):
+    """Compile quoted-phrase contents to spans — ComplexPhraseQuery.Rewrite
+    (QueryParser/ComplexPhrase/ComplexPhraseQueryParser.cs:256-371):
+
+    - each whitespace element is one SpanNear position clause;
+    - (a b) groups become SpanOr (AddComplexPhraseClause), group-internal
+      negations SpanNot(or, orNots);
+    - a single plain-term phrase collapses to the TermQuery itself
+      ('contents is TermQuery'); a single MULTITERM element raises, exactly
+      the reference's ArgumentException on non-Boolean contents;
+    - top-level negations build SpanNot(include, exclude) where include =
+      the positives at slop+numNegatives and exclude = the full sequence at
+      slop (the 'mixed positives and negatives' branch)."""
+    from ..operators import spans as sp
+
+    clauses: list[tuple[object, bool]] = []
+    # group-aware split: '(a b)' is ONE position clause (may be negated)
+    for spec in re.findall(r"-?\([^)]*\)|\S+", body):
+        neg = spec.startswith("-")
+        if neg:
+            spec = spec[1:]
+        gm = re.fullmatch(r"\((.*)\)", spec)
+        if gm:
+            ors, nots = [], []
+            for alt in re.split(r"[|\s]+", gm.group(1)):
+                if not alt:
+                    continue
+                a_neg = alt.startswith("-")
+                sq = _span_atom(alt[1:] if a_neg else alt, analyzer)
+                if sq is None:
+                    continue
+                (nots if a_neg else ors).append(sq)
+            if not ors:
+                # 'Dummy clause because no terms found - must match nothing'
+                clauses.append((sp.SpanTermQuery(term="\x00never"), neg))
+                continue
+            soq = ors[0] if len(ors) == 1 else sp.SpanOrQuery(clauses=tuple(ors))
+            if nots:
+                exc = nots[0] if len(nots) == 1 else sp.SpanOrQuery(clauses=tuple(nots))
+                soq = sp.SpanNotQuery(include=soq, exclude=exc)
+            clauses.append((soq, neg))
+            continue
+        sq = _span_atom(spec, analyzer)
+        if sq is None:
+            continue  # analyzer dropped it, like the pass-2 classic parse
+        clauses.append((sq, neg))
+    if not clauses:
+        return None
+    from ..operators import spans as sp2
+
+    if len(clauses) == 1 and not clauses[0][1]:
+        only = clauses[0][0]
+        if isinstance(only, sp2.SpanTermQuery):
+            return TermQuery(term=only.term, field=only.field, boost=boost)
+        raise ValueError(
+            f"complex phrase {body!r} has a single multiterm element — the "
+            "reference rejects non-Boolean phrase contents "
+            "(ComplexPhraseQueryParser.cs Rewrite ArgumentException)"
+        )
+    all_spans = tuple(c for c, _ in clauses)
+    positives = tuple(c for c, n in clauses if not n)
+    num_neg = len(all_spans) - len(positives)
+    if num_neg == 0:
+        return sp2.SpanNearQuery(
+            clauses=all_spans, slop=slop, in_order=in_order, boost=boost
+        )
+    include = (
+        positives[0]
+        if len(positives) == 1
+        else sp2.SpanNearQuery(
+            clauses=positives, slop=slop + num_neg, in_order=in_order
+        )
+    )
+    exclude = sp2.SpanNearQuery(clauses=all_spans, slop=slop, in_order=in_order)
+    return sp2.SpanNotQuery(include=include, exclude=exclude, boost=boost)
+
+
+def parse_complex(
+    s: str, default_operator: str = "OR", analyzer: str = "standard",
+    in_order: bool = True,
+) -> Query:
+    """ComplexPhraseQueryParser (ComplexPhraseQueryParser.cs:1): the classic
+    grammar, but quoted phrases may contain wildcards, prefixes, fuzzy
+    terms, (a b) alternative groups and -negations, compiled onto the span
+    machinery (SpanNear/SpanOr/SpanNot/SpanMultiTermQueryWrapper).
+    in_order mirrors the parser's InOrder property (default true)."""
+    return parse(
+        s,
+        default_operator,
+        analyzer,
+        phrase_fn=lambda body, slop, boost: _complex_phrase(
+            body, slop, boost, analyzer, in_order
+        ),
+    )
