@@ -28,6 +28,7 @@ from lucenenet_spark.plans.query import (
     PayloadTermQuery,
     PhraseQuery,
     PrefixQuery,
+    RegexpQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -121,6 +122,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             k=15,
         ),
+        # 3-slot sloppy: the N-stream SloppyPhraseScorer pq, now SQL-gated
+        # (the oracle's recursive CTE generalizes past 2 slots in r5)
+        "multi_phrase_sloppy3": topk(
+            MultiPhraseQuery(
+                term_arrays=(("value", "small"), ("table",), ("hash", "data")),
+                slop=4,
+            ),
+            k=15,
+        ),
         "payload_term": topk(PayloadTermQuery(term=MID), k=15),
         "payload_term_max": topk(
             PayloadTermQuery(term=HOT, function="max", include_span_score=False),
@@ -136,6 +146,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "prefix": topk(PrefixQuery(prefix="sc"), k=100000),
         "wildcard": topk(WildcardQuery(pattern="sc?n"), k=100000),
+        # Lucene-automaton grammar (r5): quoted literal + char class +
+        # bounded repeat, translated to Java/RE2 (Util/Automaton/RegExp.cs)
+        "regexp": topk(
+            RegexpQuery(pattern='"sc"[ae]n|filt.r{1,2}'), k=100000
+        ),
         "term_range": topk(TermRangeQuery(lower="m", upper="t"), k=100000),
         "match_all": topk(MatchAllQuery(), k=1_000_000, prune=False),
     }
@@ -343,6 +358,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["join_terms_none"] = join_terms_none
+
+    def payload_term_tfidf(spark, sf_dir):
+        # payload span score through the CLASSIC kernel (new r5: every
+        # similarity scores payload queries, PayloadTermQuery.cs GetScore)
+        s = _searcher(spark, sf_dir, similarity="classic")
+        return s.search(PayloadTermQuery(term=MID), 15)
+
+    out["payload_term_tfidf"] = payload_term_tfidf
+
+    def payload_term_lmd(spark, sf_dir):
+        s = _searcher(spark, sf_dir, similarity="lmd")
+        return s.search(PayloadTermQuery(term=MID), 15)
+
+    out["payload_term_lmd"] = payload_term_lmd
 
     def join_terms_total_seg(spark, sf_dir):
         # same join as join_terms_avg but mode=total with the segmented
@@ -609,6 +638,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["span_prefix_first"] = span_prefix_first
     out["span_prefix_near"] = span_prefix_near
 
+    def complex_phrase(spark, sf_dir):
+        # ComplexPhraseQueryParser (new r5): a wildcard INSIDE a quoted
+        # phrase compiles to SpanNear(wrapper(prefix), term) — reached
+        # through the parser, same span-SQL oracle shape
+        from lucenenet_spark.plans.parser import parse_complex
+
+        s = _searcher(spark, sf_dir)
+        return sp.span_search(s, parse_complex(f'"sc* {HOT}"~5'), 15)
+
+    out["complex_phrase"] = complex_phrase
+
     # -- term vectors (doc-major channel) -------------------------------------
     def term_vector_doc(spark, sf_dir):
         s = _searcher(spark, sf_dir)
@@ -823,7 +863,12 @@ def oracle_sql() -> dict[str, str]:
         "multi_phrase_sloppy": es.phrase_sql(
             [["value", "small"], ["table"]], slop=3, k=15
         ),
+        "multi_phrase_sloppy3": es.phrase_sql(
+            [["value", "small"], ["table"], ["hash", "data"]], slop=4, k=15
+        ),
         "payload_term": es.payload_term_sql(MID, k=15),
+        "payload_term_tfidf": es.payload_term_sim_sql(MID, "classic", k=15),
+        "payload_term_lmd": es.payload_term_sim_sql(MID, "lmd", k=15),
         "payload_term_max": es.payload_term_sql(
             HOT, function="max", include_span_score=False, k=15
         ),
@@ -831,6 +876,9 @@ def oracle_sql() -> dict[str, str]:
         "bool_cross_field": es.cross_field_sql(HOT, "role", "user", k=15),
         "prefix": es.constant_score_sql("term LIKE 'sc%'", 100000),
         "wildcard": es.constant_score_sql("regexp_matches(term, '^sc.n$')", 100000),
+        "regexp": es.constant_score_sql(
+            "regexp_matches(term, '^(?:(?:sc)[ae]n|filt.r{1,2})$')", 100000
+        ),
         "term_range": es.constant_score_sql("term >= 'm' AND term <= 't'", 100000),
         "search_after": es.boolean_sql(should=[HOT], k=10, offset=10),
         "match_all": f"""{P}
@@ -1049,6 +1097,7 @@ LIMIT 15"""
     out["span_near"] = es.span_near_ordered_sql(HOT, MID, 4, k=15)
     out["span_prefix_first"] = es.span_first_prefix_sql("st", 6, k=15)
     out["span_prefix_near"] = es.span_near_prefix_sql("sc", HOT, 5, k=15)
+    out["complex_phrase"] = es.span_near_prefix_sql("sc", HOT, 5, k=15)
     out["term_vector_doc"] = f"""{es.prelude()},
 {es._positions_cte()}
 SELECT docid, term, pos FROM pos WHERE docid <= 4"""
