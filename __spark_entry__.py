@@ -679,6 +679,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["payload_near_avg"] = _payload_near("avg")
     out["payload_near_min"] = _payload_near("min")
 
+    def _payload_near_sim(function, sim):
+        # payload-near through a non-BM25 kernel (new r5: PayloadNearQuery
+        # routes its span score through the active SimScorer too)
+        def f(spark, sf_dir):
+            s = _searcher(spark, sf_dir, similarity=sim)
+            q = sp.PayloadNearQuery(
+                clauses=(sp.SpanTermQuery(term=HOT), sp.SpanTermQuery(term=MID)),
+                slop=4,
+                function=function,
+            )
+            return sp.payload_near_search(s, q, 15)
+
+        return f
+
+    out["payload_near_tfidf"] = _payload_near_sim("avg", "classic")
+    out["payload_near_lmd"] = _payload_near_sim("min", "lmd")
+
     # -- MoreLikeThis --------------------------------------------------------
     from lucenenet_spark.operators import mlt as _mlt
 
@@ -817,6 +834,7 @@ _NEVER_GREEN = ["doc_simhash", "media_features"]  # failed r1 (no_oracle), rotat
 _NEW_THIS_ROUND: list[str] = [
     "payload_term_tfidf", "payload_term_lmd", "join_terms_multi",
     "multi_phrase_sloppy3", "regexp", "complex_phrase", "join_terms_total_seg",
+    "payload_near_tfidf", "payload_near_lmd",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1103,6 +1121,12 @@ LIMIT 15"""
 SELECT docid, term, pos FROM pos WHERE docid <= 4"""
     out["payload_near_avg"] = es.payload_near_sql(HOT, MID, 4, "avg", k=15)
     out["payload_near_min"] = es.payload_near_sql(HOT, MID, 4, "min", k=15)
+    out["payload_near_tfidf"] = es.payload_near_sim_sql(
+        HOT, MID, 4, "avg", "classic", k=15
+    )
+    out["payload_near_lmd"] = es.payload_near_sim_sql(
+        HOT, MID, 4, "min", "lmd", k=15
+    )
     out["join_parent_max"] = f"""{P}
 SELECT d.conv_id AS parent, CAST(max(s.s) AS REAL) AS score,
        count(*) AS n_hits

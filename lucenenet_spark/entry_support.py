@@ -1237,6 +1237,130 @@ ORDER BY score DESC, p.docid ASC
 LIMIT {k}"""
 
 
+def payload_near_sim_sql(
+    t1: str, t2: str, slop: int, function: str, similarity: str,
+    k: int = 15, boost: float = 1.0, mu: float = 2000.0,
+) -> str:
+    """2-clause ordered PayloadNearQuery under classic TF-IDF or
+    LM-Dirichlet, float32-exact (new r5: payload queries score under every
+    similarity — Search/Payloads/PayloadNearQuery.cs GetScore routes the
+    span kernel through the active SimScorer; ComputeSlopFactor is
+    1/(distance+1) in every family so the sloppyFreq/payload folds are
+    identical to payload_near_sql).
+
+    freq = the sloppy fold; factor = the payload DocScore fold; kernel:
+      classic — f32(f32(f32(sqrt(freq)) * value) * byte315Decode(norm)),
+                value from the 2-term idf fold (phrase_sim_sql semantics);
+      lmd     — per-term Dirichlet kernels at the SHARED freq, clamped at
+                0, summed in clause order (SimilarityBase multi-stats).
+    Final score = f32(kernel * factor)."""
+    one = "CAST(CAST(1.0 AS DOUBLE) AS REAL)"
+    if function == "avg":
+        factor = "CAST(g.psum / CAST(g.seen AS REAL) AS REAL)"
+    elif function == "min":
+        factor = "g.pmin"
+    elif function == "max":
+        factor = "g.pmax"
+    else:
+        raise ValueError(f"unknown payload function {function!r}")
+    near_ctes = f"""bp AS (SELECT docid, pos AS q FROM pos WHERE term = '{t2}'),
+ap AS (SELECT docid, pos AS p FROM pos WHERE term = '{t1}'),
+mt AS (
+  SELECT bp.docid, bp.q, max(ap.p) AS p
+  FROM bp JOIN ap ON bp.docid = ap.docid AND ap.p < bp.q
+  GROUP BY bp.docid, bp.q
+),
+qual AS (
+  SELECT docid, p, q,
+         CAST({one} / CAST(q + 1 - p + 1 AS REAL) AS REAL) AS sf
+  FROM mt WHERE greatest(q - p - 1, 0) <= {slop}
+),
+pay AS (
+  SELECT docid, q, 0 AS idx, CAST(CAST(q AS REAL) + {one} AS REAL) AS pv FROM qual
+  UNION ALL
+  SELECT docid, q, 1 AS idx, CAST(CAST(p AS REAL) + {one} AS REAL) AS pv FROM qual
+),
+pagg AS (
+  SELECT docid,
+         list_reduce(list(pv ORDER BY q, idx), (x, y) -> CAST(x + y AS REAL)) AS psum,
+         count(*) AS seen, min(pv) AS pmin, max(pv) AS pmax
+  FROM pay GROUP BY docid
+),
+pf AS (
+  SELECT docid,
+         list_reduce(list(sf ORDER BY p, q), (x, y) -> CAST(x + y AS REAL)) AS freq
+  FROM qual GROUP BY docid
+)"""
+    if similarity == "classic":
+
+        def cidf(t):
+            return (
+                "(SELECT CAST(ln(CAST(f.max_doc AS DOUBLE) / "
+                "(CAST(t.df AS DOUBLE) + 1.0)) + CAST(1.0 AS DOUBLE) AS REAL) "
+                f"FROM tstats t CROSS JOIN fstats f WHERE t.term = '{t}')"
+            )
+
+        ssum = f"CAST({cidf(t1)} + {cidf(t2)} AS REAL)"
+        qw = f"CAST({ssum} * {_f32lit(boost)} AS REAL)"
+        ssq = f"CAST({qw} * {qw} AS REAL)"
+        qnorm = f"CAST(CAST(1.0 AS DOUBLE) / sqrt(CAST({ssq} AS DOUBLE)) AS REAL)"
+        value = f"CAST(CAST({qw} * {qnorm} AS REAL) * {ssum} AS REAL)"
+        return f"""{prelude()},
+{_positions_cte()},
+{near_ctes},
+cval AS (SELECT {value} AS v),
+dnorm AS (
+  SELECT l.docid, v.dt FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+)
+SELECT p.docid AS docid,
+       CAST(CAST(CAST(CAST(sqrt(CAST(p.freq AS DOUBLE)) AS REAL) * c.v AS REAL)
+            * d.dt AS REAL) * {factor} AS REAL) AS score
+FROM pf p CROSS JOIN cval c
+JOIN pagg g ON p.docid = g.docid
+JOIN dnorm d ON p.docid = d.docid
+WHERE p.freq > 0
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+    if similarity != "lmd":
+        raise NotImplementedError(
+            "payload_near_sim_sql covers classic and lmd (others pytest-only)"
+        )
+    mu32 = _f32lit(mu)
+    b32 = _f32lit(boost)
+    zero = "CAST(CAST(0.0 AS DOUBLE) AS REAL)"
+    inner2 = f"CAST({mu32} / CAST(d.nt + {mu32} AS REAL) AS REAL)"
+    pieces = []
+    for t in (t1, t2):
+        cp = (
+            "(SELECT CAST(CAST(CAST(t.ttf AS REAL) + CAST(1.0 AS REAL) AS REAL) / "
+            "CAST(CAST(f.sum_ttf AS REAL) + CAST(1.0 AS REAL) AS REAL) AS REAL) "
+            f"FROM tstats t CROSS JOIN fstats f WHERE t.term = '{t}')"
+        )
+        mucp = f"CAST({mu32} * {cp} AS REAL)"
+        inner1 = (
+            f"CAST(CAST(1.0 AS REAL) + CAST(p.freq / {mucp} AS REAL) AS REAL)"
+        )
+        raws = (
+            f"CAST({b32} * CAST(ln(CAST({inner1} AS DOUBLE)) "
+            f"+ ln(CAST({inner2} AS DOUBLE)) AS REAL) AS REAL)"
+        )
+        pieces.append(f"GREATEST({raws}, {zero})")
+    total = f"CAST({pieces[0]} + {pieces[1]} AS REAL)"
+    return f"""{prelude()},
+{_positions_cte()},
+{near_ctes},
+dnorm AS (
+  SELECT l.docid, v.nt FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+)
+SELECT p.docid AS docid, CAST({total} * {factor} AS REAL) AS score
+FROM pf p
+JOIN pagg g ON p.docid = g.docid
+JOIN dnorm d ON p.docid = d.docid
+WHERE p.freq > 0
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+
+
 def payload_term_sql(
     term: str, function: str = "avg", include_span_score: bool = True,
     k: int = 10, boost: float = 1.0,

@@ -417,6 +417,46 @@ def span_scores_sim_oracle(index, q: Query, similarity: str, boost=1.0):
     )
 
 
+def payload_near_scores_oracle_sim(
+    index, q: "PayloadNearQuery", similarity: str, mu: float = 2000.0,
+    lam: float = 0.1,
+) -> dict[int, np.float32]:
+    """Oracle PayloadNearQuery under a non-BM25 similarity: the shared
+    sloppyFreq/factor folds (payload_near_doc_score) feed the ACTIVE
+    kernel via sim_scores_from_freqs, then f32(span * factor) —
+    PayloadNearQuery.cs GetScore through Similarity.SimScorer."""
+    from ..oracle import sim_scores_from_freqs
+
+    terms = [c.term for c in q.clauses]
+    cand: set[int] | None = None
+    for t in terms:
+        docs = set(index.positions.get(t, {}))
+        cand = docs if cand is None else cand & docs
+    freqs: dict[int, np.float32] = {}
+    factors: dict[int, np.float32] = {}
+    for d in sorted(cand or ()):
+        children = [
+            [(p, p + 1) for p in sorted(index.positions.get(t, {}).get(d, []))]
+            for t in terms
+        ]
+        payload_of = [
+            {
+                p: float(np.float32(np.float32(p) + np.float32(1.0)))
+                for p in index.positions.get(t, {}).get(d, [])
+            }
+            for t in terms
+        ]
+        freq, ds = payload_near_doc_score(children, q.slop, payload_of, q.function)
+        if freq <= 0:
+            continue
+        freqs[d] = np.float32(freq)
+        factors[d] = np.float32(ds)
+    span = sim_scores_from_freqs(
+        index, terms, freqs, similarity, boost=q.boost, mu=mu, lam=lam
+    )
+    return {d: np.float32(span[d] * factors[d]) for d in freqs}
+
+
 def payload_near_scores_oracle(
     index, q: "PayloadNearQuery", k1=1.2, b=0.75
 ) -> dict[int, np.float32]:
@@ -628,19 +668,21 @@ def payload_near_scores(searcher, q: PayloadNearQuery) -> DataFrame:
     Same scale-safe shape as span_scores — positions AND the aligned f32
     payload channel ship as docid-range-sliced binary sub-arrays (O(blocks)
     shuffle rows), evaluated per range. The candidate set is conjunction-
-    pruned on all clauses (a near requires every clause)."""
+    pruned on all clauses (a near requires every clause).
+
+    Scored under EVERY similarity (r5): PayloadNearSpanScorer routes the
+    span kernel through the active SimScorer (Search/Payloads/
+    PayloadNearQuery.cs; ComputeSlopFactor = 1/(distance+1) in every
+    family, so the sloppyFreq fold is shared) — non-BM25 emits
+    (docid, freq, nb, factor) and _phrase_finalize applies the kernel,
+    exactly the PayloadTermQuery route."""
     if not q.in_order:
         raise NotImplementedError(
             "PayloadNearQuery: unordered payload collection order is "
             "heap-dependent in the reference (NearSpansUnordered); ordered "
             "only here"
         )
-    if searcher.similarity != "bm25":
-        raise NotImplementedError(
-            "payload queries are scored with BM25 here (the reference routes "
-            "ComputeSlopFactor/ComputePayloadFactor through the active "
-            "similarity; only the BM25 route is implemented)"
-        )
+    kernel_path = searcher.similarity != "bm25"
     for c in q.clauses:
         if not isinstance(c, SpanTermQuery):
             raise TypeError(
@@ -756,16 +798,33 @@ def payload_near_scores(searcher, q: PayloadNearQuery) -> DataFrame:
             freq, ds = payload_near_doc_score(children, slop, payload_of, fn)
             if freq <= 0:
                 continue
-            span_score = np.float32(w32 * freq / (freq + cache[int(nb[g0])]))
             out_d.append(int(d[g0]))
-            out_s.append(np.float32(span_score * ds))
+            if kernel_path:
+                # hand (freq, norm byte, factor) to the active kernel
+                out_s.append((np.float32(freq), int(nb[g0]), np.float32(ds)))
+            else:
+                span_score = np.float32(
+                    w32 * freq / (freq + cache[int(nb[g0])])
+                )
+                out_s.append(np.float32(span_score * ds))
         if out_d:
-            yield pd.DataFrame(
-                {
-                    "docid": np.array(out_d, dtype=np.int64),
-                    "score": np.array(out_s, dtype=np.float32),
-                }
-            )
+            if kernel_path:
+                fr, nbv, fac = zip(*out_s)
+                yield pd.DataFrame(
+                    {
+                        "docid": np.array(out_d, dtype=np.int64),
+                        "freq": np.array(fr, dtype=np.float32),
+                        "nb": np.array(nbv, dtype=np.int16),
+                        "factor": np.array(fac, dtype=np.float32),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "docid": np.array(out_d, dtype=np.int64),
+                        "score": np.array(out_s, dtype=np.float32),
+                    }
+                )
 
     n_shuffle = max(
         int(searcher.spark.conf.get("spark.sql.shuffle.partitions", "32")), 8
@@ -777,9 +836,18 @@ def payload_near_scores(searcher, q: PayloadNearQuery) -> DataFrame:
         slice_ranges,
         "rid long, leaf int, docids binary, pos binary, pay binary, norms binary",
     )
-    return sliced.repartition(n_shuffle, "rid").mapInPandas(
-        reduce_ranges, "docid long, score float"
-    )
+    shuffled = sliced.repartition(n_shuffle, "rid")
+    if kernel_path:
+        pf = shuffled.mapInPandas(
+            reduce_ranges, "docid long, freq float, nb short, factor float"
+        )
+        # weight stats fold over clauses in DECLARATION order (duplicates
+        # kept), like PayloadNearSpanWeight's multi-stats ComputeWeight
+        flat = [(i, t) for i, (_f, t) in enumerate(clauses)]
+        return searcher._phrase_finalize(
+            pf, flat, keys[0][0], q.boost, factor_col="factor"
+        )
+    return shuffled.mapInPandas(reduce_ranges, "docid long, score float")
 
 
 def payload_near_search(searcher, q: PayloadNearQuery, k: int = 10) -> DataFrame:

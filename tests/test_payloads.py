@@ -346,3 +346,28 @@ def test_payload_only_score_sim_independent(spark, pay_index, sim):
     other = IndexSearcher(spark, pay_index, similarity=sim)
     q = PayloadTermQuery(term="hello", function="max", include_span_score=False)
     assert hits(bm.search(q, 15)) == hits(other.search(q, 15))
+
+
+@pytest.mark.parametrize("sim", SIMS)
+@pytest.mark.parametrize("fn", FUNCS)
+def test_payload_near_every_similarity(
+    spark, pay_index, oracle_index, corpus_pdf, sim, fn
+):
+    """PayloadNearQuery routes its span kernel through the ACTIVE SimScorer
+    too (PayloadNearQuery.cs GetScore) — shared sloppyFreq/factor folds,
+    kernel swapped."""
+    from lucenenet_spark.operators import spans as sp
+
+    (t1, t2), *_ = _top_pairs(corpus_pdf)
+    q = sp.PayloadNearQuery(
+        clauses=(sp.SpanTermQuery(term=t1), sp.SpanTermQuery(term=t2)),
+        slop=3,
+        function=fn,
+    )
+    s = IndexSearcher(spark, pay_index, similarity=sim)
+    want = oracle.top_k(
+        sp.payload_near_scores_oracle_sim(oracle_index, q, sim), 15
+    )
+    assert want, (t1, t2, sim, fn)
+    got = hits(sp.payload_near_search(s, q, 15))
+    assert got == want
