@@ -649,6 +649,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["complex_phrase"] = complex_phrase
 
+    def surround_w(spark, sf_dir):
+        # Surround parser (new r5): infix 5W -> ordered SpanNear slop 4
+        # (DistanceQuery.cs: slop = opDistance - 1), same span-SQL oracle
+        from lucenenet_spark.plans.surround import parse_surround
+
+        s = _searcher(spark, sf_dir)
+        return sp.span_search(s, parse_surround(f"{HOT} 5W {MID}"), 15)
+
+    out["surround_w"] = surround_w
+
+    def surround_prefix_near(spark, sf_dir):
+        # prefix-operator form with a truncation operand: 6W(sca*, HOT) ->
+        # SpanNear(wrapper(prefix sca), term) ordered slop 5. The parser's
+        # >=3-char truncation minimum (QueryParser.cs "Too unrestrictive
+        # truncation") forbids sc*.
+        from lucenenet_spark.plans.surround import parse_surround
+
+        s = _searcher(spark, sf_dir)
+        return sp.span_search(s, parse_surround(f"6W(sca*, {HOT})"), 15)
+
+    out["surround_prefix_near"] = surround_prefix_near
+
+    def surround_bool(spark, sf_dir):
+        # AND/NOT realization (AndQuery.cs/NotQuery.cs): scored by the
+        # regular boolean machinery
+        from lucenenet_spark.plans.surround import parse_surround
+
+        s = _searcher(spark, sf_dir)
+        return s.search(parse_surround(f"{HOT} AND {MID} NOT {T4}"), 15)
+
+    out["surround_bool"] = surround_bool
+
     # -- term vectors (doc-major channel) -------------------------------------
     def term_vector_doc(spark, sf_dir):
         s = _searcher(spark, sf_dir)
@@ -835,6 +867,7 @@ _NEW_THIS_ROUND: list[str] = [
     "payload_term_tfidf", "payload_term_lmd", "join_terms_multi",
     "multi_phrase_sloppy3", "regexp", "complex_phrase", "join_terms_total_seg",
     "payload_near_tfidf", "payload_near_lmd",
+    "surround_w", "surround_prefix_near", "surround_bool",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1116,6 +1149,9 @@ LIMIT 15"""
     out["span_prefix_first"] = es.span_first_prefix_sql("st", 6, k=15)
     out["span_prefix_near"] = es.span_near_prefix_sql("sc", HOT, 5, k=15)
     out["complex_phrase"] = es.span_near_prefix_sql("sc", HOT, 5, k=15)
+    out["surround_w"] = es.span_near_ordered_sql(HOT, MID, 4, k=15)
+    out["surround_prefix_near"] = es.span_near_prefix_sql("sca", HOT, 5, k=15)
+    out["surround_bool"] = es.boolean_sql(must=[HOT, MID], must_not=[T4], k=15)
     out["term_vector_doc"] = f"""{es.prelude()},
 {es._positions_cte()}
 SELECT docid, term, pos FROM pos WHERE docid <= 4"""

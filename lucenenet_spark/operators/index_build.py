@@ -107,6 +107,13 @@ STAGING_DDL = (
 
 _STAGING_COLS = [c.strip().split()[0] for c in STAGING_DDL.split(",")]
 
+# caps on ONE staged partial-posting row's channels: bounds both the flush
+# row width and (with the reduced columnar batch in encode_postings) the
+# encode scan's per-batch memory, independent of corpus size. 16k postings /
+# 64k positions keeps the worst row near ~0.5 MB.
+_MAX_PARTIAL_POSTINGS = 16384
+_MAX_PARTIAL_POSITIONS = 65536
+
 POSTINGS_DDL = (
     "field string, term string, salt int, block_no int, first_docid long,"
     " last_docid long, count int, sum_tf long, max_score_bound float,"
@@ -376,10 +383,14 @@ class IndexBuilder:
         index_options: str = "docs_freqs_positions",
         payload_provider: str | None = None,
         analyzer: str = "standard",
+        max_partial_postings: int = _MAX_PARTIAL_POSTINGS,
+        max_partial_positions: int = _MAX_PARTIAL_POSITIONS,
     ):
         self.spark = spark
         self.out_dir = out_dir
         self.k1, self.b = k1, b
+        self.max_partial_postings = max_partial_postings
+        self.max_partial_positions = max_partial_positions
         self.n_buckets = n_buckets
         self.n_segments = n_segments
         self.salt_target = salt_target
@@ -503,6 +514,8 @@ class IndexBuilder:
         with_offsets = self.index_options == "docs_freqs_positions_offsets"
         with_payloads = self.payload_provider == "position_float"
         analyzer = self.analyzer
+        max_partial_postings = self.max_partial_postings
+        max_partial_positions = self.max_partial_positions
 
         def ingest_partition(it):
             # STREAMING doc rows (pipelined with the JVM read/write) while the
@@ -705,40 +718,87 @@ class IndexBuilder:
                 rank += n
             if not seen_rows:
                 return
-            # flush the partial index: one row per (field, term), raw arrays
-            keys = list(store.keys())
-            merged: dict[tuple[str, str], tuple] = {}
-            for key in keys:
+            # flush the partial index: rows per (field, term), raw arrays.
+            # A single partial row's channels are CAPPED (hot terms in a big
+            # partition otherwise produce multi-MB binary rows, and Spark's
+            # vectorized parquet reader batches by ROW COUNT — 4096 fat rows
+            # per columnar batch OOMs the encode scan as the corpus grows).
+            # Oversized lists split on posting boundaries into consecutive
+            # first_local-ordered rows; merge-encode already concatenates
+            # partials in first_docid order, so chunks need no special
+            # handling downstream.
+            entries: list[tuple] = []
+            key_df: dict[tuple[str, str], int] = {}
+            for key in store:
                 chunks = store[key]
                 if len(chunks) == 1:
-                    merged[key] = chunks[0]
+                    d, t, nrm, p, o, yl, yb = chunks[0]
                 else:
-                    merged[key] = tuple(
-                        np.concatenate([ch[j] for ch in chunks]) for j in range(6)
-                    ) + (b"".join(ch[6] for ch in chunks),)
-            for c0 in range(0, len(keys), 65536):
-                chunk = keys[c0 : c0 + 65536]
+                    d, t, nrm, p, o, yl = (
+                        np.concatenate([ch[j] for ch in chunks])
+                        for j in range(6)
+                    )
+                    yb = b"".join(ch[6] for ch in chunks)
+                key_df[key] = len(d)
+                if len(d) <= max_partial_postings and len(p) <= max_partial_positions:
+                    entries.append(
+                        (key, len(d), int(d[0]), d.tobytes(), t.tobytes(),
+                         nrm.tobytes(), p.tobytes(), o.tobytes(),
+                         yl.tobytes(), yb)
+                    )
+                    continue
+                cum = np.concatenate([[0], np.cumsum(t, dtype=np.int64)])
+                cumy = (
+                    np.concatenate([[0], np.cumsum(yl, dtype=np.int64)])
+                    if len(yl)
+                    else None
+                )
+                i = 0
+                n_post = len(d)
+                while i < n_post:
+                    j = min(i + max_partial_postings, n_post)
+                    j2 = int(
+                        np.searchsorted(
+                            cum, cum[i] + max_partial_positions, side="right"
+                        )
+                        - 1
+                    )
+                    j = max(i + 1, min(j, j2))
+                    pa, pb = int(cum[i]), int(cum[j])
+                    entries.append(
+                        (
+                            key, j - i, int(d[i]),
+                            d[i:j].tobytes(), t[i:j].tobytes(),
+                            nrm[i:j].tobytes(), p[pa:pb].tobytes(),
+                            o[2 * pa : 2 * pb].tobytes() if len(o) else b"",
+                            yl[pa:pb].tobytes() if len(yl) else b"",
+                            yb[int(cumy[pa]) : int(cumy[pb])]
+                            if cumy is not None
+                            else b"",
+                        )
+                    )
+                    i = j
+            for c0 in range(0, len(entries), 65536):
+                chunk = entries[c0 : c0 + 65536]
                 yield _frame(
                     {
                         "pid": np.full(len(chunk), pid, dtype=np.int32),
                         "local_rank": np.full(len(chunk), -2, dtype=np.int64),
                         "field_length": np.zeros(len(chunk), dtype=np.int32),
                         "norm_byte": np.zeros(len(chunk), dtype=np.int16),
-                        "field": [k[0] for k in chunk],
-                        "term": [k[1] for k in chunk],
-                        "pcount": np.array(
-                            [len(merged[k][0]) for k in chunk], dtype=np.int32
-                        ),
+                        "field": [e[0][0] for e in chunk],
+                        "term": [e[0][1] for e in chunk],
+                        "pcount": np.array([e[1] for e in chunk], dtype=np.int32),
                         "first_local": np.array(
-                            [int(merged[k][0][0]) for k in chunk], dtype=np.int64
+                            [e[2] for e in chunk], dtype=np.int64
                         ),
-                        "docids": [merged[k][0].tobytes() for k in chunk],
-                        "tfs": [merged[k][1].tobytes() for k in chunk],
-                        "norms": [merged[k][2].tobytes() for k in chunk],
-                        "poss": [merged[k][3].tobytes() for k in chunk],
-                        "offs": [merged[k][4].tobytes() for k in chunk],
-                        "pay_lens": [merged[k][5].tobytes() for k in chunk],
-                        "pays": [merged[k][6] for k in chunk],
+                        "docids": [e[3] for e in chunk],
+                        "tfs": [e[4] for e in chunk],
+                        "norms": [e[5] for e in chunk],
+                        "poss": [e[6] for e in chunk],
+                        "offs": [e[7] for e in chunk],
+                        "pay_lens": [e[8] for e in chunk],
+                        "pays": [e[9] for e in chunk],
                     },
                     len(chunk),
                 )
@@ -758,8 +818,8 @@ class IndexBuilder:
                 "top_terms": dict(
                     sorted(
                         (
-                            (k[0] + FKEY_SEP + k[1], len(e[0]))
-                            for k, e in merged.items()
+                            (k[0] + FKEY_SEP + k[1], n_df)
+                            for k, n_df in key_df.items()
                         ),
                         key=lambda kv: -kv[1],
                     )[:top_terms]
@@ -905,6 +965,19 @@ class IndexBuilder:
         n_shuffle = max(
             int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")), 8
         )
+        # size the merge-encode shuffle by DATA, not only by the session
+        # conf: each reduce task materializes its groups' decoded channel
+        # arrays, so a fixed partition count makes per-task memory grow
+        # linearly with the corpus (OOMs past ~10M docs at 32 partitions).
+        # Staging bytes via the Hadoop FS API (works on HDFS/S3 the same);
+        # ~4x parquet->in-memory expansion, target <=128 MiB per task.
+        try:
+            jpath = self.spark._jvm.org.apache.hadoop.fs.Path(self._p("staging"))
+            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            staged_bytes = int(fs.getContentSummary(jpath).getLength())
+        except Exception:
+            staged_bytes = 0
+        n_shuffle = max(n_shuffle, math.ceil(staged_bytes * 4 / (128 << 20)))
 
         # the partial posting lists were flushed during ingest; this stage is
         # a pure shuffle of compact binary rows + numpy merge-encode — no
@@ -962,7 +1035,17 @@ class IndexBuilder:
         encoded = partials.repartition(n_shuffle, "field", "term", "salt").mapInPandas(
             make_merge_encode(caches, n_buckets, block, lineage, offsets), POSTINGS_DDL
         )
-        write_postings(encoded, self._p("postings"), n_buckets)
+        # the partials scan reads wide binary rows (<=~0.5 MB each after the
+        # flush caps); the vectorized reader batches by ROW COUNT, so drop
+        # from 4096 to 256 rows/batch for THIS job only — bounds scan-task
+        # memory at ~128 MB worst-case instead of ~2 GB
+        batch_conf = "spark.sql.parquet.columnarReaderBatchSize"
+        prev_batch = self.spark.conf.get(batch_conf, "4096")
+        self.spark.conf.set(batch_conf, "256")
+        try:
+            write_postings(encoded, self._p("postings"), n_buckets)
+        finally:
+            self.spark.conf.set(batch_conf, prev_batch)
         return self._mark_stage(
             "postings", {"build_id": build_id, "elapsed": round(time.time() - t0, 2)}
         )

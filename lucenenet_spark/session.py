@@ -34,7 +34,24 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # binary posting-channel rows are orders of magnitude wider than
+        # scalar rows — a row-count-only batch cap lets one JVM Arrow batch
+        # reach GBs at large corpus sizes; the bytes cap bounds per-task
+        # batch memory no matter how fat the rows get
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
+        # local[32] shares ONE heap across 32 executor threads: size it at
+        # ~1 GB/core, the low end of a real executor's per-core memory
+        # (spark.executor.memory on a cluster). 8g = 0.25 GB/core starved
+        # concurrent scan/shuffle/Arrow buffers on large builds.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        # G1's GCLocker can starve allocating threads into SPURIOUS
+        # OutOfMemoryErrors ("Retried waiting for GCLocker too often") when
+        # many executor threads do JNI/Arrow work in one JVM — seen at 32
+        # threads on large builds with plenty of free heap (JDK-8192647)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=128",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

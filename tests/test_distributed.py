@@ -187,3 +187,47 @@ def test_docs_freqs_index_options(spark, corpus_pdf, oracle_index, tmp_path):
     assert _hits(s.search(TermQuery(term="popcorn"), 10)) == want
     with _pytest.raises(NotImplementedError):
         s.search(PhraseQuery(terms=("popcorn", "hello")), 5).collect()
+
+
+def test_partial_chunking_bit_identical(spark, corpus_pdf, index_dir, tmp_path):
+    """Forcing tiny per-row partial caps (every hot term splits into many
+    staged rows) must leave the ENCODED postings bit-identical: merge-encode
+    concatenates partials in first_docid order, so chunk boundaries are
+    invisible downstream. Guards the flush-time row-size cap that keeps the
+    encode scan's columnar batches bounded as the corpus grows."""
+    from lucenenet_spark.datagen import transcripts_spark
+
+    out = str(tmp_path / "chunked")
+    df = transcripts_spark(spark, N_DOCS, partitions=4)
+    IndexBuilder(
+        spark, out, n_buckets=8, n_segments=8, salt_target=60,
+        max_partial_postings=7, max_partial_positions=11,
+    ).build(df)
+
+    # the cap engaged: some (pid, term) now has >1 staged partial row
+    stg = spark.read.parquet(os.path.join(out, "staging"))
+    multi = (
+        stg.filter(F.col("local_rank") == -2)
+        .groupBy("pid", "field", "term")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert multi > 0
+
+    cols = ["field", "term", "salt", "block_no", "first_docid"]
+
+    def rows(path):
+        # 'meta' rows carry per-task encode telemetry (task splits differ
+        # by design); everything else must match bit for bit
+        return (
+            spark.read.parquet(os.path.join(path, "postings"))
+            .filter(F.col("field") != "meta")
+            .orderBy(*cols)
+            .toPandas()
+        )
+
+    a, b = rows(index_dir), rows(out)
+    assert len(a) == len(b)
+    for c in a.columns:
+        assert a[c].equals(b[c]), c
