@@ -137,6 +137,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=15,
         ),
         "field_role_term": topk(TermQuery(term="user", field="role"), k=15),
+        # multi-valued keyword field (r5): 'labels' is array<string>
+        # ([role] ⊕ [tool]) — array cells index as SortedSet-style
+        # per-distinct-value postings (JoinUtil.cs multi-value shape)
+        "field_labels_multi": topk(TermQuery(term="src7", field="labels"), k=15),
+        "field_labels_role": topk(
+            TermQuery(term="assistant", field="labels"), k=15
+        ),
         "bool_cross_field": topk(
             BooleanQuery(
                 must=(TermQuery(term=HOT),),
@@ -868,6 +875,7 @@ _NEW_THIS_ROUND: list[str] = [
     "multi_phrase_sloppy3", "regexp", "complex_phrase", "join_terms_total_seg",
     "payload_near_tfidf", "payload_near_lmd",
     "surround_w", "surround_prefix_near", "surround_bool",
+    "field_labels_multi", "field_labels_role",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -924,6 +932,13 @@ def oracle_sql() -> dict[str, str]:
             HOT, function="max", include_span_score=False, k=15
         ),
         "field_role_term": es.kw_term_sql("role", "user", k=15),
+        "field_labels_multi": es.kw_term_sql(
+            "labels", "src7", k=15, cond="(role = 'src7' OR tool = 'src7')"
+        ),
+        "field_labels_role": es.kw_term_sql(
+            "labels", "assistant", k=15,
+            cond="(role = 'assistant' OR tool = 'assistant')",
+        ),
         "bool_cross_field": es.cross_field_sql(HOT, "role", "user", k=15),
         "prefix": es.constant_score_sql("term LIKE 'sc%'", 100000),
         "wildcard": es.constant_score_sql("regexp_matches(term, '^sc.n$')", 100000),

@@ -61,6 +61,11 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"
         ).alias("ts"),
+    ).withColumn(
+        # multi-valued keyword field (SortedSet shape): [role] or
+        # [role, tool] — exercises the array<string> keyword-indexing path
+        "labels",
+        F.array_compact(F.array("role", "tool")),
     )
 
 
@@ -85,8 +90,11 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
         import shutil
 
         with open(mpath) as f:
-            if json.load(f).get("format_version") != 5:
-                shutil.rmtree(out, ignore_errors=True)
+            m = json.load(f)
+        # stale if the layout version moved OR the multi-valued keyword
+        # field is missing (indexes cached before round 5)
+        if m.get("format_version") != 5 or "labels" not in m.get("fields", {}):
+            shutil.rmtree(out, ignore_errors=True)
     IndexBuilder(
         spark, out, k1=K1, b=B, n_buckets=8, n_segments=8, salt_target=2000,
         # gate indexes carry the full 4th IndexOptions level so the
@@ -95,6 +103,7 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
         # per-occurrence payload channel for the payload_term gates: the
         # position_float provider writes f32(position+1), mirrorable in SQL
         payload_provider="position_float",
+        keyword_fields=("role", "tool", "labels"),
     ).build(transcripts_from_documents(spark, sf_dir), build_id=f"gate-{tag}")
     _INDEX_CACHE[sf_dir] = out
     return out
@@ -1523,13 +1532,18 @@ ORDER BY score DESC, p.docid ASC
 LIMIT {k}"""
 
 
-def _kw_score_sql(field: str, value: str, boost: float = 1.0) -> str:
+def _kw_score_sql(
+    field: str, value: str, boost: float = 1.0, cond: str | None = None
+) -> str:
     """Scalar: float32 score of a keyword (omitNorms) field term — constant
-    across matching docs: f32(f32(idf*boost)*(k1+1)) * 1 / (1 + k1)."""
+    across matching docs: f32(f32(idf*boost)*(k1+1)) * 1 / (1 + k1).
+    `cond` overrides the docs-view membership predicate (multi-valued
+    keyword fields: value ∈ array ⇔ a disjunction over source columns)."""
+    cond = cond or f"{field} = '{value}'"
     idf = (
         "(SELECT CAST(ln(CAST(1.0 AS DOUBLE) + (CAST(f.max_doc AS DOUBLE) - "
         f"CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5)) AS REAL) "
-        f"FROM (SELECT count(*) AS df FROM docs WHERE {field} = '{value}') d "
+        f"FROM (SELECT count(*) AS df FROM docs WHERE {cond}) d "
         "CROSS JOIN fstats f)"
     )
     w = f"CAST(CAST({idf} * {_f32lit(boost)} AS REAL) * {K1P1_32} AS REAL)"
@@ -1725,11 +1739,14 @@ SELECT cls, CAST(count(*) AS DOUBLE) / {k} AS score FROM topk
 GROUP BY cls ORDER BY score DESC, cls ASC LIMIT 1"""
 
 
-def kw_term_sql(field: str, value: str, k: int = 10) -> str:
-    """Top-k keyword-field TermQuery SQL (field: role/tool on the docs view)."""
+def kw_term_sql(field: str, value: str, k: int = 10, cond: str | None = None) -> str:
+    """Top-k keyword-field TermQuery SQL (field: role/tool on the docs view).
+    `cond` overrides the membership predicate for multi-valued fields whose
+    array the docs view derives from scalar columns."""
+    cond = cond or f"{field} = '{value}'"
     return f"""{prelude()}
-SELECT docid, {_kw_score_sql(field, value)} AS score
-FROM docs WHERE {field} = '{value}'
+SELECT docid, {_kw_score_sql(field, value, cond=cond)} AS score
+FROM docs WHERE {cond}
 ORDER BY score DESC, docid ASC
 LIMIT {k}"""
 

@@ -665,19 +665,38 @@ class IndexBuilder:
                             )
                         )
                 # keyword fields: untokenized exact values, tf=1, pos=0,
-                # omitNorms (norm byte 0 is ignored by the scorer)
+                # omitNorms (norm byte 0 is ignored by the scorer).
+                # array<string> columns are MULTI-VALUED keyword fields
+                # (the SortedSet doc-values shape JoinUtil joins on,
+                # Lucene.Net.Join/JoinUtil.cs + TestJoinUtil multi-value
+                # cases): each DISTINCT value indexed once per doc —
+                # StringField is IndexOptions.DOCS, so repeated adds of the
+                # same value collapse to one posting with freq read as 1.
+                # Multi-valued keyword fields are indexed, not stored.
                 for kf in keyword_fields:
                     if kf not in pdf.columns:
                         continue
                     vals = pdf[kf].to_numpy()
-                    valid = np.array(
-                        [isinstance(v, str) and v != "" for v in vals], dtype=bool
-                    )
-                    if not valid.any():
+                    ids_l: list[int] = []
+                    vs_l: list[str] = []
+                    for i, v in enumerate(vals):
+                        if isinstance(v, str):
+                            if v:
+                                ids_l.append(i)
+                                vs_l.append(v)
+                        elif isinstance(v, (list, tuple, np.ndarray)):
+                            for x in sorted(
+                                {x for x in v if isinstance(x, str) and x}
+                            ):
+                                ids_l.append(i)
+                                vs_l.append(x)
+                    if not ids_l:
                         continue
-                    ids = np.nonzero(valid)[0].astype(np.int64) + rank
-                    vs = vals[valid]
-                    o = np.argsort(vs, kind="stable")  # docids stay asc per value
+                    ids = np.asarray(ids_l, dtype=np.int64) + rank
+                    vs = np.asarray(vs_l, dtype=object)
+                    # group by value, docids ascending within each value
+                    # (ids are already asc; lexsort is stable on ties)
+                    o = np.lexsort((ids, vs))
                     sv, si = vs[o], ids[o]
                     vchange = np.nonzero(sv[1:] != sv[:-1])[0]
                     vb = np.concatenate([[0], vchange + 1, [len(sv)]])
@@ -843,8 +862,15 @@ class IndexBuilder:
                 src = src.repartitionByRange(
                     self.n_segments, "conv_id", "turn_idx"
                 ).sortWithinPartitions("conv_id", "turn_idx")
+            base_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            # keyword fields beyond the stored schema (e.g. multi-valued
+            # array<string> columns) ride along for indexing only
+            extra_kw = [
+                kf for kf in self.keyword_fields
+                if kf not in base_cols and kf in src.columns
+            ]
             staged = (
-                src.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+                src.select(*base_cols, *extra_kw)
                 .mapInPandas(ingest_partition, STAGING_DDL)
             )
             staged.write.mode("overwrite").parquet(self._p("staging"))

@@ -76,6 +76,11 @@ def build_index(
         for docid, v in enumerate(values):
             if isinstance(v, str) and v != "":
                 fmap.setdefault(v, []).append(docid)
+            elif isinstance(v, (list, tuple)):
+                # multi-valued keyword field: each distinct value once per
+                # doc (StringField is DOCS-indexed — dup adds collapse)
+                for x in sorted({x for x in v if isinstance(x, str) and x}):
+                    fmap.setdefault(x, []).append(docid)
         kw_postings[fieldname] = fmap
     return OracleIndex(
         postings=postings,

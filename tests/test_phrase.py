@@ -282,3 +282,58 @@ def test_cross_field_boolean_parity(searcher, oracle_index_kw):
 
 def test_keyword_absent_value(searcher):
     assert searcher.search(TermQuery(term="nope-xyz", field="role"), 5).count() == 0
+
+
+# -- multi-valued keyword fields (round 5) ------------------------------------
+# array<string> columns index as SortedSet-style multi-valued StringFields
+# (Lucene.Net.Join/JoinUtil.cs multi-value shape): each DISTINCT value one
+# DOCS-level posting per doc — duplicate values in one array collapse, and
+# a value is scored identically whether it came from a scalar or an array.
+
+
+@pytest.fixture(scope="session")
+def index_dir_mkw(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.datagen import transcripts_spark
+    from lucenenet_spark.operators.index_build import IndexBuilder
+
+    out = str(tmp_path_factory.mktemp("idx_mkw") / "main")
+    # labels = [role, tool, role]: the dup role forces the per-doc dedupe
+    df = transcripts_spark(spark, 500, partitions=4).withColumn(
+        "labels", F.array_compact(F.array("role", "tool", "role"))
+    )
+    IndexBuilder(
+        spark, out, n_buckets=8, n_segments=8, salt_target=60,
+        keyword_fields=("role", "tool", "labels"),
+    ).build(df)
+    return out
+
+
+@pytest.fixture(scope="session")
+def oracle_index_mkw(corpus_pdf):
+    labels = [
+        [r, t, r] for r, t in zip(corpus_pdf["role"], corpus_pdf["tool"])
+    ]
+    return oracle.build_index(
+        corpus_pdf["text"].tolist(),
+        keyword_docs={"role": corpus_pdf["role"].tolist(), "labels": labels},
+    )
+
+
+def test_multivalued_keyword_parity(spark, index_dir_mkw, oracle_index_mkw):
+    from lucenenet_spark.operators.search import IndexSearcher
+
+    s = IndexSearcher(spark, index_dir_mkw)
+    # values from the role slot (duplicated in-array), the tool slot, and one
+    # present in both slots across different docs
+    for value in ["user", "assistant", "tool", "python"]:
+        want = oracle.top_k(
+            oracle.kw_term_scores(oracle_index_mkw, "labels", value), 10
+        )
+        got = hits(s.search(TermQuery(term=value, field="labels"), 10))
+        assert got == want, value
+    # dup collapse: df(labels:user) == df(role:user) — one posting per doc
+    meta = s.term_meta([("labels", "user"), ("role", "user")])
+    assert meta[("labels", "user")][0] == meta[("role", "user")][0]
+    assert s.search(TermQuery(term="nope-xyz", field="labels"), 5).count() == 0
