@@ -688,6 +688,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["surround_bool"] = surround_bool
 
+    # -- XML query parser (CoreParser.cs element grammar, new r5) -------------
+    def xml_bool(spark, sf_dir):
+        # BooleanQuery element with occurs routing — scored by the regular
+        # boolean machinery, so the plain boolean SQL oracle applies
+        from lucenenet_spark.plans.xmlparser import parse_xml
+
+        s = _searcher(spark, sf_dir)
+        q = parse_xml(
+            '<BooleanQuery fieldName="text">'
+            f'<Clause occurs="must"><TermQuery>{HOT}</TermQuery></Clause>'
+            f'<Clause occurs="should"><TermQuery>{T4}</TermQuery></Clause>'
+            f'<Clause occurs="mustNot"><TermQuery>{T5}</TermQuery></Clause>'
+            "</BooleanQuery>"
+        )
+        return s.search(q, 15)
+
+    out["xml_bool"] = xml_bool
+
+    def xml_span_near(spark, sf_dir):
+        # SpanNear element (slop REQUIRED, inOrder explicit) — same span
+        # oracle as the programmatic SpanNearQuery gates
+        from lucenenet_spark.plans.xmlparser import parse_xml
+
+        s = _searcher(spark, sf_dir)
+        q = parse_xml(
+            '<SpanNear fieldName="text" slop="4" inOrder="true">'
+            f"<SpanTerm>{HOT}</SpanTerm><SpanTerm>{MID}</SpanTerm></SpanNear>"
+        )
+        return sp.span_search(s, q, 15)
+
+    out["xml_span_near"] = xml_span_near
+
+    def xml_filtered(spark, sf_dir):
+        # FilteredQuery element: NumericRangeFilter pushes down to the
+        # typed turn_idx column; scores are the inner TermQuery's unchanged
+        from lucenenet_spark.plans.xmlparser import parse_xml
+
+        s = _searcher(spark, sf_dir)
+        q = parse_xml(
+            "<FilteredQuery><Filter>"
+            '<NumericRangeFilter fieldName="turn_idx" lowerTerm="0"'
+            ' upperTerm="2"/>'
+            f'</Filter><Query><TermQuery fieldName="text">{HOT}</TermQuery>'
+            "</Query></FilteredQuery>"
+        )
+        return s.search(q, 15)
+
+    out["xml_filtered"] = xml_filtered
+
     # -- term vectors (doc-major channel) -------------------------------------
     def term_vector_doc(spark, sf_dir):
         s = _searcher(spark, sf_dir)
@@ -876,6 +925,7 @@ _NEW_THIS_ROUND: list[str] = [
     "payload_near_tfidf", "payload_near_lmd",
     "surround_w", "surround_prefix_near", "surround_bool",
     "field_labels_multi", "field_labels_role",
+    "xml_bool", "xml_span_near", "xml_filtered",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1167,6 +1217,16 @@ LIMIT 15"""
     out["surround_w"] = es.span_near_ordered_sql(HOT, MID, 4, k=15)
     out["surround_prefix_near"] = es.span_near_prefix_sql("sca", HOT, 5, k=15)
     out["surround_bool"] = es.boolean_sql(must=[HOT, MID], must_not=[T4], k=15)
+    out["xml_bool"] = es.boolean_sql(must=[HOT], should=[T4], must_not=[T5], k=15)
+    out["xml_span_near"] = es.span_near_ordered_sql(HOT, MID, 4, k=15)
+    out["xml_filtered"] = es.boolean_sql(
+        must=[HOT],
+        k=15,
+        extra_where=(
+            "docid IN (SELECT docid FROM docs "
+            "WHERE turn_idx >= 0 AND turn_idx <= 2)"
+        ),
+    )
     out["term_vector_doc"] = f"""{es.prelude()},
 {es._positions_cte()}
 SELECT docid, term, pos FROM pos WHERE docid <= 4"""
