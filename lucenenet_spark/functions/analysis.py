@@ -90,24 +90,93 @@ ENGLISH_STOP_WORDS = frozenset(
     that the their then there these they this to was will with""".split()
 )
 
+# Snowball project stopword lists (public data, shipped by the reference as
+# Analysis/Snowball/german_stop.txt and swedish_stop.txt — the default stop
+# sets of GermanAnalyzer.cs / SwedishAnalyzer.cs)
+GERMAN_STOP_WORDS = frozenset(
+    """aber alle allem allen aller alles als also am an ander andere anderem
+    anderen anderer anderes anderm andern anderr anders auch auf aus bei bin
+    bis bist da damit dann der den des dem die das daß derselbe derselben
+    denselben desselben demselben dieselbe dieselben dasselbe dazu dein deine
+    deinem deinen deiner deines denn derer dessen dich dir du dies diese
+    diesem diesen dieser dieses doch dort durch ein eine einem einen einer
+    eines einig einige einigem einigen einiger einiges einmal er ihn ihm es
+    etwas euer eure eurem euren eurer eures für gegen gewesen hab habe haben
+    hat hatte hatten hier hin hinter ich mich mir ihr ihre ihrem ihren ihrer
+    ihres euch im in indem ins ist jede jedem jeden jeder jedes jene jenem
+    jenen jener jenes jetzt kann kein keine keinem keinen keiner keines können
+    könnte machen man manche manchem manchen mancher manches mein meine meinem
+    meinen meiner meines mit muss musste nach nicht nichts noch nun nur ob
+    oder ohne sehr sein seine seinem seinen seiner seines selbst sich sie
+    ihnen sind so solche solchem solchen solcher solches soll sollte sondern
+    sonst über um und uns unse unsem unsen unser unses unter viel vom von vor
+    während war waren warst was weg weil weiter welche welchem welchen welcher
+    welches wenn werde werden wie wieder will wir wird wirst wo wollen wollte
+    würde würden zu zum zur zwar zwischen""".split()
+)
 
-def _stem_filter(analyzer: str):
-    """Optional final TokenFilter slot: analyzer "english" appends a
-    PorterStemFilter (Analysis/En/PorterStemFilter.cs) after stop removal,
-    "standard" is the plain StandardAnalyzer chain. Stemming never changes
-    token COUNT or positions — only the token text."""
+SWEDISH_STOP_WORDS = frozenset(
+    """och det att i en jag hon som han på den med var sig för så till är men
+    ett om hade de av icke mig du henne då sin nu har inte hans honom skulle
+    hennes där min man ej vid kunde något från ut när efter upp vi dem vara
+    vad över än dig kan sina här ha mot alla under någon eller allt mycket
+    sedan ju denna själv detta åt utan varit hur ingen mitt ni bli blev oss
+    din dessa några deras blir mina samma vilken er sådan vår blivit dess
+    inom mellan sådant varför varje vilka ditt vem vilket sitta sådana vart
+    dina vars vårt våra ert era vilkas""".split()
+)
+
+
+def _analyzer_chain(analyzer: str):
+    """(stopword set, post-stop token transform | None) for the named
+    analyzer slot. Each slot mirrors one reference Analyzer's
+    CreateComponents chain over the shared StandardTokenizer+LowerCase
+    front end; the transform never changes token COUNT or positions —
+    only the token text:
+
+    - "standard": StandardAnalyzer.cs (English stops, no stemming)
+    - "english":  + PorterStemFilter (Analysis/En/PorterStemFilter.cs)
+    - "german":   GermanAnalyzer.cs — snowball German stops,
+                  GermanNormalizationFilter + GermanLightStemFilter
+    - "swedish":  SwedishAnalyzer.cs — snowball Swedish stops,
+                  SwedishLightStemFilter
+    """
     if analyzer == "standard":
-        return None
+        return ENGLISH_STOP_WORDS, None
     if analyzer == "english":
         from .porter import porter_stem
 
-        return porter_stem
-    raise ValueError(f"unknown analyzer {analyzer!r} (standard|english)")
+        return ENGLISH_STOP_WORDS, porter_stem
+    if analyzer == "german":
+        from .lightstem import german_chain
+
+        return GERMAN_STOP_WORDS, german_chain
+    if analyzer == "swedish":
+        from .lightstem import swedish_light_stem
+
+        return SWEDISH_STOP_WORDS, swedish_light_stem
+    raise ValueError(
+        f"unknown analyzer {analyzer!r} (standard|english|german|swedish)"
+    )
+
+
+def stop_words(analyzer: str = "standard") -> frozenset:
+    return _analyzer_chain(analyzer)[0]
+
+
+def stem_filter(analyzer: str = "standard"):
+    """The post-stop token transform of the analyzer slot (None for
+    "standard") — the highlighter uses it as the query-term match key."""
+    return _analyzer_chain(analyzer)[1]
+
+
+def _stem_filter(analyzer: str):
+    return _analyzer_chain(analyzer)[1]
 
 
 def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
     """Single-string analyzer chain (used by the pure-Python oracle and tests)."""
-    stemf = _stem_filter(analyzer)
+    stop, stemf = _analyzer_chain(analyzer)
     if not text:
         return []
     out = []
@@ -115,7 +184,7 @@ def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
         if len(tok) > MAX_TOKEN_LENGTH:
             continue
         low = tok.lower()
-        if low in ENGLISH_STOP_WORDS:
+        if low in stop:
             continue
         out.append(stemf(low) if stemf else low)
     return out
@@ -133,7 +202,7 @@ def tokenize_with_positions(
     (FilteringTokenFilter enablePositionIncrements, mandatory since 4.4) —
     so the position of an emitted token is its 0-based index over ALL raw
     tokenizer matches. len(tokens) stays the normed fieldLength."""
-    stemf = _stem_filter(analyzer)
+    stop, stemf = _analyzer_chain(analyzer)
     if not text:
         return [], []
     toks: list[str] = []
@@ -142,7 +211,7 @@ def tokenize_with_positions(
         if len(tok) > MAX_TOKEN_LENGTH:
             continue
         low = tok.lower()
-        if low in ENGLISH_STOP_WORDS:
+        if low in stop:
             continue
         toks.append(stemf(low) if stemf else low)
         poss.append(i)
@@ -157,7 +226,7 @@ def tokenize_with_offsets(
     (FieldInfo.cs:315-356). Offsets are char indexes into the RAW text of
     the tokenizer match (OffsetAttribute start/end, end exclusive), before
     lowercasing — exactly what PostingsHighlighter consumes."""
-    stemf = _stem_filter(analyzer)
+    stop, stemf = _analyzer_chain(analyzer)
     if not text:
         return [], [], [], []
     toks: list[str] = []
@@ -170,7 +239,7 @@ def tokenize_with_offsets(
         if len(tok) > MAX_TOKEN_LENGTH:
             continue
         low = tok.lower()
-        if low in ENGLISH_STOP_WORDS:
+        if low in stop:
             continue
         toks.append(stemf(low) if stemf else low)
         poss.append(i)
@@ -182,10 +251,9 @@ def tokenize_with_offsets(
 def _tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     # vectorized-enough: one findall per row, list-comp filtering; all work
     # happens inside a single Arrow batch (no Spark-row-level Python).
-    stop = ENGLISH_STOP_WORDS
+    stop, stemf = _analyzer_chain(analyzer)
     maxlen = MAX_TOKEN_LENGTH
     findall = _findall
-    stemf = _stem_filter(analyzer)
     if stemf is None:
         def stemf(x):  # noqa: E306 - identity for the standard chain
             return x
@@ -232,14 +300,15 @@ def tokens_col(text_col, analyzer: str = "standard"):
     return tokenize_udf(analyzer)(text_col)
 
 
-def duckdb_tokens_sql(text_expr: str) -> str:
-    """DuckDB SQL expression producing the same token array as tokenize_text.
+def duckdb_tokens_sql(text_expr: str, analyzer: str = "standard") -> str:
+    """DuckDB SQL expression producing the same token array as tokenize_text
+    (PRE-stem: the stop-filtered lowercase stream of the named analyzer).
 
     Used by the __spark_entry__ oracle side so both engines tokenize
     identically. len filter uses 255 like MAX_TOKEN_LENGTH; stopwords filtered
     after lower().
     """
-    stop_list = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    stop_list = ", ".join(f"'{w}'" for w in sorted(stop_words(analyzer)))
     return (
         f"list_filter(list_transform(regexp_extract_all({text_expr}, "
         f"'{TOKEN_PATTERN_RE2_SQL}'), t -> lower(t)), "

@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.analysis import (
-    ENGLISH_STOP_WORDS,
     MAX_TOKEN_LENGTH,
     TOKEN_PATTERN_RE2_SQL,
     _TOKEN_RE,
@@ -80,12 +79,9 @@ def highlight_hits(
     token while the snippet shows the surface form — exactly how Lucene's
     Highlighter marks "merging" for the query term "merg"."""
     terms = set(query_terms)
-    if analyzer == "english":
-        from ..functions.porter import porter_stem as _match_key
-    else:
+    from ..functions.analysis import stem_filter
 
-        def _match_key(t):
-            return t
+    _match_key = stem_filter(analyzer) or (lambda t: t)
 
     def frag(it):
         for pdf in it:

@@ -408,9 +408,10 @@ class IndexBuilder:
             raise ValueError(f"unknown index_options {index_options!r}")
         self.index_options = index_options
         # Analyzer choice (recorded in the manifest so query-side analysis
-        # can match): "standard" = StandardAnalyzer chain; "english" adds a
-        # PorterStemFilter after stop removal (EnglishAnalyzer's stem slot)
-        if analyzer not in ("standard", "english"):
+        # can match): "standard" = StandardAnalyzer chain; the other slots
+        # add per-language stop sets + stem filters after the shared
+        # tokenizer (functions/analysis._analyzer_chain)
+        if analyzer not in ("standard", "english", "german", "swedish"):
             raise ValueError(f"unknown analyzer {analyzer!r}")
         self.analyzer = analyzer
         # Per-occurrence payload channel (PayloadAttribute — Lucene payloads
