@@ -127,6 +127,108 @@ def test_lsh_finds_planted_near_dups(spark, docs):
         assert vmap[p] > 0.5
 
 
+def test_dedup_clusters_transitive_chain(spark, docs):
+    """A ~ B and B ~ C must land in ONE cluster even when jaccard(A, C)
+    is below threshold (near-dup is not transitive — the whole point of
+    the connected-components stage), and the canonical survivor is the
+    min-id member."""
+    from pyspark.sql import functions as F
+
+    base = docs.limit(3).toPandas()
+    rows = []
+    for _, r in base.iterrows():
+        words = r["text"].split()
+        did = int(r["doc_id"])
+        # chain: original -> one word changed -> two words changed
+        w1 = list(words)
+        w1[len(w1) // 2] = "zzmutone"
+        w2 = list(w1)
+        w2[len(w2) // 3] = "zzmuttwo"
+        rows.append((did + 100000, " ".join(w1)))
+        rows.append((did + 200000, " ".join(w2)))
+    near = spark.createDataFrame(rows, "doc_id long, text string")
+    both = docs.select("doc_id", "text").unionByName(near)
+    clusters = dedup.dedup_clusters(both, threshold=0.5).toPandas()
+    cmap = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    for _, r in base.iterrows():
+        did = int(r["doc_id"])
+        chain = [did, did + 100000, did + 200000]
+        got = {cmap.get(d) for d in chain if d in cmap}
+        # all present chain members share one cluster, rooted at min id
+        assert len(got) == 1, (did, got)
+        root = got.pop()
+        assert root == min(d for d in chain if d in cmap)
+    # survivors: exactly one member per cluster survives, the root
+    keep = dedup.dedup_keep(both, threshold=0.5).toPandas()["doc_id"]
+    keep = set(int(x) for x in keep)
+    for did, root in cmap.items():
+        assert (did in keep) == (did == root), (did, root)
+
+
+def test_dedup_clusters_matches_duckdb_closure(spark, docs):
+    """Engine min-label propagation == DuckDB recursive-CTE transitive
+    closure on the real corpus pair graph."""
+    import duckdb
+
+    got = (
+        dedup.dedup_clusters(docs, threshold=0.5)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = (
+        con.execute(dedup.dedup_clusters_sql(threshold=0.5))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
+
+
+def test_decontaminate_planted_overlap(spark, docs):
+    """A training doc embedding one 8-gram from a probe doc must drop;
+    clean docs survive; the probe itself (present in training) drops."""
+    from pyspark.sql import functions as F
+
+    probe = docs.limit(1)
+    ptext = probe.toPandas()["text"][0]
+    pid = int(probe.toPandas()["doc_id"][0])
+    gram8 = " ".join(ptext.split()[:8])
+    planted = spark.createDataFrame(
+        [
+            (900001, "totally unrelated words " + gram8 + " trailing bits"),
+            (900002, "completely clean zz document about nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    train = docs.select("doc_id", "text").unionByName(planted)
+    keep = set(
+        int(x) for x in dedup.decontaminate(train, probe).toPandas()["doc_id"]
+    )
+    assert 900001 not in keep  # shares the planted 8-gram
+    assert 900002 in keep
+    assert pid not in keep  # the probe doc itself is contaminated
+
+
+def test_decontaminate_shuffled_fallback_is_identical(spark, docs, monkeypatch):
+    """Forcing the broadcast guard to 0 (always-shuffle path) must not
+    change the survivor set — the guard only swaps join strategy."""
+    probe = docs.filter("doc_id % 97 = 0")
+    want = sorted(
+        int(x) for x in dedup.decontaminate(docs, probe).toPandas()["doc_id"]
+    )
+    monkeypatch.setattr(dedup, "MAX_BROADCAST_PROBE_GRAMS", 0)
+    got = sorted(
+        int(x) for x in dedup.decontaminate(docs, probe).toPandas()["doc_id"]
+    )
+    assert got == want
+
+
 def test_simhash_matches_reference_and_finds_dups(spark, docs):
     got = dedup.simhash(docs.limit(20)).toPandas().set_index("doc_id")
     pdf = docs.limit(20).toPandas()
