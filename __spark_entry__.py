@@ -347,6 +347,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bool_stemmed"] = bool_stemmed
 
+    def term_german(spark, sf_dir):
+        # German analyzer slot (snowball stops + GermanNormalizationFilter
+        # + GermanLightStemFilter): "merges" parses to the stemmed index
+        # term "merg" via the UniNE light rules
+        from lucenenet_spark.operators.search import IndexSearcher
+
+        s = IndexSearcher(
+            spark, es.ensure_analyzer_index(spark, sf_dir, "german")
+        )
+        return s.search(parse("merges", analyzer=s.analyzer), 15)
+
+    out["term_german"] = term_german
+
+    def bool_swedish(spark, sf_dir):
+        # Swedish analyzer slot (snowball stops + SwedishLightStemFilter)
+        from lucenenet_spark.operators.search import IndexSearcher
+
+        s = IndexSearcher(
+            spark, es.ensure_analyzer_index(spark, sf_dir, "swedish")
+        )
+        return s.search(parse("+merges batches", analyzer=s.analyzer), 15)
+
+    out["bool_swedish"] = bool_swedish
+
     def join_terms_avg(spark, sf_dir):
         # JoinUtil term join: docs sharing a tool with the HOT-term hits,
         # scored by the per-tool average of from-hit scores
@@ -737,6 +761,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["xml_filtered"] = xml_filtered
 
+    # -- Flexible parser family (StandardQueryParser / Precedence, new r5) ----
+    def flex_precedence(spark, sf_dir):
+        # PrecedenceQueryParser keeps AND/OR nesting: OR(AND(hot, mid), t4)
+        from lucenenet_spark.plans.flexible import precedence_parse
+
+        s = _searcher(spark, sf_dir)
+        return s.search(precedence_parse(f"{HOT} AND {MID} OR {T4}"), 15)
+
+    out["flex_precedence"] = flex_precedence
+
+    def flex_open_range(spark, sf_dir):
+        # StandardSyntaxParser open-range operators push down to the typed
+        # turn_idx column; two MatchAll-filter clauses fold to score 2.0
+        from lucenenet_spark.plans.flexible import standard_parse
+
+        s = _searcher(spark, sf_dir)
+        q = standard_parse("turn_idx:>=1 AND turn_idx:<3")
+        return s.search(q, 100000, prune=False)
+
+    out["flex_open_range"] = flex_open_range
+
+    def flex_multifield(spark, sf_dir):
+        # multi-field expansion: each unfielded term becomes a grouped
+        # OR(text:t, role:t); HOT matches via text, 'user' via the keyword
+        from lucenenet_spark.plans.flexible import standard_parse
+
+        s = _searcher(spark, sf_dir)
+        q = standard_parse(f"{HOT} user", fields=("text", "role"))
+        return s.search(q, 15)
+
+    out["flex_multifield"] = flex_multifield
+
     # -- term vectors (doc-major channel) -------------------------------------
     def term_vector_doc(spark, sf_dir):
         s = _searcher(spark, sf_dir)
@@ -844,6 +900,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.exact_duplicates(both)
 
     out["dedup_exact"] = dedup_exact
+    # near-dup clustering (connected components over the verified pair
+    # graph, min-label propagation) + canonical survivor list (new r5)
+    out["dedup_clusters"] = lambda s, d: dedup.dedup_clusters(
+        _docs(s, d), threshold=0.5
+    )
+    out["dedup_keep"] = lambda s, d: dedup.dedup_keep(
+        _docs(s, d), threshold=0.5
+    )
+    # test-set decontamination: probes are a deterministic id slice of the
+    # corpus; docs sharing any 8-gram with a probe drop (new r5)
+    out["decontam_keep"] = lambda s, d: dedup.decontaminate(
+        _docs(s, d), _docs(s, d).filter(F.col("doc_id") % 97 == 0)
+    )
     out["dedup_minhash_pairs"] = lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d))
     out["dedup_jaccard"] = lambda s, d: dedup.jaccard_verify(
         _docs(s, d), dedup.lsh_candidate_pairs(_docs(s, d))
@@ -926,6 +995,9 @@ _NEW_THIS_ROUND: list[str] = [
     "surround_w", "surround_prefix_near", "surround_bool",
     "field_labels_multi", "field_labels_role",
     "xml_bool", "xml_span_near", "xml_filtered",
+    "flex_precedence", "flex_open_range", "flex_multifield",
+    "term_german", "bool_swedish", "dedup_clusters", "dedup_keep",
+    "decontam_keep",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1102,6 +1174,10 @@ LIMIT 30"""
     out["phrase_tfidf"] = es.phrase_sim_sql(["table", "hash"], "classic", k=15)
     out["phrase_lmd"] = es.phrase_sim_sql(["value", "table"], "lmd", k=15, slop=2)
     out["term_stemmed"] = es.term_sql("merg", k=15, analyzer="english")
+    out["term_german"] = es.term_sql("merg", k=15, analyzer="german")
+    out["bool_swedish"] = es.boolean_sql(
+        must=["merg"], should=["batch"], k=15, analyzer="swedish"
+    )
     out["join_terms_avg"] = es.join_terms_sql(HOT, "tool", "tool", "avg", k=15)
     out["join_terms_total_seg"] = es.join_terms_sql(
         HOT, "tool", "tool", "total", k=15
@@ -1227,6 +1303,13 @@ LIMIT 15"""
             "WHERE turn_idx >= 0 AND turn_idx <= 2)"
         ),
     )
+    out["flex_precedence"] = es.precedence_sql(HOT, MID, T4, k=15)
+    out["flex_open_range"] = f"""{es.prelude()}
+SELECT d.docid AS docid, CAST(CAST(2.0 AS DOUBLE) AS REAL) AS score
+FROM docs d WHERE d.turn_idx >= 1 AND d.turn_idx < 3
+ORDER BY score DESC, docid ASC
+LIMIT 100000"""
+    out["flex_multifield"] = es.multi_field_sql(HOT, "user", "role", k=15)
     out["term_vector_doc"] = f"""{es.prelude()},
 {es._positions_cte()}
 SELECT docid, term, pos FROM pos WHERE docid <= 4"""
@@ -1281,6 +1364,9 @@ ORDER BY score DESC, parent ASC LIMIT 15"""
     )
     out["dedup_minhash_pairs"] = dd.lsh_candidate_pairs_sql()
     out["dedup_jaccard"] = dd.jaccard_pairs_sql()
+    out["dedup_clusters"] = dd.dedup_clusters_sql(threshold=0.5)
+    out["dedup_keep"] = dd.dedup_keep_sql(threshold=0.5)
+    out["decontam_keep"] = dd.decontaminate_sql("doc_id % 97 = 0")
 
     from lucenenet_spark.pipeline import similarity as sim
 

@@ -112,16 +112,21 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
 _STEM_INDEX_CACHE: dict[str, str] = {}
 
 
-def ensure_stemmed_index(spark: SparkSession, sf_dir: str) -> str:
-    """Like ensure_index, but the analysis chain appends a PorterStemFilter
-    (analyzer="english") — the stemmed-search gates query this index."""
-    if sf_dir in _STEM_INDEX_CACHE:
-        return _STEM_INDEX_CACHE[sf_dir]
+def ensure_analyzer_index(
+    spark: SparkSession, sf_dir: str, analyzer: str
+) -> str:
+    """Like ensure_index, but the analysis chain is the named analyzer slot
+    ("english" Porter, "german" normalization+light stem, "swedish" light
+    stem) — the language-analyzer gates query these indexes."""
+    key = (sf_dir, analyzer)
+    if key in _STEM_INDEX_CACHE:
+        return _STEM_INDEX_CACHE[key]
     from .operators.index_build import IndexBuilder
 
     _add_pyfiles(spark)
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    out = os.path.join("/tmp/lucenenet_entry", f"idxstem_{tag}")
+    suffix = "" if analyzer == "english" else f"_{analyzer}"
+    out = os.path.join("/tmp/lucenenet_entry", f"idxstem{suffix}_{tag}")
     mpath = os.path.join(out, "_manifest.json")
     if os.path.exists(mpath):
         import json
@@ -129,14 +134,21 @@ def ensure_stemmed_index(spark: SparkSession, sf_dir: str) -> str:
 
         with open(mpath) as f:
             m = json.load(f)
-        if m.get("format_version") != 5 or m.get("analyzer") != "english":
+        if m.get("format_version") != 5 or m.get("analyzer") != analyzer:
             shutil.rmtree(out, ignore_errors=True)
     IndexBuilder(
         spark, out, k1=K1, b=B, n_buckets=8, n_segments=8, salt_target=2000,
-        analyzer="english",
-    ).build(transcripts_from_documents(spark, sf_dir), build_id=f"gate-stem-{tag}")
-    _STEM_INDEX_CACHE[sf_dir] = out
+        analyzer=analyzer,
+    ).build(
+        transcripts_from_documents(spark, sf_dir),
+        build_id=f"gate-{analyzer}-{tag}",
+    )
+    _STEM_INDEX_CACHE[key] = out
     return out
+
+
+def ensure_stemmed_index(spark: SparkSession, sf_dir: str) -> str:
+    return ensure_analyzer_index(spark, sf_dir, "english")
 
 
 def _add_pyfiles(spark: SparkSession) -> None:
@@ -199,8 +211,10 @@ def _norm_values_rows(max_len: int = 1 << 20) -> str:
     return ",\n    ".join(rows)
 
 
-def _tokens_expr(text_expr: str) -> str:
-    stop_list = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+def _tokens_expr(text_expr: str, analyzer: str = "standard") -> str:
+    from .functions.analysis import stop_words
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(stop_words(analyzer)))
     return (
         f"list_filter(list_transform(regexp_extract_all(COALESCE({text_expr}, ''), "
         f"'{TOKEN_PATTERN_RE2_SQL}'), t -> lower(t)), "
@@ -358,25 +372,97 @@ stemmap AS (
 )"""
 
 
+def _german_sql_pipeline() -> str:
+    """Independent SQL GermanNormalizationFilter + GermanLightStemmer over
+    the distinct raw tokens -> stemmap(tok, stem).
+
+    The normalization FSM's umlaut-state e-deletion reduces, on the gate
+    corpus's ASCII token space, to exactly two RE2 rewrites applied in
+    order: delete 'e' after a/o, then delete 'e' after a 'u' that follows
+    a non-vowel (the 'u' entered the umlaut state only from the ordinary
+    state). Deleted e's always follow a consumed a/o, so the first rewrite
+    can never manufacture a context for the second. Umlaut/ß folding never
+    fires on ASCII input; the Python implementation (functions/lightstem.py)
+    carries the full FSM and the pytest fuzz compares the two over the
+    corpus vocabulary."""
+    st = "('b','d','f','g','h','k','l','m','n','t')"
+    norm = (
+        "regexp_replace(regexp_replace(tok, '([ao])e', '\\1', 'g'), "
+        "'(^|[^aoueiqy])ue', '\\1u', 'g')"
+    )
+    s1 = f"""CASE
+    WHEN length(n) > 5 AND n LIKE '%ern' THEN left(n, length(n)-3)
+    WHEN length(n) > 4 AND substr(n, length(n)-1, 1) = 'e'
+         AND right(n, 1) IN ('m','n','r','s') THEN left(n, length(n)-2)
+    WHEN length(n) > 3 AND n LIKE '%e' THEN left(n, length(n)-1)
+    WHEN length(n) > 3 AND n LIKE '%s'
+         AND substr(n, length(n)-1, 1) IN {st} THEN left(n, length(n)-1)
+    ELSE n END"""
+    s2 = f"""CASE
+    WHEN length(w) > 5 AND w LIKE '%est' THEN left(w, length(w)-3)
+    WHEN length(w) > 4 AND (w LIKE '%er' OR w LIKE '%en')
+         THEN left(w, length(w)-2)
+    WHEN length(w) > 4 AND w LIKE '%st'
+         AND substr(w, length(w)-2, 1) IN {st} THEN left(w, length(w)-2)
+    ELSE w END"""
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+gv0 AS (SELECT tok, {norm} AS n FROM vocab),
+gv1 AS (SELECT tok, {s1} AS w FROM gv0),
+stemmap AS (SELECT tok, {s2} AS stem FROM gv1)"""
+
+
+def _swedish_sql_pipeline() -> str:
+    """Independent SQL SwedishLightStemmer (trailing -s strip, then one
+    suffix cascade) over the distinct raw tokens -> stemmap(tok, stem)."""
+    pre = (
+        "CASE WHEN length(tok) > 4 AND tok LIKE '%s' "
+        "THEN left(tok, length(tok)-1) ELSE tok END"
+    )
+    s = """CASE
+    WHEN length(p) > 7 AND (p LIKE '%elser' OR p LIKE '%heten')
+         THEN left(p, length(p)-5)
+    WHEN length(p) > 6 AND right(p, 4) IN
+         ('arne','erna','ande','else','aste','orna','aren')
+         THEN left(p, length(p)-4)
+    WHEN length(p) > 5 AND right(p, 3) IN ('are','ast','het')
+         THEN left(p, length(p)-3)
+    WHEN length(p) > 4 AND right(p, 2) IN
+         ('ar','er','or','en','at','te','et') THEN left(p, length(p)-2)
+    WHEN length(p) > 3 AND right(p, 1) IN ('t','a','e','n')
+         THEN left(p, length(p)-1)
+    ELSE p END"""
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+sv0 AS (SELECT tok, {pre} AS p FROM vocab),
+stemmap AS (SELECT tok, {s} AS stem FROM sv0)"""
+
+
+_STEM_PIPELINES = {
+    "english": _porter_sql_pipeline,
+    "german": _german_sql_pipeline,
+    "swedish": _swedish_sql_pipeline,
+}
+
+
 def _toks_cte(analyzer: str) -> str:
     """The `toks(docid, tokens)` CTE: plain StandardAnalyzer tokens, or the
-    Porter-stemmed stream (stems computed once per distinct token via the
-    SQL Porter pipeline, then rejoined in order; docs with zero tokens keep
-    an empty list so lens/fstats still count them)."""
+    stemmed stream of the named analyzer slot (stems computed once per
+    distinct token via the slot's independent SQL pipeline, then rejoined
+    in order; docs with zero tokens keep an empty list so lens/fstats
+    still count them). The stop list is the analyzer's own."""
     base = f"""toks AS (
   SELECT docid, {_tokens_expr('text')} AS tokens FROM docs
 )"""
     if analyzer == "standard":
         return base
-    assert analyzer == "english", analyzer
+    pipeline = _STEM_PIPELINES[analyzer]
     return f"""toks0 AS (
-  SELECT docid, {_tokens_expr('text')} AS tokens FROM docs
+  SELECT docid, {_tokens_expr('text', analyzer)} AS tokens FROM docs
 ),
 rawtoks AS (
   SELECT docid, unnest(tokens) AS tok, generate_subscripts(tokens, 1) AS ord
   FROM toks0
 ),
-{_porter_sql_pipeline()},
+{pipeline()},
 toks AS (
   SELECT d.docid, COALESCE(s.tokens, CAST([] AS VARCHAR[])) AS tokens
   FROM docs d LEFT JOIN (
@@ -1747,6 +1833,62 @@ def kw_term_sql(field: str, value: str, k: int = 10, cond: str | None = None) ->
     return f"""{prelude()}
 SELECT docid, {_kw_score_sql(field, value, cond=cond)} AS score
 FROM docs WHERE {cond}
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+
+
+def precedence_sql(a: str, b: str, c: str, k: int = 15) -> str:
+    """OR(AND(a, b), c) — the PrecedenceQueryParser keeps the grammar's
+    nesting (Flexible/Precedence/Processors/BooleanModifiersQueryNodeProcessor
+    .cs), so the AND group folds first (f32 clause order, docs matching both
+    required terms only), then the outer SHOULD fold adds the lone term."""
+    inner = _fold(["s0", "s1"])
+    g1 = f"CASE WHEN s0 IS NOT NULL AND s1 IS NOT NULL THEN {inner} END"
+    return f"""{prelude()},
+pivoted AS (
+  {_pivot([a, b, c])}
+),
+grouped AS (
+  SELECT docid, {g1} AS g1, s2 FROM pivoted
+)
+SELECT docid, {_fold(["g1", "s2"])} AS score
+FROM grouped
+WHERE g1 IS NOT NULL OR s2 IS NOT NULL
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+
+
+def multi_field_sql(t1: str, t2: str, field: str, k: int = 15) -> str:
+    """standard_parse('t1 t2', fields=('text', field)) oracle: each
+    unfielded term expands to a grouped OR(text:t, field:t)
+    (MultiFieldQueryNodeProcessor.cs:95-104 GroupQueryNode(OrQueryNode));
+    the two groups combine SHOULD at the top. The keyword side scores the
+    omitNorms constant; per-group f32 fold, then the outer f32 fold."""
+    kw1 = _kw_score_sql(field, t1)
+    kw2 = _kw_score_sql(field, t2)
+    return f"""{prelude()},
+textp AS (
+  {_pivot([t1, t2])}
+),
+pivoted AS (
+  SELECT d.docid,
+         t.s0 AS s0,
+         CASE WHEN d.{field} = '{t1}' THEN {kw1} END AS s1,
+         t.s1 AS s2,
+         CASE WHEN d.{field} = '{t2}' THEN {kw2} END AS s3
+  FROM docs d LEFT JOIN textp t ON d.docid = t.docid
+),
+grouped AS (
+  SELECT docid,
+         CASE WHEN s0 IS NOT NULL OR s1 IS NOT NULL
+              THEN {_fold(["s0", "s1"])} END AS g1,
+         CASE WHEN s2 IS NOT NULL OR s3 IS NOT NULL
+              THEN {_fold(["s2", "s3"])} END AS g2
+  FROM pivoted
+)
+SELECT docid, {_fold(["g1", "g2"])} AS score
+FROM grouped
+WHERE g1 IS NOT NULL OR g2 IS NOT NULL
 ORDER BY score DESC, docid ASC
 LIMIT {k}"""
 
