@@ -125,7 +125,8 @@ def ensure_analyzer_index(
 
     _add_pyfiles(spark)
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    suffix = "" if analyzer == "english" else f"_{analyzer}"
+    safe = "".join(c if c.isalnum() else "_" for c in analyzer)
+    suffix = "" if analyzer == "english" else f"_{safe}"
     out = os.path.join("/tmp/lucenenet_entry", f"idxstem{suffix}_{tag}")
     mpath = os.path.join(out, "_manifest.json")
     if os.path.exists(mpath):
@@ -212,14 +213,24 @@ def _norm_values_rows(max_len: int = 1 << 20) -> str:
 
 
 def _tokens_expr(text_expr: str, analyzer: str = "standard") -> str:
-    from .functions.analysis import stop_words
+    from .functions.analysis import elision_articles, elision_sql, stop_words
 
     stop_list = ", ".join(f"'{w}'" for w in sorted(stop_words(analyzer)))
-    return (
+    lowered = (
         f"list_filter(list_transform(regexp_extract_all(COALESCE({text_expr}, ''), "
         f"'{TOKEN_PATTERN_RE2_SQL}'), t -> lower(t)), "
-        f"t -> length(t) <= {MAX_TOKEN_LENGTH} AND t NOT IN ({stop_list}))"
+        f"t -> length(t) <= {MAX_TOKEN_LENGTH})"
     )
+    arts = elision_articles(analyzer)
+    if arts is not None:
+        # ElisionFilter ahead of the stop filter (FrenchAnalyzer.cs /
+        # ItalianAnalyzer.cs CreateComponents); length cap stays on the
+        # RAW token like the reference's tokenizer-level maxTokenLength
+        pat = elision_sql(arts).replace("'", "''")
+        lowered = (
+            f"list_transform({lowered}, t -> regexp_replace(t, '{pat}', ''))"
+        )
+    return f"list_filter({lowered}, t -> t NOT IN ({stop_list}))"
 
 
 def _porter_sql_pipeline() -> str:
@@ -372,6 +383,15 @@ stemmap AS (
 )"""
 
 
+def _german_norm_sql(col: str) -> str:
+    """The ASCII-corpus reduction of GermanNormalizationFilter as two RE2
+    rewrites (see _german_sql_pipeline's docstring for the argument)."""
+    return (
+        f"regexp_replace(regexp_replace({col}, '([ao])e', '\\1', 'g'), "
+        "'(^|[^aoueiqy])ue', '\\1u', 'g')"
+    )
+
+
 def _german_sql_pipeline() -> str:
     """Independent SQL GermanNormalizationFilter + GermanLightStemmer over
     the distinct raw tokens -> stemmap(tok, stem).
@@ -386,10 +406,7 @@ def _german_sql_pipeline() -> str:
     carries the full FSM and the pytest fuzz compares the two over the
     corpus vocabulary."""
     st = "('b','d','f','g','h','k','l','m','n','t')"
-    norm = (
-        "regexp_replace(regexp_replace(tok, '([ao])e', '\\1', 'g'), "
-        "'(^|[^aoueiqy])ue', '\\1u', 'g')"
-    )
+    norm = _german_norm_sql("tok")
     s1 = f"""CASE
     WHEN length(n) > 5 AND n LIKE '%ern' THEN left(n, length(n)-3)
     WHEN length(n) > 4 AND substr(n, length(n)-1, 1) = 'e'
@@ -436,10 +453,328 @@ sv0 AS (SELECT tok, {pre} AS p FROM vocab),
 stemmap AS (SELECT tok, {s} AS stem FROM sv0)"""
 
 
+def _spanish_sql_pipeline() -> str:
+    """Independent SQL SpanishLightStemmer (len<5 pass-through BEFORE fold,
+    accent fold, one final-vowel/plural switch) over the distinct raw
+    tokens -> stemmap(tok, stem)."""
+    fold = "translate(tok, 'àáâäòóôöèéêëùúûüìíîï', 'aaaaoooo" \
+        "eeeeuuuuiiii')"
+    s = """CASE
+    WHEN right(f, 1) IN ('o','a','e') THEN left(f, length(f)-1)
+    WHEN right(f, 4) = 'eses' THEN left(f, length(f)-2)
+    WHEN right(f, 3) = 'ces' THEN left(f, length(f)-3) || 'z'
+    WHEN right(f, 1) = 's' AND substr(f, length(f)-1, 1) IN ('o','a','e')
+         THEN left(f, length(f)-2)
+    ELSE f END"""
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+es0 AS (SELECT tok, {fold} AS f FROM vocab),
+stemmap AS (
+  SELECT tok, CASE WHEN length(tok) < 5 THEN tok ELSE {s} END AS stem
+  FROM es0
+)"""
+
+
+def _italian_sql_pipeline() -> str:
+    """Independent SQL ItalianLightStemmer (len<6 pass-through BEFORE fold,
+    accent fold, one final-vowel switch) -> stemmap(tok, stem)."""
+    fold = "translate(tok, 'àáâäòóôöèéêëùúûüìíîï', 'aaaaoooo" \
+        "eeeeuuuuiiii')"
+    s = """CASE
+    WHEN right(f, 2) IN ('ie','he') THEN left(f, length(f)-2)
+    WHEN right(f, 1) = 'e' THEN left(f, length(f)-1)
+    WHEN right(f, 2) IN ('hi','ii') THEN left(f, length(f)-2)
+    WHEN right(f, 1) = 'i' THEN left(f, length(f)-1)
+    WHEN right(f, 2) = 'ia' THEN left(f, length(f)-2)
+    WHEN right(f, 1) = 'a' THEN left(f, length(f)-1)
+    WHEN right(f, 2) = 'io' THEN left(f, length(f)-2)
+    WHEN right(f, 1) = 'o' THEN left(f, length(f)-1)
+    ELSE f END"""
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+it0 AS (SELECT tok, {fold} AS f FROM vocab),
+stemmap AS (
+  SELECT tok, CASE WHEN length(tok) < 6 THEN tok ELSE {s} END AS stem
+  FROM it0
+)"""
+
+
+def _portuguese_sql_pipeline() -> str:
+    """Independent SQL PortugueseLightStemmer (RemoveSuffix rewrite cascade,
+    NormFeminine on final -a, final-vowel strip, accent fold LAST) ->
+    stemmap(tok, stem). len<4 tokens pass through untouched."""
+    rs = """CASE
+    WHEN length(tok)>4 AND right(tok,2)='es'
+         AND substr(tok, length(tok)-2, 1) IN ('r','s','l','z')
+         THEN left(tok, length(tok)-2)
+    WHEN length(tok)>3 AND right(tok,2)='ns' THEN left(tok, length(tok)-2) || 'm'
+    WHEN length(tok)>4 AND (right(tok,3)='eis' OR right(tok,3)='éis')
+         THEN left(tok, length(tok)-3) || 'el'
+    WHEN length(tok)>4 AND right(tok,3)='ais' THEN left(tok, length(tok)-3) || 'al'
+    WHEN length(tok)>4 AND right(tok,3)='óis' THEN left(tok, length(tok)-3) || 'ol'
+    WHEN length(tok)>4 AND right(tok,2)='is' THEN left(tok, length(tok)-1) || 'l'
+    WHEN length(tok)>3 AND (right(tok,3)='ões' OR right(tok,3)='ães')
+         THEN left(tok, length(tok)-3) || 'ão'
+    WHEN length(tok)>6 AND right(tok,5)='mente' THEN left(tok, length(tok)-5)
+    WHEN length(tok)>3 AND right(tok,1)='s' THEN left(tok, length(tok)-1)
+    ELSE tok END"""
+    fem = """CASE
+    WHEN length(w)<=3 OR right(w,1) != 'a' THEN w
+    WHEN length(w)>7 AND right(w,4) IN ('inha','iaca','eira')
+         THEN left(w, length(w)-1) || 'o'
+    WHEN length(w)>6 AND right(w,3) IN ('osa','ica','ida','ada','iva','ama')
+         THEN left(w, length(w)-1) || 'o'
+    WHEN length(w)>6 AND right(w,3)='ona' THEN left(w, length(w)-3) || 'ão'
+    WHEN length(w)>6 AND right(w,3)='ora' THEN left(w, length(w)-1)
+    WHEN length(w)>6 AND right(w,3)='esa' THEN left(w, length(w)-3) || 'ês'
+    WHEN length(w)>6 AND right(w,2)='na' THEN left(w, length(w)-1) || 'o'
+    ELSE w END"""
+    final = """CASE WHEN length(w)>4 AND right(w,1) IN ('e','a','o')
+    THEN left(w, length(w)-1) ELSE w END"""
+    fold = "translate(w, 'àáâäãòóôöõèéêëùúûüìíîïç', 'aaaaaooooo" \
+        "eeeeuuuuiiiic')"
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+pt1 AS (SELECT tok, CASE WHEN length(tok)<4 THEN NULL ELSE {rs} END AS w
+        FROM vocab),
+pt2 AS (SELECT tok, {fem} AS w FROM pt1 WHERE w IS NOT NULL),
+pt3 AS (SELECT tok, {final} AS w FROM pt2),
+stemmap AS (
+  SELECT tok, {fold} AS stem FROM pt3
+  UNION ALL
+  SELECT tok, tok AS stem FROM vocab WHERE length(tok) < 4
+)"""
+
+
+def _norwegian_sql_pipeline() -> str:
+    """Independent SQL NorwegianLightStemmer, BOKMAAL flag (possessive -s,
+    then ONE ending from the cascade) -> stemmap(tok, stem)."""
+    pre = (
+        "CASE WHEN length(tok) > 4 AND right(tok,1) = 's' "
+        "THEN left(tok, length(tok)-1) ELSE tok END"
+    )
+    s = """CASE
+    WHEN length(p)>7 AND right(p,5) IN ('heter','heten') THEN left(p, length(p)-5)
+    WHEN length(p)>5 AND right(p,3) IN ('dom','het') THEN left(p, length(p)-3)
+    WHEN length(p)>7 AND right(p,5) IN ('elser','elsen') THEN left(p, length(p)-5)
+    WHEN length(p)>6 AND right(p,4) IN ('ende','else','este','eren')
+         THEN left(p, length(p)-4)
+    WHEN length(p)>5 AND right(p,3) IN ('ere','est','ene') THEN left(p, length(p)-3)
+    WHEN length(p)>4 AND right(p,2) IN ('er','en','et','st','te')
+         THEN left(p, length(p)-2)
+    WHEN length(p)>3 AND right(p,1) IN ('a','e','n') THEN left(p, length(p)-1)
+    ELSE p END"""
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+nb0 AS (SELECT tok, {pre} AS p FROM vocab),
+stemmap AS (SELECT tok, {s} AS stem FROM nb0)"""
+
+
+def _french_sql_pipeline() -> str:
+    """Independent SQL FrenchLightStemmer -> stemmap(tok, stem).
+
+    The Stem() cascade is modeled with a done-flag walk: returning branches
+    set r (NULL = fell through), the three no-return branches (trice, ète,
+    ique) rewrite w only while no r is set, and every path funnels into the
+    shared Norm stages (fold + adjacent-duplicate-letter collapse via an
+    indexed list_filter, -ie strip, then the sequential r/e/e/double tail
+    applied under ONE entry length check, exactly like the scalar code in
+    functions/lightstem.py)."""
+    # stage A: the three unconditional x/s strips (aux -> al rewrite)
+    a1 = """CASE WHEN length(tok)>5 AND right(tok,1)='x' THEN
+      CASE WHEN right(tok,3)='aux' AND substr(tok, length(tok)-3, 1)!='e'
+           THEN left(tok, length(tok)-2) || 'l'
+           ELSE left(tok, length(tok)-1) END
+    ELSE tok END"""
+    a2 = "CASE WHEN length(a1)>3 AND right(a1,1)='x' THEN left(a1, length(a1)-1) ELSE a1 END"
+    a3 = "CASE WHEN length(a2)>3 AND right(a2,1)='s' THEN left(a2, length(a2)-1) ELSE a2 END"
+    # stage B: first returning group (suffix -> rewrite, longest first)
+    b = """CASE
+    WHEN length(w)>9  AND right(w,8)='issement' THEN left(w, length(w)-7) || 'r'
+    WHEN length(w)>8  AND right(w,6)='issant'   THEN left(w, length(w)-5) || 'r'
+    WHEN length(w)>6  AND right(w,5)='ement'    THEN
+      CASE WHEN length(w)>7 AND right(w,7)='ivement'
+           THEN left(w, length(w)-6) || 'f'
+           ELSE left(w, length(w)-4) END
+    WHEN length(w)>11 AND right(w,9)='ficatrice' THEN left(w, length(w)-7) || 'er'
+    WHEN length(w)>10 AND right(w,8)='ficateur'  THEN left(w, length(w)-6) || 'er'
+    WHEN length(w)>9  AND right(w,7)='catrice'   THEN left(w, length(w)-7) || 'quer'
+    WHEN length(w)>8  AND right(w,6)='cateur'    THEN left(w, length(w)-6) || 'quer'
+    WHEN length(w)>8  AND right(w,6)='atrice'    THEN left(w, length(w)-6) || 'er'
+    WHEN length(w)>7  AND right(w,5)='ateur'     THEN left(w, length(w)-5) || 'er'
+    ELSE NULL END"""
+    # stage C: trice (no return)
+    c = """CASE WHEN NOT dn AND length(w)>6 AND right(w,5)='trice'
+    THEN left(w, length(w)-5) || 'teur' ELSE w END"""
+    # stage D: second returning group
+    d = """CASE
+    WHEN length(w)>5 AND right(w,4)='ième' THEN left(w, length(w)-4)
+    WHEN length(w)>7 AND right(w,5)='teuse' THEN left(w, length(w)-3) || 'r'
+    WHEN length(w)>6 AND right(w,4)='teur' THEN left(w, length(w)-2) || 'r'
+    WHEN length(w)>5 AND right(w,4)='euse' THEN left(w, length(w)-2)
+    WHEN length(w)>8 AND right(w,3)='ère' THEN left(w, length(w)-3) || 'er'
+    WHEN length(w)>7 AND right(w,3)='ive' THEN left(w, length(w)-2) || 'f'
+    WHEN length(w)>4 AND (right(w,5)='folle' OR right(w,5)='molle')
+         THEN left(w, length(w)-3) || 'u'
+    WHEN length(w)>9 AND right(w,6)='nnelle' THEN left(w, length(w)-5)
+    WHEN length(w)>9 AND right(w,4)='nnel' THEN left(w, length(w)-3)
+    ELSE NULL END"""
+    # stage E: ète, ique (no return)
+    e1 = """CASE WHEN NOT dn AND length(w)>4 AND right(w,3)='ète'
+    THEN left(w, length(w)-3) || 'et' ELSE w END"""
+    e2 = """CASE WHEN NOT dn AND length(e1)>8 AND right(e1,4)='ique'
+    THEN left(e1, length(e1)-4) ELSE e1 END"""
+    # stage F: third returning group
+    f = """CASE
+    WHEN length(w)>8 AND right(w,4)='esse' THEN left(w, length(w)-3)
+    WHEN length(w)>7 AND right(w,5)='inage' THEN left(w, length(w)-3)
+    WHEN length(w)>9 AND right(w,7)='isation' THEN
+      CASE WHEN length(w)>12 AND substr(w, length(w)-9, 3)='ual'
+           THEN left(w, length(w)-10) || 'uel'
+           ELSE left(w, length(w)-7) END
+    WHEN length(w)>9 AND right(w,7)='isateur' THEN left(w, length(w)-7)
+    WHEN length(w)>8 AND right(w,5)='ation' THEN left(w, length(w)-5)
+    WHEN length(w)>8 AND right(w,5)='ition' THEN left(w, length(w)-5)
+    ELSE NULL END"""
+    fold = "translate(w, 'àáâôèéêùûîç', 'aaaoeeeuuic')"
+    collapse = (
+        "list_reduce(list_filter(regexp_extract_all(f, '.'), "
+        "(c, i) -> i = 1 OR c != regexp_extract_all(f, '.')[i-1] "
+        "OR NOT regexp_matches(c, '^\\p{L}$')), (x, y) -> x || y)"
+    )
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+fra AS (
+  SELECT tok, {a3} AS w
+  FROM (SELECT tok, a1, {a2} AS a2
+        FROM (SELECT tok, {a1} AS a1 FROM vocab))
+),
+frb AS (SELECT tok, COALESCE(r, w) AS w, r IS NOT NULL AS dn
+        FROM (SELECT tok, w, {b} AS r FROM fra)),
+frc AS (SELECT tok, {c} AS w, dn FROM frb),
+frd AS (SELECT tok, COALESCE(r, w) AS w, dn OR r IS NOT NULL AS dn
+        FROM (SELECT tok, w,
+                     CASE WHEN dn THEN NULL ELSE {d} END AS r, dn FROM frc)),
+fre AS (SELECT tok, {e2} AS w, dn
+        FROM (SELECT tok, {e1} AS e1, dn, w FROM frd)),
+frf AS (SELECT tok, COALESCE(r, w) AS w
+        FROM (SELECT tok, w,
+                     CASE WHEN dn THEN NULL ELSE {f} END AS r FROM fre)),
+frn1 AS (
+  SELECT tok, CASE WHEN length(w)>4 THEN {collapse} ELSE w END AS w
+  FROM (SELECT tok, w, {fold} AS f FROM frf)
+),
+frn2 AS (SELECT tok, CASE WHEN length(w)>4 AND right(w,2)='ie'
+                          THEN left(w, length(w)-2) ELSE w END AS w
+         FROM frn1),
+stemmap AS (
+  SELECT tok,
+         CASE WHEN blk AND length(w3)>=2
+                   AND right(w3,1) = substr(w3, length(w3)-1, 1)
+                   AND regexp_matches(right(w3,1), '^\\p{{L}}$')
+              THEN left(w3, length(w3)-1) ELSE w3 END AS stem
+  FROM (
+    SELECT tok, blk, w1, w2,
+           CASE WHEN blk AND right(w2,1)='e' THEN left(w2, length(w2)-1)
+                ELSE w2 END AS w3
+    FROM (
+      SELECT tok, blk, w1,
+             CASE WHEN blk AND right(w1,1)='e' THEN left(w1, length(w1)-1)
+                  ELSE w1 END AS w2
+      FROM (
+        SELECT tok, length(w)>4 AS blk,
+               CASE WHEN length(w)>4 AND right(w,1)='r'
+                    THEN left(w, length(w)-1) ELSE w END AS w1
+        FROM frn2)))
+)"""
+
+
+def _finnish_sql_pipeline() -> str:
+    """Independent SQL FinnishLightStemmer -> stemmap(tok, stem). The kin/ko
+    particle loop runs as a recursive CTE (each iteration strips one
+    particle while length>8 — the pieces end in different letters so the
+    end-first walk is deterministic); prelude() emits WITH RECURSIVE for
+    this analyzer. len<4 tokens pass through untouched (before the fold,
+    like the scalar code)."""
+    step2 = """CASE
+    WHEN length(w)>5 AND right(w,3) IN ('lla','tse','sti') THEN left(w, length(w)-3)
+    WHEN length(w)>5 AND right(w,2)='ni' THEN left(w, length(w)-2)
+    WHEN length(w)>5 AND right(w,2)='aa' THEN left(w, length(w)-1)
+    ELSE w END"""
+    step3 = """CASE
+    WHEN length(w)>8 AND right(w,4)='nnen' THEN left(w, length(w)-4) || 's'
+    WHEN length(w)>8 AND right(w,5)='ntena' THEN left(w, length(w)-5) || 's'
+    WHEN length(w)>8 AND right(w,4)='tten' THEN left(w, length(w)-4)
+    WHEN length(w)>8 AND right(w,5)='eiden' THEN left(w, length(w)-5)
+    WHEN length(w)>6 AND right(w,4) IN ('neen','niin','seen','teen','inen')
+         THEN left(w, length(w)-4)
+    WHEN length(w)>6 AND substr(w, length(w)-2, 1)='h'
+         AND substr(w, length(w)-1, 1) IN ('a','e','i','o','u','y')
+         AND right(w,1)='n' THEN left(w, length(w)-3)
+    WHEN length(w)>6 AND right(w,3)='den' THEN left(w, length(w)-3) || 's'
+    WHEN length(w)>6 AND right(w,4)='ksen' THEN left(w, length(w)-4) || 's'
+    WHEN length(w)>6 AND right(w,3) IN ('ssa','sta','lla','lta','tta','ksi','lle')
+         THEN left(w, length(w)-3)
+    WHEN length(w)>5 AND right(w,2) IN ('na','ne') THEN left(w, length(w)-2)
+    WHEN length(w)>5 AND right(w,3)='nei' THEN left(w, length(w)-3)
+    WHEN length(w)>4 AND right(w,2) IN ('ja','ta') THEN left(w, length(w)-2)
+    WHEN length(w)>4 AND right(w,1)='a' THEN left(w, length(w)-1)
+    WHEN length(w)>4 AND right(w,1)='n'
+         AND substr(w, length(w)-1, 1) IN ('a','e','i','o','u','y')
+         THEN left(w, length(w)-2)
+    WHEN length(w)>4 AND right(w,1)='n' THEN left(w, length(w)-1)
+    ELSE w END"""
+    norm1 = """CASE
+    WHEN length(h)>4 AND (right(h,2)='ei' OR right(h,2)='at')
+         THEN left(h, length(h)-2)
+    WHEN length(h)>3 AND right(h,1) IN ('t','s','j','e','a','i')
+         THEN left(h, length(h)-1)
+    ELSE h END"""
+    collapse = (
+        "list_reduce(list_filter(regexp_extract_all(w, '.'), "
+        "(c, i) -> i = 1 OR c != regexp_extract_all(w, '.')[i-1] "
+        "OR c NOT IN ('k','p','t')), (x, y) -> x || y)"
+    )
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+fi_rec(tok, w) AS (
+  SELECT tok, translate(tok, 'äåö', 'aao') FROM vocab WHERE length(tok) >= 4
+  UNION ALL
+  SELECT tok, CASE WHEN right(w,3)='kin' THEN left(w, length(w)-3)
+                   ELSE left(w, length(w)-2) END
+  FROM fi_rec
+  WHERE length(w) > 8 AND (right(w,3)='kin' OR right(w,2)='ko')
+),
+fi1 AS (
+  SELECT tok,
+         CASE WHEN length(w)>11 AND right(w,8)='dellinen' THEN left(w, length(w)-8)
+              WHEN length(w)>11 AND right(w,9)='dellisuus' THEN left(w, length(w)-9)
+              ELSE w END AS w
+  FROM (SELECT tok, min_by(w, length(w)) AS w FROM fi_rec GROUP BY tok)
+),
+fi2 AS (SELECT tok, {step2} AS w FROM fi1),
+fi3 AS (SELECT tok, {step3} AS w FROM fi2),
+fi4 AS (SELECT tok, {norm1} AS w
+        FROM (SELECT tok, CASE WHEN length(w)>5 AND right(w,3)='hde'
+                               THEN left(w, length(w)-3) || 'ksi'
+                               ELSE w END AS h FROM fi3)),
+fi5 AS (SELECT tok, CASE WHEN length(w1)>4 AND right(w1,1)='i'
+                         THEN left(w1, length(w1)-1) ELSE w1 END AS w
+        FROM (SELECT tok, CASE WHEN length(w)>8 AND right(w,1) IN ('e','o','u')
+                               THEN left(w, length(w)-1) ELSE w END AS w1
+              FROM fi4)),
+stemmap AS (
+  SELECT tok, CASE WHEN length(w)>4 THEN {collapse} ELSE w END AS stem
+  FROM fi5
+  UNION ALL
+  SELECT tok, tok AS stem FROM vocab WHERE length(tok) < 4
+)"""
+
+
 _STEM_PIPELINES = {
     "english": _porter_sql_pipeline,
     "german": _german_sql_pipeline,
     "swedish": _swedish_sql_pipeline,
+    "french": _french_sql_pipeline,
+    "spanish": _spanish_sql_pipeline,
+    "italian": _italian_sql_pipeline,
+    "portuguese": _portuguese_sql_pipeline,
+    "norwegian": _norwegian_sql_pipeline,
+    "finnish": _finnish_sql_pipeline,
 }
 
 
@@ -449,12 +784,23 @@ def _toks_cte(analyzer: str) -> str:
     distinct token via the slot's independent SQL pipeline, then rejoined
     in order; docs with zero tokens keep an empty list so lens/fstats
     still count them). The stop list is the analyzer's own."""
-    base = f"""toks AS (
+    from .functions.analysis import split_analyzer
+
+    plain = f"""toks AS (
   SELECT docid, {_tokens_expr('text')} AS tokens FROM docs
 )"""
     if analyzer == "standard":
-        return base
-    pipeline = _STEM_PIPELINES[analyzer]
+        return plain
+    base, excl = split_analyzer(analyzer)
+    pipeline = _STEM_PIPELINES[base]
+    # stem exclusions (SetKeywordMarkerFilter): matched on the post-stop
+    # token (r.tok), excluded tokens bypass the stem map — except German,
+    # where normalization still applies (the filter has no keyword check)
+    stem_expr = "m.stem"
+    if excl:
+        lst = ", ".join(f"'{w}'" for w in sorted(excl))
+        kw = _german_norm_sql("r.tok") if base == "german" else "r.tok"
+        stem_expr = f"CASE WHEN r.tok IN ({lst}) THEN {kw} ELSE m.stem END"
     return f"""toks0 AS (
   SELECT docid, {_tokens_expr('text', analyzer)} AS tokens FROM docs
 ),
@@ -466,7 +812,7 @@ rawtoks AS (
 toks AS (
   SELECT d.docid, COALESCE(s.tokens, CAST([] AS VARCHAR[])) AS tokens
   FROM docs d LEFT JOIN (
-    SELECT r.docid, list(m.stem ORDER BY r.ord) AS tokens
+    SELECT r.docid, list({stem_expr} ORDER BY r.ord) AS tokens
     FROM rawtoks r JOIN stemmap m ON r.tok = m.tok GROUP BY r.docid
   ) s ON d.docid = s.docid
 )"""
@@ -482,7 +828,11 @@ def prelude(analyzer: str = "standard") -> str:
       ncache = f32(k1 * f32((1-b) + f32(f32(b*NT)/avgdl))) :220-233
       score  = f32(f32(weight * tf) / f32(tf + ncache))  :246-264
     """
-    return f"""WITH docs AS (
+    from .functions.analysis import split_analyzer
+
+    # the finnish stem pipeline's kin/ko particle loop is a recursive CTE
+    rec = "RECURSIVE " if split_analyzer(analyzer)[0] == "finnish" else ""
+    return f"""WITH {rec}docs AS (
   SELECT row_number() OVER (ORDER BY doc_id) - 1 AS docid,
          doc_id,
          'conv-' || lpad(CAST(doc_id // 4 AS VARCHAR), 8, '0') AS conv_id,

@@ -127,56 +127,185 @@ SWEDISH_STOP_WORDS = frozenset(
 )
 
 
-def _analyzer_chain(analyzer: str):
-    """(stopword set, post-stop token transform | None) for the named
-    analyzer slot. Each slot mirrors one reference Analyzer's
-    CreateComponents chain over the shared StandardTokenizer+LowerCase
-    front end; the transform never changes token COUNT or positions —
-    only the token text:
+ANALYZERS = (
+    "standard", "english", "german", "swedish",
+    "french", "spanish", "italian", "portuguese", "norwegian", "finnish",
+)
 
-    - "standard": StandardAnalyzer.cs (English stops, no stemming)
-    - "english":  + PorterStemFilter (Analysis/En/PorterStemFilter.cs)
-    - "german":   GermanAnalyzer.cs — snowball German stops,
-                  GermanNormalizationFilter + GermanLightStemFilter
-    - "swedish":  SwedishAnalyzer.cs — snowball Swedish stops,
-                  SwedishLightStemFilter
+
+def split_analyzer(analyzer: str):
+    """Parse the optional stem-exclusion suffix out of an analyzer name:
+    "english:excl=merge,value" -> ("english", frozenset({"merge","value"})).
+
+    The suffix is this engine's encoding of the reference Analyzers' third
+    constructor argument (stemExclusionSet -> SetKeywordMarkerFilter,
+    e.g. GermanAnalyzer.cs:156,175): tokens in the set are indexed but NOT
+    stemmed. Encoding it in the name lets the whole string-typed analyzer
+    plumbing (manifest, parse, NRT, merge) carry it with no schema change.
+    """
+    if ":excl=" in analyzer:
+        base, _, rest = analyzer.partition(":excl=")
+        return base, frozenset(w for w in rest.split(",") if w)
+    return analyzer, frozenset()
+
+
+def validate_analyzer(analyzer: str) -> None:
+    base, _excl = split_analyzer(analyzer)
+    if base not in ANALYZERS:
+        raise ValueError(f"unknown analyzer {analyzer!r} ({'|'.join(ANALYZERS)})")
+
+
+def _analyzer_chain(analyzer: str):
+    """The base chain of `analyzer` with its stem-exclusion suffix applied:
+    excluded tokens skip the stem filter (SetKeywordMarkerFilter +
+    the KeywordAttribute check every reference stem filter carries, e.g.
+    PorterStemFilter.cs:72, GermanLightStemFilter.cs:49). German is the
+    one special case: GermanNormalizationFilter does NOT consult the
+    keyword attribute (its IncrementToken has no keywordAttr), so excluded
+    German tokens still normalize — they only skip the light stem."""
+    base, excl = split_analyzer(analyzer)
+    stop, pre, post = _base_chain(base)
+    if excl and post is not None:
+        if base == "german":
+            from .lightstem import german_chain, german_normalize
+
+            def post(t, _excl=excl):  # noqa: F811
+                return german_normalize(t) if t in _excl else german_chain(t)
+        else:
+            def post(t, _excl=excl, _inner=post):  # noqa: F811
+                return t if t in _excl else _inner(t)
+    return stop, pre, post
+
+
+def _base_chain(analyzer: str):
+    """(stopword set, pre-stop transform | None, post-stop transform | None)
+    for the named analyzer slot. Each slot mirrors one reference Analyzer's
+    CreateComponents chain over the shared StandardTokenizer+LowerCase
+    front end. The PRE transform runs on the lowercased token BEFORE the
+    stop filter (ElisionFilter's position in FrenchAnalyzer.cs /
+    ItalianAnalyzer.cs CreateComponents — elision output must be
+    stop-checkable: "l'est" -> "est" -> dropped); the POST transform is the
+    stem filter. Neither changes token COUNT or positions — only text:
+
+    - "standard":   StandardAnalyzer.cs (English stops, no stemming)
+    - "english":    + PorterStemFilter (Analysis/En/PorterStemFilter.cs)
+    - "german":     GermanAnalyzer.cs — snowball German stops,
+                    GermanNormalizationFilter + GermanLightStemFilter
+    - "french":     FrenchAnalyzer.cs — ElisionFilter(DEFAULT_ARTICLES),
+                    snowball French stops, FrenchLightStemFilter
+    - "italian":    ItalianAnalyzer.cs — ElisionFilter(DEFAULT_ARTICLES),
+                    snowball Italian stops, ItalianLightStemFilter
+    - "spanish":    SpanishAnalyzer.cs — snowball Spanish stops,
+                    SpanishLightStemFilter
+    - "portuguese": PortugueseAnalyzer.cs — snowball Portuguese stops,
+                    PortugueseLightStemFilter
+    - "swedish" / "norwegian" / "finnish": snowball stops + the reference's
+      LIGHT stem filters (SwedishLightStemFilter,
+      NorwegianLightStemFilter(BOKMAAL), FinnishLightStemFilter). NOTE:
+      these three Analyzers default to Tartarus Snowball stemmers at 4.8;
+      the slots implement the light FILTER components the reference ships
+      alongside them (see functions/lightstem.py docstring).
     """
     if analyzer == "standard":
-        return ENGLISH_STOP_WORDS, None
+        return ENGLISH_STOP_WORDS, None, None
     if analyzer == "english":
         from .porter import porter_stem
 
-        return ENGLISH_STOP_WORDS, porter_stem
+        return ENGLISH_STOP_WORDS, None, porter_stem
     if analyzer == "german":
         from .lightstem import german_chain
 
-        return GERMAN_STOP_WORDS, german_chain
+        return GERMAN_STOP_WORDS, None, german_chain
     if analyzer == "swedish":
         from .lightstem import swedish_light_stem
 
-        return SWEDISH_STOP_WORDS, swedish_light_stem
-    raise ValueError(
-        f"unknown analyzer {analyzer!r} (standard|english|german|swedish)"
-    )
+        return SWEDISH_STOP_WORDS, None, swedish_light_stem
+    if analyzer == "french":
+        from .lightstem import FRENCH_ARTICLES, elide, french_light_stem
+        from .stopsets import FRENCH_STOP_WORDS
+
+        return (
+            FRENCH_STOP_WORDS,
+            lambda t: elide(t, FRENCH_ARTICLES),
+            french_light_stem,
+        )
+    if analyzer == "italian":
+        from .lightstem import ITALIAN_ARTICLES, elide, italian_light_stem
+        from .stopsets import ITALIAN_STOP_WORDS
+
+        return (
+            ITALIAN_STOP_WORDS,
+            lambda t: elide(t, ITALIAN_ARTICLES),
+            italian_light_stem,
+        )
+    if analyzer == "spanish":
+        from .lightstem import spanish_light_stem
+        from .stopsets import SPANISH_STOP_WORDS
+
+        return SPANISH_STOP_WORDS, None, spanish_light_stem
+    if analyzer == "portuguese":
+        from .lightstem import portuguese_light_stem
+        from .stopsets import PORTUGUESE_STOP_WORDS
+
+        return PORTUGUESE_STOP_WORDS, None, portuguese_light_stem
+    if analyzer == "norwegian":
+        from .lightstem import norwegian_light_stem
+        from .stopsets import NORWEGIAN_STOP_WORDS
+
+        return NORWEGIAN_STOP_WORDS, None, norwegian_light_stem
+    if analyzer == "finnish":
+        from .lightstem import finnish_light_stem
+        from .stopsets import FINNISH_STOP_WORDS
+
+        return FINNISH_STOP_WORDS, None, finnish_light_stem
+    raise ValueError(f"unknown analyzer {analyzer!r} ({'|'.join(ANALYZERS)})")
 
 
 def stop_words(analyzer: str = "standard") -> frozenset:
     return _analyzer_chain(analyzer)[0]
 
 
+def elision_articles(analyzer: str = "standard"):
+    """The analyzer's ElisionFilter article set (None when the chain has no
+    elision stage) — the SQL oracle generators consult this to emit the
+    matching pre-stop regexp_replace."""
+    base, _excl = split_analyzer(analyzer)
+    if base == "french":
+        from .lightstem import FRENCH_ARTICLES
+
+        return FRENCH_ARTICLES
+    if base == "italian":
+        from .lightstem import ITALIAN_ARTICLES
+
+        return ITALIAN_ARTICLES
+    return None
+
+
+def elision_sql(articles) -> str:
+    """RE2 pattern stripping `^(article)['’]` — longest-first alternation so
+    'jusqu' wins over 'j'. Apply with regexp_replace(tok, pat, '') (first
+    match only == ElisionFilter's single strip at the FIRST apostrophe;
+    articles contain no apostrophe, so a match is always at the first one)."""
+    alts = "|".join(sorted(articles, key=len, reverse=True))
+    return f"^({alts})['’]"
+
+
 def stem_filter(analyzer: str = "standard"):
-    """The post-stop token transform of the analyzer slot (None for
-    "standard") — the highlighter uses it as the query-term match key."""
-    return _analyzer_chain(analyzer)[1]
-
-
-def _stem_filter(analyzer: str):
-    return _analyzer_chain(analyzer)[1]
+    """The token-TEXT transform of the analyzer slot (None for "standard"):
+    pre-stop elision composed with the post-stop stem — the highlighter
+    uses it as the query-term match key, and query parsing runs terms
+    through it."""
+    _stop, pre, post = _analyzer_chain(analyzer)
+    if pre is None:
+        return post
+    if post is None:
+        return pre
+    return lambda t: post(pre(t))
 
 
 def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
     """Single-string analyzer chain (used by the pure-Python oracle and tests)."""
-    stop, stemf = _analyzer_chain(analyzer)
+    stop, pre, stemf = _analyzer_chain(analyzer)
     if not text:
         return []
     out = []
@@ -184,6 +313,8 @@ def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
         if len(tok) > MAX_TOKEN_LENGTH:
             continue
         low = tok.lower()
+        if pre:
+            low = pre(low)
         if low in stop:
             continue
         out.append(stemf(low) if stemf else low)
@@ -202,7 +333,7 @@ def tokenize_with_positions(
     (FilteringTokenFilter enablePositionIncrements, mandatory since 4.4) —
     so the position of an emitted token is its 0-based index over ALL raw
     tokenizer matches. len(tokens) stays the normed fieldLength."""
-    stop, stemf = _analyzer_chain(analyzer)
+    stop, pre, stemf = _analyzer_chain(analyzer)
     if not text:
         return [], []
     toks: list[str] = []
@@ -211,6 +342,8 @@ def tokenize_with_positions(
         if len(tok) > MAX_TOKEN_LENGTH:
             continue
         low = tok.lower()
+        if pre:
+            low = pre(low)
         if low in stop:
             continue
         toks.append(stemf(low) if stemf else low)
@@ -226,7 +359,7 @@ def tokenize_with_offsets(
     (FieldInfo.cs:315-356). Offsets are char indexes into the RAW text of
     the tokenizer match (OffsetAttribute start/end, end exclusive), before
     lowercasing — exactly what PostingsHighlighter consumes."""
-    stop, stemf = _analyzer_chain(analyzer)
+    stop, pre, stemf = _analyzer_chain(analyzer)
     if not text:
         return [], [], [], []
     toks: list[str] = []
@@ -239,6 +372,8 @@ def tokenize_with_offsets(
         if len(tok) > MAX_TOKEN_LENGTH:
             continue
         low = tok.lower()
+        if pre:
+            low = pre(low)
         if low in stop:
             continue
         toks.append(stemf(low) if stemf else low)
@@ -251,18 +386,21 @@ def tokenize_with_offsets(
 def _tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     # vectorized-enough: one findall per row, list-comp filtering; all work
     # happens inside a single Arrow batch (no Spark-row-level Python).
-    stop, stemf = _analyzer_chain(analyzer)
+    stop, pre, stemf = _analyzer_chain(analyzer)
     maxlen = MAX_TOKEN_LENGTH
     findall = _findall
     if stemf is None:
         def stemf(x):  # noqa: E306 - identity for the standard chain
+            return x
+    if pre is None:
+        def pre(x):  # noqa: E306 - identity for chains without elision
             return x
     return pd.Series(
         [
             [
                 stemf(low)
                 for tok in findall(t)
-                if len(tok) <= maxlen and (low := tok.lower()) not in stop
+                if len(tok) <= maxlen and (low := pre(tok.lower())) not in stop
             ]
             if isinstance(t, str) and t
             else []
@@ -305,12 +443,20 @@ def duckdb_tokens_sql(text_expr: str, analyzer: str = "standard") -> str:
     (PRE-stem: the stop-filtered lowercase stream of the named analyzer).
 
     Used by the __spark_entry__ oracle side so both engines tokenize
-    identically. len filter uses 255 like MAX_TOKEN_LENGTH; stopwords filtered
-    after lower().
+    identically. len filter uses 255 like MAX_TOKEN_LENGTH on the RAW token
+    (elision runs after it, like the reference's tokenizer-level
+    maxTokenLength); stopwords filtered after lower()+elision.
     """
     stop_list = ", ".join(f"'{w}'" for w in sorted(stop_words(analyzer)))
-    return (
+    arts = elision_articles(analyzer)
+    lowered = (
         f"list_filter(list_transform(regexp_extract_all({text_expr}, "
         f"'{TOKEN_PATTERN_RE2_SQL}'), t -> lower(t)), "
-        f"t -> length(t) <= {MAX_TOKEN_LENGTH} AND t NOT IN ({stop_list}))"
+        f"t -> length(t) <= {MAX_TOKEN_LENGTH})"
     )
+    if arts is not None:
+        pat = elision_sql(arts).replace("'", "''")
+        lowered = (
+            f"list_transform({lowered}, t -> regexp_replace(t, '{pat}', ''))"
+        )
+    return f"list_filter({lowered}, t -> t NOT IN ({stop_list}))"

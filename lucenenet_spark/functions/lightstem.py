@@ -1,4 +1,4 @@
-"""UniNE light stemmers — the "german" and "swedish" analyzer slots.
+"""UniNE light stemmers + ElisionFilter — the language analyzer slots.
 
 Implements the published algorithms from Jacques Savoy, "Light Stemming
 Approaches for the French, Portuguese, German and Hungarian Languages"
@@ -15,7 +15,35 @@ ships them:
   then two suffix-strip steps (plural/case endings -ern/-e[mnrs]/-e/-s,
   then -est/-er/-en/-st) with minimum-length guards;
 - SwedishLightStemmer (Analysis/Sv/SwedishLightStemmer.cs): a trailing
-  -s strip, then one cascade of definite/plural/comparative suffixes.
+  -s strip, then one cascade of definite/plural/comparative suffixes;
+- FrenchLightStemmer (Analysis/Fr/FrenchLightStemmer.cs): plural/x strip,
+  a long derivational-suffix cascade with letter rewrites (-issement->-ir,
+  -cateur->-quer, ...), then Norm (accent fold, adjacent-duplicate-letter
+  collapse, -ie/-r/-e/-e tail strip);
+- SpanishLightStemmer (Analysis/Es/SpanishLightStemmer.cs): accent fold +
+  one final-vowel/plural switch;
+- ItalianLightStemmer (Analysis/It/ItalianLightStemmer.cs): accent fold +
+  one final-vowel switch (len >= 6 only);
+- PortugueseLightStemmer (Analysis/Pt/PortugueseLightStemmer.cs): plural
+  suffix rewrite, feminine normalization, final-vowel strip, accent fold;
+- NorwegianLightStemmer (Analysis/No/NorwegianLightStemmer.cs), BOKMAAL
+  flag (the filter's default): possessive -s then one ending cascade;
+- FinnishLightStemmer (Analysis/Fi/FinnishLightStemmer.cs): a kin/ko
+  particle loop, two case-ending steps, and two normalization steps with
+  a k/p/t duplicate collapse;
+- ElisionFilter (Analysis/Util/ElisionFilter.cs): if the prefix before
+  the FIRST apostrophe (' or U+2019) is in the language's article set,
+  strip prefix + apostrophe ("l'avion" -> "avion"); used by the French
+  and Italian chains ahead of the stop filter.
+
+Slot-naming note: at matchVersion 4.8 the reference's FrenchAnalyzer,
+SpanishAnalyzer, ItalianAnalyzer and PortugueseAnalyzer default to these
+LIGHT stemmers (their .cs CreateComponents), while SwedishAnalyzer,
+NorwegianAnalyzer and FinnishAnalyzer default to the heavier Tartarus
+Snowball stemmers. Our "swedish"/"norwegian"/"finnish" slots implement
+the reference's LIGHT filter variants (SwedishLightStemFilterFactory,
+NorwegianLightStemFilter(BOKMAAL), FinnishLightStemFilter) — shipped
+components a user selects by factory — not the Snowball defaults.
 
 Stemming never changes token COUNT or positions — only the token text —
 so the analyzer slot composes with the indexed position/offset channels
@@ -130,3 +158,417 @@ def swedish_light_stem(token: str) -> str:
     if n > 3 and s[-1] in "taen":
         return s[:-1]
     return s
+
+
+# -- ElisionFilter ----------------------------------------------------------
+
+# FrenchAnalyzer.cs DEFAULT_ARTICLES / ItalianAnalyzer.cs DEFAULT_ARTICLES
+FRENCH_ARTICLES = frozenset(
+    "l m t qu n s j d c jusqu quoiqu lorsqu puisqu".split()
+)
+ITALIAN_ARTICLES = frozenset(
+    "c l all dall dell nell sull coll pell gl agl dagl degl negl sugl"
+    " un m t s v d".split()
+)
+
+_APOSTROPHES = ("'", "’")
+
+
+def elide(token: str, articles: frozenset) -> str:
+    """ElisionFilter.cs IncrementToken: find the FIRST apostrophe; if the
+    prefix before it is an article, strip prefix + apostrophe. Runs on the
+    lowercased token (the article set is case-insensitive in the
+    reference, so lower-then-elide == elide-then-lower)."""
+    for i, ch in enumerate(token):
+        if ch in _APOSTROPHES:
+            if token[:i] in articles:
+                return token[i + 1:]
+            return token
+    return token
+
+
+# -- French -----------------------------------------------------------------
+
+_FR_FOLD = {
+    "à": "a", "á": "a", "â": "a",
+    "ô": "o",
+    "è": "e", "é": "e", "ê": "e",
+    "ù": "u", "û": "u",
+    "î": "i",
+    "ç": "c",
+}
+
+
+def _french_norm(s: str) -> str:
+    """FrenchLightStemmer.cs Norm: accent fold + adjacent-duplicate-letter
+    collapse (len>4 only), then -ie strip and the r/e/e/double tail."""
+    if len(s) > 4:
+        s = "".join(_FR_FOLD.get(c, c) for c in s)
+        out = [s[0]]
+        for c in s[1:]:
+            if c == out[-1] and c.isalpha():
+                continue
+            out.append(c)
+        s = "".join(out)
+    if len(s) > 4 and s.endswith("ie"):
+        s = s[:-2]
+    if len(s) > 4:
+        if s[-1] == "r":
+            s = s[:-1]
+        if s[-1] == "e":
+            s = s[:-1]
+        if s[-1] == "e":
+            s = s[:-1]
+        if len(s) >= 2 and s[-1] == s[-2] and s[-1].isalpha():
+            s = s[:-1]
+    return s
+
+
+def french_light_stem(t: str) -> str:
+    """FrenchLightStemmer.cs Stem — exact control flow: every branch falls
+    through to Norm; branches marked no-return in the reference ("trice",
+    "ète", "ique", the x/s strips) continue down the cascade."""
+    s = t
+    if len(s) > 5 and s[-1] == "x":
+        if s.endswith("aux") and s[-4] != "e":
+            s = s[:-2] + "l"  # chevaux -> cheval
+        else:
+            s = s[:-1]
+    if len(s) > 3 and s[-1] == "x":
+        s = s[:-1]
+    if len(s) > 3 and s[-1] == "s":
+        s = s[:-1]
+    if len(s) > 9 and s.endswith("issement"):
+        s = s[:-6]
+        return _french_norm(s[:-1] + "r")  # -issement -> -ir
+    if len(s) > 8 and s.endswith("issant"):
+        s = s[:-4]
+        return _french_norm(s[:-1] + "r")  # -issant -> -ir
+    if len(s) > 6 and s.endswith("ement"):
+        s = s[:-4]
+        if len(s) > 3 and s.endswith("ive"):
+            s = s[:-1]
+            s = s[:-1] + "f"  # -ivement -> -if
+        return _french_norm(s)
+    if len(s) > 11 and s.endswith("ficatrice"):
+        s = s[:-5]
+        return _french_norm(s[:-2] + "er")  # -ficatrice -> -fier
+    if len(s) > 10 and s.endswith("ficateur"):
+        s = s[:-4]
+        return _french_norm(s[:-2] + "er")  # -ficateur -> -fier
+    if len(s) > 9 and s.endswith("catrice"):
+        s = s[:-3]
+        return _french_norm(s[:-4] + "quer")  # -catrice -> -quer
+    if len(s) > 8 and s.endswith("cateur"):
+        s = s[:-2]
+        return _french_norm(s[:-4] + "quer")  # -cateur -> -quer
+    if len(s) > 8 and s.endswith("atrice"):
+        s = s[:-4]
+        return _french_norm(s[:-2] + "er")  # -atrice -> -er
+    if len(s) > 7 and s.endswith("ateur"):
+        s = s[:-3]
+        return _french_norm(s[:-2] + "er")  # -ateur -> -er
+    if len(s) > 6 and s.endswith("trice"):
+        s = s[:-1]
+        s = s[:-3] + "eur"  # -trice -> -teur (no return)
+    if len(s) > 5 and s.endswith("ième"):
+        return _french_norm(s[:-4])
+    if len(s) > 7 and s.endswith("teuse"):
+        s = s[:-2]
+        return _french_norm(s[:-1] + "r")  # -teuse -> -ter
+    if len(s) > 6 and s.endswith("teur"):
+        s = s[:-1]
+        return _french_norm(s[:-1] + "r")  # -teur -> -ter
+    if len(s) > 5 and s.endswith("euse"):
+        return _french_norm(s[:-2])
+    if len(s) > 8 and s.endswith("ère"):
+        s = s[:-1]
+        return _french_norm(s[:-2] + "e" + s[-1])  # -ère -> -er
+    if len(s) > 7 and s.endswith("ive"):
+        s = s[:-1]
+        return _french_norm(s[:-1] + "f")  # -ive -> -if
+    if len(s) > 4 and (s.endswith("folle") or s.endswith("molle")):
+        s = s[:-2]
+        return _french_norm(s[:-1] + "u")  # folle -> fou
+    if len(s) > 9 and s.endswith("nnelle"):
+        return _french_norm(s[:-5])
+    if len(s) > 9 and s.endswith("nnel"):
+        return _french_norm(s[:-3])
+    if len(s) > 4 and s.endswith("ète"):
+        s = s[:-1]
+        s = s[:-2] + "e" + s[-1]  # -ète -> -et (no return)
+    if len(s) > 8 and s.endswith("ique"):
+        s = s[:-4]  # no return
+    if len(s) > 8 and s.endswith("esse"):
+        return _french_norm(s[:-3])
+    if len(s) > 7 and s.endswith("inage"):
+        return _french_norm(s[:-3])
+    if len(s) > 9 and s.endswith("isation"):
+        s = s[:-7]
+        if len(s) > 5 and s.endswith("ual"):
+            s = s[:-2] + "e" + s[-1]  # -ualisation -> -uel
+        return _french_norm(s)
+    if len(s) > 9 and s.endswith("isateur"):
+        return _french_norm(s[:-7])
+    if len(s) > 8 and s.endswith("ation"):
+        return _french_norm(s[:-5])
+    if len(s) > 8 and s.endswith("ition"):
+        return _french_norm(s[:-5])
+    return _french_norm(s)
+
+
+def french_chain(token: str) -> str:
+    """Post-stop slot for analyzer="french" (FrenchAnalyzer.cs
+    CreateComponents at 4.8: ... -> StopFilter -> FrenchLightStemFilter).
+    Elision runs PRE-stop (see analysis._analyzer_chain)."""
+    return french_light_stem(token)
+
+
+# -- Spanish ----------------------------------------------------------------
+
+_ES_FOLD = {
+    "à": "a", "á": "a", "â": "a", "ä": "a",
+    "ò": "o", "ó": "o", "ô": "o", "ö": "o",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+}
+
+
+def spanish_light_stem(t: str) -> str:
+    """SpanishLightStemmer.cs Stem: len<5 pass-through, accent fold, one
+    final-vowel / plural switch (-eses -> -es, -ces -> -z, -[oae]s -> -)."""
+    if len(t) < 5:
+        return t
+    s = "".join(_ES_FOLD.get(c, c) for c in t)
+    last = s[-1]
+    if last in "oae":
+        return s[:-1]
+    if last == "s":
+        if s.endswith("eses"):
+            return s[:-2]
+        if s.endswith("ces"):
+            return s[:-3] + "z"
+        if s[-2] in "oae":
+            return s[:-2]
+    return s
+
+
+# -- Italian ----------------------------------------------------------------
+
+
+def italian_light_stem(t: str) -> str:
+    """ItalianLightStemmer.cs Stem: len<6 pass-through, accent fold, one
+    final-vowel switch (-ie/-he -> -2, -hi/-ii -> -2, -i[ao] -> -2, else
+    single final vowel strip)."""
+    if len(t) < 6:
+        return t
+    s = "".join(_ES_FOLD.get(c, c) for c in t)  # same fold table
+    last, prev = s[-1], s[-2]
+    if last == "e":
+        return s[:-2] if prev in "ih" else s[:-1]
+    if last == "i":
+        return s[:-2] if prev in "hi" else s[:-1]
+    if last == "a":
+        return s[:-2] if prev == "i" else s[:-1]
+    if last == "o":
+        return s[:-2] if prev == "i" else s[:-1]
+    return s
+
+
+# -- Portuguese ---------------------------------------------------------------
+
+_PT_FOLD = {
+    "à": "a", "á": "a", "â": "a", "ä": "a", "ã": "a",
+    "ò": "o", "ó": "o", "ô": "o", "ö": "o", "õ": "o",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+    "ç": "c",
+}
+
+
+def _pt_remove_suffix(s: str) -> str:
+    if len(s) > 4 and s.endswith("es") and s[-3] in "rslz":
+        return s[:-2]
+    if len(s) > 3 and s.endswith("ns"):
+        return s[:-2] + "m"  # bons -> bom
+    if len(s) > 4 and (s.endswith("eis") or s.endswith("éis")):
+        return s[:-3] + "el"  # amáveis -> amável (pre-fold)
+    if len(s) > 4 and s.endswith("ais"):
+        return s[:-3] + "al"
+    if len(s) > 4 and s.endswith("óis"):
+        return s[:-3] + "ol"
+    if len(s) > 4 and s.endswith("is"):
+        return s[:-1] + "l"  # -is -> -il
+    if len(s) > 3 and (s.endswith("ões") or s.endswith("ães")):
+        return s[:-3] + "ão"
+    if len(s) > 6 and s.endswith("mente"):
+        return s[:-5]
+    if len(s) > 3 and s[-1] == "s":
+        return s[:-1]
+    return s
+
+
+def _pt_norm_feminine(s: str) -> str:
+    if len(s) > 7 and (
+        s.endswith("inha") or s.endswith("iaca") or s.endswith("eira")
+    ):
+        return s[:-1] + "o"
+    if len(s) > 6:
+        if s[-3:] in ("osa", "ica", "ida", "ada", "iva", "ama"):
+            return s[:-1] + "o"
+        if s.endswith("ona"):
+            return s[:-3] + "ão"
+        if s.endswith("ora"):
+            return s[:-1]
+        if s.endswith("esa"):
+            return s[:-3] + "ês"
+        if s.endswith("na"):
+            return s[:-1] + "o"
+    return s
+
+
+def portuguese_light_stem(t: str) -> str:
+    """PortugueseLightStemmer.cs Stem: len<4 pass-through, RemoveSuffix,
+    NormFeminine (final -a only), final e/a/o strip (len>4), accent fold
+    LAST (so the suffix table sees the accented forms)."""
+    if len(t) < 4:
+        return t
+    s = _pt_remove_suffix(t)
+    if len(s) > 3 and s[-1] == "a":
+        s = _pt_norm_feminine(s)
+    if len(s) > 4 and s[-1] in "eao":
+        s = s[:-1]
+    return "".join(_PT_FOLD.get(c, c) for c in s)
+
+
+# -- Norwegian (BOKMAAL — NorwegianLightStemFilter's default flag) -----------
+
+
+def norwegian_light_stem(t: str) -> str:
+    """NorwegianLightStemmer.cs Stem with useBokmaal=true, useNynorsk=false
+    (the NorwegianLightStemFilter default): possessive -s, then ONE ending
+    from the cascade (each branch returns)."""
+    s = t
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and (s.endswith("heter") or s.endswith("heten")):
+        return s[:-5]
+    if n > 5 and (s.endswith("dom") or s.endswith("het")):
+        return s[:-3]
+    if n > 7 and (s.endswith("elser") or s.endswith("elsen")):
+        return s[:-5]
+    if n > 6 and s[-4:] in ("ende", "else", "este", "eren"):
+        return s[:-4]
+    if n > 5 and s[-3:] in ("ere", "est", "ene"):
+        return s[:-3]
+    if n > 4 and s[-2:] in ("er", "en", "et", "st", "te"):
+        return s[:-2]
+    if n > 3 and s[-1] in "aen":
+        return s[:-1]
+    return s
+
+
+# -- Finnish ------------------------------------------------------------------
+
+_FI_VOWELS = frozenset("aeiouy")
+
+
+def _fi_step1(s: str) -> str:
+    while len(s) > 8 and (s.endswith("kin") or s.endswith("ko")):
+        s = s[:-3] if s.endswith("kin") else s[:-2]
+    if len(s) > 11:
+        if s.endswith("dellinen"):
+            return s[:-8]
+        if s.endswith("dellisuus"):
+            return s[:-9]
+    return s
+
+
+def _fi_step2(s: str) -> str:
+    if len(s) > 5:
+        if s[-3:] in ("lla", "tse", "sti"):
+            return s[:-3]
+        if s.endswith("ni"):
+            return s[:-2]
+        if s.endswith("aa"):
+            return s[:-1]
+    return s
+
+
+def _fi_step3(s: str) -> str:
+    n = len(s)
+    if n > 8:
+        if s.endswith("nnen"):
+            return s[:-4] + "s"
+        if s.endswith("ntena"):
+            return s[:-5] + "s"
+        if s.endswith("tten"):
+            return s[:-4]
+        if s.endswith("eiden"):
+            return s[:-5]
+    if n > 6:
+        if s[-4:] in ("neen", "niin", "seen", "teen", "inen"):
+            return s[:-4]
+        if s[-3] == "h" and s[-2] in _FI_VOWELS and s[-1] == "n":
+            return s[:-3]
+        if s.endswith("den"):
+            return s[:-3] + "s"
+        if s.endswith("ksen"):
+            return s[:-4] + "s"
+        if s[-3:] in ("ssa", "sta", "lla", "lta", "tta", "ksi", "lle"):
+            return s[:-3]
+    if n > 5:
+        if s[-2:] in ("na", "ne"):
+            return s[:-2]
+        if s.endswith("nei"):
+            return s[:-3]
+    if n > 4:
+        if s[-2:] in ("ja", "ta"):
+            return s[:-2]
+        if s[-1] == "a":
+            return s[:-1]
+        if s[-1] == "n" and s[-2] in _FI_VOWELS:
+            return s[:-2]
+        if s[-1] == "n":
+            return s[:-1]
+    return s
+
+
+def _fi_norm1(s: str) -> str:
+    if len(s) > 5 and s.endswith("hde"):
+        s = s[:-3] + "ksi"
+    if len(s) > 4 and (s.endswith("ei") or s.endswith("at")):
+        return s[:-2]
+    if len(s) > 3 and s[-1] in "tsjeai":
+        return s[:-1]
+    return s
+
+
+def _fi_norm2(s: str) -> str:
+    if len(s) > 8 and s[-1] in "eou":
+        s = s[:-1]
+    if len(s) > 4:
+        if s[-1] == "i":
+            s = s[:-1]
+        if len(s) > 4:
+            out = [s[0]]
+            for c in s[1:]:
+                if c == out[-1] and c in "kpt":
+                    continue
+                out.append(c)
+            s = "".join(out)
+    return s
+
+
+def finnish_light_stem(t: str) -> str:
+    """FinnishLightStemmer.cs Stem: len<4 pass-through, ä/å->a ö->o fold,
+    then Step1 (kin/ko particle loop + -dellinen/-dellisuus), Step2,
+    Step3 (case endings), Norm1 (hde->ksi + tail strip), Norm2 (final
+    vowel strips + k/p/t duplicate collapse)."""
+    if len(t) < 4:
+        return t
+    s = t.replace("ä", "a").replace("å", "a").replace("ö", "o")
+    return _fi_norm2(_fi_norm1(_fi_step3(_fi_step2(_fi_step1(s)))))

@@ -411,8 +411,9 @@ class IndexBuilder:
         # can match): "standard" = StandardAnalyzer chain; the other slots
         # add per-language stop sets + stem filters after the shared
         # tokenizer (functions/analysis._analyzer_chain)
-        if analyzer not in ("standard", "english", "german", "swedish"):
-            raise ValueError(f"unknown analyzer {analyzer!r}")
+        from ..functions.analysis import validate_analyzer
+
+        validate_analyzer(analyzer)
         self.analyzer = analyzer
         # Per-occurrence payload channel (PayloadAttribute — Lucene payloads
         # are attached by the analysis chain and stored in the pos block;

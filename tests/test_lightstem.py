@@ -162,3 +162,323 @@ SELECT tok, stem FROM stemmap"""
     got = dict(con.execute(sql).fetchall())
     bad = [(w, pyfn(w), got.get(w)) for w in words if pyfn(w) != got.get(w)]
     assert not bad, bad[:10]
+
+
+# -- round-5b: French/Spanish/Italian/Portuguese/Norwegian/Finnish slots --------
+
+from lucenenet_spark.functions.lightstem import (  # noqa: E402
+    FRENCH_ARTICLES,
+    ITALIAN_ARTICLES,
+    elide,
+    finnish_light_stem,
+    french_light_stem,
+    italian_light_stem,
+    norwegian_light_stem,
+    portuguese_light_stem,
+    spanish_light_stem,
+)
+
+# hand-traced, rule by rule, against FrenchLightStemmer.cs control flow
+FRENCH_FIXTURES = {
+    "chevaux": "cheval",          # aux -> al (s[-4] != 'e')
+    "cheveux": "cheveu",          # 'e' before aux: plain x strip only
+    "aux": "aux",                 # length guards
+    "chantés": "chant",           # s strip, norm folds é and strips e
+    "agrandissement": "agrandi",  # -issement -> -ir, norm strips the r
+    "agrandissant": "agrandi",    # -issant -> -ir
+    "activement": "actif",        # -ivement -> -if
+    "rapidement": "rapid",        # -ement
+    "planificatrice": "planifi",  # -ficatrice -> -fier, norm -r/-e
+    "éducatrice": "eduqu",        # -catrice -> -quer, norm -r/-e
+    "communicateur": "comuniqu",  # -cateur -> -quer; norm collapses 'mm'
+    "animatrice": "anim",         # -atrice -> -er
+    "animateur": "anim",          # -ateur -> -er
+    "utilisateur": "utilis",      # -ateur fires BEFORE -isateur (code order)
+    "directrice": "direct",       # -trice -> -teur (no return), then -teur -> -ter
+    "deuxième": "deux",           # -ième
+    "chanteuse": "chant",         # -teuse -> -ter
+    "porteur": "port",            # -teur -> -ter
+    "danseuse": "danseu",         # -euse drops only 'se'
+    "boulangère": "boulang",      # -ère -> -er, then norm -r/-e
+    "créative": "creatif",        # -ive -> -if
+    "folle": "fou",
+    "molle": "mou",
+    "personnelle": "person",      # -nnelle (len > 9)
+    "personnel": "personel",      # len 9 fails the > 9 guard; norm collapses nn
+    "complète": "complet",        # -ète -> -et (no return)
+    "numérique": "num",           # -ique strip (no return), then norm r/e
+    "politesse": "polit",         # -esse
+    "patinage": "patin",          # -inage
+    "nationalisation": "national",  # -isation
+    "actualisation": "actuel",    # -ualisation -> -uel
+    "information": "inform",      # -ation
+    "opposition": "opos",         # -ition + norm 'pp' collapse
+    "bottle": "botl",             # norm duplicate collapse + e strip
+    "mer": "mer",                 # norm length guard
+}
+
+# SpanishLightStemmer.cs: len<5 pass-through happens BEFORE the accent fold
+SPANISH_FIXTURES = {
+    "casa": "casa", "caso": "caso", "sólo": "sólo",   # len<5 untouched
+    "clase": "clas", "casas": "cas", "mesas": "mes",
+    "franceses": "frances",       # -eses -> -es
+    "luces": "luz", "veces": "vez",  # -ces -> -z
+    "países": "pais",             # fold í->i fires at len>=5
+    "común": "comun",             # fold fires at len>=5 even with no suffix
+    "hijos": "hij", "rojos": "roj",
+    "feliz": "feliz",
+}
+
+# ItalianLightStemmer.cs: len<6 pass-through BEFORE the fold
+ITALIAN_FIXTURES = {
+    "laghi": "laghi", "libri": "libri", "zii": "zii",  # len<6 untouched
+    "amiche": "amic",             # -he -> -2
+    "vecchie": "vecch",           # -ie -> -2
+    "negozio": "negoz",           # -io -> -2
+    "famiglia": "famigl",         # -ia -> -2
+    "ragazzo": "ragazz", "piccole": "piccol",
+    "grande": "grand", "perché": "perc",  # fold é->e, then -he -> -2
+}
+
+PORTUGUESE_FIXTURES = {
+    "bons": "bom",                # -ns -> m
+    "amáveis": "amavel",          # -eis -> el, fold á->a LAST
+    "papéis": "papel",            # -éis -> el
+    "animais": "animal",          # -ais -> al
+    "lençóis": "lencol",          # -óis -> ol
+    "barris": "barril",           # -is -> il
+    "corações": "coraca",         # -ões -> ão, final-vowel strip, fold
+    "rapidamente": "rapid",       # -mente, then final-vowel strip
+    "casas": "casa",              # -s; feminine/final rules len-guarded out
+    "meninas": "menin",           # -s, fem len>6 fails at 6, final -a strip
+    "amorosa": "amoros",          # fem -osa -> o, then final -o strip
+    "professora": "professor",    # fem -ora -> -1
+    "pequena": "pequen",          # fem -na -> o, then final -o strip
+}
+
+NORWEGIAN_FIXTURES = {
+    "bilens": "bil",              # possessive s + -en
+    "hemmeligheten": "hemmelig",  # -heten
+    "hemmeligheter": "hemmelig",  # -heter
+    "kristendom": "kristen",      # -dom
+    "følelsen": "føl",            # -elsen
+    "sovende": "sov",             # -ende
+    "fineste": "fin",             # -este
+    "husene": "hus",              # -ene
+    "billigst": "billig",         # -st (bokmaal)
+    "kake": "kak",                # final -e
+    "huset": "hus",               # -et
+    "gutane": "gutan",            # nynorsk -ane NOT stripped (bokmaal slot): -e only
+}
+
+FINNISH_FIXTURES = {
+    "voimakkaampi": "voimakaamp",  # norm2 i strip + kk collapse
+    "talossa": "talo",             # -ssa
+    "taloissa": "talo",            # -ssa then norm1 -i
+    "kirjakin": "kirjak",          # len 8 fails the >8 kin guard; -n after vowel
+    "kahdeksankin": "kahdek",      # kin stripped at len>8, then -an, norm1 -s
+    "yhteiskunnallinen": "yhteiskunnall",  # -inen
+    "kauneimmat": "kauneimm",      # norm1 -at
+    "lehdet": "lehde",             # norm1 -t (hde->ksi does not fire: word ends det)
+}
+
+
+def test_french_stem_fixtures():
+    for w, want in FRENCH_FIXTURES.items():
+        assert french_light_stem(w) == want, (w, french_light_stem(w))
+
+
+def test_spanish_stem_fixtures():
+    for w, want in SPANISH_FIXTURES.items():
+        assert spanish_light_stem(w) == want, (w, spanish_light_stem(w))
+
+
+def test_italian_stem_fixtures():
+    for w, want in ITALIAN_FIXTURES.items():
+        assert italian_light_stem(w) == want, (w, italian_light_stem(w))
+
+
+def test_portuguese_stem_fixtures():
+    for w, want in PORTUGUESE_FIXTURES.items():
+        assert portuguese_light_stem(w) == want, (w, portuguese_light_stem(w))
+
+
+def test_norwegian_stem_fixtures():
+    for w, want in NORWEGIAN_FIXTURES.items():
+        assert norwegian_light_stem(w) == want, (w, norwegian_light_stem(w))
+
+
+def test_finnish_stem_fixtures():
+    for w, want in FINNISH_FIXTURES.items():
+        assert finnish_light_stem(w) == want, (w, finnish_light_stem(w))
+
+
+def test_elision_filter():
+    # ElisionFilter.cs: strip only when the prefix before the FIRST
+    # apostrophe is an article; both ' and U+2019 count
+    assert elide("l'avion", FRENCH_ARTICLES) == "avion"
+    assert elide("qu'il", FRENCH_ARTICLES) == "il"
+    assert elide("jusqu'au", FRENCH_ARTICLES) == "au"
+    assert elide("l’avion", FRENCH_ARTICLES) == "avion"
+    assert elide("xyz'abc", FRENCH_ARTICLES) == "xyz'abc"  # not an article
+    assert elide("l'qu'x", FRENCH_ARTICLES) == "qu'x"      # first apostrophe only
+    assert elide("avion", FRENCH_ARTICLES) == "avion"      # no apostrophe
+    assert elide("'avion", FRENCH_ARTICLES) == "'avion"    # empty prefix
+    assert elide("dell'arte", ITALIAN_ARTICLES) == "arte"
+    assert elide("dell'arte", FRENCH_ARTICLES) == "dell'arte"  # wrong language
+
+
+def test_french_chain_elides_then_stops_then_stems():
+    # "l'est" must elide to "est" BEFORE the stop filter so it drops like
+    # the reference chain (ElisionFilter ahead of StopFilter)
+    assert tokenize_text("l'est", "french") == []
+    # elision feeds the stemmer: "l'agrandissement" -> "agrandissement" -> stem
+    assert tokenize_text("l'agrandissement arrive", "french") == [
+        "agrandi", "ariv"
+    ]
+    # positions: "l'avion" is ONE UAX#29 token (MidNumLet apostrophe —
+    # the reason ElisionFilter is a token filter); stopped tokens still
+    # occupy slots
+    toks, poss = tokenize_with_positions("le chat et l'avion", "french")
+    assert toks == ["chat", "avion"] and poss == [1, 3]
+
+
+def test_italian_chain():
+    assert tokenize_text("dell'arte e della vita", "italian") == [
+        "arte", "vita"
+    ]
+
+
+def test_new_language_chains_stop_then_stem():
+    # each language's snowball stop set drops its own function words and
+    # the stemmer hits what survives
+    assert tokenize_text("las casas grandes", "spanish") == ["cas", "grand"]
+    assert tokenize_text("os meninos e as meninas", "portuguese") == [
+        "menin", "menin"
+    ]
+    assert tokenize_text("kake og husene", "norwegian") == ["kak", "hus"]
+    assert tokenize_text("talossa ja taloissa", "finnish") == ["talo", "talo"]
+
+
+def _fuzz_words_accented(seed: int, extra_sufs: tuple) -> list:
+    """Suffix-heavy fuzz vocabulary INCLUDING accented characters — the
+    round-5b SQL pipelines carry full translate() folds (unlike the
+    ASCII-shortcut German mirror), so the fuzz exercises them."""
+    import random
+
+    rng = random.Random(seed)
+    stems = [
+        "nation", "educ", "chev", "ami", "negoz", "luz", "bott", "profes",
+        "activ", "merg", "fol", "ab", "tyhjyy", "kahdeksa", "hemmelig",
+        "cora", "kirja", "talo", "x",
+    ]
+    words = set()
+    for st in stems:
+        for su in extra_sufs:
+            words.add(st + su)
+    accents = "àáâäãòóôöõèéêëùúûüìíîïç"
+    for _ in range(700):
+        st = rng.choice(stems)
+        st = "".join(
+            c if rng.random() > 0.25 else rng.choice(accents) for c in st
+        )
+        words.add(st + rng.choice(extra_sufs))
+    return sorted(words)
+
+
+_R5B_SUFS = {
+    "french": (
+        "aux", "eaux", "x", "s", "es", "issement", "issant", "ement",
+        "ivement", "ficatrice", "ficateur", "catrice", "cateur", "atrice",
+        "ateur", "trice", "ième", "teuse", "teur", "euse", "ère", "ive",
+        "folle", "molle", "nnelle", "nnel", "ète", "ique", "esse", "inage",
+        "isation", "ualisation", "isateur", "ation", "ition", "ie", "rre",
+        "tt", "ee",
+    ),
+    "spanish": ("eses", "ces", "as", "os", "es", "a", "o", "e", "s", "z"),
+    "italian": ("he", "hi", "ii", "ia", "io", "ie", "a", "o", "i", "e"),
+    "portuguese": (
+        "es", "res", "ns", "eis", "éis", "ais", "óis", "is", "ões", "ães",
+        "mente", "inha", "iaca", "eira", "osa", "ica", "ida", "ada", "iva",
+        "ama", "ona", "ora", "esa", "na", "a", "o", "e", "s",
+    ),
+    "norwegian": (
+        "heter", "heten", "dom", "het", "elser", "elsen", "ende", "else",
+        "este", "eren", "ere", "est", "ene", "er", "en", "et", "st", "te",
+        "a", "e", "n", "s", "ens",
+    ),
+    "finnish": (
+        "kin", "kokin", "kinkin", "ko", "dellinen", "dellisuus", "lla",
+        "tse", "sti", "ni", "aa", "nnen", "ntena", "tten", "eiden", "neen",
+        "niin", "seen", "teen", "inen", "han", "hen", "den", "ksen", "ssa",
+        "sta", "lta", "tta", "ksi", "lle", "ne", "nei", "ja", "ta", "at",
+        "ei", "hde", "ppa", "kka", "ttu", "i", "e",
+    ),
+}
+
+
+@pytest.mark.parametrize(
+    "lang", ["french", "spanish", "italian", "portuguese", "norwegian", "finnish"]
+)
+def test_sql_lightstem_r5b_fuzz_matches_python(lang):
+    import duckdb
+
+    from lucenenet_spark.entry_support import _STEM_PIPELINES
+
+    pyfn = {
+        "french": french_light_stem,
+        "spanish": spanish_light_stem,
+        "italian": italian_light_stem,
+        "portuguese": portuguese_light_stem,
+        "norwegian": norwegian_light_stem,
+        "finnish": finnish_light_stem,
+    }[lang]
+    words = _fuzz_words_accented(29 + len(lang), _R5B_SUFS[lang])
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in words)
+    rec = "RECURSIVE " if lang == "finnish" else ""
+    sql = f"""WITH {rec}rawtoks AS (
+  SELECT 0 AS docid, 0 AS ord, tok FROM (VALUES {vals}) t(tok)),
+{_STEM_PIPELINES[lang]()}
+SELECT tok, stem FROM stemmap"""
+    got = dict(con.execute(sql).fetchall())
+    bad = [(w, pyfn(w), got.get(w)) for w in words if pyfn(w) != got.get(w)]
+    assert not bad, bad[:10]
+
+
+# -- stem exclusions (SetKeywordMarkerFilter via the :excl= suffix) -----------
+
+
+def test_stem_exclusion_suffix():
+    from lucenenet_spark.functions.analysis import (
+        split_analyzer,
+        validate_analyzer,
+    )
+
+    assert split_analyzer("english:excl=merge,value") == (
+        "english", frozenset({"merge", "value"})
+    )
+    assert split_analyzer("french") == ("french", frozenset())
+    validate_analyzer("german:excl=a,b")
+    with pytest.raises(ValueError):
+        validate_analyzer("klingon:excl=a")
+
+
+def test_stem_exclusion_skips_stemming():
+    # excluded tokens index verbatim; everything else still stems
+    assert tokenize_text("merge merges", "english:excl=merge") == [
+        "merge", "merg"
+    ]
+    # the exclusion match happens POST-stop/POST-elision, like
+    # SetKeywordMarkerFilter's position in CreateComponents
+    assert tokenize_text("l'animateur", "french:excl=animateur") == [
+        "animateur"
+    ]
+    assert tokenize_text("casas", "spanish:excl=casas") == ["casas"]
+
+
+def test_stem_exclusion_german_still_normalizes():
+    # GermanNormalizationFilter has no keyword check: an excluded token is
+    # normalized but NOT light-stemmed (goethe -> gothe, keeps the -e)
+    assert tokenize_text("goethe", "german") == ["goth"]
+    assert tokenize_text("goethe", "german:excl=goethe") == ["gothe"]
