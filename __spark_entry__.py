@@ -371,6 +371,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bool_swedish"] = bool_swedish
 
+    def _analyzer_term_gate(lang, query_text):
+        def gate(spark, sf_dir):
+            # language analyzer slot (snowball stops + the reference's
+            # light stem filter; fr/it also run ElisionFilter pre-stop):
+            # the query surface form parses to the same stemmed index
+            # term the corpus words map to (round 5, functions/lightstem)
+            from lucenenet_spark.operators.search import IndexSearcher
+
+            s = IndexSearcher(
+                spark, es.ensure_analyzer_index(spark, sf_dir, lang)
+            )
+            return s.search(parse(query_text, analyzer=s.analyzer), 15)
+
+        return gate
+
+    # surface form -> stem: fr/es/pt/no "merges"->"merg", it "columni"
+    # (Italian plural shape) -> "column", fi "merge"->"merg"
+    def term_stem_exclusion(spark, sf_dir):
+        # SetKeywordMarkerFilter via the :excl= analyzer suffix — "merge"
+        # is stem-excluded so it indexes (and parses) UNstemmed while
+        # every other token still goes through Porter
+        from lucenenet_spark.operators.search import IndexSearcher
+
+        s = IndexSearcher(
+            spark,
+            es.ensure_analyzer_index(spark, sf_dir, "english:excl=merge"),
+        )
+        return s.search(parse("merge", analyzer=s.analyzer), 15)
+
+    out["term_stem_exclusion"] = term_stem_exclusion
+
+    out["term_french"] = _analyzer_term_gate("french", "merges")
+    out["term_spanish"] = _analyzer_term_gate("spanish", "merges")
+    out["term_italian"] = _analyzer_term_gate("italian", "columni")
+    out["term_portuguese"] = _analyzer_term_gate("portuguese", "merges")
+    out["term_norwegian"] = _analyzer_term_gate("norwegian", "merges")
+    out["term_finnish"] = _analyzer_term_gate("finnish", "merge")
+
     def join_terms_avg(spark, sf_dir):
         # JoinUtil term join: docs sharing a tool with the HOT-term hits,
         # scored by the per-tool average of from-hit scores
@@ -998,6 +1036,8 @@ _NEW_THIS_ROUND: list[str] = [
     "flex_precedence", "flex_open_range", "flex_multifield",
     "term_german", "bool_swedish", "dedup_clusters", "dedup_keep",
     "decontam_keep",
+    "term_french", "term_spanish", "term_italian", "term_portuguese",
+    "term_norwegian", "term_finnish", "term_stem_exclusion",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1178,6 +1218,15 @@ LIMIT 30"""
     out["bool_swedish"] = es.boolean_sql(
         must=["merg"], should=["batch"], k=15, analyzer="swedish"
     )
+    out["term_stem_exclusion"] = es.term_sql(
+        "merge", k=15, analyzer="english:excl=merge"
+    )
+    out["term_french"] = es.term_sql("merg", k=15, analyzer="french")
+    out["term_spanish"] = es.term_sql("merg", k=15, analyzer="spanish")
+    out["term_italian"] = es.term_sql("column", k=15, analyzer="italian")
+    out["term_portuguese"] = es.term_sql("merg", k=15, analyzer="portuguese")
+    out["term_norwegian"] = es.term_sql("merg", k=15, analyzer="norwegian")
+    out["term_finnish"] = es.term_sql("merg", k=15, analyzer="finnish")
     out["join_terms_avg"] = es.join_terms_sql(HOT, "tool", "tool", "avg", k=15)
     out["join_terms_total_seg"] = es.join_terms_sql(
         HOT, "tool", "tool", "total", k=15
