@@ -929,6 +929,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_quality"] = lambda s, d: textstats.quality_scores(_docs(s, d))
     out["doc_lang"] = lambda s, d: textstats.lang_id(_docs(s, d))
     out["doc_fingerprint"] = lambda s, d: textstats.fingerprints(_docs(s, d))
+    # dataset-curation operators (new r5): PII scrubbing, deterministic
+    # splits, Gopher-style repetition metrics — all pure Catalyst
+    from lucenenet_spark.pipeline import curate
+
+    out["pii_scrub"] = lambda s, d: curate.pii_scrub(_docs(s, d))
+    out["split_assign"] = lambda s, d: curate.split_assign(_docs(s, d))
+    out["repetition_2gram"] = lambda s, d: curate.repetition_metrics(
+        _docs(s, d), n=2
+    )
 
     def dedup_exact(spark, sf_dir):
         d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -1038,6 +1047,7 @@ _NEW_THIS_ROUND: list[str] = [
     "decontam_keep",
     "term_french", "term_spanish", "term_italian", "term_portuguese",
     "term_norwegian", "term_finnish", "term_stem_exclusion",
+    "pii_scrub", "split_assign", "repetition_2gram",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1416,6 +1426,12 @@ ORDER BY score DESC, parent ASC LIMIT 15"""
     out["dedup_clusters"] = dd.dedup_clusters_sql(threshold=0.5)
     out["dedup_keep"] = dd.dedup_keep_sql(threshold=0.5)
     out["decontam_keep"] = dd.decontaminate_sql("doc_id % 97 = 0")
+
+    from lucenenet_spark.pipeline import curate as cu
+
+    out["pii_scrub"] = cu.pii_scrub_sql()
+    out["split_assign"] = cu.split_assign_sql()
+    out["repetition_2gram"] = cu.repetition_metrics_sql(n=2)
 
     from lucenenet_spark.pipeline import similarity as sim
 

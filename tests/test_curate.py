@@ -1,0 +1,153 @@
+"""Dataset-curation operators (pipeline/curate.py): PII scrubbing,
+deterministic splits, repetition metrics. Each is checked against an
+independent pure-Python recomputation on the real gate corpus AND on
+planted fixtures the random corpus can't exercise (emails, IPs,
+phone-shaped runs, pathological repetition).
+"""
+import hashlib
+import re
+from collections import Counter
+
+import pytest
+
+from lucenenet_spark.pipeline import curate
+
+SF = "/root/testdata/sf0.001"
+TOKEN_RE = re.compile(r"[^\W_]+(?:\.[0-9]+)*", re.UNICODE)
+
+# Python re with re.ASCII mirrors Java/RE2 \d \b on these patterns
+_PY_STAGES = [
+    (name, re.compile(rx, re.ASCII), repl)
+    for name, rx, repl in curate._PII_STAGES
+]
+
+
+def py_scrub(text):
+    t = text or ""
+    counts = {}
+    for name, rx, repl in _PY_STAGES:
+        counts[name] = len(rx.findall(t))
+        t = rx.sub(repl, t)
+    return counts, hashlib.md5(t.encode()).hexdigest()
+
+
+def py_tokens(text):
+    return [t.lower() for t in TOKEN_RE.findall(text or "")]
+
+
+def py_repetition(text, n=2):
+    toks = py_tokens(text)
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return 0, 0.0, 0.0
+    c = Counter(grams)
+    total = len(grams)
+    dup = sum(v for v in c.values() if v > 1)
+    top = max(c.values())
+    return total, round(dup / total, 6), round(top / total, 6)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+
+PLANTED = [
+    (1, "mail me at a.b+c@exa-mple.org or x@y.io thanks"),
+    (2, "server 10.0.0.1 and 192.168.001.255 rebooted"),
+    (3, "call +1 415-555-0199 or 08 1234 5678 now"),
+    (4, "card 4111111111111111 ref 123456789"),
+    # an IP must be redacted as <IP>, not later double-counted as a phone;
+    # the trailing 9-digit run still counts as a longnum
+    (5, "trace 8.8.8.8 then 987654321"),
+    (6, ""),
+    (7, "no pii here, just words and the number 42"),
+    # email whose local part would otherwise match the phone pattern
+    (8, "reach 12345678901@example.com today"),
+]
+
+
+def test_pii_scrub_planted(spark):
+    df = spark.createDataFrame(PLANTED, ["doc_id", "text"])
+    got = curate.pii_scrub(df).toPandas().set_index("doc_id").sort_index()
+    for doc_id, text in PLANTED:
+        counts, md5 = py_scrub(text)
+        row = got.loc[doc_id]
+        for name in counts:
+            assert row[f"n_{name}"] == counts[name], (doc_id, name)
+        assert row["scrubbed_md5"] == md5, doc_id
+
+
+def test_pii_scrub_corpus(docs, docs_pd):
+    got = curate.pii_scrub(docs).toPandas().set_index("doc_id").sort_index()
+    assert len(got) == len(docs_pd)
+    for _, row in docs_pd.head(60).iterrows():
+        counts, md5 = py_scrub(row["text"])
+        assert got.loc[row["doc_id"], "scrubbed_md5"] == md5
+        for name in counts:
+            assert got.loc[row["doc_id"], f"n_{name}"] == counts[name]
+
+
+def test_split_assign(docs, docs_pd):
+    got = curate.split_assign(docs).toPandas().set_index("doc_id").sort_index()
+    n = {"train": 0, "val": 0, "test": 0}
+    for doc_id in docs_pd["doc_id"]:
+        h = hashlib.md5(f"v1:{doc_id}".encode()).hexdigest()
+        bucket = int(h[:8], 16) % 1000
+        want = "train" if bucket < 800 else ("val" if bucket < 900 else "test")
+        assert got.loc[doc_id, "bucket"] == bucket
+        assert got.loc[doc_id, "split"] == want
+        n[want] += 1
+    # sanity: all three splits are populated at 500 docs
+    assert min(n.values()) > 0
+
+
+def test_split_assign_stable_under_growth(spark, docs):
+    # a doc's split must not change when the corpus grows (hash of the id,
+    # not of position) — re-run on a half corpus and compare
+    half = docs.filter("doc_id % 2 = 0")
+    a = curate.split_assign(docs).toPandas().set_index("doc_id")["split"]
+    b = curate.split_assign(half).toPandas().set_index("doc_id")["split"]
+    assert (a.loc[b.index] == b).all()
+
+
+def test_repetition_planted(spark):
+    rows = [
+        (1, "a b a b a b"),            # grams: 5x, dup all, top 'a b' 3/5
+        (2, "the cat sat on the mat"),  # all 5 bigrams unique
+        (3, "x x x x"),                 # 'x x' * 3 -> dup=3/3 top=3/3
+        (4, "one"),                     # < n tokens -> 0 grams
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = curate.repetition_metrics(df).toPandas().set_index("doc_id").sort_index()
+    for doc_id, text in rows:
+        total, dup_frac, top_frac = py_repetition(text)
+        assert got.loc[doc_id, "n_grams"] == total, doc_id
+        assert got.loc[doc_id, "dup_frac"] == pytest.approx(dup_frac, abs=1e-9)
+        assert got.loc[doc_id, "top_frac"] == pytest.approx(top_frac, abs=1e-9)
+    assert got.loc[1, "dup_frac"] == 1.0 and got.loc[2, "dup_frac"] == 0.0
+
+
+def test_repetition_corpus(docs, docs_pd):
+    got = (
+        curate.repetition_metrics(docs)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(got) == len(docs_pd)
+    for _, row in docs_pd.head(40).iterrows():
+        total, dup_frac, top_frac = py_repetition(row["text"])
+        assert got.loc[row["doc_id"], "n_grams"] == total
+        assert got.loc[row["doc_id"], "dup_frac"] == pytest.approx(
+            dup_frac, abs=1e-9
+        )
+        assert got.loc[row["doc_id"], "top_frac"] == pytest.approx(
+            top_frac, abs=1e-9
+        )
