@@ -14,6 +14,14 @@ gates are value-exact and non-circular.
   as the index build's (term, bucket) shuffle, salted by construction
   (doc_id is in the key), so no hot key exists and the reduce is
   map-side-combinable.
+- strip_boilerplate shuffles twice (line-hash df count, then the per-doc
+  regroup) on bounded keys; the line-stats join is a plain shuffle join —
+  no broadcast of the (unbounded) hot-line set anywhere.
+- unigram_logprob joins postings to term stats on the term key — the same
+  skew shape the BM25 scorer already handles (AQE skew-join covers the hot
+  terms); the per-doc fold is ordered so both engines accumulate the
+  float sum in term order.
+- stratified_sample is a single narrow map pass like split_assign.
 """
 from __future__ import annotations
 
@@ -232,3 +240,241 @@ SELECT t.{id_col},
              THEN a.top_cnt / CAST(a.n_grams AS DOUBLE) ELSE 0.0 END, 6)
     AS top_frac
 FROM toks t LEFT JOIN agg a ON t.{id_col} = a.{id_col}"""
+
+
+# -- line-level boilerplate removal (CCNet / RefinedWeb shape) -------------------
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    min_df: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove lines whose normalized form (lower+trim) appears in >= min_df
+    DISTINCT documents — the standard line-level boilerplate filter
+    (navigation chrome, footers, license banners). A line repeated within
+    one doc counts once toward its df; kept lines rejoin in original order.
+
+    Returns (doc_id, n_lines, n_kept, cleaned_md5) where cleaned_md5 hashes
+    the kept lines joined with newlines (the gate's value witness).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    ).withColumn("lh", F.md5(F.lower(F.trim(F.col("line")))))
+    line_df = lines.groupBy("lh").agg(
+        F.countDistinct(id_col).alias("line_docs")
+    )
+    kept = (
+        lines.join(line_df, "lh")
+        .filter(F.col("line_docs") < min_df)
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("pos", "line"))).alias("xs")
+        )
+    )
+    n_lines = df.select(
+        F.col(id_col),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .cast("long")
+        .alias("n_lines"),
+    )
+    return (
+        n_lines.join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_lines"),
+            F.coalesce(F.size("xs"), F.lit(0)).cast("long").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.coalesce(
+                            F.col("xs"),
+                            F.array().cast("array<struct<pos:int,line:string>>"),
+                        ),
+                        lambda x: x["line"],
+                    ),
+                    "\n",
+                )
+            ).alias("cleaned_md5"),
+        )
+    )
+
+
+def strip_boilerplate_sql(
+    table: str = "documents",
+    min_df: int = 30,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""WITH lines AS (
+  SELECT {id_col},
+         generate_subscripts(string_split(coalesce({text}, ''), chr(10)), 1) AS pos,
+         unnest(string_split(coalesce({text}, ''), chr(10))) AS line
+  FROM {table}
+),
+hashed AS (SELECT {id_col}, pos, line, md5(lower(trim(line))) AS lh FROM lines),
+line_df AS (SELECT lh, count(DISTINCT {id_col}) AS line_docs FROM hashed GROUP BY lh),
+kept AS (
+  SELECT h.{id_col}, list(h.line ORDER BY h.pos) AS xs
+  FROM hashed h JOIN line_df d ON h.lh = d.lh
+  WHERE d.line_docs < {min_df}
+  GROUP BY h.{id_col}
+)
+SELECT t.{id_col},
+  CAST(len(string_split(coalesce(t.{text}, ''), chr(10))) AS BIGINT) AS n_lines,
+  CAST(COALESCE(len(k.xs), 0) AS BIGINT) AS n_kept,
+  md5(array_to_string(COALESCE(k.xs, CAST([] AS VARCHAR[])), chr(10))) AS cleaned_md5
+FROM {table} t LEFT JOIN kept k ON t.{id_col} = k.{id_col}"""
+
+
+# -- corpus-unigram LM surprisal (CCNet-style quality signal) --------------------
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc mean surprisal (bits/token) under the corpus's own add-one-
+    smoothed unigram model: p(t) = (c(t)+1) / (T+V). Low bits = text made
+    of common corpus tokens; high bits = rare-token-heavy text — the same
+    signal CCNet reads off a KenLM model, re-derived from the corpus
+    itself so the operator is self-contained.
+
+    The per-doc sum folds in sorted-term order (both engines), so the
+    double accumulation order is identical; output rounds to 6.
+    """
+    toks = raw_tokens(text_col)
+    posting = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tstats = posting.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    totals = tstats.agg(
+        F.sum("cnt").alias("T"), F.count("*").alias("V")
+    )
+    scored = posting.join(tstats, "term").crossJoin(F.broadcast(totals)).select(
+        F.col(id_col),
+        F.col("term"),
+        F.col("tf"),
+        F.log2(
+            (F.col("cnt") + F.lit(1.0))
+            / (F.col("T") + F.col("V")).cast("double")
+        ).alias("logp"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("term", "tf", "logp"))).alias("xs"),
+        F.sum("tf").cast("long").alias("n_tokens"),
+    )
+    bits_sum = F.aggregate(
+        "xs",
+        F.lit(0.0),
+        lambda acc, x: acc - x["tf"].cast("double") * x["logp"],
+    )
+    out = per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(bits_sum / F.col("n_tokens"), 6).alias("bits_per_token"),
+    )
+    empty = df.select(F.col(id_col)).join(out.select(id_col), id_col, "left_anti")
+    return out.unionByName(
+        empty.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0.0).alias("bits_per_token"),
+        )
+    )
+
+
+def unigram_logprob_sql(
+    table: str = "documents", text: str = "text", id_col: str = "doc_id"
+) -> str:
+    toks = _tokens_sql(text)
+    return f"""WITH posting AS (
+  SELECT {id_col}, tok AS term, count(*) AS tf
+  FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {table})
+  GROUP BY {id_col}, tok
+),
+tstats AS (SELECT term, sum(tf) AS cnt FROM posting GROUP BY term),
+totals AS (SELECT sum(cnt) AS T, count(*) AS V FROM tstats),
+scored AS (
+  SELECT p.{id_col}, p.term, p.tf,
+         log2((t.cnt + 1.0) / CAST(o.T + o.V AS DOUBLE)) AS logp
+  FROM posting p JOIN tstats t ON p.term = t.term CROSS JOIN totals o
+),
+per_doc AS (
+  SELECT {id_col},
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(-CAST(tf AS DOUBLE) * logp ORDER BY term)),
+           (a, b) -> a + b) AS bits_sum,
+         sum(tf) AS n_tokens
+  FROM scored GROUP BY {id_col}
+)
+SELECT t.{id_col},
+  CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+  COALESCE(round(p.bits_sum / p.n_tokens, 6), 0.0) AS bits_per_token
+FROM {table} t LEFT JOIN per_doc p ON t.{id_col} = p.{id_col}"""
+
+
+# -- deterministic stratified sampling -------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    strata_col: str = "source",
+    salt: str = "v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row iff md5(salt:doc_id) mod 10^6 < rate(stratum) * 10^6 —
+    per-stratum deterministic downsampling (data mixing / source
+    re-weighting). Same hash family as split_assign, so a doc's fate is
+    stable under re-runs and corpus growth. Rates are per-million to keep
+    the cut integer-exact on both engines."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1000000
+    cut = F.lit(int(default_rate * 1000000))
+    for stratum, rate in sorted(rates.items()):
+        cut = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * 1000000))
+        ).otherwise(cut)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(strata_col),
+            bucket.alias("bucket"),
+            cut.alias("cut"),
+        )
+        .filter(F.col("bucket") < F.col("cut"))
+        .select(id_col, strata_col, "bucket")
+    )
+
+
+def stratified_sample_sql(
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    table: str = "documents",
+    strata_col: str = "source",
+    salt: str = "v1",
+    id_col: str = "doc_id",
+) -> str:
+    h = f"md5('{salt}:' || CAST({id_col} AS VARCHAR))"
+    bucket = (
+        f"list_reduce(list_transform(regexp_extract_all(substr({h}, 1, 8),"
+        " '.'), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
+        " (a, b) -> a * 16 + b) % 1000000"
+    )
+    cut = f"{int(default_rate * 1000000)}"
+    for stratum, rate in sorted(rates.items(), reverse=True):
+        cut = (
+            f"CASE WHEN {strata_col} = '{stratum}' "
+            f"THEN {int(rate * 1000000)} ELSE {cut} END"
+        )
+    return f"""SELECT {id_col}, {strata_col}, {bucket} AS bucket
+FROM {table}
+WHERE {bucket} < {cut}"""

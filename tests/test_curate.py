@@ -151,3 +151,106 @@ def test_repetition_corpus(docs, docs_pd):
         assert got.loc[row["doc_id"], "top_frac"] == pytest.approx(
             top_frac, abs=1e-9
         )
+
+
+# -- wave 2: boilerplate removal, unigram surprisal, stratified sampling --------
+
+import math
+from collections import defaultdict
+
+
+def test_strip_boilerplate_planted(spark):
+    rows = [
+        (1, "unique alpha\nCopyright Footer\nbody one"),
+        (2, "unique beta\ncopyright footer  \nbody two"),   # normalizes equal
+        (3, "unique gamma\nCOPYRIGHT FOOTER\nbody three"),
+        (4, "copyright footer\ncopyright footer"),           # all lines removed
+        (5, ""),                                             # one empty line, df=1 -> kept
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = (
+        curate.strip_boilerplate(df, min_df=3)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # corpus-wide python recomputation
+    df_count = defaultdict(set)
+    for doc_id, text in rows:
+        for line in text.split("\n"):
+            df_count[line.strip().lower()].add(doc_id)
+    for doc_id, text in rows:
+        lines = text.split("\n")
+        kept = [l for l in lines if len(df_count[l.strip().lower()]) < 3]
+        assert got.loc[doc_id, "n_lines"] == len(lines)
+        assert got.loc[doc_id, "n_kept"] == len(kept)
+        assert got.loc[doc_id, "cleaned_md5"] == hashlib.md5(
+            "\n".join(kept).encode()
+        ).hexdigest()
+    # the footer really was removed everywhere, bodies survived
+    assert got.loc[4, "n_kept"] == 0
+    assert got.loc[1, "n_kept"] == 2
+
+
+def test_strip_boilerplate_within_doc_repeat(spark):
+    # a line repeated inside ONE doc counts once toward df -> stays kept
+    rows = [(1, "dup line\ndup line\nx"), (2, "y"), (3, "z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = (
+        curate.strip_boilerplate(df, min_df=2)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "n_kept"] == 3
+
+
+def test_unigram_logprob(docs, docs_pd):
+    got = (
+        curate.unigram_logprob(docs).toPandas().set_index("doc_id").sort_index()
+    )
+    # corpus unigram model in python
+    cnt = Counter()
+    for t in docs_pd["text"]:
+        cnt.update(py_tokens(t))
+    T, V = sum(cnt.values()), len(cnt)
+    for _, row in docs_pd.head(40).iterrows():
+        toks = py_tokens(row["text"])
+        assert got.loc[row["doc_id"], "n_tokens"] == len(toks)
+        if not toks:
+            assert got.loc[row["doc_id"], "bits_per_token"] == 0.0
+            continue
+        # fold in sorted-term order exactly like both engines
+        acc = 0.0
+        for term in sorted(set(toks)):
+            tf = sum(1 for x in toks if x == term)
+            acc -= tf * math.log2((cnt[term] + 1.0) / (T + V))
+        assert got.loc[row["doc_id"], "bits_per_token"] == pytest.approx(
+            round(acc / len(toks), 6), abs=2e-6
+        )
+    # common-token docs must score lower than the corpus max
+    assert got["bits_per_token"].min() < got["bits_per_token"].max()
+
+
+def test_stratified_sample(docs, docs_pd):
+    rates = {"src0": 1.0, "src3": 0.5, "src7": 0.25}
+    got = curate.stratified_sample(docs, rates, default_rate=0.1).toPandas()
+    kept = set(got["doc_id"])
+    for _, row in docs_pd.iterrows():
+        h = hashlib.md5(f"v1:{row['doc_id']}".encode()).hexdigest()
+        bucket = int(h[:8], 16) % 1000000
+        cut = int(rates.get(row["source"], 0.1) * 1000000)
+        assert (row["doc_id"] in kept) == (bucket < cut)
+    # rate 1.0 keeps every src0 doc
+    n_src0 = (docs_pd["source"] == "src0").sum()
+    assert (got["source"] == "src0").sum() == n_src0
+
+
+def test_stratified_sample_stable_under_growth(docs):
+    rates = {"src0": 0.5}
+    full = curate.stratified_sample(docs, rates, default_rate=0.2).toPandas()
+    half = curate.stratified_sample(
+        docs.filter("doc_id % 2 = 0"), rates, default_rate=0.2
+    ).toPandas()
+    assert set(half["doc_id"]) == {
+        d for d in full["doc_id"] if d % 2 == 0
+    }
