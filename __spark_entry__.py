@@ -301,6 +301,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["term_tfidf"] = term_tfidf
 
+    def explain_bm25(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.explain(TermQuery(term=MID), k=12)
+
+    out["explain_bm25"] = explain_bm25
+
+    def explain_classic(spark, sf_dir):
+        s = _searcher(spark, sf_dir, similarity="classic")
+        return s.explain(TermQuery(term=MID), k=12)
+
+    out["explain_classic"] = explain_classic
+
     def term_lmd(spark, sf_dir):
         s = _searcher(spark, sf_dir, similarity="lmd")
         return s.search(TermQuery(term=HOT), 15)
@@ -939,6 +951,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), n=2
     )
 
+    def strip_boiler(spark, sf_dir):
+        # the corpus has no newlines — derive a multi-line column with one
+        # always-boilerplate footer, one df~n/3 footer (also boilerplate at
+        # min_df=30), and one unique per-doc footer that must survive
+        d = _docs(spark, sf_dir)
+        derived = d.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.col("text"),
+                F.lit("generated by transcript exporter"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.lit("confidential do not distribute"),
+                ).otherwise(
+                    F.concat(
+                        F.lit("doc "),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" footer"),
+                    )
+                ),
+            ).alias("text"),
+        )
+        return curate.strip_boilerplate(derived, min_df=30)
+
+    out["strip_boilerplate"] = strip_boiler
+    out["unigram_bits"] = lambda s, d: curate.unigram_logprob(_docs(s, d))
+    out["sample_stratified"] = lambda s, d: curate.stratified_sample(
+        _docs(s, d),
+        {"src0": 1.0, "src3": 0.5, "src7": 0.25},
+        default_rate=0.1,
+    )
+
     def dedup_exact(spark, sf_dir):
         d = _docs(spark, sf_dir).select("doc_id", "text")
         both = d.unionByName(
@@ -1048,6 +1093,8 @@ _NEW_THIS_ROUND: list[str] = [
     "term_french", "term_spanish", "term_italian", "term_portuguese",
     "term_norwegian", "term_finnish", "term_stem_exclusion",
     "pii_scrub", "split_assign", "repetition_2gram",
+    "strip_boilerplate", "unigram_bits", "sample_stratified",
+    "explain_bm25", "explain_classic",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1220,6 +1267,8 @@ LIMIT 30"""
     )
     out["fuzzy"] = es.fuzzy_sql("batc", 1, 20)
     out["term_tfidf"] = es.classic_term_sql(HOT, k=15)
+    out["explain_bm25"] = es.explain_term_sql(MID, k=12)
+    out["explain_classic"] = es.explain_classic_sql(MID, k=12)
     out["term_lmd"] = es.lmd_term_sql(HOT, k=15)
     out["phrase_tfidf"] = es.phrase_sim_sql(["table", "hash"], "classic", k=15)
     out["phrase_lmd"] = es.phrase_sim_sql(["value", "table"], "lmd", k=15, slop=2)
@@ -1432,6 +1481,20 @@ ORDER BY score DESC, parent ASC LIMIT 15"""
     out["pii_scrub"] = cu.pii_scrub_sql()
     out["split_assign"] = cu.split_assign_sql()
     out["repetition_2gram"] = cu.repetition_metrics_sql(n=2)
+    _boiler_tbl = (
+        "(SELECT doc_id, text || chr(10) || 'generated by transcript exporter'"
+        " || chr(10) || CASE WHEN doc_id % 3 = 0"
+        " THEN 'confidential do not distribute'"
+        " ELSE 'doc ' || CAST(doc_id AS VARCHAR) || ' footer' END AS text"
+        " FROM documents)"
+    )
+    out["strip_boilerplate"] = cu.strip_boilerplate_sql(
+        table=_boiler_tbl, min_df=30
+    )
+    out["unigram_bits"] = cu.unigram_logprob_sql()
+    out["sample_stratified"] = cu.stratified_sample_sql(
+        {"src0": 1.0, "src3": 0.5, "src7": 0.25}, default_rate=0.1
+    )
 
     from lucenenet_spark.pipeline import similarity as sim
 

@@ -2259,6 +2259,69 @@ ORDER BY score DESC, docid ASC
 LIMIT {k}"""
 
 
+def explain_term_sql(term: str, k: int = 10) -> str:
+    """IndexSearcher.Explain leaves for a BM25 TermQuery: freq, df, idf,
+    the norm denominator, and the recomposed score (== scored.s, the exact
+    engine arithmetic)."""
+    idf = (
+        "CAST(ln(CAST(1.0 AS DOUBLE) + (CAST(f.max_doc AS DOUBLE)"
+        " - CAST(t.df AS DOUBLE) + 0.5) / (CAST(t.df AS DOUBLE) + 0.5))"
+        " AS REAL)"
+    )
+    return f"""{prelude()}
+SELECT p.docid,
+       CAST(p.tf AS BIGINT) AS freq,
+       CAST(t.df AS BIGINT) AS df,
+       {idf} AS idf,
+       n.nc AS norm_k,
+       s.s AS score
+FROM posting p
+JOIN tstats t ON p.term = t.term
+CROSS JOIN fstats f
+JOIN ncache n ON p.docid = n.docid
+JOIN scored s ON s.docid = p.docid AND s.term = p.term
+WHERE p.term = '{term}'
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+
+
+def explain_classic_sql(term: str, k: int = 10, boost: float = 1.0) -> str:
+    """IndexSearcher.Explain leaves for a classic (TF-IDF) TermQuery:
+    freq, df, idf, queryNorm, byte315-decoded fieldNorm, score — the same
+    float32 chain as classic_term_sql with the intermediates exposed."""
+    idf = (
+        "CAST(ln(CAST(f.max_doc AS DOUBLE) / (CAST(t.df AS DOUBLE) + 1.0))"
+        " + CAST(1.0 AS DOUBLE) AS REAL)"
+    )
+    qw = f"CAST({idf} * {_f32lit(boost)} AS REAL)"
+    ssq = f"CAST({qw} * {qw} AS REAL)"
+    qnorm = f"CAST(CAST(1.0 AS DOUBLE) / sqrt(CAST({ssq} AS DOUBLE)) AS REAL)"
+    value = f"CAST(CAST({qw} * {qnorm} AS REAL) * {idf} AS REAL)"
+    return f"""{prelude()},
+cval AS (
+  SELECT {idf} AS idf, {qnorm} AS qnorm, {value} AS v
+  FROM tstats t CROSS JOIN fstats f WHERE t.term = '{term}'
+),
+dnorm AS (
+  SELECT l.docid, v.dt FROM lens l JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+)
+SELECT p.docid,
+       CAST(p.tf AS BIGINT) AS freq,
+       CAST(t.df AS BIGINT) AS df,
+       c.idf AS idf,
+       c.qnorm AS query_norm,
+       d.dt AS field_norm,
+       CAST(CAST(CAST(sqrt(CAST(p.tf AS DOUBLE)) AS REAL) * c.v AS REAL)
+            * d.dt AS REAL) AS score
+FROM posting p
+JOIN tstats t ON p.term = t.term
+CROSS JOIN cval c
+JOIN dnorm d ON p.docid = d.docid
+WHERE p.term = '{term}'
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+
+
 def classic_term_sql(term: str, k: int = 10, boost: float = 1.0) -> str:
     """Top-k TermQuery under DefaultSimilarity (TF-IDF), float32-exact:
       idf   = (float)(ln(maxDoc/(df+1)) + 1)      DefaultSimilarity.cs:158-161
