@@ -210,6 +210,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docid", F.col("ts").cast("string").alias("ts_s")
         )
 
+    def sort_multi(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.sort_by_fields(
+            TermQuery(term=HOT),
+            [("tool", False, True), ("turn_idx", True, False)],
+            k=15,
+        ).select("docid", "tool", F.col("turn_idx").cast("int").alias("turn_idx"))
+
+    def search_after_turn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        specs = [("turn_idx", False, False)]
+        p1 = s.sort_by_fields(TermQuery(term=HOT), specs, k=20).collect()
+        last = p1[-1]
+        return s.search_after_fields(
+            TermQuery(term=HOT), specs, [last["turn_idx"]], int(last["docid"]),
+            k=20,
+        ).select("docid", F.col("turn_idx").cast("int").alias("turn_idx"))
+
+    def facet_range_len(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.facet_ranges(
+            TermQuery(term=HOT),
+            "field_length",
+            [
+                ("short", 0, 10, True, False),
+                ("mid", 10, 25, True, False),
+                ("long", 25, 1 << 20, True, True),
+                ("all", 0, 1 << 20, True, True),
+            ],
+        )
+
+    def diversified_topk(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.diversified_top_k(TermQuery(term=HOT), "conv_id", 1, k=12)
+
     def doclen(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         return s.docs().select(
@@ -243,6 +278,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         facet_sideways=facet_sideways,
         group_top2=group_top2,
         sort_by_ts=sort_by_ts,
+        sort_multi=sort_multi,
+        search_after_turn=search_after_turn,
+        facet_range_len=facet_range_len,
+        diversified_topk=diversified_topk,
         doclen=doclen,
         term_stats_top=term_stats_top,
         norm_hist=norm_hist,
@@ -1095,6 +1134,7 @@ _NEW_THIS_ROUND: list[str] = [
     "pii_scrub", "split_assign", "repetition_2gram",
     "strip_boilerplate", "unigram_bits", "sample_stratified",
     "explain_bm25", "explain_classic",
+    "sort_multi", "search_after_turn", "facet_range_len", "diversified_topk",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1235,6 +1275,39 @@ SELECT s.docid,
 FROM scored s JOIN docs d ON s.docid = d.docid
 WHERE s.term = '{HOT}'
 ORDER BY d.doc_id ASC LIMIT 15""",
+        "sort_multi": f"""{P}
+SELECT s.docid, d.tool, CAST(d.turn_idx AS INT) AS turn_idx
+FROM scored s JOIN docs d ON s.docid = d.docid
+WHERE s.term = '{HOT}'
+ORDER BY d.tool ASC NULLS LAST, d.turn_idx DESC, s.docid ASC LIMIT 15""",
+        "search_after_turn": f"""{P}
+SELECT s.docid, CAST(d.turn_idx AS INT) AS turn_idx
+FROM scored s JOIN docs d ON s.docid = d.docid
+WHERE s.term = '{HOT}'
+ORDER BY d.turn_idx ASC, s.docid ASC LIMIT 20 OFFSET 20""",
+        "facet_range_len": f"""{P},
+h AS (
+  SELECT l.fl
+  FROM (SELECT DISTINCT docid FROM scored WHERE term = '{HOT}') s
+  JOIN lens l ON s.docid = l.docid
+)
+SELECT 'short' AS label, count(*) FILTER (WHERE fl >= 0 AND fl < 10) AS n FROM h
+UNION ALL
+SELECT 'mid', count(*) FILTER (WHERE fl >= 10 AND fl < 25) FROM h
+UNION ALL
+SELECT 'long', count(*) FILTER (WHERE fl >= 25 AND fl <= 1048576) FROM h
+UNION ALL
+SELECT 'all', count(*) FILTER (WHERE fl >= 0 AND fl <= 1048576) FROM h""",
+        "diversified_topk": f"""{P},
+hits AS (
+  SELECT d.conv_id AS key, s.docid, s.s AS score,
+         row_number() OVER (
+           PARTITION BY d.conv_id ORDER BY s.s DESC, s.docid ASC
+         ) AS rk
+  FROM scored s JOIN docs d ON s.docid = d.docid WHERE s.term = '{HOT}'
+)
+SELECT key, docid, score FROM hits WHERE rk <= 1
+ORDER BY score DESC, docid ASC LIMIT 12""",
         "doclen": f"""{P}
 SELECT docid, CAST(fl AS BIGINT) AS len_tokens FROM lens""",
         "term_stats_top": f"""{P}

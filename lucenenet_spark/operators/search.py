@@ -2879,6 +2879,125 @@ class IndexSearcher:
         cols = [F.asc(c) if ascending else F.desc(c) for c in sort_cols]
         return hits.orderBy(*cols).limit(k)
 
+    def sort_by_fields(
+        self, q: Query, specs: list[tuple[str, bool, bool]], k: int = 10
+    ) -> DataFrame:
+        """TopFieldCollector under a multi-SortField chain
+        (Lucene.Net/Search/Sort.cs, SortField.cs, TopFieldCollector.cs):
+        compare field by field, docid asc as the final tie-break (the
+        collector's implicit doc tie-break). Each spec is
+        (col, reverse, missing_last); missing_last mirrors
+        SortField.MissingValue (e.g. STRING_LAST) for docs without the
+        field — here a null column value. One TakeOrderedAndProject, no
+        full sort."""
+        hits = self.fetch(self.scores(q), self._hits_bound(q))
+        order = []
+        for col, reverse, missing_last in specs:
+            if reverse:
+                order.append(
+                    F.desc_nulls_last(col) if missing_last
+                    else F.desc_nulls_first(col)
+                )
+            else:
+                order.append(
+                    F.asc_nulls_last(col) if missing_last
+                    else F.asc_nulls_first(col)
+                )
+        order.append(F.asc("docid"))
+        return hits.orderBy(*order).limit(k)
+
+    def search_after_fields(
+        self,
+        q: Query,
+        specs: list[tuple[str, bool, bool]],
+        after_values: list,
+        after_doc: int,
+        k: int = 10,
+    ) -> DataFrame:
+        """Field-sorted searchAfter (TopFieldCollector's paging collector:
+        IndexSearcher.SearchAfter with a FieldDoc): keep only docs strictly
+        AFTER the (field-values, docid) cursor in the sort order, then
+        take the next k. The cursor must carry concrete (non-null) values,
+        like the reference's FieldDoc. The page filter is a lexicographic
+        predicate pushed into the scan — no offset materialization."""
+        hits = self.fetch(self.scores(q), self._hits_bound(q))
+        cond = F.lit(False)
+        eq = F.lit(True)
+        order = []
+        for (col, reverse, missing_last), av in zip(specs, after_values):
+            c = F.col(col)
+            gt = (c < F.lit(av)) if reverse else (c > F.lit(av))
+            if missing_last:
+                # null sorts last: everything null is after any concrete
+                # cursor value
+                gt = gt | c.isNull()
+            cond = cond | (eq & gt)
+            eq = eq & (c == F.lit(av))
+            if reverse:
+                order.append(
+                    F.desc_nulls_last(col) if missing_last
+                    else F.desc_nulls_first(col)
+                )
+            else:
+                order.append(
+                    F.asc_nulls_last(col) if missing_last
+                    else F.asc_nulls_first(col)
+                )
+        cond = cond | (eq & (F.col("docid") > F.lit(int(after_doc))))
+        order.append(F.asc("docid"))
+        return hits.filter(cond).orderBy(*order).limit(k)
+
+    def facet_ranges(
+        self,
+        q: Query,
+        col: str,
+        ranges: list[tuple[str, int, int, bool, bool]],
+    ) -> DataFrame:
+        """Numeric range facets (Lucene.Net.Facet/Range/
+        LongRangeFacetCounts.cs; LongRange.cs accept()): count matching
+        docs per range. Ranges may overlap — a doc counts once in every
+        range accepting it; min/max bounds are each inclusive or exclusive
+        per range. One conditional-sum aggregate over the hits (a single
+        map-side-combined pass), never one rescan per range.
+        ranges: (label, lo, hi, min_inclusive, max_inclusive)."""
+        hits = self.fetch(self.scores(q), self._hits_bound(q))
+        aggs = []
+        for i, (_label, lo, hi, min_incl, max_incl) in enumerate(ranges):
+            c = F.col(col)
+            pred = (c >= F.lit(lo)) if min_incl else (c > F.lit(lo))
+            pred = pred & ((c <= F.lit(hi)) if max_incl else (c < F.lit(hi)))
+            aggs.append(
+                F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"_r{i}")
+            )
+        row = hits.agg(*aggs)
+        pairs = ", ".join(
+            f"'{label}', _r{i}" for i, (label, *_rest) in enumerate(ranges)
+        )
+        return row.selectExpr(f"stack({len(ranges)}, {pairs}) AS (label, n)")
+
+    def diversified_top_k(
+        self, q: Query, key_col: str, max_per_key: int, k: int = 10
+    ) -> DataFrame:
+        """DiversifiedTopDocsCollector (Lucene.Net.Misc/Search/
+        DiversifiedTopDocsCollector.cs): global top-k with at most
+        max_per_key hits per key. Equivalent set form of the reference's
+        streaming queue: the globally best k — by the collector's total
+        order (score desc, docid asc) — among hits that sit within their
+        own key's top max_per_key; a hit outside its key's top cap can
+        never survive the per-key eviction, and the global queue's min
+        never decreases, so skipped hits never re-enter."""
+        hits = self.fetch(self.scores(q), self._hits_bound(q)).select(
+            F.col(key_col).alias("key"), "docid", "score"
+        )
+        win = Window.partitionBy("key").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            hits.withColumn("_rk", F.row_number().over(win))
+            .filter(F.col("_rk") <= max_per_key)
+            .drop("_rk")
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
+
     def to_parent_join(
         self, q: Query, score_mode: str = "max", k: int = 10,
         parent_col: str = "conv_id",
