@@ -245,6 +245,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _searcher(spark, sf_dir)
         return s.diversified_top_k(TermQuery(term=HOT), "conv_id", 1, k=12)
 
+    def shingle_top(spark, sf_dir):
+        from lucenenet_spark.functions.analysis import shingle_udf
+
+        d = _docs(spark, sf_dir)
+        ex = d.select(
+            "doc_id", F.explode(shingle_udf(2)(F.col("text"))).alias("shingle")
+        )
+        return (
+            ex.groupBy("shingle")
+            .agg(F.countDistinct("doc_id").alias("df"), F.count("*").alias("ttf"))
+            .orderBy(F.desc("df"), F.asc("shingle"))
+            .limit(20)
+        )
+
+    def suggest_freetext(spark, sf_dir):
+        from lucenenet_spark.operators.suggest import freetext_suggest
+
+        return freetext_suggest(_docs(spark, sf_dir), f"{HOT} s", k=10)
+
     def doclen(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         return s.docs().select(
@@ -282,6 +301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         search_after_turn=search_after_turn,
         facet_range_len=facet_range_len,
         diversified_topk=diversified_topk,
+        shingle_top=shingle_top,
+        suggest_freetext=suggest_freetext,
         doclen=doclen,
         term_stats_top=term_stats_top,
         norm_hist=norm_hist,
@@ -1135,6 +1156,7 @@ _NEW_THIS_ROUND: list[str] = [
     "strip_boilerplate", "unigram_bits", "sample_stratified",
     "explain_bm25", "explain_classic",
     "sort_multi", "search_after_turn", "facet_range_len", "diversified_topk",
+    "shingle_top", "suggest_freetext",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1342,6 +1364,8 @@ LIMIT 30"""
     out["term_tfidf"] = es.classic_term_sql(HOT, k=15)
     out["explain_bm25"] = es.explain_term_sql(MID, k=12)
     out["explain_classic"] = es.explain_classic_sql(MID, k=12)
+    out["shingle_top"] = es.shingle_top_sql(20)
+    out["suggest_freetext"] = es.freetext_suggest_sql(HOT, "s", k=10)
     out["term_lmd"] = es.lmd_term_sql(HOT, k=15)
     out["phrase_tfidf"] = es.phrase_sim_sql(["table", "hash"], "classic", k=15)
     out["phrase_lmd"] = es.phrase_sim_sql(["value", "table"], "lmd", k=15, slop=2)

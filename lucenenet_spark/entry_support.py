@@ -2853,3 +2853,54 @@ FROM (
 )
 WHERE length(tok) <= {MAX_TOKEN_LENGTH} AND tok NOT IN ({stop_list})
 ORDER BY id, pos"""
+
+
+def shingle_top_sql(k: int = 20) -> str:
+    """Top-k bigram shingles by doc-freq (ShingleFilter semantics: '_'
+    filler at stop/too-long position gaps, all-filler grams suppressed,
+    ' ' separator). Matches functions.analysis.shingle_tokens exactly."""
+    return f"""{prelude()},
+{_positions_cte()},
+mx AS (SELECT docid, max(pos) AS last FROM pos GROUP BY docid),
+grams AS (
+  SELECT m.docid,
+         COALESCE(a.term, '_') || ' ' || COALESCE(b.term, '_') AS shingle
+  FROM (
+    SELECT docid, unnest(generate_series(0, last - 1)) AS p FROM mx
+  ) m
+  LEFT JOIN pos a ON a.docid = m.docid AND a.pos = m.p
+  LEFT JOIN pos b ON b.docid = m.docid AND b.pos = m.p + 1
+  WHERE a.term IS NOT NULL OR b.term IS NOT NULL
+)
+SELECT shingle, count(DISTINCT docid) AS df, count(*) AS ttf
+FROM grams GROUP BY shingle
+ORDER BY df DESC, shingle ASC LIMIT {k}"""
+
+
+def freetext_suggest_sql(
+    w1: str, prefix: str, k: int = 10, alpha: float = 0.4
+) -> str:
+    """FreeTextSuggester stupid-backoff scores (see
+    operators.suggest.freetext_suggest): bigram path c(w1 t)/c(w1) from
+    consecutive-position pairs, unigram backoff alpha * c(t)/totTokens.
+    tstats.ttf IS the unigram count; sum(ttf) the total token count."""
+    return f"""{prelude()},
+{_positions_cte()},
+big AS (
+  SELECT b.term AS term, count(*) AS c2
+  FROM pos a JOIN pos b ON a.docid = b.docid AND b.pos = a.pos + 1
+  WHERE a.term = '{w1}' AND starts_with(b.term, '{prefix}')
+  GROUP BY b.term
+),
+cw AS (SELECT sum(ttf) AS c1w FROM tstats WHERE term = '{w1}'),
+tot AS (SELECT sum(ttf) AS T FROM tstats)
+SELECT u.term AS token,
+       round(CASE WHEN b.c2 IS NOT NULL
+             THEN CAST(b.c2 AS DOUBLE) / CAST(cw.c1w AS DOUBLE)
+             ELSE CAST({alpha} AS DOUBLE) * CAST(u.ttf AS DOUBLE)
+                  / CAST(tot.T AS DOUBLE) END, 6) AS score
+FROM tstats u
+LEFT JOIN big b ON u.term = b.term
+CROSS JOIN cw CROSS JOIN tot
+WHERE starts_with(u.term, '{prefix}')
+ORDER BY score DESC, token ASC LIMIT {k}"""

@@ -410,6 +410,47 @@ def _tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     )
 
 
+FILLER = "_"  # ShingleFilter.DEFAULT_FILLER_TOKEN
+
+
+def shingle_tokens(
+    text: str | None, size: int = 2, analyzer: str = "standard"
+) -> list[str]:
+    """ShingleFilter (Lucene.Net.Analysis.Common/Analysis/Shingle/
+    ShingleFilter.cs): token n-grams joined by ' '
+    (DEFAULT_TOKEN_SEPARATOR) over the analyzed stream. Stop-filtered /
+    too-long position gaps become '_' filler slots (FillerToken inserted
+    per skipped posIncrement), including leading gaps; shingles composed
+    ONLY of fillers are suppressed (the isAllFiller check). This is the
+    outputUnigrams=false shape (the unigram stream is the plain analyzer)."""
+    toks, poss = tokenize_with_positions(text, analyzer)
+    if not toks:
+        return []
+    slots = dict(zip(poss, toks))
+    last = poss[-1]
+    out = []
+    for p in range(0, last - size + 2):
+        gram = [slots.get(p + i, FILLER) for i in range(size)]
+        if all(g == FILLER for g in gram):
+            continue
+        out.append(" ".join(gram))
+    return out
+
+
+def shingle_udf(size: int = 2, analyzer: str = "standard"):
+    """pandas UDF: text:string -> shingles:array<string> (see
+    shingle_tokens). One Arrow batch per partition chunk — no per-row
+    Python round trips."""
+
+    def batch(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [shingle_tokens(t, size, analyzer) for t in texts],
+            index=texts.index,
+        )
+
+    return F.pandas_udf(batch, ArrayType(StringType()))
+
+
 def tokenize_udf(analyzer: str = "standard"):
     """pandas UDF: text:string -> tokens:array<string> (post-stop, lowercase)."""
 

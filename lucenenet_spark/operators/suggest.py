@@ -141,3 +141,97 @@ def analyzing_lookup(
         .orderBy(F.desc("weight"), F.asc("surface"))
         .limit(k)
     )
+
+
+ALPHA = 0.4  # FreeTextSuggester.ALPHA (stupid-backoff multiplier)
+
+
+def freetext_suggest(
+    docs_df: DataFrame,
+    context: str,
+    k: int = 10,
+    analyzer: str = "standard",
+    text_col: str = "text",
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """FreeTextSuggester (Lucene.Net.Suggest/Suggest/Analyzing/
+    FreeTextSuggester.cs, default grams=2): complete the LAST (partial)
+    context token from an n-gram LM over the corpus token stream, scored
+    by stupid backoff (:57 ALPHA):
+
+      score(t | w1) = c(w1 t) / c(w1)          when the bigram exists
+                    = ALPHA * c(t) / totTokens  otherwise (backoff)
+      single-token context: score(t) = c(t) / totTokens (no backoff step)
+
+    A candidate found at the higher order never re-enters from backoff
+    (the reference's seen set). Bigrams are consecutive-POSITION token
+    pairs via the same ShingleFilter the reference wraps its stream in —
+    a stop-filtered gap breaks adjacency exactly like its '_' filler
+    shingles (a filler gram never matches a real token).
+
+    Deviation (documented): returns the double backoff score (round 6)
+    instead of the reference's (long)(long.MaxValue * score) weight
+    scaling — identical ordering, exactly comparable.
+
+    Scale shape: the unigram pass is one explode+agg; the bigram pass
+    filters to pairs starting with w1 BEFORE counting, so the shuffle is
+    O(c(w1)) + O(|prefix vocabulary|), never O(corpus pairs). At
+    warehouse scale you would materialize the gram tables once (like the
+    analyzing-suggester channel) instead of re-deriving per lookup.
+    """
+    from ..functions.analysis import shingle_udf, tokenize_text, tokenize_udf
+
+    ctx = tokenize_text(context, analyzer)
+    if not ctx:
+        raise ValueError("suggest context analyzed to no tokens")
+    prefix = ctx[-1]
+    w1 = ctx[-2] if len(ctx) >= 2 else None
+
+    uni = (
+        docs_df.select(F.explode(tokenize_udf(analyzer)(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").alias("T"))
+    cand = uni.filter(F.col("term").startswith(prefix))
+    if w1 is None:
+        out = cand.crossJoin(F.broadcast(tot)).select(
+            F.col("term").alias("token"),
+            F.round(F.col("c1").cast("double") / F.col("T").cast("double"), 6)
+            .alias("score"),
+        )
+        return out.orderBy(F.desc("score"), F.asc("token")).limit(k)
+
+    grams = docs_df.select(
+        F.explode(shingle_udf(2, analyzer)(F.col(text_col))).alias("g")
+    ).select(F.split(F.col("g"), " ").alias("ab"))
+    big = (
+        grams.select(
+            F.col("ab")[0].alias("a"), F.col("ab")[1].alias("b")
+        )
+        .filter((F.col("a") == w1) & F.col("b").startswith(prefix))
+        .filter(F.col("b") != "_")
+        .groupBy(F.col("b").alias("term"))
+        .agg(F.count("*").alias("c2"))
+    )
+    cw = uni.filter(F.col("term") == w1).agg(F.sum("c1").alias("c1w"))
+    out = (
+        cand.join(big, "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(cw))
+        .select(
+            F.col("term").alias("token"),
+            F.round(
+                F.when(
+                    F.col("c2").isNotNull(),
+                    F.col("c2").cast("double") / F.col("c1w").cast("double"),
+                ).otherwise(
+                    F.lit(float(alpha))
+                    * F.col("c1").cast("double")
+                    / F.col("T").cast("double")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    return out.orderBy(F.desc("score"), F.asc("token")).limit(k)
