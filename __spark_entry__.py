@@ -1037,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate.strip_boilerplate(derived, min_df=30)
 
     out["strip_boilerplate"] = strip_boiler
+    out["pack_chunks"] = lambda s, d: curate.pack_sequences(_docs(s, d), 512)
     out["unigram_bits"] = lambda s, d: curate.unigram_logprob(_docs(s, d))
     out["sample_stratified"] = lambda s, d: curate.stratified_sample(
         _docs(s, d),
@@ -1156,7 +1157,7 @@ _NEW_THIS_ROUND: list[str] = [
     "strip_boilerplate", "unigram_bits", "sample_stratified",
     "explain_bm25", "explain_classic",
     "sort_multi", "search_after_turn", "facet_range_len", "diversified_topk",
-    "shingle_top", "suggest_freetext",
+    "shingle_top", "suggest_freetext", "pack_chunks",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1589,6 +1590,7 @@ ORDER BY score DESC, parent ASC LIMIT 15"""
         table=_boiler_tbl, min_df=30
     )
     out["unigram_bits"] = cu.unigram_logprob_sql()
+    out["pack_chunks"] = cu.pack_sequences_sql(512)
     out["sample_stratified"] = cu.stratified_sample_sql(
         {"src0": 1.0, "src3": 0.5, "src7": 0.25}, default_rate=0.1
     )

@@ -25,7 +25,7 @@ gates are value-exact and non-circular.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import TOKEN_RX, _tokens_sql, raw_tokens
@@ -478,3 +478,105 @@ def stratified_sample_sql(
     return f"""SELECT {id_col}, {strata_col}, {bucket} AS bucket
 FROM {table}
 WHERE {bucket} < {cut}"""
+
+
+# -- GPT-style sequence packing (concat-and-chunk context assignment) ------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_size: int = 1 << 20,
+) -> DataFrame:
+    """Assign every doc its position in the packed token stream: all docs
+    are concatenated in id order and cut into fixed-size contexts of
+    context_len tokens (the standard LM pretraining packing — concat +
+    chunk, documents split across chunk boundaries rather than padded).
+
+    Returns (doc_id, n_tokens, start_tok, first_chunk, last_chunk,
+    n_chunks) where start_tok is the doc's offset in the global stream and
+    first/last_chunk the context ids its tokens land in (empty docs:
+    chunk ids of their stream position, n_chunks 0).
+
+    Scale: the global running offset is computed in TWO passes so no
+    single task ever sees the whole stream — (1) docs shard by
+    id div shard_size; per-shard token totals (a tiny aggregate) prefix-
+    summed driver-side into per-shard base offsets; (2) a window
+    PARTITIONED by shard adds the within-shard running sum. Exactly the
+    distributed prefix-sum decomposition; bit-identical to one global
+    window, and the window never moves more than one shard to a task.
+    shard_size is in id units (ids need not be dense).
+    """
+    toks = raw_tokens(text_col)
+    n = F.size(toks).cast("long")
+    base = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.expr(f"{id_col} div {int(shard_size)}").alias("_shard"),
+    )
+    totals = sorted(
+        (r["_shard"], r["t"])
+        for r in base.groupBy("_shard").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    offs, acc = [], 0
+    for sh, t in totals:
+        offs.append((int(sh), acc))
+        acc += int(t)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offs, "_shard long, _base long")
+    w = Window.partitionBy("_shard").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    out = base.join(F.broadcast(off_df), "_shard").withColumn(
+        "start_tok",
+        (F.col("_base") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .cast("long"),
+    )
+    cl = int(context_len)
+    first = F.expr(f"start_tok div {cl}")
+    last = F.when(
+        F.col("n_tokens") > 0,
+        F.expr(f"(start_tok + n_tokens - 1) div {cl}"),
+    ).otherwise(first)
+    return out.select(
+        id_col,
+        "n_tokens",
+        "start_tok",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        F.when(F.col("n_tokens") > 0, last - first + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_chunks"),
+    )
+
+
+def pack_sequences_sql(
+    context_len: int,
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    toks = _tokens_sql(text)
+    return f"""WITH base AS (
+  SELECT {id_col}, CAST(len({toks}) AS BIGINT) AS n_tokens FROM {table}
+),
+run AS (
+  SELECT {id_col}, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           ORDER BY {id_col} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_tok
+  FROM base
+)
+SELECT {id_col}, n_tokens, start_tok,
+  CAST(start_tok // {context_len} AS BIGINT) AS first_chunk,
+  CAST(CASE WHEN n_tokens > 0
+       THEN (start_tok + n_tokens - 1) // {context_len}
+       ELSE start_tok // {context_len} END AS BIGINT) AS last_chunk,
+  CAST(CASE WHEN n_tokens > 0
+       THEN (start_tok + n_tokens - 1) // {context_len}
+            - start_tok // {context_len} + 1
+       ELSE 0 END AS BIGINT) AS n_chunks
+FROM run"""

@@ -254,3 +254,48 @@ def test_stratified_sample_stable_under_growth(docs):
     assert set(half["doc_id"]) == {
         d for d in full["doc_id"] if d % 2 == 0
     }
+
+
+# -- wave 3: sequence packing -----------------------------------------------------
+
+
+def test_pack_sequences(spark, docs, docs_pd):
+    got = (
+        curate.pack_sequences(docs, 64).toPandas().set_index("doc_id").sort_index()
+    )
+    # python recompute: concat in doc_id order, chunk every 64
+    off = 0
+    for _, row in docs_pd.sort_values("doc_id").iterrows():
+        n = len(py_tokens(row["text"]))
+        r = got.loc[row["doc_id"]]
+        assert r["n_tokens"] == n
+        assert r["start_tok"] == off
+        assert r["first_chunk"] == off // 64
+        if n:
+            assert r["last_chunk"] == (off + n - 1) // 64
+            assert r["n_chunks"] == (off + n - 1) // 64 - off // 64 + 1
+        else:
+            assert r["n_chunks"] == 0
+        off += n
+    # stream is gapless: chunks tile the total token count
+    assert got["n_tokens"].sum() == off
+
+
+def test_pack_sequences_empty_doc(spark):
+    rows = [(1, "one two three"), (2, ""), (3, "four")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = curate.pack_sequences(df, 2).toPandas().set_index("doc_id")
+    assert got.loc[1].tolist() == [3, 0, 0, 1, 2]
+    assert got.loc[2].tolist() == [0, 3, 1, 1, 0]
+    assert got.loc[3].tolist() == [1, 3, 1, 1, 1]
+
+
+def test_pack_sequences_sharded_matches_single(docs):
+    # force many shards (doc_id div 16) and prove bit-identical offsets
+    a = curate.pack_sequences(docs, 64).toPandas().sort_values("doc_id")
+    b = (
+        curate.pack_sequences(docs, 64, shard_size=16)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
