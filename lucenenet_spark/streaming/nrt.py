@@ -34,6 +34,7 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.index_build import IndexBuilder, load_manifest
 from ..operators.merge import merge_segments
@@ -52,6 +53,7 @@ class NRTIndex:
         k1: float = 1.2,
         b: float = 0.75,
         analyzer: str = "standard",
+        keyword_fields: tuple[str, ...] | None = None,
     ):
         self.spark = spark
         self.base_dir = base_dir
@@ -61,6 +63,7 @@ class NRTIndex:
         self.salt_target = salt_target
         self.k1, self.b = k1, b
         self.analyzer = analyzer
+        self.keyword_fields = keyword_fields
         os.makedirs(os.path.join(base_dir, "segments"), exist_ok=True)
 
     # -- segments_N analogue --------------------------------------------------
@@ -104,6 +107,11 @@ class NRTIndex:
             n_segments=self.n_segments,
             salt_target=self.salt_target,
             analyzer=self.analyzer,
+            **(
+                {"keyword_fields": self.keyword_fields}
+                if self.keyword_fields is not None
+                else {}
+            ),
         ).build(batch_df, build_id=f"nrt-{batch_id}")
         segs = self.segments()
         if seg_dir not in segs:
@@ -200,6 +208,57 @@ class NRTIndex:
         )
         self._publish([out])
         return out
+
+    def update_documents(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        key_field: str,
+        key_col: str | None = None,
+    ) -> None:
+        """IndexWriter.UpdateDocument(Term, doc) analogue
+        (Lucene.Net/Index/IndexWriter.cs UpdateDocument/UpdateDocuments):
+        delete every live doc whose key_field KEYWORD term matches a key
+        present in the batch, then add the batch as a new delta segment —
+        the reference's buffered delete-by-term applied at flush, so a
+        reopened reader sees exactly one live doc per key.
+
+        Deletes are logged against the CURRENT generation before the new
+        segment publishes (the new segment can never mask its own docs).
+        A reader that opens between the two publishes sees the delete
+        without the add — the reference closes that window with its
+        in-process reader pool; on shared storage the window is one
+        metadata write wide and closes at the next reopen.
+
+        Idempotent on streaming retries: if the batch's segment manifest
+        already exists, both the delete phase and the rebuild are skipped
+        (re-deleting would wrongly mask the batch's OWN published docs).
+
+        The distinct key set is collected driver-side (one small job) —
+        updates are batch-bounded by construction; the delete probe is one
+        bucket-pruned keyword-postings scan for those terms.
+        """
+        key_col = key_col or key_field
+        seg_dir = os.path.join(self.base_dir, "segments", f"seg-{batch_id:010d}")
+        if os.path.exists(os.path.join(seg_dir, "_manifest.json")):
+            self.process_batch(batch_df, batch_id)  # re-register only
+            return
+        if self.segments():
+            s = self.searcher()
+            keys = [
+                r["k"]
+                for r in batch_df.select(F.col(key_col).alias("k"))
+                .distinct()
+                .collect()
+                if r["k"] is not None
+            ]
+            if keys:
+                victims = s._docids_of_terms(
+                    [(key_field, k) for k in keys], dedupe=False
+                )
+                if victims.limit(1).count():
+                    s.delete_docids(victims)
+        self.process_batch(batch_df, batch_id)
 
     # -- public API ------------------------------------------------------------
     def start(self, stream_df: DataFrame, checkpoint_dir: str, **trigger):

@@ -179,3 +179,66 @@ def test_tiered_merge_policy(spark, corpus_pdf, searcher, tmp_path):
         assert hits(s.search(q, 20)) == hits(searcher.search(q, 20)), q
     # budget satisfied -> idempotent
     assert idx.maybe_merge(max_merge_at_once=2, segs_per_tier=2) is None
+
+
+# -- IndexWriter.UpdateDocument analogue ------------------------------------------
+
+
+def test_update_documents_replaces_by_key(spark, corpus_pdf, tmp_path_factory):
+    """update_documents: one live doc per key after the update; untouched
+    keys keep their original docs; search sees only the new versions."""
+    base = str(tmp_path_factory.mktemp("nrt_upd") / "idx")
+    idx = NRTIndex(
+        spark, base, max_segments=8, n_buckets=4, n_segments=4,
+        salt_target=60, keyword_fields=("role", "tool", "conv_id"),
+    )
+    first = corpus_pdf.head(120)
+    idx.process_batch(spark.createDataFrame(first), 0)
+    convs = sorted(first["conv_id"].unique())
+    victim = convs[1]
+    n_victim_old = int((first["conv_id"] == victim).sum())
+    assert n_victim_old > 0
+
+    upd = first[first["conv_id"] == victim].copy()
+    upd["text"] = "replacement popcorn sentinelupdated"
+    idx.update_documents(spark.createDataFrame(upd), 1, "conv_id")
+
+    s = idx.searcher()
+    from lucenenet_spark.plans.query import TermQuery as TQ
+
+    got = s.search(TQ(field="conv_id", term=victim), 1000)
+    rows = got.collect()
+    # exactly the replacement docs survive (old versions deleted)
+    assert len(rows) == len(upd)
+    fetched = s.fetch(got).select("docid", "conv_id").collect()
+    assert all(r["conv_id"] == victim for r in fetched)
+    # the new content is searchable, the old victim docids are dead
+    upd_hits = s.search(TQ(term="sentinelupdated"), 1000).collect()
+    assert len(upd_hits) == len(upd)
+    # untouched conversations unaffected
+    other = convs[2]
+    n_other = int((first["conv_id"] == other).sum())
+    assert s.search(TQ(field="conv_id", term=other), 1000).count() == n_other
+
+
+def test_update_documents_retry_is_idempotent(spark, corpus_pdf, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("nrt_upd2") / "idx")
+    idx = NRTIndex(
+        spark, base, max_segments=8, n_buckets=4, n_segments=4,
+        salt_target=60, keyword_fields=("role", "tool", "conv_id"),
+    )
+    first = corpus_pdf.head(60)
+    idx.process_batch(spark.createDataFrame(first), 0)
+    victim = sorted(first["conv_id"].unique())[0]
+    upd = first[first["conv_id"] == victim].copy()
+    upd["text"] = "retried replacement"
+    idx.update_documents(spark.createDataFrame(upd), 1, "conv_id")
+    before = idx.searcher().scores(
+        TermQuery(field="conv_id", term=victim)
+    ).count()
+    # streaming retry of the same batch id: must NOT delete the new docs
+    idx.update_documents(spark.createDataFrame(upd), 1, "conv_id")
+    after = idx.searcher().scores(
+        TermQuery(field="conv_id", term=victim)
+    ).count()
+    assert before == after == len(upd)
