@@ -480,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["term_portuguese"] = _analyzer_term_gate("portuguese", "merges")
     out["term_norwegian"] = _analyzer_term_gate("norwegian", "merges")
     out["term_finnish"] = _analyzer_term_gate("finnish", "merge")
+    out["term_hungarian"] = _analyzer_term_gate("hungarian", "merge")
 
     def join_terms_avg(spark, sf_dir):
         # JoinUtil term join: docs sharing a tool with the HOT-term hits,
@@ -1152,7 +1153,7 @@ _NEW_THIS_ROUND: list[str] = [
     "term_german", "bool_swedish", "dedup_clusters", "dedup_keep",
     "decontam_keep",
     "term_french", "term_spanish", "term_italian", "term_portuguese",
-    "term_norwegian", "term_finnish", "term_stem_exclusion",
+    "term_norwegian", "term_finnish", "term_hungarian", "term_stem_exclusion",
     "pii_scrub", "split_assign", "repetition_2gram",
     "strip_boilerplate", "unigram_bits", "sample_stratified",
     "explain_bm25", "explain_classic",
@@ -1384,6 +1385,7 @@ LIMIT 30"""
     out["term_portuguese"] = es.term_sql("merg", k=15, analyzer="portuguese")
     out["term_norwegian"] = es.term_sql("merg", k=15, analyzer="norwegian")
     out["term_finnish"] = es.term_sql("merg", k=15, analyzer="finnish")
+    out["term_hungarian"] = es.term_sql("merg", k=15, analyzer="hungarian")
     out["join_terms_avg"] = es.join_terms_sql(HOT, "tool", "tool", "avg", k=15)
     out["join_terms_total_seg"] = es.join_terms_sql(
         HOT, "tool", "tool", "total", k=15

@@ -765,6 +765,71 @@ stemmap AS (
 )"""
 
 
+def _hungarian_sql_pipeline() -> str:
+    """Independent SQL HungarianLightStemmer (vowel fold, then RemoveCase
+    -> RemovePossessive -> RemovePlural -> final-vowel Normalize,
+    Analysis/Hu/HungarianLightStemmer.cs) -> stemmap(tok, stem). Each
+    reference method is one first-match CASE cascade; the reference's
+    s[len-k] char probe maps to substr(w, length(w)-(k-1), 1)."""
+    vow = "('a','e','i','o','u','y')"
+    fold = "translate(tok, 'áëéíóőõöúűũûü', 'aeeioooouuuuu')"
+    case = f"""CASE
+    WHEN length(w)>6 AND right(w,4)='kent' THEN left(w, length(w)-4)
+    WHEN length(w)>5 AND right(w,3) IN
+         ('nak','nek','val','vel','ert','rol','ban','ben','bol','nal','nel',
+          'hoz','hez','tol') THEN left(w, length(w)-3)
+    WHEN length(w)>5 AND right(w,2) IN ('al','el')
+         AND substr(w, length(w)-2, 1) NOT IN {vow}
+         AND substr(w, length(w)-2, 1) = substr(w, length(w)-3, 1)
+         THEN left(w, length(w)-3)
+    WHEN length(w)>4 AND right(w,2) IN
+         ('at','et','ot','va','ve','ra','re','ba','be','ul','ig')
+         THEN left(w, length(w)-2)
+    WHEN length(w)>4 AND right(w,2) IN ('on','en')
+         AND substr(w, length(w)-2, 1) NOT IN {vow} THEN left(w, length(w)-2)
+    WHEN length(w)>4 AND right(w,1) IN ('t','n') THEN left(w, length(w)-1)
+    WHEN length(w)>4 AND right(w,1) IN ('a','e')
+         AND substr(w, length(w)-1, 1) = substr(w, length(w)-2, 1)
+         AND substr(w, length(w)-1, 1) NOT IN {vow}
+         THEN left(w, length(w)-2)
+    ELSE w END"""
+    poss = f"""CASE
+    WHEN length(w)>6 AND substr(w, length(w)-4, 1) NOT IN {vow}
+         AND right(w,4) IN ('atok','otok','etek') THEN left(w, length(w)-4)
+    WHEN length(w)>6 AND right(w,4) IN ('itek','itok')
+         THEN left(w, length(w)-4)
+    WHEN length(w)>5 AND substr(w, length(w)-3, 1) NOT IN {vow}
+         AND right(w,3) IN ('unk','tok','tek') THEN left(w, length(w)-3)
+    WHEN length(w)>5 AND substr(w, length(w)-3, 1) IN {vow}
+         AND right(w,3)='juk' THEN left(w, length(w)-3)
+    WHEN length(w)>5 AND right(w,3)='ink' THEN left(w, length(w)-3)
+    WHEN length(w)>4 AND substr(w, length(w)-2, 1) NOT IN {vow}
+         AND right(w,2) IN ('am','em','om','ad','ed','od','uk')
+         THEN left(w, length(w)-2)
+    WHEN length(w)>4 AND substr(w, length(w)-2, 1) IN {vow}
+         AND right(w,2) IN ('nk','ja','je') THEN left(w, length(w)-2)
+    WHEN length(w)>4 AND right(w,2) IN ('im','id','ik')
+         THEN left(w, length(w)-2)
+    WHEN length(w)>3 AND right(w,1) IN ('a','e')
+         AND substr(w, length(w)-1, 1) NOT IN {vow} THEN left(w, length(w)-1)
+    WHEN length(w)>3 AND right(w,1) IN ('m','d')
+         AND substr(w, length(w)-1, 1) IN {vow} THEN left(w, length(w)-1)
+    WHEN length(w)>3 AND right(w,1)='i' THEN left(w, length(w)-1)
+    ELSE w END"""
+    plural = """CASE WHEN length(w)>3 AND right(w,1)='k' THEN
+      CASE WHEN length(w)>4 AND substr(w, length(w)-1, 1) IN ('a','o','e')
+           THEN left(w, length(w)-2) ELSE left(w, length(w)-1) END
+    ELSE w END"""
+    norm = """CASE WHEN length(w)>3 AND right(w,1) IN ('a','e','i','o')
+    THEN left(w, length(w)-1) ELSE w END"""
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+hu0 AS (SELECT tok, {fold} AS w FROM vocab),
+hu1 AS (SELECT tok, {case} AS w FROM hu0),
+hu2 AS (SELECT tok, {poss} AS w FROM hu1),
+hu3 AS (SELECT tok, {plural} AS w FROM hu2),
+stemmap AS (SELECT tok, {norm} AS stem FROM hu3)"""
+
+
 _STEM_PIPELINES = {
     "english": _porter_sql_pipeline,
     "german": _german_sql_pipeline,
@@ -775,6 +840,7 @@ _STEM_PIPELINES = {
     "portuguese": _portuguese_sql_pipeline,
     "norwegian": _norwegian_sql_pipeline,
     "finnish": _finnish_sql_pipeline,
+    "hungarian": _hungarian_sql_pipeline,
 }
 
 

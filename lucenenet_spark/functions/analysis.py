@@ -130,6 +130,7 @@ SWEDISH_STOP_WORDS = frozenset(
 ANALYZERS = (
     "standard", "english", "german", "swedish",
     "french", "spanish", "italian", "portuguese", "norwegian", "finnish",
+    "hungarian",
 )
 
 
@@ -258,6 +259,11 @@ def _base_chain(analyzer: str):
         from .stopsets import FINNISH_STOP_WORDS
 
         return FINNISH_STOP_WORDS, None, finnish_light_stem
+    if analyzer == "hungarian":
+        from .lightstem import hungarian_light_stem
+        from .stopsets import HUNGARIAN_STOP_WORDS
+
+        return HUNGARIAN_STOP_WORDS, None, hungarian_light_stem
     raise ValueError(f"unknown analyzer {analyzer!r} ({'|'.join(ANALYZERS)})")
 
 

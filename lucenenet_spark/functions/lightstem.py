@@ -572,3 +572,94 @@ def finnish_light_stem(t: str) -> str:
         return t
     s = t.replace("ä", "a").replace("å", "a").replace("ö", "o")
     return _fi_norm2(_fi_norm1(_fi_step3(_fi_step2(_fi_step1(s)))))
+
+
+# -- Hungarian ----------------------------------------------------------------
+
+_HU_VOWELS = frozenset("aeiouy")
+
+# vowel fold table from the reference's Stem() switch (á→a, ë/é→e, í→i,
+# ó/ő/õ/ö→o, ú/ű/ũ/û/ü→u)
+_HU_FOLD = str.maketrans("áëéíóőõöúűũûü", "aeeioooouuuuu")
+
+
+def _hu_case(s: str) -> str:
+    """HungarianLightStemmer.cs RemoveCase: longest case suffixes first,
+    with the double-consonant 'al/el' and trailing t/n/a/e rules."""
+    n = len(s)
+    if n > 6 and s.endswith("kent"):
+        return s[:-4]
+    if n > 5:
+        if s[-3:] in ("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                      "ben", "bol", "nal", "nel", "hoz", "hez", "tol"):
+            return s[:-3]
+        if s[-2:] in ("al", "el") and s[-3] not in _HU_VOWELS and s[-3] == s[-4]:
+            return s[:-3]
+    if n > 4:
+        if s[-2:] in ("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                      "be", "ul", "ig"):
+            return s[:-2]
+        if s[-2:] in ("on", "en") and s[-3] not in _HU_VOWELS:
+            return s[:-2]
+        c = s[-1]
+        if c in "tn":
+            return s[:-1]
+        if c in "ae" and s[-2] == s[-3] and s[-2] not in _HU_VOWELS:
+            return s[:-2]
+    return s
+
+
+def _hu_possessive(s: str) -> str:
+    """HungarianLightStemmer.cs RemovePossessive."""
+    n = len(s)
+    if n > 6:
+        if s[-5] not in _HU_VOWELS and s[-4:] in ("atok", "otok", "etek"):
+            return s[:-4]
+        if s[-4:] in ("itek", "itok"):
+            return s[:-4]
+    if n > 5:
+        if s[-4] not in _HU_VOWELS and s[-3:] in ("unk", "tok", "tek"):
+            return s[:-3]
+        if s[-4] in _HU_VOWELS and s[-3:] == "juk":
+            return s[:-3]
+        if s[-3:] == "ink":
+            return s[:-3]
+    if n > 4:
+        if s[-3] not in _HU_VOWELS and s[-2:] in ("am", "em", "om", "ad",
+                                                  "ed", "od", "uk"):
+            return s[:-2]
+        if s[-3] in _HU_VOWELS and s[-2:] in ("nk", "ja", "je"):
+            return s[:-2]
+        if s[-2:] in ("im", "id", "ik"):
+            return s[:-2]
+    if n > 3:
+        c = s[-1]
+        if c in "ae" and s[-2] not in _HU_VOWELS:
+            return s[:-1]
+        if c in "md" and s[-2] in _HU_VOWELS:
+            return s[:-1]
+        if c == "i":
+            return s[:-1]
+    return s
+
+
+def _hu_plural(s: str) -> str:
+    """HungarianLightStemmer.cs RemovePlural: -k with a/o/e link vowel."""
+    n = len(s)
+    if n > 3 and s[-1] == "k":
+        if s[-2] in "aoe" and n > 4:
+            return s[:-2]
+        return s[:-1]
+    return s
+
+
+def hungarian_light_stem(token: str) -> str:
+    """HungarianLightStemmer.cs Stem (UniNE light algorithm, Savoy:
+    'Light Stemming Approaches for the French, Portuguese, German and
+    Hungarian Languages'): vowel fold, then RemoveCase → RemovePossessive
+    → RemovePlural → final-vowel Normalize."""
+    s = token.translate(_HU_FOLD)
+    s = _hu_plural(_hu_possessive(_hu_case(s)))
+    if len(s) > 3 and s[-1] in "aeio":
+        return s[:-1]
+    return s

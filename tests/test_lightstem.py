@@ -482,3 +482,89 @@ def test_stem_exclusion_german_still_normalizes():
     # normalized but NOT light-stemmed (goethe -> gothe, keeps the -e)
     assert tokenize_text("goethe", "german") == ["goth"]
     assert tokenize_text("goethe", "german:excl=goethe") == ["gothe"]
+
+
+# -- Hungarian (round 5d) ------------------------------------------------------
+
+
+HUNGARIAN_FIXTURES = {
+    # hand-derived, rule by rule (HungarianLightStemmer.cs):
+    "ablakokat": "ablak",   # case -at, plural -ok (a link vowel)
+    "házakban": "haz",      # fold á, case -ban, plural -ak
+    "hazakent": "haz",      # case -kent (len>6), possessive final -a
+    "kertektől": "ker",     # fold ő, case -tol, possessive -tek (cons before)
+    "almák": "alm",         # fold á, plural -ak
+    "könyvek": "konyv",     # fold ö; y counts as a VOWEL so -tek is skipped,
+                            # plural -ek
+    "autója": "aut",        # fold ó, possessive -ja after vowel, normalize -o
+    "egyetemen": "egyet",   # case -en after consonant, possessive -em
+    "merge": "merg",        # possessive final -e after consonant
+    "merged": "merg",       # possessive -ed after consonant
+    "merges": "merges",     # no rule fires
+}
+
+
+def test_hungarian_stem_fixtures():
+    from lucenenet_spark.functions.lightstem import hungarian_light_stem
+
+    for w, want in HUNGARIAN_FIXTURES.items():
+        assert hungarian_light_stem(w) == want, (w, hungarian_light_stem(w))
+
+
+def test_hungarian_chain_stops_then_stems():
+    # snowball Hungarian stop set drops the articles/conjunctions, the light
+    # stemmer conflates the case-suffixed forms that survive
+    assert tokenize_text("a házakban és az ablakokat", "hungarian") == [
+        "haz", "ablak"
+    ]
+
+
+def test_sql_hungarian_fuzz_matches_python():
+    """SQL-vs-Python fuzz with Hungarian accents (the fold table covers
+    á ë é í ó ő õ ö ú ű ũ û ü) + every suffix family the stemmer knows."""
+    import random
+
+    import duckdb
+
+    from lucenenet_spark.entry_support import _STEM_PIPELINES
+    from lucenenet_spark.functions.lightstem import hungarian_light_stem
+
+    rng = random.Random(53)
+    stems = [
+        "ablak", "haz", "kert", "merg", "auto", "konyv", "egyetem", "alm",
+        "pad", "hal", "x", "ab", "tt", "szavak",
+    ]
+    sufs = [
+        "kent", "nak", "nek", "val", "vel", "ert", "rol", "ban", "ben",
+        "bol", "nal", "nel", "hoz", "hez", "tol", "al", "el", "at", "et",
+        "ot", "va", "ve", "ra", "re", "ba", "be", "ul", "ig", "on", "en",
+        "t", "n", "a", "e", "atok", "otok", "etek", "itek", "itok", "unk",
+        "tok", "tek", "juk", "ink", "am", "em", "om", "ad", "ed", "od",
+        "uk", "nk", "ja", "je", "im", "id", "ik", "m", "d", "i", "k", "ak",
+        "ok", "ek", "ák", "ét", "ő", "ű", "kat", "ket", "okat", "eket",
+    ]
+    accents = "áëéíóőõöúűũûü"
+    words = set()
+    for st in stems:
+        for su in sufs:
+            words.add(st + su)
+    for _ in range(800):
+        st = rng.choice(stems)
+        st = "".join(
+            c if rng.random() > 0.25 else rng.choice(accents) for c in st
+        )
+        words.add(st + rng.choice(sufs))
+    words = sorted(words)
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in words)
+    sql = f"""WITH rawtoks AS (
+  SELECT 0 AS docid, 0 AS ord, tok FROM (VALUES {vals}) t(tok)),
+{_STEM_PIPELINES["hungarian"]()}
+SELECT tok, stem FROM stemmap"""
+    got = dict(con.execute(sql).fetchall())
+    bad = [
+        (w, hungarian_light_stem(w), got.get(w))
+        for w in words
+        if hungarian_light_stem(w) != got.get(w)
+    ]
+    assert not bad, bad[:10]
