@@ -481,6 +481,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["term_norwegian"] = _analyzer_term_gate("norwegian", "merges")
     out["term_finnish"] = _analyzer_term_gate("finnish", "merge")
     out["term_hungarian"] = _analyzer_term_gate("hungarian", "merge")
+    # round-5d slots: Czech/Latvian query surfaces stem "merges" -> "merg"
+    # like the corpus word "merge"; Indonesian strips the -nya possessive
+    # pronoun; Bulgarian is identity on Latin text (its rules are Cyrillic)
+    # so the gate proves the chain wiring and the fuzz pytest the stemmer
+    out["term_czech"] = _analyzer_term_gate("czech", "merges")
+    out["term_latvian"] = _analyzer_term_gate("latvian", "merges")
+    out["term_indonesian"] = _analyzer_term_gate("indonesian", "customernya")
+    out["term_bulgarian"] = _analyzer_term_gate("bulgarian", "merge")
+
+    def bool_russian(spark, sf_dir):
+        # Russian analyzer slot: the snowball Russian stop set is
+        # Cyrillic-only, so English "the" is NOT a stop word here — the
+        # SHOULD clause must survive analysis and score
+        from lucenenet_spark.operators.search import IndexSearcher
+
+        s = IndexSearcher(
+            spark, es.ensure_analyzer_index(spark, sf_dir, "russian")
+        )
+        return s.search(parse("+merge the", analyzer=s.analyzer), 15)
+
+    out["bool_russian"] = bool_russian
+    # round-5e slots: Galician's RSLP-S plural step applies to Latin text
+    # ("merges" -> "merge", the corpus word); Arabic/Persian/Sorani rules
+    # are Arabic-script-only so the gates prove chain wiring + stop sets
+    # and the fuzz pytests the normalizer/stemmer functions
+    out["term_galician"] = _analyzer_term_gate("galician", "merges")
+    out["term_arabic"] = _analyzer_term_gate("arabic", "merge")
+    out["term_persian"] = _analyzer_term_gate("persian", "merge")
+    out["term_sorani"] = _analyzer_term_gate("sorani", "merge")
 
     def join_terms_avg(spark, sf_dir):
         # JoinUtil term join: docs sharing a tool with the HOT-term hits,
@@ -1159,6 +1188,9 @@ _NEW_THIS_ROUND: list[str] = [
     "explain_bm25", "explain_classic",
     "sort_multi", "search_after_turn", "facet_range_len", "diversified_topk",
     "shingle_top", "suggest_freetext", "pack_chunks",
+    "term_czech", "term_latvian", "term_indonesian", "term_bulgarian",
+    "bool_russian", "term_galician", "term_arabic", "term_persian",
+    "term_sorani",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1386,6 +1418,17 @@ LIMIT 30"""
     out["term_norwegian"] = es.term_sql("merg", k=15, analyzer="norwegian")
     out["term_finnish"] = es.term_sql("merg", k=15, analyzer="finnish")
     out["term_hungarian"] = es.term_sql("merg", k=15, analyzer="hungarian")
+    out["term_czech"] = es.term_sql("merg", k=15, analyzer="czech")
+    out["term_latvian"] = es.term_sql("merg", k=15, analyzer="latvian")
+    out["term_indonesian"] = es.term_sql("customer", k=15, analyzer="indonesian")
+    out["term_bulgarian"] = es.term_sql("merge", k=15, analyzer="bulgarian")
+    out["bool_russian"] = es.boolean_sql(
+        must=["merge"], should=["the"], k=15, analyzer="russian"
+    )
+    out["term_galician"] = es.term_sql("merge", k=15, analyzer="galician")
+    out["term_arabic"] = es.term_sql("merge", k=15, analyzer="arabic")
+    out["term_persian"] = es.term_sql("merge", k=15, analyzer="persian")
+    out["term_sorani"] = es.term_sql("merge", k=15, analyzer="sorani")
     out["join_terms_avg"] = es.join_terms_sql(HOT, "tool", "tool", "avg", k=15)
     out["join_terms_total_seg"] = es.join_terms_sql(
         HOT, "tool", "tool", "total", k=15

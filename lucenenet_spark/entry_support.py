@@ -230,7 +230,18 @@ def _tokens_expr(text_expr: str, analyzer: str = "standard") -> str:
         lowered = (
             f"list_transform({lowered}, t -> regexp_replace(t, '{pat}', ''))"
         )
+    pre = _PRE_NORM_SQL.get(split_analyzer_base(analyzer))
+    if pre is not None:
+        # pre-stop normalization (PersianAnalyzer.cs / SoraniAnalyzer.cs:
+        # the stop list holds NORMALIZED forms, so normalize first)
+        lowered = f"list_transform({lowered}, t -> {pre('t')})"
     return f"list_filter({lowered}, t -> t NOT IN ({stop_list}))"
+
+
+def split_analyzer_base(analyzer: str) -> str:
+    from .functions.analysis import split_analyzer
+
+    return split_analyzer(analyzer)[0]
 
 
 def _porter_sql_pipeline() -> str:
@@ -830,6 +841,478 @@ hu3 AS (SELECT tok, {plural} AS w FROM hu2),
 stemmap AS (SELECT tok, {norm} AS stem FROM hu3)"""
 
 
+def _russian_sql_pipeline() -> str:
+    """Independent SQL RussianLightStemmer (RemoveCase cascade, then
+    Normalize: drop final ь/и, collapse double н) -> stemmap(tok, stem)."""
+    case = """CASE
+    WHEN length(tok)>6 AND right(tok,4) IN ('иями','оями')
+         THEN left(tok, length(tok)-4)
+    WHEN length(tok)>5 AND right(tok,3) IN
+         ('иям','иях','оях','ями','оям','оьв','ами','его','ему','ери',
+          'ими','ого','ому','ыми','оев') THEN left(tok, length(tok)-3)
+    WHEN length(tok)>4 AND right(tok,2) IN
+         ('ая','яя','ях','юю','ах','ею','их','ия','ию','ьв','ою','ую',
+          'ям','ых','ея','ам','ем','ей','ём','ев','ий','им','ое','ой',
+          'ом','ов','ые','ый','ым','ми') THEN left(tok, length(tok)-2)
+    WHEN length(tok)>3 AND right(tok,1) IN
+         ('а','е','и','о','у','й','ы','я','ь') THEN left(tok, length(tok)-1)
+    ELSE tok END"""
+    norm = """CASE
+    WHEN length(w)>3 AND right(w,1) IN ('ь','и') THEN left(w, length(w)-1)
+    WHEN length(w)>3 AND right(w,2)='нн' THEN left(w, length(w)-1)
+    ELSE w END"""
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+ru1 AS (SELECT tok, {case} AS w FROM vocab),
+stemmap AS (SELECT tok, {norm} AS stem FROM ru1)"""
+
+
+def _czech_sql_pipeline() -> str:
+    """Independent SQL CzechStemmer (RemoveCase -> RemovePossessives ->
+    Normalize palatal rewrites) -> stemmap(tok, stem)."""
+    case = """CASE
+    WHEN length(tok)>7 AND right(tok,5)='atech' THEN left(tok, length(tok)-5)
+    WHEN length(tok)>6 AND right(tok,4) IN ('ětem','etem','atům')
+         THEN left(tok, length(tok)-4)
+    WHEN length(tok)>5 AND right(tok,3) IN
+         ('ech','ich','ích','ého','ěmi','emi','ému','ěte','ete','ěti',
+          'eti','ího','iho','ími','ímu','imu','ách','ata','aty','ých',
+          'ama','ami','ové','ovi','ými') THEN left(tok, length(tok)-3)
+    WHEN length(tok)>4 AND right(tok,2) IN
+         ('em','es','ém','ím','ům','at','ám','os','us','ým','mi','ou')
+         THEN left(tok, length(tok)-2)
+    WHEN length(tok)>3 AND right(tok,1) IN
+         ('a','e','i','o','u','ů','y','á','é','í','ý','ě')
+         THEN left(tok, length(tok)-1)
+    ELSE tok END"""
+    poss = """CASE WHEN length(w)>5 AND right(w,2) IN ('ov','in','ův')
+    THEN left(w, length(w)-2) ELSE w END"""
+    norm = """CASE
+    WHEN right(w,2)='čt' THEN left(w, length(w)-2) || 'ck'
+    WHEN right(w,2)='št' THEN left(w, length(w)-2) || 'sk'
+    WHEN right(w,1) IN ('c','č') THEN left(w, length(w)-1) || 'k'
+    WHEN right(w,1) IN ('z','ž') THEN left(w, length(w)-1) || 'h'
+    WHEN length(w)>1 AND substr(w, length(w)-1, 1)='e'
+         THEN left(w, length(w)-2) || right(w,1)
+    WHEN length(w)>2 AND substr(w, length(w)-1, 1)='ů'
+         THEN left(w, length(w)-2) || 'o' || right(w,1)
+    ELSE w END"""
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+cz1 AS (SELECT tok, {case} AS w FROM vocab),
+cz2 AS (SELECT tok, {poss} AS w FROM cz1),
+stemmap AS (SELECT tok, {norm} AS stem FROM cz2)"""
+
+
+def _bulgarian_sql_pipeline() -> str:
+    """Independent SQL BulgarianStemmer -> stemmap(tok, stem). <4-char
+    tokens and the -ища early return are UNION branches; the main chain is
+    article -> plural -> я/а-о-е strips under ONE pre-strip length flag ->
+    ен->н -> ъN->N."""
+    art = """CASE
+    WHEN length(w)>6 AND right(w,3)='ият' THEN left(w, length(w)-3)
+    WHEN length(w)>5 AND right(w,2) IN ('ът','то','те','та','ия')
+         THEN left(w, length(w)-2)
+    WHEN length(w)>4 AND right(w,2)='ят' THEN left(w, length(w)-2)
+    ELSE w END"""
+    plu = """CASE
+    WHEN length(w)>6 AND right(w,4)='овци' THEN left(w, length(w)-3)
+    WHEN length(w)>6 AND right(w,3)='ове' THEN left(w, length(w)-3)
+    WHEN length(w)>6 AND right(w,3)='еве' THEN left(w, length(w)-3) || 'й'
+    WHEN length(w)>5 AND right(w,3)='ища' THEN left(w, length(w)-3)
+    WHEN length(w)>5 AND right(w,2)='та' THEN left(w, length(w)-2)
+    WHEN length(w)>5 AND right(w,2)='ци' THEN left(w, length(w)-2) || 'к'
+    WHEN length(w)>5 AND right(w,2)='зи' THEN left(w, length(w)-2) || 'г'
+    WHEN length(w)>5 AND substr(w, length(w)-2, 1)='е' AND right(w,1)='и'
+         THEN left(w, length(w)-3) || 'я' || substr(w, length(w)-1, 1)
+    WHEN length(w)>4 AND right(w,2)='си' THEN left(w, length(w)-2) || 'х'
+    WHEN length(w)>4 AND right(w,1)='и' THEN left(w, length(w)-1)
+    ELSE w END"""
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+bg0 AS (SELECT tok, tok AS w FROM vocab
+        WHERE length(tok) >= 4 AND NOT (length(tok)>5 AND right(tok,3)='ища')),
+bg1 AS (SELECT tok, {art} AS w FROM bg0),
+bg2 AS (SELECT tok, {plu} AS w FROM bg1),
+bg3 AS (
+  SELECT tok, CASE WHEN blk AND right(w1,1) IN ('а','о','е')
+                   THEN left(w1, length(w1)-1) ELSE w1 END AS w
+  FROM (SELECT tok, length(w)>3 AS blk,
+               CASE WHEN length(w)>3 AND right(w,1)='я'
+                    THEN left(w, length(w)-1) ELSE w END AS w1 FROM bg2)
+),
+bg4 AS (SELECT tok, CASE WHEN length(w)>4 AND right(w,2)='ен'
+                         THEN left(w, length(w)-2) || 'н' ELSE w END AS w
+        FROM bg3),
+stemmap AS (
+  SELECT tok, CASE WHEN length(w)>5 AND substr(w, length(w)-1, 1)='ъ'
+                   THEN left(w, length(w)-2) || right(w,1) ELSE w END AS stem
+  FROM bg4
+  UNION ALL
+  SELECT tok, tok AS stem FROM vocab WHERE length(tok) < 4
+  UNION ALL
+  SELECT tok, left(tok, length(tok)-3) AS stem FROM vocab
+  WHERE length(tok) >= 4 AND length(tok)>5 AND right(tok,3)='ища'
+)"""
+
+
+# LatvianStemmer.cs `affixes` declaration order: (affix, vc, palatalizes)
+_LV_SQL_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False), ("ai", 2, False),
+    ("ei", 2, False), ("ām", 1, False), ("am", 1, False), ("ēm", 1, False),
+    ("īm", 1, False), ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False), ("os", 1, True),
+    ("ij", 1, False), ("īs", 1, False), ("ēs", 1, False), ("is", 1, False),
+    ("ie", 1, False), ("u", 1, True), ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False), ("ē", 1, False), ("ī", 1, False),
+    ("ū", 1, False), ("o", 1, False), ("s", 0, False), ("š", 0, False),
+)
+
+
+def _latvian_sql_pipeline() -> str:
+    """Independent SQL LatvianStemmer: the first affix in declaration
+    order with numVowels(token) > vc and len >= len(affix)+3 is stripped,
+    then the declension II/V/VI strips run Unpalatalize keyed on the first
+    removed character -> stemmap(tok, stem)."""
+    arms = "\n    ".join(
+        f"WHEN nv > {vc} AND length(tok) >= {len(af) + 3} "
+        f"AND right(tok,{len(af)})='{af}' THEN '{af}'"
+        for af, vc, _pal in _LV_SQL_AFFIXES
+    )
+    pal_list = ", ".join(
+        f"'{af}'" for af, _vc, pal in _LV_SQL_AFFIXES if pal
+    )
+    unpal = """CASE
+    WHEN NOT pal THEN w
+    WHEN rm='u' AND right(w,2)='kš' THEN left(w, length(w)-1) || 'st'
+    WHEN rm='u' AND right(w,2)='ņņ' THEN left(w, length(w)-2) || 'nn'
+    WHEN right(w,2) IN ('pj','bj','mj','vj') THEN left(w, length(w)-1)
+    WHEN right(w,2)='šņ' THEN left(w, length(w)-2) || 'sn'
+    WHEN right(w,2)='žņ' THEN left(w, length(w)-2) || 'zn'
+    WHEN right(w,2)='šļ' THEN left(w, length(w)-2) || 'sl'
+    WHEN right(w,2)='žļ' THEN left(w, length(w)-2) || 'zl'
+    WHEN right(w,2)='ļņ' THEN left(w, length(w)-2) || 'ln'
+    WHEN right(w,2)='ļļ' THEN left(w, length(w)-2) || 'll'
+    WHEN right(w,1)='č' THEN left(w, length(w)-1) || 'c'
+    WHEN right(w,1)='ļ' THEN left(w, length(w)-1) || 'l'
+    WHEN right(w,1)='ņ' THEN left(w, length(w)-1) || 'n'
+    ELSE w END"""
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+lv1 AS (
+  SELECT tok, CASE
+    {arms}
+    ELSE NULL END AS af
+  FROM (SELECT tok, len(regexp_extract_all(tok, '[aeiouāīēū]')) AS nv
+        FROM vocab)
+),
+lv2 AS (
+  SELECT tok,
+         CASE WHEN af IS NULL THEN tok
+              ELSE left(tok, length(tok)-length(af)) END AS w,
+         COALESCE(af IN ({pal_list}), FALSE) AS pal,
+         left(af, 1) AS rm
+  FROM lv1
+),
+stemmap AS (SELECT tok, {unpal} AS stem FROM lv2)"""
+
+
+def _indonesian_sql_pipeline() -> str:
+    """Independent SQL IndonesianStemmer (stemDerivational=true, the
+    IndonesianStemFilter default): particle -> possessive -> first-order
+    prefix, then the reference's fired/not-fired branch (suffix before or
+    after the second-order prefix) with the flag blockers carried as
+    boolean columns -> stemmap(tok, stem)."""
+    vow = "('a','e','i','o','u')"
+    first = f"""CASE
+    WHEN left(w,4)='meng' THEN 'meng'
+    WHEN left(w,4)='meny' AND length(w)>4 AND substr(w,5,1) IN {vow}
+         THEN 'menyV'
+    WHEN left(w,3)='men' THEN 'men'
+    WHEN left(w,3)='mem' THEN 'mem'
+    WHEN left(w,2)='me' THEN 'me'
+    WHEN left(w,4)='peng' THEN 'peng'
+    WHEN left(w,4)='peny' AND length(w)>4 AND substr(w,5,1) IN {vow}
+         THEN 'penyV'
+    WHEN left(w,4)='peny' THEN 'peny'
+    WHEN left(w,3)='pen' AND length(w)>3 AND substr(w,4,1) IN {vow}
+         THEN 'penV'
+    WHEN left(w,3)='pen' THEN 'pen'
+    WHEN left(w,3)='pem' THEN 'pem'
+    WHEN left(w,2)='di' THEN 'di'
+    WHEN left(w,3)='ter' THEN 'ter'
+    WHEN left(w,2)='ke' THEN 'ke'
+    ELSE NULL END"""
+    first_apply = """CASE r
+    WHEN 'meng' THEN substr(w,5) WHEN 'menyV' THEN 's' || substr(w,5)
+    WHEN 'men' THEN substr(w,4) WHEN 'mem' THEN substr(w,4)
+    WHEN 'me' THEN substr(w,3)
+    WHEN 'peng' THEN substr(w,5) WHEN 'penyV' THEN 's' || substr(w,5)
+    WHEN 'peny' THEN substr(w,5) WHEN 'penV' THEN 't' || substr(w,4)
+    WHEN 'pen' THEN substr(w,4) WHEN 'pem' THEN substr(w,4)
+    WHEN 'di' THEN substr(w,3) WHEN 'ter' THEN substr(w,4)
+    WHEN 'ke' THEN substr(w,3)
+    ELSE w END"""
+    second = f"""CASE
+    WHEN left(w,3)='ber' THEN 'ber'
+    WHEN w='belajar' THEN 'bel'
+    WHEN left(w,2)='be' AND length(w)>4 AND substr(w,3,1) NOT IN {vow}
+         AND substr(w,4,1)='e' AND substr(w,5,1)='r' THEN 'beCer'
+    WHEN left(w,3)='per' THEN 'per'
+    WHEN w='pelajar' THEN 'pel'
+    WHEN left(w,2)='pe' THEN 'pe'
+    ELSE NULL END"""
+
+    def sfx(w, extra_kan="", extra_i=""):
+        # the -kan/-an/-i cascade with its flag blockers; a kan-suffixed
+        # word blocked by flags still reaches the -an arm, like the
+        # reference's sequential ifs
+        return f"""CASE
+    WHEN right({w},3)='kan' AND NOT fk AND NOT fp{extra_kan}
+         THEN left({w}, length({w})-3)
+    WHEN right({w},2)='an' AND NOT fd AND NOT fm AND NOT ft
+         THEN left({w}, length({w})-2)
+    WHEN right({w},1)='i' AND right({w},2)!='si'
+         AND NOT fk AND NOT fp{extra_i} THEN left({w}, length({w})-1)
+    ELSE {w} END"""
+
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+id0 AS (SELECT tok, tok AS w,
+               len(regexp_extract_all(tok, '[aeiou]')) AS syl FROM vocab),
+id1 AS (
+  SELECT tok,
+         CASE WHEN fire THEN left(w, length(w)-3) ELSE w END AS w,
+         syl - CASE WHEN fire THEN 1 ELSE 0 END AS syl
+  FROM (SELECT tok, w, syl,
+               syl > 2 AND right(w,3) IN ('kah','lah','pun') AS fire
+        FROM id0)
+),
+id2 AS (
+  SELECT tok,
+         CASE WHEN f2 THEN left(w, length(w)-2)
+              WHEN f3 THEN left(w, length(w)-3) ELSE w END AS w,
+         syl - CASE WHEN f2 OR f3 THEN 1 ELSE 0 END AS syl
+  FROM (SELECT tok, w, syl,
+               syl > 2 AND right(w,2) IN ('ku','mu') AS f2,
+               syl > 2 AND NOT (right(w,2) IN ('ku','mu'))
+                     AND right(w,3)='nya' AS f3
+        FROM id1)
+),
+id3 AS (
+  SELECT tok, {first_apply} AS w,
+         syl - CASE WHEN r IS NOT NULL THEN 1 ELSE 0 END AS syl,
+         COALESCE(r IN ('meng','menyV','men','mem','me'), FALSE) AS fm,
+         COALESCE(r IN ('peng','penyV','peny','penV','pen','pem'), FALSE) AS fp,
+         COALESCE(r='di', FALSE) AS fd,
+         COALESCE(r='ter', FALSE) AS ft,
+         COALESCE(r='ke', FALSE) AS fk,
+         r IS NOT NULL AS f1
+  FROM (SELECT tok, w, syl,
+               CASE WHEN syl > 2 THEN {first} ELSE NULL END AS r
+        FROM id2)
+),
+id4 AS (
+  SELECT tok, fm, fp, fd, ft, fk, f1,
+         CASE WHEN f1 AND syl > 2 THEN {sfx('w')}
+              WHEN NOT f1 THEN CASE p2
+                WHEN 'ber' THEN substr(w,4) WHEN 'bel' THEN substr(w,4)
+                WHEN 'beCer' THEN substr(w,3) WHEN 'per' THEN substr(w,4)
+                WHEN 'pel' THEN substr(w,4) WHEN 'pe' THEN substr(w,3)
+                ELSE w END
+              ELSE w END AS w,
+         syl - CASE WHEN f1 AND syl > 2 AND {sfx('w')} != w THEN 1
+                    WHEN NOT f1 AND p2 IS NOT NULL THEN 1 ELSE 0 END AS syl,
+         f1 AND syl > 2 AND {sfx('w')} != w AS sfired,
+         COALESCE(NOT f1 AND p2 IN ('ber','bel','beCer'), FALSE) AS fb,
+         COALESCE(NOT f1 AND p2='pe', FALSE) AS fpe
+  FROM (SELECT tok, w, syl, fm, fp, fd, ft, fk, f1,
+               CASE WHEN NOT f1 AND syl > 2 THEN {second}
+                    ELSE NULL END AS p2
+        FROM id3)
+),
+stemmap AS (
+  SELECT tok,
+         CASE
+           WHEN f1 AND sfired AND syl > 2 THEN CASE
+             WHEN left(w,3)='ber' THEN substr(w,4)
+             WHEN w='belajar' THEN substr(w,4)
+             WHEN left(w,2)='be' AND length(w)>4
+                  AND substr(w,3,1) NOT IN {vow}
+                  AND substr(w,4,1)='e' AND substr(w,5,1)='r'
+                  THEN substr(w,3)
+             WHEN left(w,3)='per' THEN substr(w,4)
+             WHEN w='pelajar' THEN substr(w,4)
+             WHEN left(w,2)='pe' THEN substr(w,3)
+             ELSE w END
+           WHEN NOT f1 AND syl > 2
+                THEN {sfx('w', ' AND NOT fpe', ' AND NOT fb')}
+           ELSE w END AS stem
+  FROM id4
+)"""
+
+
+
+
+def _persian_norm_sql(e: str) -> str:
+    """ArabicNormalizer + PersianNormalizer as ONE simultaneous translate
+    (sound: neither normalizer consumes the other's outputs). Mapped chars
+    first, deleted chars (tatweel/harakat/hamza-above) past the to-length."""
+    return ("translate(" + e + ", "
+            "'آأإىةیےکۀہ"
+            "ـًٌٍَُِّْٔ', "
+            "'ااايهييكهه')")
+
+
+def _sorani_norm_sql(e: str) -> str:
+    """SoraniNormalizer.cs as staged rewrites whose composition equals the
+    reference's single index scan (final-heh checked on the RAW token
+    because right-side deletions happen after that scan position; ZWNJ and
+    initial-reh checked after the deletions to their left):
+    1. word-final heh -> ae
+    2. yeh/dotless-yeh -> farsi yeh, kaf -> keheh, teh marbuta -> ae,
+       heh doachashmee -> heh, rreh-above -> rreh
+    3. delete tatweel/harakat + format chars (enumerated Cf subset; the
+       Python mirror deletes the full Cf category) — NOT the ZWNJ
+    4. heh+ZWNJ -> ae, then delete remaining ZWNJ
+    5. word-initial reh -> rreh"""
+    s1 = "regexp_replace(" + e + ", 'ه$', 'ە')"
+    s2 = ("translate(" + s1 + ", 'يىكةھڒ', "
+          "'ییکەهڕ')")
+    s3 = ("translate(" + s2 + ", "
+          "'ـًٌٍَُِّْ"
+          "؜​‍‎‏‪‫‬‭‮⁠﻿', '')")
+    s4 = ("replace(regexp_replace(" + s3 + ", 'ه‌', 'ە', 'g'), "
+          "'‌', '')")
+    return "regexp_replace(" + s4 + ", '^ر', 'ڕ')"
+
+
+_PRE_NORM_SQL = {
+    "persian": _persian_norm_sql,
+    "sorani": _sorani_norm_sql,
+}
+
+
+def _arabic_sql_pipeline() -> str:
+    """Independent SQL ArabicNormalizer (one translate: seated alefs ->
+    alef, dotless yeh -> yeh, teh marbuta -> heh, tatweel+harakat deleted)
+    + ArabicStemmer (first matching prefix with the wa-/len guards, then
+    the ten suffixes stripped CUMULATIVELY in declaration order) ->
+    stemmap(tok, stem). Stop filtering already happened upstream on the
+    UNnormalized token (ArabicAnalyzer.cs:140)."""
+    norm = ("translate(tok, 'آأإىة"
+            "ـًٌٍَُِّْ', "
+            "'ااايه')")
+    AL, WAW, BEH, KAF, FEH, LAM = ("ال", "و", "ب",
+                                   "ك", "ف", "ل")
+    pre = f"""CASE
+    WHEN length(w)>=4 AND left(w,2)='{AL}' THEN substr(w,3)
+    WHEN length(w)>=5 AND left(w,3)='{WAW}{AL}' THEN substr(w,4)
+    WHEN length(w)>=5 AND left(w,3)='{BEH}{AL}' THEN substr(w,4)
+    WHEN length(w)>=5 AND left(w,3)='{KAF}{AL}' THEN substr(w,4)
+    WHEN length(w)>=5 AND left(w,3)='{FEH}{AL}' THEN substr(w,4)
+    WHEN length(w)>=4 AND left(w,2)='{LAM}{LAM}' THEN substr(w,3)
+    WHEN length(w)>=4 AND left(w,1)='{WAW}' THEN substr(w,2)
+    ELSE w END"""
+    sufs = ("ها", "ان", "ات",
+            "ون", "ين", "يه",
+            "ية", "ه", "ة", "ي")
+    ctes = ["vocab AS (SELECT DISTINCT tok FROM rawtoks)",
+            f"ar1 AS (SELECT tok, {norm} AS w FROM vocab)",
+            f"ar2 AS (SELECT tok, {pre} AS w FROM ar1)"]
+    prev = "ar2"
+    for i, suf in enumerate(sufs):
+        n = len(suf)
+        name = "stemmap" if i == len(sufs) - 1 else f"ar{i + 3}"
+        col = "stem" if name == "stemmap" else "w"
+        ctes.append(
+            f"{name} AS (SELECT tok, CASE WHEN length(w)>={n + 2} AND "
+            f"right(w,{n})='{suf}' THEN left(w,length(w)-{n}) "
+            f"ELSE w END AS {col} FROM {prev})"
+        )
+        prev = name
+    return ",\n".join(ctes)
+
+
+def _persian_sql_pipeline() -> str:
+    """Persian has no stemmer (PersianAnalyzer.cs chain ends at the stop
+    filter); normalization already ran pre-stop via _PRE_NORM_SQL."""
+    return ("vocab AS (SELECT DISTINCT tok FROM rawtoks),\n"
+            "stemmap AS (SELECT tok, tok AS stem FROM vocab)")
+
+
+def _sorani_sql_pipeline() -> str:
+    """Independent SQL SoraniStemmer (normalization already ran pre-stop):
+    postposition -> possessive pronoun -> the ordered return chain of
+    ezafe/definite/plural/demonstrative suffixes -> stemmap(tok, stem)."""
+    DA, NA, EWE = "دا", "نا", "ەوە"
+    MAN, YAN, TAN = ("مان", "یان",
+                     "تان")
+    post = f"""CASE
+    WHEN length(tok)>5 AND right(tok,2)='{DA}' THEN left(tok,length(tok)-2)
+    WHEN length(tok)>4 AND right(tok,2)='{NA}' THEN left(tok,length(tok)-1)
+    WHEN length(tok)>6 AND right(tok,3)='{EWE}' THEN left(tok,length(tok)-3)
+    ELSE tok END"""
+    poss = f"""CASE WHEN length(w)>6 AND right(w,3) IN ('{MAN}','{YAN}','{TAN}')
+    THEN left(w,length(w)-3) ELSE w END"""
+    # (suffix, min len exclusive, strip count) in the reference's if-chain
+    # order; every branch returns, so the chain flattens to one CASE
+    chain = (
+        ("ێکی", 6, 3),        # -eki (indef sg ezafe)
+        ("یەکی", 7, 4),  # -yeki
+        ("ێک", 5, 2),              # -ek (indef sg)
+        ("یەک", 6, 3),        # -yek
+        ("ەکە", 6, 3),        # -eke (def sg)
+        ("کە", 5, 2),              # -ke
+        ("ەکان", 7, 4),  # -ekan (def pl)
+        ("کان", 6, 3),        # -kan
+        ("یانی", 7, 4),  # -yani (indef pl ezafe)
+        ("انی", 6, 3),        # -ani
+        ("یان", 6, 3),        # -yan (indef pl)
+        ("ان", 5, 2),              # -an
+        ("یانە", 7, 4),  # -yane (dem pl)
+        ("انە", 6, 3),        # -ane
+        ("ایە", 5, 2),        # -aye (dem sg)
+        ("ەیە", 5, 2),        # -eye
+        ("ە", 4, 1),                    # -e
+        ("ی", 4, 1),                    # -i (abs sg ezafe)
+    )
+    arms = "\n    ".join(
+        f"WHEN length(w)>{mn} AND right(w,{len(suf)})='{suf}' "
+        f"THEN left(w,length(w)-{cut})"
+        for suf, mn, cut in chain
+    )
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+ck1 AS (SELECT tok, {post} AS w FROM vocab),
+ck2 AS (SELECT tok, {poss} AS w FROM ck1),
+stemmap AS (SELECT tok, CASE
+    {arms}
+    ELSE w END AS stem FROM ck2)"""
+
+
+def _galician_sql_pipeline() -> str:
+    """Independent SQL GalicianMinimalStemmer: the galician.rslp Plural
+    step (min word size 3, step suffix 's'), first matching rule with its
+    min-stem guard and whole-word exception set, one application. (The
+    rule table is shared declaration-order DATA, like the Latvian affix
+    tuple; the SQL evaluation path is independent of the Python one.)"""
+    from .functions.lightstem import _GL_PLURAL_RULES
+
+    arms = []
+    for suf, mn, repl, exc in _GL_PLURAL_RULES:
+        cond = f"right(tok,{len(suf)})='{suf}' AND length(tok)-{len(suf)}>={mn}"
+        if exc:
+            lst = ", ".join(f"'{w}'" for w in sorted(exc))
+            cond += f" AND tok NOT IN ({lst})"
+        rep = f"left(tok,length(tok)-{len(suf)})"
+        if repl:
+            rep += f" || '{repl}'"
+        arms.append(f"WHEN {cond} THEN {rep}")
+    body = "\n    ".join(arms)
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+stemmap AS (SELECT tok, CASE
+    WHEN length(tok)<3 OR right(tok,1)!='s' THEN tok
+    {body}
+    ELSE tok END AS stem FROM vocab)"""
+
+
 _STEM_PIPELINES = {
     "english": _porter_sql_pipeline,
     "german": _german_sql_pipeline,
@@ -841,6 +1324,15 @@ _STEM_PIPELINES = {
     "norwegian": _norwegian_sql_pipeline,
     "finnish": _finnish_sql_pipeline,
     "hungarian": _hungarian_sql_pipeline,
+    "russian": _russian_sql_pipeline,
+    "czech": _czech_sql_pipeline,
+    "bulgarian": _bulgarian_sql_pipeline,
+    "latvian": _latvian_sql_pipeline,
+    "indonesian": _indonesian_sql_pipeline,
+    "arabic": _arabic_sql_pipeline,
+    "persian": _persian_sql_pipeline,
+    "sorani": _sorani_sql_pipeline,
+    "galician": _galician_sql_pipeline,
 }
 
 

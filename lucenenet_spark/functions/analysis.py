@@ -130,7 +130,8 @@ SWEDISH_STOP_WORDS = frozenset(
 ANALYZERS = (
     "standard", "english", "german", "swedish",
     "french", "spanish", "italian", "portuguese", "norwegian", "finnish",
-    "hungarian",
+    "hungarian", "russian", "czech", "bulgarian", "latvian", "indonesian",
+    "arabic", "persian", "sorani", "galician",
 )
 
 
@@ -167,11 +168,20 @@ def _analyzer_chain(analyzer: str):
     base, excl = split_analyzer(analyzer)
     stop, pre, post = _base_chain(base)
     if excl and post is not None:
-        if base == "german":
-            from .lightstem import german_chain, german_normalize
+        if base in ("german", "arabic"):
+            # normalization filters with no keyword check (German per its
+            # IncrementToken; Arabic per the ArabicAnalyzer.cs:142 TODO —
+            # ArabicNormalizationFilter runs BEFORE SetKeywordMarkerFilter):
+            # excluded tokens still normalize, they only skip the stem
+            if base == "german":
+                from .lightstem import german_chain as _full
+                from .lightstem import german_normalize as _norm
+            else:
+                from .lightstem import arabic_chain as _full
+                from .lightstem import arabic_normalize as _norm
 
-            def post(t, _excl=excl):  # noqa: F811
-                return german_normalize(t) if t in _excl else german_chain(t)
+            def post(t, _excl=excl, _n=_norm, _f=_full):  # noqa: F811
+                return _n(t) if t in _excl else _f(t)
         else:
             def post(t, _excl=excl, _inner=post):  # noqa: F811
                 return t if t in _excl else _inner(t)
@@ -206,6 +216,24 @@ def _base_chain(analyzer: str):
       these three Analyzers default to Tartarus Snowball stemmers at 4.8;
       the slots implement the light FILTER components the reference ships
       alongside them (see functions/lightstem.py docstring).
+    - "russian":    snowball Russian stops + RussianLightStemFilter (same
+                    light-vs-snowball note as above)
+    - "czech":      CzechAnalyzer.cs — Czech stops + CzechStemFilter
+    - "bulgarian":  BulgarianAnalyzer.cs — stops + BulgarianStemFilter
+    - "latvian":    LatvianAnalyzer.cs — stops + LatvianStemFilter
+    - "indonesian": IndonesianAnalyzer.cs — stops + IndonesianStemFilter
+                    (stemDerivational=true default)
+    - "arabic":     ArabicAnalyzer.cs — UNnormalized stops, then
+                    ArabicNormalizationFilter + ArabicStemFilter (POST)
+    - "persian":    PersianAnalyzer.cs — Arabic+Persian normalization (PRE,
+                    stop list is normalized), no stemmer; the
+                    PersianCharFilter ZWNJ->space is subsumed by this
+                    engine's tokenizer splitting on ZWNJ
+    - "sorani":     SoraniAnalyzer.cs — SoraniNormalizationFilter (PRE) +
+                    SoraniStemFilter (POST)
+    - "galician":   stops + GalicianMinimalStemFilter (the RSLP-S plural
+                    step the reference ships alongside the full-RSLP
+                    default — same light-variant policy as sv/no/fi)
     """
     if analyzer == "standard":
         return ENGLISH_STOP_WORDS, None, None
@@ -264,6 +292,57 @@ def _base_chain(analyzer: str):
         from .stopsets import HUNGARIAN_STOP_WORDS
 
         return HUNGARIAN_STOP_WORDS, None, hungarian_light_stem
+    if analyzer == "russian":
+        from .lightstem import russian_light_stem
+        from .stopsets import RUSSIAN_STOP_WORDS
+
+        return RUSSIAN_STOP_WORDS, None, russian_light_stem
+    if analyzer == "czech":
+        from .lightstem import czech_stem
+        from .stopsets import CZECH_STOP_WORDS
+
+        return CZECH_STOP_WORDS, None, czech_stem
+    if analyzer == "bulgarian":
+        from .lightstem import bulgarian_stem
+        from .stopsets import BULGARIAN_STOP_WORDS
+
+        return BULGARIAN_STOP_WORDS, None, bulgarian_stem
+    if analyzer == "latvian":
+        from .lightstem import latvian_stem
+        from .stopsets import LATVIAN_STOP_WORDS
+
+        return LATVIAN_STOP_WORDS, None, latvian_stem
+    if analyzer == "indonesian":
+        from .lightstem import indonesian_stem
+        from .stopsets import INDONESIAN_STOP_WORDS
+
+        return INDONESIAN_STOP_WORDS, None, indonesian_stem
+    if analyzer == "arabic":
+        # stop BEFORE normalization ("the stopword list is not normalized",
+        # ArabicAnalyzer.cs:140) -> both normalize+stem live in POST
+        from .lightstem import arabic_chain
+        from .stopsets import ARABIC_STOP_WORDS
+
+        return ARABIC_STOP_WORDS, None, arabic_chain
+    if analyzer == "persian":
+        # normalization BEFORE stop ("the stopword list is normalized",
+        # PersianAnalyzer.cs:133); no stemmer in the reference chain
+        from .lightstem import persian_normalize
+        from .stopsets import PERSIAN_STOP_WORDS
+
+        return PERSIAN_STOP_WORDS, persian_normalize, None
+    if analyzer == "sorani":
+        # SoraniAnalyzer.cs: normalization -> lowercase -> stop -> stem;
+        # Arabic script is caseless so lower-then-normalize is identical
+        from .lightstem import sorani_normalize, sorani_stem
+        from .stopsets import SORANI_STOP_WORDS
+
+        return SORANI_STOP_WORDS, sorani_normalize, sorani_stem
+    if analyzer == "galician":
+        from .lightstem import galician_minimal_stem
+        from .stopsets import GALICIAN_STOP_WORDS
+
+        return GALICIAN_STOP_WORDS, None, galician_minimal_stem
     raise ValueError(f"unknown analyzer {analyzer!r} ({'|'.join(ANALYZERS)})")
 
 

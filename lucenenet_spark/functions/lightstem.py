@@ -663,3 +663,589 @@ def hungarian_light_stem(token: str) -> str:
     if len(s) > 3 and s[-1] in "aeio":
         return s[:-1]
     return s
+
+
+# -- Russian (light) -----------------------------------------------------------
+
+_RU_3SUF = ("иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его", "ему",
+            "ери", "ими", "ого", "ому", "ыми", "оев")
+_RU_2SUF = ("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв",
+            "ою", "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев",
+            "ий", "им", "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми")
+
+
+def _ru_case(s: str) -> str:
+    """RussianLightStemmer.cs RemoveCase (Dolamic & Savoy, 'Indexing and
+    Searching Strategies for the Russian Language')."""
+    n = len(s)
+    if n > 6 and s[-4:] in ("иями", "оями"):
+        return s[:-4]
+    if n > 5 and s[-3:] in _RU_3SUF:
+        return s[:-3]
+    if n > 4 and s[-2:] in _RU_2SUF:
+        return s[:-2]
+    if n > 3 and s[-1] in "аеиоуйыяь":
+        return s[:-1]
+    return s
+
+
+def russian_light_stem(token: str) -> str:
+    """RussianLightStemmer.cs Stem: RemoveCase then Normalize (drop final
+    ь/и; collapse double н)."""
+    s = _ru_case(token)
+    if len(s) > 3:
+        if s[-1] in "ьи":
+            return s[:-1]
+        if s[-1] == "н" and s[-2] == "н":
+            return s[:-1]
+    return s
+
+
+# -- Czech ---------------------------------------------------------------------
+
+_CZ_3SUF = ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ete",
+            "ěti", "eti", "ího", "iho", "ími", "ímu", "imu", "ách", "ata",
+            "aty", "ých", "ama", "ami", "ové", "ovi", "ými")
+_CZ_2SUF = ("em", "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým",
+            "mi", "ou")
+
+
+def _cz_case(s: str) -> str:
+    """CzechStemmer.cs RemoveCase."""
+    n = len(s)
+    if n > 7 and s.endswith("atech"):
+        return s[:-5]
+    if n > 6 and s[-4:] in ("ětem", "etem", "atům"):
+        return s[:-4]
+    if n > 5 and s[-3:] in _CZ_3SUF:
+        return s[:-3]
+    if n > 4 and s[-2:] in _CZ_2SUF:
+        return s[:-2]
+    if n > 3 and s[-1] in "aeiouůyáéíýě":
+        return s[:-1]
+    return s
+
+
+def czech_stem(token: str) -> str:
+    """CzechStemmer.cs Stem (Dolamic & Savoy light stemmer for Czech):
+    RemoveCase -> RemovePossessives (-ov/-in/-ův) -> Normalize (palatal
+    rewrites čt->ck, št->sk, c/č->k, z/ž->h; e-insertion removal; ů->o)."""
+    s = _cz_case(token)
+    if len(s) > 5 and s[-2:] in ("ov", "in", "ův"):
+        s = s[:-2]
+    if not s:
+        return s
+    if s.endswith("čt"):
+        return s[:-2] + "ck"
+    if s.endswith("št"):
+        return s[:-2] + "sk"
+    if s[-1] in "cč":
+        return s[:-1] + "k"
+    if s[-1] in "zž":
+        return s[:-1] + "h"
+    if len(s) > 1 and s[-2] == "e":
+        return s[:-2] + s[-1]
+    if len(s) > 2 and s[-2] == "ů":
+        return s[:-2] + "o" + s[-1]
+    return s
+
+
+# -- Bulgarian -----------------------------------------------------------------
+
+
+def _bg_article(s: str) -> str:
+    """BulgarianStemmer.cs RemoveArticle (definite-article suffixes)."""
+    n = len(s)
+    if n > 6 and s.endswith("ият"):
+        return s[:-3]
+    if n > 5 and s[-2:] in ("ът", "то", "те", "та", "ия"):
+        return s[:-2]
+    if n > 4 and s.endswith("ят"):
+        return s[:-2]
+    return s
+
+
+def _bg_plural(s: str) -> str:
+    """BulgarianStemmer.cs RemovePlural (with the palatal rewrites:
+    еве->й, ци->к, зи->г, еXи->яX, си->х)."""
+    n = len(s)
+    if n > 6:
+        if s.endswith("овци"):
+            return s[:-3]
+        if s.endswith("ове"):
+            return s[:-3]
+        if s.endswith("еве"):
+            return s[:-3] + "й"
+    if n > 5:
+        if s.endswith("ища"):
+            return s[:-3]
+        if s.endswith("та"):
+            return s[:-2]
+        if s.endswith("ци"):
+            return s[:-2] + "к"
+        if s.endswith("зи"):
+            return s[:-2] + "г"
+        if s[-3] == "е" and s[-1] == "и":
+            return s[:-3] + "я" + s[-2]
+    if n > 4:
+        if s.endswith("си"):
+            return s[:-2] + "х"
+        if s.endswith("и"):
+            return s[:-1]
+    return s
+
+
+def bulgarian_stem(token: str) -> str:
+    """BulgarianStemmer.cs Stem (Savoy BUIR algorithm): <4 chars pass
+    through; -ища early-returns; else article -> plural -> я/а-о-е strips
+    under ONE length check -> ен->н -> ъN->N."""
+    s = token
+    if len(s) < 4:
+        return s
+    if len(s) > 5 and s.endswith("ища"):
+        return s[:-3]
+    s = _bg_plural(_bg_article(s))
+    if len(s) > 3:
+        if s.endswith("я"):
+            s = s[:-1]
+        if s[-1] in "аое":
+            s = s[:-1]
+    if len(s) > 4 and s.endswith("ен"):
+        s = s[:-2] + "н"
+    if len(s) > 5 and s[-2] == "ъ":
+        s = s[:-2] + s[-1]
+    return s
+
+
+# -- Latvian -------------------------------------------------------------------
+
+# (affix, vowel count of the affix, fires palatalization) in the exact
+# declaration order of LatvianStemmer.cs `affixes` — first match wins
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False), ("ai", 2, False),
+    ("ei", 2, False), ("ām", 1, False), ("am", 1, False), ("ēm", 1, False),
+    ("īm", 1, False), ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False), ("os", 1, True),
+    ("ij", 1, False), ("īs", 1, False), ("ēs", 1, False), ("is", 1, False),
+    ("ie", 1, False), ("u", 1, True), ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False), ("ē", 1, False), ("ī", 1, False),
+    ("ū", 1, False), ("o", 1, False), ("s", 0, False), ("š", 0, False),
+)
+_LV_VOWELS = frozenset("aeiouāīēū")
+
+
+def _lv_unpalatalize(s: str, removed: str) -> str:
+    """LatvianStemmer.cs Unpalatalize: `removed` is the first character of
+    the stripped affix (the reference reads it at s[len] — still in the
+    buffer past the shortened length)."""
+    if removed == "u":
+        if s.endswith("kš"):
+            return s[:-1] + "st"
+        if s.endswith("ņņ"):
+            return s[:-2] + "nn"
+    if s[-2:] in ("pj", "bj", "mj", "vj"):
+        return s[:-1]
+    if s.endswith("šņ"):
+        return s[:-2] + "sn"
+    if s.endswith("žņ"):
+        return s[:-2] + "zn"
+    if s.endswith("šļ"):
+        return s[:-2] + "sl"
+    if s.endswith("žļ"):
+        return s[:-2] + "zl"
+    if s.endswith("ļņ"):
+        return s[:-2] + "ln"
+    if s.endswith("ļļ"):
+        return s[:-2] + "ll"
+    if s.endswith("č"):
+        return s[:-1] + "c"
+    if s.endswith("ļ"):
+        return s[:-1] + "l"
+    if s.endswith("ņ"):
+        return s[:-1] + "n"
+    return s
+
+
+def latvian_stem(token: str) -> str:
+    """LatvianStemmer.cs Stem (light version of Kreslins): the FIRST affix
+    in declaration order with numVowels(whole token) > affix.vc and
+    len >= len(affix)+3 is stripped; declension II/V/VI strips then run
+    the unpalatalization rules."""
+    nv = sum(1 for c in token if c in _LV_VOWELS)
+    for af, vc, pal in _LV_AFFIXES:
+        if nv > vc and len(token) >= len(af) + 3 and token.endswith(af):
+            s = token[: -len(af)]
+            return _lv_unpalatalize(s, af[0]) if pal else s
+    return token
+
+
+# -- Indonesian ----------------------------------------------------------------
+
+_ID_KE, _ID_PENG, _ID_DI, _ID_MENG, _ID_TER, _ID_BER, _ID_PE = (
+    1, 2, 4, 8, 16, 32, 64,
+)
+_ID_VOWELS = frozenset("aeiou")
+
+
+def indonesian_stem(token: str, stem_derivational: bool = True) -> str:
+    """IndonesianStemmer.cs Stem (Asian, Williams & Tahaghoghi): particle
+    and possessive-pronoun strips, then derivational first-order prefix /
+    suffix / second-order prefix with the reference's flag interactions
+    (e.g. -kan blocked after ke-/peng-/pe- removal). numSyllables is the
+    vowel count, decremented per removal; every rule gates on >2."""
+    st = {"syl": sum(1 for c in token if c in _ID_VOWELS), "f": 0}
+
+    def particle(s):
+        if s.endswith(("kah", "lah", "pun")):
+            st["syl"] -= 1
+            return s[:-3]
+        return s
+
+    def possessive(s):
+        if s.endswith(("ku", "mu")):
+            st["syl"] -= 1
+            return s[:-2]
+        if s.endswith("nya"):
+            st["syl"] -= 1
+            return s[:-3]
+        return s
+
+    def first_prefix(s):
+        rules = (
+            ("meng", _ID_MENG, 4, None), ("meny", _ID_MENG, 4, "s"),
+            ("men", _ID_MENG, 3, None), ("mem", _ID_MENG, 3, None),
+            ("me", _ID_MENG, 2, None),
+        )
+        for pre, flag, cut, repl in rules:
+            if s.startswith(pre):
+                if repl is not None and not (len(s) > 4 and s[4] in _ID_VOWELS):
+                    continue  # meny needs a vowel at [4] else falls to men
+                st["f"] |= flag
+                st["syl"] -= 1
+                return (repl or "") + s[cut:]
+        if s.startswith("peng"):
+            st["f"] |= _ID_PENG
+            st["syl"] -= 1
+            return s[4:]
+        if s.startswith("peny") and len(s) > 4 and s[4] in _ID_VOWELS:
+            st["f"] |= _ID_PENG
+            st["syl"] -= 1
+            return "s" + s[4:]
+        if s.startswith("peny"):
+            st["f"] |= _ID_PENG
+            st["syl"] -= 1
+            return s[4:]
+        if s.startswith("pen") and len(s) > 3 and s[3] in _ID_VOWELS:
+            st["f"] |= _ID_PENG
+            st["syl"] -= 1
+            return "t" + s[3:]
+        if s.startswith("pen"):
+            st["f"] |= _ID_PENG
+            st["syl"] -= 1
+            return s[3:]
+        if s.startswith("pem"):
+            st["f"] |= _ID_PENG
+            st["syl"] -= 1
+            return s[3:]
+        if s.startswith("di"):
+            st["f"] |= _ID_DI
+            st["syl"] -= 1
+            return s[2:]
+        if s.startswith("ter"):
+            st["f"] |= _ID_TER
+            st["syl"] -= 1
+            return s[3:]
+        if s.startswith("ke"):
+            st["f"] |= _ID_KE
+            st["syl"] -= 1
+            return s[2:]
+        return s
+
+    def second_prefix(s):
+        if s.startswith("ber"):
+            st["f"] |= _ID_BER
+            st["syl"] -= 1
+            return s[3:]
+        if s == "belajar":
+            st["f"] |= _ID_BER
+            st["syl"] -= 1
+            return s[3:]
+        if (s.startswith("be") and len(s) > 4
+                and s[2] not in _ID_VOWELS and s[3] == "e" and s[4] == "r"):
+            st["f"] |= _ID_BER
+            st["syl"] -= 1
+            return s[2:]
+        if s.startswith("per"):
+            st["syl"] -= 1
+            return s[3:]
+        if s == "pelajar":
+            st["syl"] -= 1
+            return s[3:]
+        if s.startswith("pe"):
+            st["f"] |= _ID_PE
+            st["syl"] -= 1
+            return s[2:]
+        return s
+
+    def suffix(s):
+        if (s.endswith("kan")
+                and not st["f"] & (_ID_KE | _ID_PENG | _ID_PE)):
+            st["syl"] -= 1
+            return s[:-3]
+        if (s.endswith("an")
+                and not st["f"] & (_ID_DI | _ID_MENG | _ID_TER)):
+            st["syl"] -= 1
+            return s[:-2]
+        if (s.endswith("i") and not s.endswith("si")
+                and not st["f"] & (_ID_BER | _ID_KE | _ID_PENG)):
+            st["syl"] -= 1
+            return s[:-1]
+        return s
+
+    s = token
+    if st["syl"] > 2:
+        s = particle(s)
+    if st["syl"] > 2:
+        s = possessive(s)
+    if not stem_derivational:
+        return s
+    old = s
+    if st["syl"] > 2:
+        s = first_prefix(s)
+    if s != old:  # a rule fired
+        old = s
+        if st["syl"] > 2:
+            s = suffix(s)
+        if s != old and st["syl"] > 2:
+            s = second_prefix(s)
+    else:
+        if st["syl"] > 2:
+            s = second_prefix(s)
+        if st["syl"] > 2:
+            s = suffix(s)
+    return s
+
+
+# -- Arabic --------------------------------------------------------------------
+
+# ArabicNormalizer.cs Normalize: hamza-seated alefs -> bare alef, dotless
+# yeh -> yeh, teh marbuta -> heh; tatweel + harakat deleted
+_AR_NORM_MAP = str.maketrans(
+    {"آ": "ا", "أ": "ا", "إ": "ا",
+     "ى": "ي", "ة": "ه",
+     "ـ": None, "ً": None, "ٌ": None, "ٍ": None,
+     "َ": None, "ُ": None, "ِ": None, "ّ": None,
+     "ْ": None}
+)
+
+
+def arabic_normalize(token: str) -> str:
+    return token.translate(_AR_NORM_MAP)
+
+
+# ArabicStemmer.cs Prefixes/Suffixes declaration order
+_AR_PREFIXES = ("ال", "وال", "بال",
+                "كال", "فال", "لل",
+                "و")
+_AR_SUFFIXES = ("ها", "ان", "ات",
+                "ون", "ين", "يه",
+                "ية", "ه", "ة", "ي")
+
+
+def arabic_stem(token: str) -> str:
+    """ArabicStemmer.cs Stem: strip the FIRST matching prefix (wa- needs
+    len>=4, the rest len>=len+2), then strip EVERY matching suffix in
+    declaration order cumulatively (each needs 2 chars left)."""
+    s = token
+    for p in _AR_PREFIXES:
+        if s.startswith(p) and (
+            len(s) >= 4 if len(p) == 1 else len(s) >= len(p) + 2
+        ):
+            s = s[len(p):]
+            break
+    for suf in _AR_SUFFIXES:
+        if len(s) >= len(suf) + 2 and s.endswith(suf):
+            s = s[: -len(suf)]
+    return s
+
+
+def arabic_chain(token: str) -> str:
+    """ArabicAnalyzer.cs chain tail: normalization then stem (stop filter
+    runs BEFORE normalization — 'the stopword list is not normalized')."""
+    return arabic_stem(arabic_normalize(token))
+
+
+# -- Persian -------------------------------------------------------------------
+
+# ArabicNormalizer + PersianNormalizer.cs composed in one simultaneous map
+# (sound because neither normalizer consumes the other's outputs):
+# farsi yeh / yeh barree -> yeh, keheh -> kaf, heh+hamza / heh goal -> heh,
+# hamza-above deleted
+_FA_NORM_MAP = str.maketrans(
+    {"آ": "ا", "أ": "ا", "إ": "ا",
+     "ى": "ي", "ة": "ه",
+     "ـ": None, "ً": None, "ٌ": None, "ٍ": None,
+     "َ": None, "ُ": None, "ِ": None, "ّ": None,
+     "ْ": None,
+     "ی": "ي", "ے": "ي", "ک": "ك",
+     "ۀ": "ه", "ہ": "ه", "ٔ": None}
+)
+
+
+def persian_normalize(token: str) -> str:
+    """PersianAnalyzer.cs chain: ArabicNormalizationFilter then
+    PersianNormalizationFilter, BEFORE the stop filter ('the stopword list
+    is normalized'). PersianCharFilter's ZWNJ->space happens for free:
+    this engine's tokenizer already splits on ZWNJ."""
+    return token.translate(_FA_NORM_MAP)
+
+
+# -- Sorani Kurdish ------------------------------------------------------------
+
+
+def sorani_normalize(token: str) -> str:
+    """SoraniNormalizer.cs Normalize — exact index-loop port: yeh forms ->
+    farsi yeh, kaf -> keheh, ZWNJ deleted (turning a preceding heh into ae),
+    word-final heh -> ae, teh marbuta -> ae, heh doachashmee -> heh,
+    word-initial reh / rreh-above -> rreh, harakat + tatweel + Unicode
+    format chars deleted."""
+    import unicodedata
+
+    out = []
+    n = len(token)
+    for i, c in enumerate(token):
+        if c in "يى":
+            out.append("ی")
+        elif c == "ك":
+            out.append("ک")
+        elif c == "‌":
+            if out and out[-1] == "ه":
+                out[-1] = "ە"
+        elif c == "ه":
+            # i == len-1 in the reference's scan == nothing follows in the
+            # ORIGINAL buffer (right-side chars are not yet deleted there)
+            out.append("ە" if i == n - 1 else c)
+        elif c == "ة":
+            out.append("ە")
+        elif c == "ھ":
+            out.append("ه")
+        elif c == "ر":
+            # i == 0 in the scan counts AFTER left-side deletions
+            out.append("ڕ" if not out else c)
+        elif c == "ڒ":
+            out.append("ڕ")
+        elif c in "ـًٌٍَُِّْ":
+            pass
+        elif unicodedata.category(c) == "Cf":
+            pass
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def sorani_stem(token: str) -> str:
+    """SoraniStemmer.cs Stem: postposition strip, possessive-pronoun strip,
+    then the first matching ezafe/definite/plural/demonstrative suffix."""
+    s = token
+    if len(s) > 5 and s.endswith("دا"):            # -da
+        s = s[:-2]
+    elif len(s) > 4 and s.endswith("نا"):          # -na (strip 1!)
+        s = s[:-1]
+    elif len(s) > 6 and s.endswith("ەوە"):    # -ewe
+        s = s[:-3]
+    if len(s) > 6 and s[-3:] in ("مان", "یان",
+                                 "تان"):
+        s = s[:-3]
+    n = len(s)
+    if n > 6 and s.endswith("ێکی"):
+        return s[:-3]
+    if n > 7 and s.endswith("یەکی"):
+        return s[:-4]
+    if n > 5 and s.endswith("ێک"):
+        return s[:-2]
+    if n > 6 and s.endswith("یەک"):
+        return s[:-3]
+    if n > 6 and s.endswith("ەکە"):
+        return s[:-3]
+    if n > 5 and s.endswith("کە"):
+        return s[:-2]
+    if n > 7 and s.endswith("ەکان"):
+        return s[:-4]
+    if n > 6 and s.endswith("کان"):
+        return s[:-3]
+    if n > 7 and s.endswith("یانی"):
+        return s[:-4]
+    if n > 6 and s.endswith("انی"):
+        return s[:-3]
+    if n > 6 and s.endswith("یان"):
+        return s[:-3]
+    if n > 5 and s.endswith("ان"):
+        return s[:-2]
+    if n > 7 and s.endswith("یانە"):
+        return s[:-4]
+    if n > 6 and s.endswith("انە"):
+        return s[:-3]
+    if n > 5 and (s.endswith("ایە")
+                  or s.endswith("ەیە")):
+        return s[:-2]
+    if n > 4 and s.endswith("ە"):
+        return s[:-1]
+    if n > 4 and s.endswith("ی"):
+        return s[:-1]
+    return s
+
+
+# -- Galician (minimal) --------------------------------------------------------
+
+# galician.rslp "Plural" step (GalicianMinimalStemmer.cs: RSLP-S, plural
+# reduction only): (suffix, min stem len, replacement, whole-word exceptions)
+# in declaration order — first match wins, one application
+_GL_PLURAL_RULES = (
+    ("ns", 1, "n", frozenset({"luns", "furatapóns", "furatapons"})),
+    ("ós", 3, "ón", None),
+    ("ões", 3, "ón", None),
+    ("ães", 1, "ão", frozenset({"mães", "magalhães"})),
+    ("ais", 2, "al", frozenset({"cais", "tais", "mais", "pais", "ademais"})),
+    ("áis", 2, "al", frozenset({"cáis", "táis", "máis", "páis", "ademáis"})),
+    ("éis", 2, "el", None),
+    ("eis", 2, "el", None),
+    ("óis", 2, "ol", frozenset({"escornabóis"})),
+    ("ois", 2, "ol", frozenset({"escornabois"})),
+    ("ís", 2, "il", frozenset({"país"})),
+    ("is", 2, "il", frozenset({"menfis", "pais", "kinguis"})),
+    ("les", 2, "l", frozenset({"ingles", "marselles", "montreales",
+                               "senegales", "manizales", "móstoles",
+                               "nápoles"})),
+    ("res", 3, "r", frozenset({"petres", "henares", "cáceres", "baleares",
+                               "linares", "londres", "mieres", "miraflores",
+                               "mércores", "venres", "pires"})),
+    ("ces", 2, "z", None),
+    ("zes", 2, "z", None),
+    ("ises", 3, "z", None),
+    ("ás", 1, "al", frozenset({"más"})),
+    ("ses", 2, "s", None),
+    ("s", 2, "", frozenset({
+        "barbadés", "barcelonés", "cantonés", "gabonés", "llanés",
+        "medinés", "escocés", "escocês", "francês", "barcelonês",
+        "cantonês", "macramés", "reves", "barcelones", "cantones",
+        "gabones", "llanes", "magallanes", "medines", "escoces",
+        "frances", "xoves", "martes", "aliás", "pires", "lápis", "cais",
+        "mais", "mas", "menos", "férias", "pêsames", "crúcis", "país",
+        "cangas", "atenas", "asturias", "canarias", "filipinas",
+        "honduras", "molucas", "caldas", "mascareñas", "micenas",
+        "covarrubias", "psoas", "óculos", "nupcias", "llanes"})),
+)
+
+
+def galician_minimal_stem(token: str) -> str:
+    """GalicianMinimalStemmer.cs: apply the galician.rslp Plural step
+    (min word size 3, step suffix 's'), first matching rule only."""
+    if len(token) < 3 or not token.endswith("s"):
+        return token
+    for suf, mn, repl, exc in _GL_PLURAL_RULES:
+        if (token.endswith(suf) and len(token) - len(suf) >= mn
+                and (exc is None or token not in exc)):
+            return token[: -len(suf)] + repl
+    return token

@@ -177,3 +177,183 @@ HUNGARIAN_STOP_WORDS = frozenset(
     valamint való vagyok van vannak volt voltam voltak voltunk vissza
     vele viszont volna""".split()
 )
+
+
+# Analysis/Snowball/russian_stop.txt (RussianAnalyzer.cs
+# DEFAULT_STOPWORD_FILE) — the snowball Russian list
+RUSSIAN_STOP_WORDS = frozenset(
+    """и в во не что он на я с со как а то все она так его но да ты к у же вы
+    за бы по только ее мне было вот от меня еще нет о из ему теперь когда
+    даже ну вдруг ли если уже или ни быть был него до вас нибудь опять уж
+    вам сказал ведь там потом себя ничего ей может они тут где есть надо
+    ней для мы тебя их чем была сам чтоб без будто человек чего раз тоже
+    себе под жизнь будет ж тогда кто этот говорил того потому этого какой
+    совсем ним здесь этом один почти мой тем чтобы нее кажется сейчас были
+    куда зачем сказать всех никогда сегодня можно при наконец два об
+    другой хоть после над больше тот через эти нас про всего них какая
+    много разве сказала три эту моя впрочем хорошо свою этой перед иногда
+    лучше чуть том нельзя такой им более всегда конечно всю между""".split()
+)
+
+# Analysis/Cz/stopwords.txt (CzechAnalyzer.cs DEFAULT_STOPWORD_FILE)
+CZECH_STOP_WORDS = frozenset(
+    """a s k o i u v z dnes cz tímto budeš budem byli jseš můj svým ta tomto
+    tohle tuto tyto jej zda proč máte tato kam tohoto kdo kteří mi nám tom
+    tomuto mít nic proto kterou byla toho protože asi ho naši napište re
+    což tím takže svých její svými jste aj tu tedy teto bylo kde ke pravé
+    ji nad nejsou či pod téma mezi přes ty pak vám ani když však neg jsem
+    tento článku články aby jsme před pta jejich byl ještě až bez také
+    pouze první vaše která nás nový tipy pokud může strana jeho své jiné
+    zprávy nové není vás jen podle zde už být více bude již než který by
+    které co nebo ten tak má při od po jsou jak další ale si se ve to jako
+    za zpět ze do pro je na atd atp jakmile přičemž já on ona ono oni ony
+    my vy jí ji mě mne jemu tomu těm těmu němu němuž jehož jíž jelikož jež
+    jakož načež""".split()
+)
+
+# Analysis/Bg/stopwords.txt (BulgarianAnalyzer.cs DEFAULT_STOPWORD_FILE,
+# the Savoy BSD list)
+BULGARIAN_STOP_WORDS = frozenset(
+    """а аз ако ала бе без беше би бил била били било близо бъдат бъде бяха в
+    вас ваш ваша вероятно вече взема ви вие винаги все всеки всички всичко
+    всяка във въпреки върху г ги главно го д да дали до докато докога дори
+    досега доста е едва един ето за зад заедно заради засега затова защо
+    защото и из или им има имат иска й каза как каква какво както какъв
+    като кога когато което които кой който колко която къде където към ли
+    м ме между мен ми мнозина мога могат може моля момента му н на над
+    назад най направи напред например нас не него нея ни ние никой нито но
+    някои някой няма обаче около освен особено от отгоре отново още пак по
+    повече повечето под поне поради после почти прави пред преди през при
+    пък първо с са само се сега си скоро след сме според сред срещу сте
+    съм със също т тази така такива такъв там твой те тези ти тн то това
+    тогава този той толкова точно трябва тук тъй тя тях у харесва ч че
+    често чрез ще щом я""".split()
+)
+
+# Analysis/Lv/stopwords.txt (LatvianAnalyzer.cs DEFAULT_STOPWORD_FILE)
+LATVIAN_STOP_WORDS = frozenset(
+    """aiz ap ar apakš ārpus augšpus bez caur dēļ gar iekš iz kopš labad
+    lejpus līdz no otrpus pa par pār pēc pie pirms pret priekš starp
+    šaipus uz viņpus virs virspus zem apakšpus un bet jo ja ka lai tomēr
+    tikko turpretī arī kaut gan tādēļ tā ne tikvien vien kā ir te vai
+    kamēr ar diezin droši diemžēl nebūt ik it taču nu pat tiklab iekšpus
+    nedz tik nevis turpretim jeb iekam iekām iekāms kolīdz līdzko tiklīdz
+    jebšu tālab tāpēc nekā itin jā jau jel nē nezin tad tikai vis tak
+    iekams vien būt biju biji bija bijām bijāt esmu esi esam esat būšu
+    būsi būs būsim būsiet tikt tiku tiki tika tikām tikāt tieku tiec tiek
+    tiekam tiekat tikšu tiks tiksim tiksiet tapt tapi tapāt topat tapšu
+    tapsi taps tapsim tapsiet kļūt kļuvu kļuvi kļuva kļuvām kļuvāt kļūstu
+    kļūsti kļūst kļūstam kļūstat kļūšu kļūsi kļūs kļūsim kļūsiet varēt
+    varēju varējām varēšu varēsim var varēji varējāt varēsi varēsiet varat
+    varēja varēs""".split()
+)
+
+# Analysis/Id/stopwords.txt (IndonesianAnalyzer.cs DEFAULT_STOPWORD_FILE)
+INDONESIAN_STOP_WORDS = frozenset(
+    """ada adanya adalah adapun agak agaknya agar akan akankah akhirnya aku
+    akulah amat amatlah anda andalah antar diantaranya antara antaranya
+    diantara apa apaan mengapa apabila apakah apalagi apatah atau ataukah
+    ataupun bagai bagaikan sebagai sebagainya bagaimana bagaimanapun
+    sebagaimana bagaimanakah bagi bahkan bahwa bahwasanya sebaliknya
+    banyak sebanyak beberapa seberapa begini beginian beginikah beginilah
+    sebegini begitu begitukah begitulah begitupun sebegitu belum belumlah
+    sebelum sebelumnya sebenarnya berapa berapakah berapalah berapapun
+    betulkah sebetulnya biasa biasanya bila bilakah bisa bisakah sebisanya
+    boleh bolehkah bolehlah buat bukan bukankah bukanlah bukannya cuma
+    percuma dahulu dalam dan dapat dari daripada dekat demi demikian
+    demikianlah sedemikian dengan depan di dia dialah dini diri dirinya
+    terdiri dong dulu enggak enggaknya entah entahlah terhadap terhadapnya
+    hal hampir hanya hanyalah harus haruslah harusnya seharusnya hendak
+    hendaklah hendaknya hingga sehingga ia ialah ibarat ingin inginkah
+    inginkan ini inikah inilah itu itukah itulah jangan jangankan
+    janganlah jika jikalau juga justru kala kalau kalaulah kalaupun kalian
+    kami kamilah kamu kamulah kan kapan kapankah kapanpun dikarenakan
+    karena karenanya ke kecil kemudian kenapa kepada kepadanya ketika
+    seketika khususnya kini kinilah kiranya sekiranya kita kitalah kok
+    lagi lagian selagi lah lain lainnya melainkan selaku lalu melalui
+    terlalu lama lamanya selama selama selamanya lebih terlebih bermacam
+    macam semacam maka makanya makin malah malahan mampu mampukah mana
+    manakala manalagi masih masihkah semasih masing mau maupun semaunya
+    memang mereka merekalah meski meskipun semula mungkin mungkinkah nah
+    namun nanti nantinya nyaris oleh olehnya seorang seseorang pada
+    padanya padahal paling sepanjang pantas sepantasnya sepantasnyalah
+    para pasti pastilah per pernah pula pun merupakan rupanya serupa saat
+    saatnya sesaat saja sajalah saling bersama sama sesama sambil sampai
+    sana sangat sangatlah saya sayalah se sebab sebabnya sebuah tersebut
+    tersebutlah sedang sedangkan sedikit sedikitnya segala segalanya
+    segera sesegera sejak sejenak sekali sekalian sekalipun sesekali
+    sekaligus sekarang sekarang sekitar sekitarnya sela selain selalu
+    seluruh seluruhnya semakin sementara sempat semua semuanya sendiri
+    sendirinya seolah seperti sepertinya sering seringnya serta siapa
+    siapakah siapapun disini disinilah sini sinilah sesuatu sesuatunya
+    suatu sesudah sesudahnya sudah sudahkah sudahlah supaya tadi tadinya
+    tak tanpa setelah telah tentang tentu tentulah tentunya tertentu
+    seterusnya tapi tetapi setiap tiap setidaknya tidak tidakkah tidaklah
+    toh waduh wah wahai sewaktu walau walaupun wong yaitu yakni yang""".split()
+)
+
+
+# Analysis/Ar/stopwords.txt (ArabicAnalyzer.cs DEFAULT_STOPWORD_FILE,
+# the Savoy BSD list — UNnormalized: StopFilter runs before normalization)
+ARABIC_STOP_WORDS = frozenset(
+    """من ومن منها منه في وفي فيها فيه و ف ثم او أو ب بها به ا أ اى اي أي أى
+    لا ولا الا ألا إلا لكن ما وما كما فما عن مع اذا إذا ان أن إن انها أنها
+    إنها انه أنه إنه بان بأن فان فأن وان وأن وإن التى التي الذى الذي الذين
+    الى الي إلى إلي على عليها عليه اما أما إما ايضا أيضا كل وكل لم ولم لن
+    ولن هى هي هو وهى وهي وهو فهى فهي فهو انت أنت لك لها له هذه هذا تلك ذلك
+    هناك كانت كان يكون تكون وكانت وكان غير بعض قد نحو بين بينما منذ ضمن
+    حيث الان الآن خلال بعد قبل حتى عند عندما لدى جميع""".split()
+)
+
+# Analysis/Fa/stopwords.txt (PersianAnalyzer.cs DEFAULT_STOPWORD_FILE —
+# normalized forms: StopFilter runs after Arabic+Persian normalization)
+PERSIAN_STOP_WORDS = frozenset(
+    """انان نداشته سراسر خياه ايشان وي تاكنون بيشتري دوم پس ناشي وگو يا
+    داشتند سپس هنگام هرگز پنج نشان امسال ديگر گروهي شدند چطور ده و دو
+    نخستين ولي چرا چه وسط ه كدام قابل يك رفت هفت همچنين در هزار بله بلي
+    شايد اما شناسي گرفته دهد داشته دانست داشتن خواهيم ميليارد وقتيكه امد
+    خواهد جز اورده شده بلكه خدمات شدن برخي نبود بسياري جلوگيري حق كردند
+    نوعي بعري نكرده نظير نبايد بوده بودن داد اورد هست جايي شود دنبال داده
+    بايد سابق هيچ همان انجا كمتر كجاست گردد كسي تر مردم تان دادن بودند سري
+    جدا ندارند مگر يكديگر دارد دهند بنابراين هنگامي سمت جا انچه خود دادند
+    زياد دارند اثر بدون بهترين بيشتر البته به براساس بيرون كرد بعضي گرفت
+    توي اي ميليون او جريان تول بر مانند برابر باشيم مدتي گويند اكنون تا
+    تنها جديد چند بي نشده كردن كردم گويد كرده كنيم نمي نزد روي قصد فقط
+    بالاي ديگران اين ديروز توسط سوم ايم دانند سوي استفاده شما كنار داريم
+    ساخته طور امده رفته نخست بيست نزديك طي كنيد از انها تمامي داشت يكي
+    طريق اش چيست روب نمايد گفت چندين چيزي تواند ام ايا با ان ايد ترين
+    اينكه ديگري راه هايي بروز همچنان پاعين كس حدود مختلف مقابل چيز گيرد
+    ندارد ضد همچون سازي شان مورد باره مرسي خويش برخوردار چون خارج شش هنوز
+    تحت ضمن هستيم گفته فكر بسيار پيش براي روزهاي انكه نخواهد بالا كل وقتي
+    كي چنين كه گيري نيست است كجا كند نيز يابد بندي حتي توانند عقب خواست
+    كنند بين تمام همه ما باشند مثل شد اري باشد اره طبق بعد اگر صورت غير
+    جاي بيش ريزي اند زيرا چگونه بار لطفا مي درباره من ديده همين گذاري
+    برداري علت گذاشته هم فوق نه ها شوند اباد همواره هر اول خواهند چهار نام
+    امروز مان هاي قبل كنم سعي تازه را هستند زير جلوي عنوان بود""".split()
+)
+
+# Analysis/Ckb/stopwords.txt (SoraniAnalyzer.cs DEFAULT_STOPWORD_FILE —
+# normalized forms: StopFilter runs after SoraniNormalizationFilter)
+SORANI_STOP_WORDS = frozenset(
+    """و کە ی کرد ئەوەی سەر دوو هەروەها لەو دەکات چەند هەر ئەو ئەم من ئێمە تۆ
+    ئێوە ئەو ئەوان بە پێ بەبێ بەدەم بەلای بەپێی بەرلە بەرەوی بەرەوە بەردەم
+    بێ بێجگە بۆ دە تێ دەگەڵ دوای جگە لە لێ لەبەر لەبەینی لەبابەت لەبارەی
+    لەباتی لەبن لەبرێتی لەدەم لەگەڵ لەلایەن لەناو لەنێو لەپێناوی لەرەوی
+    لەرێ لەرێگا لەسەر لەژێر ناو نێوان پاش پێش وەک""".split()
+)
+
+# Analysis/Gl/stopwords.txt (GalicianAnalyzer.cs DEFAULT_STOPWORD_FILE)
+GALICIAN_STOP_WORDS = frozenset(
+    """a aínda alí aquel aquela aquelas aqueles aquilo aquí ao aos as así á
+    ben cando che co coa comigo con connosco contigo convosco coas cos cun
+    cuns cunha cunhas da dalgunha dalgunhas dalgún dalgúns das de del dela
+    delas deles desde deste do dos dun duns dunha dunhas e el ela elas
+    eles en era eran esa esas ese eses esta estar estaba está están este
+    estes estiven estou eu é facer foi foron fun había hai iso isto la las
+    lle lles lo los mais me meu meus min miña miñas moi na nas neste nin
+    no non nos nosa nosas noso nosos nós nun nunha nuns nunhas o os ou ó
+    ós para pero pode pois pola polas polo polos por que se senón ser seu
+    seus sexa sido sobre súa súas tamén tan te ten teñen teño ter teu teus
+    ti tido tiña tiven túa túas un unha unhas uns vos vosa vosas voso
+    vosos vós""".split()
+)

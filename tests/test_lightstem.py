@@ -568,3 +568,406 @@ SELECT tok, stem FROM stemmap"""
         if hungarian_light_stem(w) != got.get(w)
     ]
     assert not bad, bad[:10]
+
+
+# -- round 5d: Russian / Czech / Bulgarian / Latvian / Indonesian --------------
+
+
+R5D_FIXTURES = {
+    # hand-derived rule by rule against the cited reference stemmers
+    "russian": {
+        "корабли": "корабл",    # -и case strip
+        "важный": "важн",       # -ый case strip
+        "статьями": "стат",     # -ями case, normalize final -ь
+        "женщинами": "женщин",  # -ами case
+        "осенний": "осен",      # -ий case, collapse double н
+        "merge": "merge",       # Latin text passes through
+    },
+    "czech": {
+        "hradech": "hrad",      # -ech case
+        "staveb": "stavb",      # normalize e-insertion removal
+        "otců": "otk",          # -ů vowel strip, palatal c->k
+        "matkin": "matk",       # possessive -in
+        "merges": "merg",       # -es is in the case table
+        "merge": "merg",        # final-vowel strip
+    },
+    "bulgarian": {
+        "градовете": "град",    # article -те, plural -ове
+        "книгите": "книг",      # article -те, plural -и
+        "хубава": "хубав",      # final -а strip
+        "колища": "кол",        # -ища early return
+        "длъжен": "длъжн",      # ен -> н
+        "merge": "merge",       # Latin text passes through
+    },
+    "latvian": {
+        "cilvēkiem": "cilvēk",  # -iem (vc 2, palatalizing, no rule hits)
+        "ūdens": "ūden",        # bare -s (vc 0)
+        "zaļu": "zal",          # -u palatalizes ļ -> l
+        "merges": "merg",       # -es affix applies to Latin text too
+        "merge": "merg",        # -e affix
+        "up": "up",             # too short for any affix (len < affix+3)
+    },
+    "indonesian": {
+        "membukakan": "buka",     # mem- prefix then -kan (not blocked by MENG)
+        "kebijakan": "bijak",     # ke- blocks -kan, -an still strips
+        "customernya": "customer",  # possessive -nya
+        "bukulah": "buku",        # particle -lah
+        "perbaikan": "bai",       # per- second-order prefix, then -kan
+        "merge": "merge",         # 2 syllables: no rule may fire
+    },
+}
+
+
+@pytest.mark.parametrize("lang", sorted(R5D_FIXTURES))
+def test_r5d_stem_fixtures(lang):
+    from lucenenet_spark.functions import lightstem
+
+    pyfn = {
+        "russian": lightstem.russian_light_stem,
+        "czech": lightstem.czech_stem,
+        "bulgarian": lightstem.bulgarian_stem,
+        "latvian": lightstem.latvian_stem,
+        "indonesian": lightstem.indonesian_stem,
+    }[lang]
+    for w, want in R5D_FIXTURES[lang].items():
+        assert pyfn(w) == want, (lang, w, pyfn(w), want)
+
+
+def test_r5d_chains_stop_then_stem():
+    # each slot's own stop set applies (Cyrillic sets for ru/bg, Latin for
+    # cs/lv/id), then the slot's stemmer
+    assert tokenize_text("и корабли на рейде", "russian") == ["корабл", "рейд"]
+    assert tokenize_text("jsou hradech a otců", "czech") == ["hrad", "otk"]
+    assert tokenize_text("и градовете са хубава", "bulgarian") == [
+        "град", "хубав"
+    ]
+    assert tokenize_text("un cilvēkiem bet zaļu", "latvian") == [
+        "cilvēk", "zal"
+    ]
+    assert tokenize_text("yang membukakan itu customernya", "indonesian") == [
+        "buka", "customer"
+    ]
+    # English stopwords are NOT dropped by the non-English slots
+    assert "the" in tokenize_text("the merge", "russian")
+
+
+_R5D_ALPHABETS = {
+    "russian": "абвгдежзийклмнопрстуфхцчшщъыьэюя",
+    "czech": "áéíóúůýěčšžřďťň",
+    "bulgarian": "абвгдежзийклмнопрстуфхцчшщъьюя",
+    "latvian": "āēīūčģķļņšž",
+    "indonesian": "aeiou",
+}
+
+_R5D_STEMS = {
+    "russian": ["корабл", "важн", "стать", "женщин", "осен", "телефон",
+                "х", "до", "мост", "оь"],
+    "czech": ["hrad", "stav", "otc", "matk", "merg", "x", "ab", "koč",
+              "pánů", "vešt"],
+    "bulgarian": ["град", "книг", "хубав", "кол", "длъж", "х", "об",
+                  "ец", "момч"],
+    "latvian": ["cilvēk", "ūden", "zaļ", "merg", "up", "kuģ", "šņor",
+                "ļļ", "kš", "ņņ", "pj"],
+    "indonesian": ["buka", "bijak", "customer", "baik", "ajar", "main",
+                   "guna", "x", "se"],
+}
+
+_R5D_SUFS = {
+    "russian": ("иями", "оями", "иям", "иях", "оях", "ями", "оям", "оьв",
+                "ами", "его", "ему", "ери", "ими", "ого", "ому", "ыми",
+                "оев", "ая", "яя", "ях", "юю", "ах", "ею", "их", "ия",
+                "ию", "ьв", "ою", "ую", "ям", "ых", "ея", "ам", "ем",
+                "ей", "ём", "ев", "ий", "им", "ое", "ой", "ом", "ов",
+                "ые", "ый", "ым", "ми", "а", "е", "и", "о", "у", "й",
+                "ы", "я", "ь", "н", "нн"),
+    "czech": ("atech", "ětem", "etem", "atům", "ech", "ich", "ích", "ého",
+              "ěmi", "emi", "ému", "ěte", "ete", "ěti", "eti", "ího",
+              "iho", "ími", "ímu", "imu", "ách", "ata", "aty", "ých",
+              "ama", "ami", "ové", "ovi", "ými", "em", "es", "ém", "ím",
+              "ům", "at", "ám", "os", "us", "ým", "mi", "ou", "a", "e",
+              "i", "o", "u", "ů", "y", "á", "é", "í", "ý", "ě", "ov",
+              "in", "ův", "čt", "št", "c", "č", "z", "ž", "eb", "ůb"),
+    "bulgarian": ("ият", "ът", "то", "те", "та", "ия", "ят", "овци",
+                  "ове", "еве", "ища", "ци", "зи", "еи", "еви", "си",
+                  "и", "я", "а", "о", "е", "ен", "ъл", "ън", "ъц"),
+    "latvian": ("ajiem", "ajai", "ajam", "ajām", "ajos", "ajās", "iem",
+                "ajā", "ais", "ai", "ei", "ām", "am", "ēm", "īm", "im",
+                "um", "us", "as", "ās", "es", "os", "ij", "īs", "ēs",
+                "is", "ie", "u", "a", "i", "e", "ā", "ē", "ī", "ū", "o",
+                "s", "š"),
+    "indonesian": ("kah", "lah", "pun", "ku", "mu", "nya", "kan", "an",
+                   "i", "si", "kannya", "annya", "inya", "lahku",
+                   "kanlah", "anku"),
+}
+
+_ID_PREFIXES = ("", "meng", "meny", "men", "mem", "me", "peng", "peny",
+                "pen", "pem", "di", "ter", "ke", "ber", "bel", "be",
+                "per", "pel", "pe", "ber", "belajar", "beser")
+
+
+@pytest.mark.parametrize("lang", sorted(R5D_FIXTURES))
+def test_sql_r5d_fuzz_matches_python(lang):
+    """SQL-pipeline-vs-Python fuzz per round-5d slot: every suffix (and for
+    Indonesian every prefix) family crossed with the stem pool, plus random
+    alphabet mutation so palatal/normalization rewrites get hit."""
+    import random
+
+    import duckdb
+
+    from lucenenet_spark.entry_support import _STEM_PIPELINES
+    from lucenenet_spark.functions import lightstem
+
+    pyfn = {
+        "russian": lightstem.russian_light_stem,
+        "czech": lightstem.czech_stem,
+        "bulgarian": lightstem.bulgarian_stem,
+        "latvian": lightstem.latvian_stem,
+        "indonesian": lightstem.indonesian_stem,
+    }[lang]
+    rng = random.Random(547 + len(lang))
+    words = set()
+    for st in _R5D_STEMS[lang]:
+        for su in _R5D_SUFS[lang]:
+            words.add(st + su)
+            if lang == "indonesian":
+                words.add(rng.choice(_ID_PREFIXES) + st + su)
+    alphabet = _R5D_ALPHABETS[lang]
+    for _ in range(700):
+        st = rng.choice(_R5D_STEMS[lang])
+        st = "".join(
+            c if rng.random() > 0.25 else rng.choice(alphabet) for c in st
+        )
+        pre = rng.choice(_ID_PREFIXES) if lang == "indonesian" else ""
+        words.add(pre + st + rng.choice(_R5D_SUFS[lang]))
+    words = sorted(words)
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in words)
+    sql = f"""WITH rawtoks AS (
+  SELECT 0 AS docid, 0 AS ord, tok FROM (VALUES {vals}) t(tok)),
+{_STEM_PIPELINES[lang]()}
+SELECT tok, stem FROM stemmap"""
+    got = dict(con.execute(sql).fetchall())
+    bad = [(w, pyfn(w), got.get(w)) for w in words if pyfn(w) != got.get(w)]
+    assert not bad, (len(bad), bad[:10])
+
+
+# -- round 5e: Arabic / Persian / Sorani / Galician ----------------------------
+
+
+def test_arabic_fixtures():
+    from lucenenet_spark.functions.lightstem import (
+        arabic_chain,
+        arabic_normalize,
+        arabic_stem,
+    )
+
+    # normalization: seated alefs, dotless yeh, teh marbuta, harakat
+    assert arabic_normalize("أَحْمَد") == "احمد"
+    assert arabic_normalize("مَكْتَبَة") == "مكتبه"
+    # prefix: wal- strip; suffix: -ha then -at strip CUMULATIVELY
+    assert arabic_stem("والكتابها") == "كتاب"
+    assert arabic_stem("الكلمات") == "كلم"
+    # wa- needs len >= 4: (normalized) len-3 keeps the waw
+    assert arabic_stem("ومن") == "ومن"
+    assert arabic_stem("وكتب") == "كتب"
+    # al- needs 2 chars left
+    assert arabic_stem("الم") == "الم"
+    assert arabic_chain("بِالْكُتُبِ") == "كتب"
+
+
+def test_persian_fixtures():
+    from lucenenet_spark.functions.lightstem import persian_normalize
+
+    assert persian_normalize("كتابی") == "كتابي"   # farsi yeh -> yeh
+    assert persian_normalize("کتاب") == "كتاب"     # keheh -> kaf
+    assert persian_normalize("درۀ") == "دره"       # heh+yeh -> heh
+    assert persian_normalize("آباد") == "اباد"     # alef madda -> alef
+
+
+def test_sorani_fixtures():
+    from lucenenet_spark.functions.lightstem import (
+        sorani_normalize,
+        sorani_stem,
+    )
+
+    assert sorani_normalize("ره") == "ڕە"    # initial reh + final heh
+    assert sorani_normalize("كتێب") == "کتێب"  # kaf -> keheh
+    assert sorani_normalize("دره") == "درە"   # non-initial reh stays
+    # heh + ZWNJ -> ae (the ZWNJ case, fed directly to the function;
+    # through the tokenizer the token would split at the ZWNJ)
+    assert sorani_normalize("گته‌و") == "گتەو"
+    # fatha before a final heh deletes AFTER the heh was scanned non-final
+    assert sorani_normalize("بَه") == "بە"
+    assert sorani_stem("پیاوەکان") == "پیاو"   # -ekan
+    assert sorani_stem("کتێبێک") == "کتێب"     # -ek
+    # -da postposition leaves len 6, too short for -eke (needs >6), so
+    # the shorter -ke arm fires
+    assert sorani_stem("ماڵەکەدا") == "ماڵە"
+
+
+def test_galician_fixtures():
+    from lucenenet_spark.functions.lightstem import galician_minimal_stem
+
+    assert galician_minimal_stem("normais") == "normal"
+    assert galician_minimal_stem("luces") == "luz"
+    assert galician_minimal_stem("casas") == "casa"
+    assert galician_minimal_stem("papéis") == "papel"
+    # exception blocks the ns rule; the bare -s rule still fires
+    assert galician_minimal_stem("luns") == "lun"
+    # whole-word exception of the -s rule
+    assert galician_minimal_stem("martes") == "martes"
+    assert galician_minimal_stem("menos") == "menos"  # -s exception word
+    assert galician_minimal_stem("xamós") == "xamón"
+
+
+def test_r5e_chains():
+    assert tokenize_text("في والكتابها كلمات", "arabic") == ["كتاب", "كلم"]
+    assert tokenize_text("که كتابی میروم", "persian") == ["كتابي", "ميروم"]
+    assert tokenize_text("بۆ پیاوەکان ره", "sorani") == ["پیاو", "ڕە"]
+    assert tokenize_text("as normais e luces", "galician") == [
+        "normal", "luz"
+    ]
+    # arabic stop list is UNnormalized: the normalized form of a stop word
+    # is NOT dropped (normalization runs after the stop filter)
+    assert "the" in tokenize_text("the merge", "arabic")
+
+
+def test_arabic_excl_still_normalizes():
+    # ArabicNormalizationFilter runs before SetKeywordMarkerFilter
+    # (ArabicAnalyzer.cs:142): excluded tokens normalize but do not stem
+    assert tokenize_text("الكلمات", "arabic") == ["كلم"]
+    assert tokenize_text("الكلمات", "arabic:excl=الكلمات") == ["الكلمات"]
+    # excluded token still normalizes (teh marbuta -> heh) but skips the
+    # heh-suffix strip the unexcluded path would apply
+    assert tokenize_text("مكتبة", "arabic") == ["مكتب"]
+    assert tokenize_text("مكتبة", "arabic:excl=مكتبة") == ["مكتبه"]
+
+
+_R5E_FUZZ = {
+    # stems / prefixes / suffixes / mutation alphabet per 5e slot.
+    # sorani's alphabet includes the ZWNJ, harakat, and the ENUMERATED Cf
+    # subset the SQL mirror deletes (the Python side deletes all of Cf)
+    "arabic": {
+        "stems": ["كتاب", "كلم", "درس", "علم", "مدرس", "طالب", "من", "ب"],
+        "prefixes": ["", "ال", "وال", "بال", "كال", "فال", "لل", "و"],
+        "sufs": ["", "ها", "ان", "ات", "ون", "ين", "يه", "ية", "ه", "ة",
+                 "ي", "اتها", "يةه", "هاة"],
+        "alphabet": "ابتثجحخدذرزسشصضطظعغفقكلمنهويآأإىةًٌٍَُِّْـ",
+    },
+    "sorani": {
+        "stems": ["پیاو", "ماڵ", "کتێب", "شار", "ر", "ره", "گا", "ده"],
+        "prefixes": [""],
+        "sufs": ["", "دا", "نا", "ەوە", "مان", "یان", "تان", "ێکی", "یەکی",
+                 "ێک", "یەک", "ەکە", "کە", "ەکان", "کان", "یانی", "انی",
+                 "ان", "یانە", "انە", "ایە", "ەیە", "ە", "ی",
+                 "ەکاندا", "ەکەمان"],
+        "alphabet": "ابجدرزسشعفقکگلمنهویەێڕڵيىكةھڒ"
+                    "ًَُّ‌‍‎‏‪⁠﻿؜​",
+    },
+    "galician": {
+        "stems": ["normai", "luce", "casa", "papéi", "lun", "xamó",
+                  "animá", "caraco", "cadrí", "male", "mare", "luze",
+                  "leise", "ga", "x", "pai", "cai", "ingle"],
+        "prefixes": [""],
+        "sufs": ["", "s", "ns", "ós", "ões", "ães", "ais", "áis", "éis",
+                 "eis", "óis", "ois", "ís", "is", "les", "res", "ces",
+                 "zes", "ises", "ás", "ses"],
+        "alphabet": "abcdefghilmnopqrstuxzáéíóúñãõê",
+    },
+}
+
+
+@pytest.mark.parametrize("lang", sorted(_R5E_FUZZ))
+def test_sql_r5e_fuzz_matches_python(lang):
+    """SQL-pipeline-vs-Python fuzz for the 5e stemmers. The pipelines run
+    on POST-stop tokens, i.e. post-normalization for sorani (pre-stop norm)
+    and raw for arabic (stop list unnormalized, norm inside the pipeline) —
+    so arabic fuzz words carry raw harakat/alef variants while sorani fuzz
+    words are fed through sorani_normalize first for the Python expectation
+    and through the _PRE_NORM_SQL expression on the SQL side."""
+    import random
+
+    import duckdb
+
+    from lucenenet_spark.entry_support import _PRE_NORM_SQL, _STEM_PIPELINES
+    from lucenenet_spark.functions import lightstem
+
+    cfg = _R5E_FUZZ[lang]
+    rng = random.Random(911 + len(lang))
+    words = set()
+    for st in cfg["stems"]:
+        for su in cfg["sufs"]:
+            words.add(rng.choice(cfg["prefixes"]) + st + su)
+    for _ in range(700):
+        st = rng.choice(cfg["stems"])
+        st = "".join(
+            c if rng.random() > 0.25 else rng.choice(cfg["alphabet"])
+            for c in st
+        )
+        words.add(
+            rng.choice(cfg["prefixes"]) + st + rng.choice(cfg["sufs"])
+        )
+    words = sorted(w for w in words if w and "'" not in w)
+
+    if lang == "arabic":
+        pyfn = lightstem.arabic_chain
+        tok_expr = "tok"
+    elif lang == "sorani":
+        def pyfn(w):
+            return lightstem.sorani_stem(lightstem.sorani_normalize(w))
+
+        tok_expr = _PRE_NORM_SQL["sorani"]("tok")
+    else:
+        pyfn = lightstem.galician_minimal_stem
+        tok_expr = "tok"
+
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in words)
+    sql = f"""WITH raw0 AS (
+  SELECT 0 AS docid, 0 AS ord, tok FROM (VALUES {vals}) t(tok)),
+rawtoks AS (SELECT docid, ord, {tok_expr} AS tok FROM raw0),
+{_STEM_PIPELINES[lang]()}
+SELECT tok, stem FROM stemmap"""
+    got = {}
+    for k, v in con.execute(sql).fetchall():
+        got[k] = v
+    if lang == "sorani":
+        bad = [
+            (w, pyfn(w), got.get(lightstem.sorani_normalize(w)))
+            for w in words
+            if pyfn(w) != got.get(lightstem.sorani_normalize(w))
+        ]
+    else:
+        bad = [
+            (w, pyfn(w), got.get(w)) for w in words if pyfn(w) != got.get(w)
+        ]
+    assert not bad, (len(bad), bad[:10])
+
+
+def test_sql_persian_norm_matches_python():
+    """The Persian slot is normalization-only: fuzz the combined
+    Arabic+Persian translate map SQL-vs-Python."""
+    import random
+
+    import duckdb
+
+    from lucenenet_spark.entry_support import _PRE_NORM_SQL
+    from lucenenet_spark.functions.lightstem import persian_normalize
+
+    rng = random.Random(409)
+    alphabet = "ابپتثجچحخدذرزژسشصضطظعغفقکگلمنوهیآأإىةيےۀۂًٌٍَُِّْـ"
+    words = {"".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+             for _ in range(900)}
+    words = sorted(words)
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in words)
+    expr = _PRE_NORM_SQL["persian"]("tok")
+    got = dict(con.execute(
+        f"SELECT tok, {expr} FROM (VALUES {vals}) t(tok)"
+    ).fetchall())
+    bad = [
+        (w, persian_normalize(w), got.get(w))
+        for w in words
+        if persian_normalize(w) != got.get(w)
+    ]
+    assert not bad, (len(bad), bad[:10])
