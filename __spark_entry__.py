@@ -510,6 +510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["term_arabic"] = _analyzer_term_gate("arabic", "merge")
     out["term_persian"] = _analyzer_term_gate("persian", "merge")
     out["term_sorani"] = _analyzer_term_gate("sorani", "merge")
+    out["term_greek"] = _analyzer_term_gate("greek", "merge")
+    out["term_hindi"] = _analyzer_term_gate("hindi", "merge")
+    out["term_brazilian"] = _analyzer_term_gate("brazilian", "merges")
 
     def join_terms_avg(spark, sf_dir):
         # JoinUtil term join: docs sharing a tool with the HOT-term hits,
@@ -1190,7 +1193,7 @@ _NEW_THIS_ROUND: list[str] = [
     "shingle_top", "suggest_freetext", "pack_chunks",
     "term_czech", "term_latvian", "term_indonesian", "term_bulgarian",
     "bool_russian", "term_galician", "term_arabic", "term_persian",
-    "term_sorani",
+    "term_sorani", "term_greek", "term_hindi", "term_brazilian",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1429,6 +1432,9 @@ LIMIT 30"""
     out["term_arabic"] = es.term_sql("merge", k=15, analyzer="arabic")
     out["term_persian"] = es.term_sql("merge", k=15, analyzer="persian")
     out["term_sorani"] = es.term_sql("merge", k=15, analyzer="sorani")
+    out["term_greek"] = es.term_sql("merge", k=15, analyzer="greek")
+    out["term_hindi"] = es.term_sql("merge", k=15, analyzer="hindi")
+    out["term_brazilian"] = es.term_sql("merg", k=15, analyzer="brazilian")
     out["join_terms_avg"] = es.join_terms_sql(HOT, "tool", "tool", "avg", k=15)
     out["join_terms_total_seg"] = es.join_terms_sql(
         HOT, "tool", "tool", "total", k=15

@@ -216,8 +216,12 @@ def _tokens_expr(text_expr: str, analyzer: str = "standard") -> str:
     from .functions.analysis import elision_articles, elision_sql, stop_words
 
     stop_list = ", ".join(f"'{w}'" for w in sorted(stop_words(analyzer)))
+    src = f"COALESCE({text_expr}, '')"
+    if split_analyzer_base(analyzer) == "persian":
+        # PersianCharFilter.cs: ZWNJ -> space ahead of the tokenizer
+        src = f"replace({src}, '\u200c', ' ')"
     lowered = (
-        f"list_filter(list_transform(regexp_extract_all(COALESCE({text_expr}, ''), "
+        f"list_filter(list_transform(regexp_extract_all({src}, "
         f"'{TOKEN_PATTERN_RE2_SQL}'), t -> lower(t)), "
         f"t -> length(t) <= {MAX_TOKEN_LENGTH})"
     )
@@ -1313,6 +1317,595 @@ stemmap AS (SELECT tok, CASE
     ELSE tok END AS stem FROM vocab)"""
 
 
+
+
+def _greek_norm_sql(e: str) -> str:
+    """GreekLowerCaseFilter.cs extras after generic lower(): final sigma ->
+    sigma, tonos/dialytika folds, reserved U+03A2 -> final sigma."""
+    return ("translate(" + e + ", 'ςάέήίϊΐύϋΰόώ΢', "
+            "'σαεηιιιυυυοως')")
+
+
+_PRE_NORM_SQL["greek"] = _greek_norm_sql
+
+
+def _greek_sql_pipeline() -> str:
+    """Independent SQL GreekStemmer: each of the 23 rules is one CTE (with
+    a nested SELECT computing the stripped base and fire flag where the
+    rule has an add-back); Rule21 gates on length(w)=length(tok), sound
+    because every rule's add-back is strictly shorter than its strip so a
+    fired rule always shortens the token. Exception sets are shared DATA
+    tables (functions/lightstem._EL_EXC*) like the Latvian/Galician rule
+    tuples; the evaluation logic is this CASE chain."""
+    from .functions.lightstem import (
+        _EL_EXC4, _EL_EXC6, _EL_EXC7, _EL_EXC8A, _EL_EXC8B, _EL_EXC9,
+        _EL_EXC12A, _EL_EXC12B, _EL_EXC13, _EL_EXC14, _EL_EXC15A,
+        _EL_EXC15B, _EL_EXC16, _EL_EXC17, _EL_EXC18, _EL_EXC19,
+    )
+
+    def inlist(ws):
+        return ", ".join("'" + w + "'" for w in sorted(ws))
+
+    def ends_any(var, sufs):
+        by_len = {}
+        for sf in sufs:
+            by_len.setdefault(len(sf), []).append(sf)
+        return " OR ".join(
+            f"right({var},{n}) IN ({inlist(g)})"
+            for n, g in sorted(by_len.items())
+        )
+
+    def strip_case(var, tiers):
+        # tiers: (min_exclusive, sufs (equal length), cut)
+        arms = []
+        for mn, sufs, cut in tiers:
+            n = len(sufs[0])
+            arms.append(
+                f"WHEN length({var})>{mn} AND right({var},{n}) IN "
+                f"({inlist(sufs)}) THEN left({var},length({var})-{cut})"
+            )
+        return "CASE\n    " + "\n    ".join(arms) + f"\n    ELSE {var} END"
+
+    VOW = "('α','ε','η','ι','ο','υ','ω')"
+    VOW_NOY = "('α','ε','η','ι','ο','ω')"
+    ctes = ["vocab AS (SELECT DISTINCT tok FROM rawtoks)"]
+    prev = "vocab"
+
+    def add(name, sql):
+        nonlocal prev
+        ctes.append(f"{name} AS ({sql})")
+        prev = name
+
+    # guard: words < 4 chars bypass the whole stemmer — handled at the end
+    # Rule 0: pure strip table
+    r0 = strip_case("tok", (
+        (9, ("καθεστωτοσ", "καθεστωτων"), 4),
+        (8, ("γεγονοτοσ", "γεγονοτων"), 4),
+        (8, ("καθεστωτα",), 3),
+        (7, ("τατογιου", "τατογιων"), 4),
+        (7, ("γεγονοτα",), 3),
+        (7, ("καθεστωσ",), 2),
+        (6, ("σκαγιου", "σκαγιων", "ολογιου", "ολογιων", "κρεατοσ",
+             "κρεατων", "περατοσ", "περατων", "τερατοσ", "τερατων"), 4),
+        (6, ("τατογια",), 3),
+        (6, ("γεγονοσ",), 2),
+        (5, ("φαγιου", "φαγιων", "σογιου", "σογιων"), 4),
+        (5, ("σκαγια", "ολογια", "κρεατα", "περατα", "τερατα"), 3),
+        (4, ("φαγια", "σογια", "φωτοσ", "φωτων"), 3),
+        (4, ("κρεασ", "περασ", "τερασ"), 2),
+        (3, ("φωτα",), 2),
+        (2, ("φωσ",), 1),
+    ))
+    add("el0", f"SELECT tok, {r0} AS w FROM {prev}")
+
+    def addback_rule(name, fire, cut, keep_cond, addback):
+        # strip `cut` when `fire`; re-append `addback` when keep_cond(base)
+        add(name, f"""SELECT tok, CASE WHEN NOT fire THEN w
+      WHEN {keep_cond} THEN base || '{addback}'
+      ELSE base END AS w
+  FROM (SELECT tok, w, {fire} AS fire,
+               CASE WHEN {fire} THEN left(w,length(w)-{cut}) ELSE w END AS base
+        FROM {prev})""")
+
+    addback_rule(
+        "el1", f"length(w)>4 AND ({ends_any('w', ('αδεσ', 'αδων'))})", 4,
+        "NOT (" + ends_any("base", ("οκ", "μαμ", "μαν", "μπαμπ", "πατερ",
+                                    "γιαγι", "νταντ", "κυρ", "θει",
+                                    "πεθερ")) + ")",
+        "αδ")
+    addback_rule(
+        "el2", f"length(w)>4 AND ({ends_any('w', ('εδεσ', 'εδων'))})", 4,
+        ends_any("base", ("οπ", "ιπ", "εμπ", "υπ", "γηπ", "δαπ", "κρασπ",
+                          "μιλ")),
+        "εδ")
+    addback_rule(
+        "el3", f"length(w)>5 AND ({ends_any('w', ('ουδεσ', 'ουδων'))})", 5,
+        ends_any("base", ("αρκ", "καλιακ", "πεταλ", "λιχ", "πλεξ", "σκ",
+                          "σ", "φλ", "φρ", "βελ", "λουλ", "χν", "σπ",
+                          "τραγ", "φε")),
+        "ουδ")
+    addback_rule(
+        "el4", f"length(w)>3 AND ({ends_any('w', ('εωσ', 'εων'))})", 3,
+        f"base IN ({inlist(_EL_EXC4)})", "ε")
+    # Rule 5: two alternative strips, same add-back condition
+    add("el5", f"""SELECT tok, CASE
+      WHEN f2 AND right(base,1) IN {VOW} THEN base || 'ι'
+      WHEN f2 THEN base
+      ELSE w END AS w
+  FROM (SELECT tok, w, f2,
+               CASE WHEN fa THEN left(w,length(w)-2)
+                    WHEN fb THEN left(w,length(w)-3) ELSE w END AS base
+        FROM (SELECT tok, w, fa, fb, fa OR fb AS f2
+              FROM (SELECT tok, w,
+                           length(w)>2 AND right(w,2)='ια' AS fa,
+                           length(w)>3 AND NOT (length(w)>2 AND right(w,2)='ια')
+                             AND right(w,3) IN ('ιου','ιων') AS fb
+                    FROM {prev})))""")
+    # Rule 6
+    add("el6", f"""SELECT tok, CASE WHEN NOT fire THEN w
+      WHEN right(base,1) IN {VOW} OR base IN ({inlist(_EL_EXC6)})
+        THEN base || 'ικ'
+      ELSE base END AS w
+  FROM (SELECT tok, w, fa OR fb AS fire,
+               CASE WHEN fa THEN left(w,length(w)-3)
+                    WHEN fb THEN left(w,length(w)-4) ELSE w END AS base
+        FROM (SELECT tok, w,
+                     length(w)>3 AND right(w,3) IN ('ικα','ικο') AS fa,
+                     length(w)>4 AND NOT (length(w)>3 AND right(w,3) IN ('ικα','ικο'))
+                       AND right(w,4) IN ('ικου','ικων') AS fb
+              FROM {prev}))""")
+    # Rule 7
+    pa7 = ("CASE WHEN length(w)>7 AND right(w,7)='ηθηκαμε' "
+           "THEN left(w,length(w)-7) "
+           "WHEN length(w)>6 AND right(w,6)='ουσαμε' "
+           "THEN left(w,length(w)-6) "
+           "WHEN length(w)>5 AND right(w,5) IN ('αγαμε','ησαμε','ηκαμε') "
+           "THEN left(w,length(w)-5) ELSE w END")
+    add("el7", f"""SELECT tok, CASE WHEN spec THEN left(w,4)
+      WHEN length(pa)>3 AND right(pa,3)='αμε' THEN
+        CASE WHEN left(pa,length(pa)-3) IN ({inlist(_EL_EXC7)})
+             THEN left(pa,length(pa)-3) || 'αμ'
+             ELSE left(pa,length(pa)-3) END
+      ELSE pa END AS w
+  FROM (SELECT tok, w, length(w)=5 AND right(w,5)='αγαμε' AS spec,
+               {pa7} AS pa
+        FROM {prev})""")
+    # Rule 8: tiered strip + exc8a 'αγαν' add-back, then the ανε phase
+    pa8 = ("CASE WHEN length(w)>8 AND right(w,8)='ιουντανε' "
+           "THEN left(w,length(w)-8) "
+           "WHEN length(w)>7 AND right(w,7) IN ('ιοντανε','ουντανε','ηθηκανε') "
+           "THEN left(w,length(w)-7) "
+           "WHEN length(w)>6 AND right(w,6) IN ('ιοτανε','οντανε','ουσανε') "
+           "THEN left(w,length(w)-6) "
+           "WHEN length(w)>5 AND right(w,5) IN ('αγανε','ησανε','οτανε','ηκανε') "
+           "THEN left(w,length(w)-5) ELSE w END")
+    add("el8", f"""SELECT tok, CASE
+      WHEN length(pb)>3 AND right(pb,3)='ανε' THEN
+        CASE WHEN right(left(pb,length(pb)-3),1) IN {VOW_NOY}
+               OR left(pb,length(pb)-3) IN ({inlist(_EL_EXC8B)})
+             THEN left(pb,length(pb)-3) || 'αν'
+             ELSE left(pb,length(pb)-3) END
+      ELSE pb END AS w
+  FROM (SELECT tok, CASE WHEN pa != w AND pa IN ({inlist(_EL_EXC8A)})
+                         THEN pa || 'αγαν' ELSE pa END AS pb
+        FROM (SELECT tok, w, {pa8} AS pa FROM {prev}))""")
+    # Rule 9: ησετε pre-strip, then ετε with the big condition
+    cond9 = (f"base IN ({inlist(_EL_EXC9)}) OR right(base,1) IN {VOW_NOY} OR "
+             + ends_any("base", ("οδ", "αιρ", "φορ", "ταθ", "διαθ", "σχ",
+                                 "ενδ", "ευρ", "τιθ", "υπερθ", "ραθ",
+                                 "ενθ", "ροθ", "σθ", "πυρ", "αιν", "συνδ",
+                                 "συν", "συνθ", "χωρ", "πον", "βρ", "καθ",
+                                 "ευθ", "εκθ", "νετ", "ρον", "αρκ", "βαρ",
+                                 "βολ", "ωφελ")))
+    add("el9", f"""SELECT tok, CASE WHEN NOT fire THEN pa
+      WHEN {cond9} THEN base || 'ετ'
+      ELSE base END AS w
+  FROM (SELECT tok, pa, length(pa)>3 AND right(pa,3)='ετε' AS fire,
+               left(pa,length(pa)-3) AS base
+        FROM (SELECT tok, CASE WHEN length(w)>5 AND right(w,5)='ησετε'
+                               THEN left(w,length(w)-5) ELSE w END AS pa
+              FROM {prev}))""")
+    # Rule 10: οντασ/ωντασ with the αρχ/κρε restores
+    add("el10", f"""SELECT tok, CASE WHEN NOT fire THEN w
+      WHEN length(base)=3 AND base='αρχ' THEN base || 'οντ'
+      WHEN right(base,3)='κρε' THEN base || 'ωντ'
+      ELSE base END AS w
+  FROM (SELECT tok, w,
+               length(w)>5 AND right(w,5) IN ('οντασ','ωντασ') AS fire,
+               left(w,length(w)-5) AS base
+        FROM {prev})""")
+    # Rule 11
+    add("el11", f"""SELECT tok, CASE
+      WHEN fa AND length(base)=2 AND base='ον' THEN base || 'ομαστ'
+      WHEN fa THEN base
+      WHEN fb AND length(baseb)=2 AND baseb='ον' THEN baseb || 'ομαστ'
+      WHEN fb THEN baseb
+      ELSE w END AS w
+  FROM (SELECT tok, w,
+               length(w)>6 AND right(w,6)='ομαστε' AS fa,
+               length(w)>7 AND NOT (length(w)>6 AND right(w,6)='ομαστε')
+                 AND right(w,7)='ιομαστε' AS fb,
+               left(w,length(w)-6) AS base,
+               left(w,length(w)-7) AS baseb
+        FROM {prev})""")
+    # Rule 12: two sequential conditional strips
+    add("el12", f"""SELECT tok, CASE WHEN length(pa)>4 AND right(pa,4)='εστε' THEN
+        CASE WHEN left(pa,length(pa)-4) IN ({inlist(_EL_EXC12B)})
+             THEN left(pa,length(pa)-4) || 'εστ'
+             ELSE left(pa,length(pa)-4) END
+      ELSE pa END AS w
+  FROM (SELECT tok, CASE WHEN length(w)>5 AND right(w,5)='ιεστε' THEN
+               CASE WHEN left(w,length(w)-5) IN ({inlist(_EL_EXC12A)})
+                    THEN left(w,length(w)-5) || 'ιεστ'
+                    ELSE left(w,length(w)-5) END
+             ELSE w END AS pa
+        FROM {prev})""")
+    # Rule 13: ηθηκ pre-strip then ηκ phase
+    pa13 = ("CASE WHEN length(w)>6 AND right(w,6)='ηθηκεσ' "
+            "THEN left(w,length(w)-6) "
+            "WHEN length(w)>5 AND right(w,5) IN ('ηθηκα','ηθηκε') "
+            "THEN left(w,length(w)-5) ELSE w END")
+    cond13 = (f"base IN ({inlist(_EL_EXC13)}) OR "
+              + ends_any("base", ("σκωλ", "σκουλ", "ναρθ", "σφ", "οθ",
+                                  "πιθ")))
+    add("el13", f"""SELECT tok, CASE WHEN NOT fire THEN pa
+      WHEN {cond13} THEN base || 'ηκ'
+      ELSE base END AS w
+  FROM (SELECT tok, pa, fa OR fb AS fire,
+               CASE WHEN fa THEN left(pa,length(pa)-4)
+                    WHEN fb THEN left(pa,length(pa)-3) ELSE pa END AS base
+        FROM (SELECT tok, pa,
+                     length(pa)>4 AND right(pa,4)='ηκεσ' AS fa,
+                     length(pa)>3 AND NOT (length(pa)>4 AND right(pa,4)='ηκεσ')
+                       AND right(pa,3) IN ('ηκα','ηκε') AS fb
+              FROM (SELECT tok, {pa13} AS pa FROM {prev})))""")
+    # Rule 14
+    cond14 = (f"base IN ({inlist(_EL_EXC14)}) OR right(base,1) IN {VOW} OR "
+              + ends_any("base", ("ποδαρ", "βλεπ", "πανταχ", "φρυδ",
+                                  "μαντιλ", "μαλλ", "κυματ", "λαχ", "ληγ",
+                                  "φαγ", "ομ", "πρωτ")))
+    add("el14", f"""SELECT tok, CASE WHEN NOT fire THEN w
+      WHEN {cond14} THEN base || 'ουσ'
+      ELSE base END AS w
+  FROM (SELECT tok, w, fa OR fb AS fire,
+               CASE WHEN fa THEN left(w,length(w)-5)
+                    WHEN fb THEN left(w,length(w)-4) ELSE w END AS base
+        FROM (SELECT tok, w,
+                     length(w)>5 AND right(w,5)='ουσεσ' AS fa,
+                     length(w)>4 AND NOT (length(w)>5 AND right(w,5)='ουσεσ')
+                       AND right(w,4) IN ('ουσα','ουσε') AS fb
+              FROM {prev}))""")
+    # Rule 15: cond1 AND NOT cond2
+    cond15a = (f"base IN ({inlist(_EL_EXC15A)}) OR "
+               + ends_any("base", ("οφ", "πελ", "χορτ", "λλ", "σφ", "ρπ",
+                                   "φρ", "πρ", "λοχ", "σμην")))
+    cond15b = f"base IN ({inlist(_EL_EXC15B)}) OR right(base,4)='κολλ'"
+    add("el15", f"""SELECT tok, CASE WHEN NOT fire THEN w
+      WHEN ({cond15a}) AND NOT ({cond15b}) THEN base || 'αγ'
+      ELSE base END AS w
+  FROM (SELECT tok, w, fa OR fb AS fire,
+               CASE WHEN fa THEN left(w,length(w)-4)
+                    WHEN fb THEN left(w,length(w)-3) ELSE w END AS base
+        FROM (SELECT tok, w,
+                     length(w)>4 AND right(w,4)='αγεσ' AS fa,
+                     length(w)>3 AND NOT (length(w)>4 AND right(w,4)='αγεσ')
+                       AND right(w,3) IN ('αγα','αγε') AS fb
+              FROM {prev}))""")
+    # Rule 16
+    add("el16", f"""SELECT tok, CASE WHEN NOT fire THEN w
+      WHEN base IN ({inlist(_EL_EXC16)}) THEN base || 'ησ'
+      ELSE base END AS w
+  FROM (SELECT tok, w, fa OR fb AS fire,
+               CASE WHEN fa THEN left(w,length(w)-4)
+                    WHEN fb THEN left(w,length(w)-3) ELSE w END AS base
+        FROM (SELECT tok, w,
+                     length(w)>4 AND right(w,4)='ησου' AS fa,
+                     length(w)>3 AND NOT (length(w)>4 AND right(w,4)='ησου')
+                       AND right(w,3) IN ('ησε','ησα') AS fb
+              FROM {prev}))""")
+    addback_rule("el17", "length(w)>4 AND right(w,4)='ηστε'", 4,
+                 f"base IN ({inlist(_EL_EXC17)})", "ηστ")
+    # Rules 18/19: tiered strip + whole-base exception with explicit write
+    for nm, sufs6, suf4, addbk, exc in (
+        ("el18", ("ησουνε", "ηθουνε"), "ουνε", "ουν", _EL_EXC18),
+        ("el19", ("ησουμε", "ηθουμε"), "ουμε", "ουμ", _EL_EXC19),
+    ):
+        add(nm, f"""SELECT tok, CASE WHEN NOT fire THEN w
+      WHEN base IN ({inlist(exc)}) THEN base || '{addbk}'
+      ELSE base END AS w
+  FROM (SELECT tok, w, fa OR fb AS fire,
+               CASE WHEN fa THEN left(w,length(w)-6)
+                    WHEN fb THEN left(w,length(w)-4) ELSE w END AS base
+        FROM (SELECT tok, w,
+                     length(w)>6 AND right(w,6) IN ({inlist(sufs6)}) AS fa,
+                     length(w)>4 AND NOT (length(w)>6 AND right(w,6) IN ({inlist(sufs6)}))
+                       AND right(w,4)='{suf4}' AS fb
+              FROM {prev}))""")
+    # Rule 20
+    add("el20", f"""SELECT tok, CASE
+      WHEN length(w)>5 AND right(w,5) IN ('ματων','ματοσ')
+        THEN left(w,length(w)-3)
+      WHEN length(w)>4 AND right(w,4)='ματα' THEN left(w,length(w)-2)
+      ELSE w END AS w
+  FROM {prev}""")
+    # Rule 21: only when NO short rule fired (length unchanged — every
+    # fired rule strictly shortens), plus the trailing-vowel strip
+    r21 = strip_case("w", (
+        (9, ("ιοντουσαν",), 9),
+        (8, ("ιομασταν", "ιοσασταν", "ιουμαστε", "οντουσαν"), 8),
+        (7, ("ιεμαστε", "ιεσαστε", "ιομουνα", "ιοσαστε", "ιοσουνα",
+             "ιουνται", "ιουνταν", "ηθηκατε", "ομασταν", "οσασταν",
+             "ουμαστε"), 7),
+        (6, ("ιομουν", "ιονταν", "ιοσουν", "ηθειτε", "ηθηκαν", "ομουνα",
+             "οσαστε", "οσουνα", "ουνται", "ουνταν", "ουσατε"), 6),
+        (5, ("αγατε", "ιεμαι", "ιεται", "ιεσαι", "ιοταν", "ιουμα",
+             "ηθεισ", "ηθουν", "ηκατε", "ησατε", "ησουν", "ομουν",
+             "ονται", "ονταν", "οσουν", "ουμαι", "ουσαν"), 5),
+        (4, ("αγαν", "αμαι", "ασαι", "αται", "ειτε", "εσαι", "εται",
+             "ηδεσ", "ηδων", "ηθει", "ηκαν", "ησαν", "ησει", "ησεσ",
+             "ομαι", "οταν"), 4),
+        (3, ("αει", "εισ", "ηθω", "ησω", "ουν", "ουσ"), 3),
+        (2, ("αν", "ασ", "αω", "ει", "εσ", "ησ", "οι", "οσ", "ου", "υσ",
+             "ων"), 2),
+    ))
+    # append the vowel-strip arm by swapping the ELSE
+    r21v = r21.replace(
+        "\n    ELSE w END",
+        f"\n    WHEN length(w)>1 AND right(w,1) IN {VOW} "
+        "THEN left(w,length(w)-1)\n    ELSE w END")
+    add("el21", f"""SELECT tok,
+       CASE WHEN length(w) = length(tok) THEN {r21v} ELSE w END AS w
+  FROM {prev}""")
+    # Rule 22 + the len<4 bypass
+    add("stemmap", f"""SELECT tok, CASE WHEN length(tok)<4 THEN tok
+      WHEN right(w,5) IN ('εστερ','εστατ') THEN left(w,length(w)-5)
+      WHEN right(w,4) IN ('οτερ','οτατ','υτερ','υτατ','ωτερ','ωτατ')
+        THEN left(w,length(w)-4)
+      ELSE w END AS stem
+  FROM {prev}""")
+    return ",\n".join(ctes)
+
+
+
+
+def _hindi_norm_expr(e: str) -> str:
+    """HindiNormalizer.cs as SQL: the dead-n two-char replace, then the
+    per-char fold table — generated from the SAME codepoint map the
+    Python mirror uses (functions/lightstem._HI_NORM_MAP), so no
+    decomposed-literal transcription hazard."""
+    from .functions.lightstem import _HI_NORM_MAP
+
+    mapped = [(k, v) for k, v in _HI_NORM_MAP.items() if v is not None]
+    deleted = [k for k, v in _HI_NORM_MAP.items() if v is None]
+    frm = "".join(chr(k) for k, _ in mapped) + "".join(map(chr, deleted))
+    to = "".join(v for _, v in mapped)
+    return f"translate(replace({e}, 'न्', 'ं'), '{frm}', '{to}')"
+
+
+def _indic_norm_cte() -> str:
+    """IndicNormalizer.cs as an EXACT recursive-CTE port of the index scan
+    over `prevocab(tok)` -> `inorm(tok, s, i)`: one recursion step per
+    character position, composing the first matching decomposition row
+    (3-char rows precede their 2-char fallbacks in table order, ZWJ as the
+    0xFF third char, same-writing-system checks via the shared block
+    bases). Tokens with no Indic chars bypass the recursion entirely."""
+    from .functions.lightstem import _INDIC_DECOMP, _INDIC_SCRIPTS
+
+    flag_to_idx = {flag: i for i, (flag, _b) in enumerate(_INDIC_SCRIPTS)}
+    arms = []
+    for c0, c1, c2, res, flags in _INDIC_DECOMP:
+        idxs = [str(i) for f, i in flag_to_idx.items() if flags & f]
+        cond = (f"fb IN ({', '.join(idxs)}) AND off0={c0} AND off1={c1}"
+                + ("" if c2 < 0 else f" AND off2={c2}"))
+        consumed = 2 if c2 < 0 else 3
+        arms.append(
+            f"WHEN {cond} THEN left(s,i-1) || chr(sb + {res}) || "
+            f"substr(s, i + {consumed})"
+        )
+    compose = "CASE\n      " + "\n      ".join(arms) + "\n      ELSE s END"
+    return f"""inorm AS (
+  SELECT tok, tok AS s, 1 AS i FROM prevocab
+  WHERE regexp_matches(tok, '[\u0900-\u0D7F]')
+  UNION ALL
+  SELECT tok, CASE WHEN fb >= 0 THEN {compose} ELSE s END AS s, i + 1 AS i
+  FROM (
+    SELECT tok, s, i, fb, sb,
+           CASE WHEN fb >= 0 THEN cp0 - sb ELSE -1 END AS off0,
+           CASE WHEN fb >= 0 AND i < length(s)
+                     AND cp1 >= sb AND cp1 < sb + 128
+                THEN cp1 - sb ELSE -1 END AS off1,
+           CASE WHEN i + 2 > length(s) THEN -1
+                WHEN substr(s, i + 2, 1) = chr(8205) THEN 255
+                WHEN fb >= 0 AND cp2 >= sb AND cp2 < sb + 128
+                THEN cp2 - sb ELSE -1 END AS off2
+    FROM (
+      SELECT tok, s, i, cp0, cp1, cp2,
+             CASE WHEN cp0 >= 2304 AND cp0 < 3456
+                  THEN (cp0 - 2304) // 128 ELSE -1 END AS fb,
+             CASE WHEN cp0 >= 2304 AND cp0 < 3456
+                  THEN 2304 + 128 * ((cp0 - 2304) // 128) ELSE -1 END AS sb
+      FROM (
+        SELECT tok, s, i, unicode(substr(s, i, 1)) AS cp0,
+               CASE WHEN i < length(s)
+                    THEN unicode(substr(s, i + 1, 1)) ELSE -1 END AS cp1,
+               CASE WHEN i + 2 <= length(s)
+                    THEN unicode(substr(s, i + 2, 1)) ELSE -1 END AS cp2
+        FROM inorm WHERE i <= length(s)
+      )
+    )
+  )
+)"""
+
+
+def _hindi_prenorm_ctes(stop_list: str) -> str:
+    """The hindi pre-stop chain over exploded raw tokens: Indic scan
+    (recursive), then the HindiNormalizer fold, then the (normalized) stop
+    filter — HindiAnalyzer.cs order. Emits `rawtoks(docid, ord, tok)`."""
+    return f"""prevocab AS (SELECT DISTINCT tok FROM rawtoks0),
+{_indic_norm_cte()},
+normmap AS (
+  SELECT tok, {_hindi_norm_expr('s')} AS ntok FROM inorm WHERE i > length(s)
+  UNION ALL
+  SELECT tok, {_hindi_norm_expr('tok')} AS ntok FROM prevocab
+  WHERE NOT regexp_matches(tok, '[\u0900-\u0D7F]')
+),
+rawtoks AS (
+  SELECT r.docid, r.ord, m.ntok AS tok
+  FROM rawtoks0 r JOIN normmap m ON r.tok = m.tok
+  WHERE m.ntok NOT IN ({stop_list})
+)"""
+
+
+def _hindi_sql_pipeline() -> str:
+    """Independent SQL HindiStemmer (normalization already ran pre-stop):
+    the five suffix tiers with their length guards (shared DATA table
+    functions/lightstem._HI_SUF, independent CASE evaluation)."""
+    from .functions.lightstem import _HI_SUF
+
+    arms = []
+    for mn, sufs, cut in _HI_SUF:
+        n = len(sufs[0])
+        lst = ", ".join(f"'{sf}'" for sf in sufs)
+        arms.append(
+            f"WHEN length(tok)>{mn} AND right(tok,{n}) IN ({lst}) "
+            f"THEN left(tok,length(tok)-{cut})"
+        )
+    body = "\n    ".join(arms)
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+stemmap AS (SELECT tok, CASE
+    {body}
+    ELSE tok END AS stem FROM vocab)"""
+
+
+
+
+def _brazilian_sql_pipeline() -> str:
+    """Independent SQL BrazilianStemmer: CT folding, the exact-loop R1/R2
+    (regexp boundary with the same last-char exclusion) and three-branch
+    RV regions frozen from the pre-stemming CT, Step1/Step2 generated
+    from the shared declaration-order tables (including the unassigned
+    "logias" quirk), then Step3/4/5 keyed on the altered flag with
+    removals conditional on the CURRENT ct suffix. Non-indexable terms
+    (len <= 2 or >= 30 after folding) keep the raw token; non-letter
+    terms return the folded CT unstemmed."""
+    from .functions.lightstem import _BR_STEP1, _BR_STEP2
+
+    V = "('a','e','i','o','u')"
+
+    def r1_expr(src):
+        return (f"CASE WHEN {src} IS NULL THEN NULL "
+                f"WHEN length(regexp_extract({src}, '^[^aeiou]*[aeiou]+[^aeiou]')) "
+                f"BETWEEN 1 AND length({src}) - 1 "
+                f"THEN substr({src}, length(regexp_extract({src}, "
+                f"'^[^aeiou]*[aeiou]+[^aeiou]')) + 1) ELSE NULL END")
+
+    rv_expr = f"""CASE
+      WHEN length(ct) >= 2 AND substr(ct,2,1) NOT IN {V}
+           AND length(regexp_extract(substr(ct,3,length(ct)-3), '^[^aeiou]*'))
+               < length(ct) - 3
+        THEN substr(ct, length(regexp_extract(substr(ct,3,length(ct)-3),
+                                              '^[^aeiou]*')) + 4)
+      WHEN length(ct) >= 3 AND substr(ct,1,1) IN {V} AND substr(ct,2,1) IN {V}
+           AND length(regexp_extract(substr(ct,3,length(ct)-3), '^[aeiou]*'))
+               < length(ct) - 3
+        THEN substr(ct, length(regexp_extract(substr(ct,3,length(ct)-3),
+                                              '^[aeiou]*')) + 4)
+      WHEN length(ct) > 3 THEN substr(ct, 4)
+      ELSE NULL END"""
+
+    s1_conds, s1_cts = [], []
+    for suf, region, repl, guard, preceded, assign in _BR_STEP1:
+        n = len(suf)
+        cond = f"right(ct,{n})='{suf}' AND right({region},{n})='{suf}'"
+        if guard:
+            cond = f"length(ct)>={guard} AND " + cond
+        if preceded:
+            m = len(preceded) + n
+            cond += f" AND right(ct,{m})='{preceded}{suf}'"
+        s1_conds.append(cond)
+        out = f"left(ct,length(ct)-{n})" + (f" || '{repl}'" if repl else "")
+        s1_cts.append(out if assign else "ct")
+    fired1 = ("CASE WHEN " + " OR ".join(f"({c})" for c in s1_conds)
+              + " THEN TRUE ELSE FALSE END")
+    ct1 = ("CASE " + " ".join(
+        f"WHEN {c} THEN {o}" for c, o in zip(s1_conds, s1_cts))
+        + " ELSE ct END")
+
+    s2_arms_fire, s2_arms_ct = [], []
+    for mn, sufs in _BR_STEP2:
+        ln = len(sufs[0])
+        lst = ", ".join(f"'{s}'" for s in dict.fromkeys(sufs))
+        c = f"length(rv)>={mn} AND right(rv,{ln}) IN ({lst})"
+        s2_arms_fire.append(f"WHEN {c} THEN TRUE")
+        s2_arms_ct.append(f"WHEN {c} THEN left(ct,length(ct)-{ln})")
+    fired2 = ("CASE WHEN rv IS NULL THEN FALSE "
+              + " ".join(s2_arms_fire) + " ELSE FALSE END")
+    ct2 = ("CASE WHEN rv IS NULL THEN ct "
+           + " ".join(s2_arms_ct) + " ELSE ct END")
+
+    rm = ("CASE WHEN right({v},{n})='{s}' "
+          "THEN left({v},length({v})-{n}) ELSE {v} END")
+
+    def rmv(v, s):
+        return rm.format(v=v, n=len(s), s=s)
+
+    step34 = f"""CASE
+      WHEN rv IS NULL THEN ct
+      WHEN altered THEN
+        CASE WHEN right(rv,2)='ci' THEN {rmv('ct', 'i')} ELSE ct END
+      WHEN right(rv,2)='os' THEN {rmv('ct', 'os')}
+      WHEN right(rv,1)='a' THEN {rmv('ct', 'a')}
+      WHEN right(rv,1)='i' THEN {rmv('ct', 'i')}
+      WHEN right(rv,1)='o' THEN {rmv('ct', 'o')}
+      ELSE ct END"""
+    ct_e = rmv("ct", "e")
+    step5 = f"""CASE
+      WHEN rv IS NULL OR right(rv,1) != 'e' THEN ct
+      WHEN right(rv,3)='gue' THEN {rm.format(v=ct_e, n=1, s='u')}
+      WHEN right(rv,3)='cie' THEN {rm.format(v=ct_e, n=1, s='i')}
+      ELSE {ct_e} END"""
+
+    fold = ("translate(tok, 'áâãéêíóôõúüçñ', "
+            "'aaaeeiooouucn')")
+    q = chr(39)
+    edge_chars = ['"', q, '-', ',', ';', '.', '?', '!']
+    edge = "(" + ", ".join(
+        "'" + (c if c != q else c + c) + "'" for c in edge_chars
+    ) + ")"
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+br0 AS (
+  SELECT tok, CASE WHEN length(c1)>=2 AND right(c1,1) IN {edge}
+                   THEN left(c1,length(c1)-1) ELSE c1 END AS ct
+  FROM (SELECT tok, CASE WHEN length(c0)>=2 AND left(c0,1) IN {edge}
+                         THEN substr(c0,2) ELSE c0 END AS c1
+        FROM (SELECT tok, {fold} AS c0 FROM vocab))
+),
+br1 AS (
+  SELECT tok, ct, r1, {r1_expr('r1')} AS r2, rv
+  FROM (SELECT tok, ct, {r1_expr('ct')} AS r1, {rv_expr} AS rv FROM br0)
+),
+br2 AS (
+  SELECT tok, ct AS ct0, r1, r2, rv, {fired1} AS fired1, {ct1} AS ct
+  FROM br1
+),
+br3 AS (
+  SELECT tok, ct0, rv,
+         CASE WHEN fired1 THEN ct ELSE {ct2} END AS ct,
+         fired1 OR (NOT fired1 AND {fired2}) AS altered
+  FROM br2
+),
+br4 AS (SELECT tok, ct0, rv, altered, {step34} AS ct FROM br3),
+br5 AS (SELECT tok, ct0, rv, {step5} AS ct FROM br4),
+stemmap AS (
+  SELECT tok, CASE
+      WHEN NOT (length(ct0) > 2 AND length(ct0) < 30) THEN tok
+      WHEN NOT regexp_matches(ct0, concat(chr(94), '[[:alpha:]]+$'))
+        THEN ct0
+      ELSE ct END AS stem
+  FROM br5
+)"""
+
+
 _STEM_PIPELINES = {
     "english": _porter_sql_pipeline,
     "german": _german_sql_pipeline,
@@ -1333,6 +1926,9 @@ _STEM_PIPELINES = {
     "persian": _persian_sql_pipeline,
     "sorani": _sorani_sql_pipeline,
     "galician": _galician_sql_pipeline,
+    "greek": _greek_sql_pipeline,
+    "hindi": _hindi_sql_pipeline,
+    "brazilian": _brazilian_sql_pipeline,
 }
 
 
@@ -1351,6 +1947,34 @@ def _toks_cte(analyzer: str) -> str:
         return plain
     base, excl = split_analyzer(analyzer)
     pipeline = _STEM_PIPELINES[base]
+    if base == "hindi":
+        # heavy pre-norm chain: the Indic scan needs a recursive CTE, so
+        # stop filtering moves out of the token expression and runs on the
+        # exploded, normalized stream (HindiAnalyzer.cs filter order)
+        from .functions.analysis import stop_words
+
+        stop_list = ", ".join(f"'{w}'" for w in sorted(stop_words(base)))
+        raw = (
+            f"list_filter(list_transform(regexp_extract_all(COALESCE(text,"
+            f" ''), '{TOKEN_PATTERN_RE2_SQL}'), t -> lower(t)), "
+            f"t -> length(t) <= {MAX_TOKEN_LENGTH})"
+        )
+        return f"""toks0 AS (
+  SELECT docid, {raw} AS tokens FROM docs
+),
+rawtoks0 AS (
+  SELECT docid, unnest(tokens) AS tok, generate_subscripts(tokens, 1) AS ord
+  FROM toks0
+),
+{_hindi_prenorm_ctes(stop_list)},
+{pipeline()},
+toks AS (
+  SELECT d.docid, COALESCE(s.tokens, CAST([] AS VARCHAR[])) AS tokens
+  FROM docs d LEFT JOIN (
+    SELECT r.docid, list(m.stem ORDER BY r.ord) AS tokens
+    FROM rawtoks r JOIN stemmap m ON r.tok = m.tok GROUP BY r.docid
+  ) s ON d.docid = s.docid
+)"""
     # stem exclusions (SetKeywordMarkerFilter): matched on the post-stop
     # token (r.tok), excluded tokens bypass the stem map — except German,
     # where normalization still applies (the filter has no keyword check)
@@ -1389,7 +2013,8 @@ def prelude(analyzer: str = "standard") -> str:
     from .functions.analysis import split_analyzer
 
     # the finnish stem pipeline's kin/ko particle loop is a recursive CTE
-    rec = "RECURSIVE " if split_analyzer(analyzer)[0] == "finnish" else ""
+    rec = ("RECURSIVE "
+           if split_analyzer(analyzer)[0] in ("finnish", "hindi") else "")
     return f"""WITH {rec}docs AS (
   SELECT row_number() OVER (ORDER BY doc_id) - 1 AS docid,
          doc_id,

@@ -29,10 +29,17 @@ and in RE2 (no lookaround) so the DuckDB oracle tokenizes identically:
 Verified against the expectations in the reference's own
 Lucene.Net.Tests.Analysis.Common/Analysis/Core/TestStandardAnalyzer.cs
 (TestMid, TestApostrophesSA, TestNumericSA, TestAlphanumericSA).
+Extend handling (round 5g): BMP combining marks (Mn/Mc/Me) + ZWNJ/ZWJ
+continue a letter/digit run without breaking it (MARK_CLASS below), so
+abugida scripts — Devanagari matras, Arabic harakat, Hebrew points —
+tokenize whole, like the reference. Marks cannot START a token (the JFlex
+word rule needs a letter/digit first).
+
 Documented divergences (irrelevant to the ASCII transcript corpus):
 CJK ideographs tokenize as whole runs, not per-character; the exotic
 non-ASCII members of the Mid*/ExtendNumLet classes (U+05F4, U+FE13,
-fullwidth forms, …) and Extend/Format transparency are not modeled.
+fullwidth forms, …) are not modeled; marks adjacent to Mid* chars or
+leading a fragment are dropped rather than attached.
 """
 
 from __future__ import annotations
@@ -44,18 +51,43 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 
+# UAX#29 Extend approximation: BMP Mn/Mc/Me combining marks + ZWNJ/ZWJ
+# (U+200C/U+200D), frozen as (start, end) codepoint ranges so the Python
+# and RE2 dialects render the IDENTICAL class (literal chars, no \p
+# dependency). Marks may CONTINUE a letter/digit run but never start one —
+# abugida scripts (Devanagari matras, Arabic harakat, Hebrew points) stay
+# one token like the reference's StandardTokenizer.
+_MARK_RANGES: tuple = tuple()  # populated below from the packed string
+
+_MARK_RANGES_PACKED = (
+    "0300-036F,0483-0489,0591-05BD,05BF,05C1-05C2,05C4-05C5,05C7,0610-061A,064B-065F,0670,06D6-06DC,06DF-06E4,06E7-06E8,06EA-06ED,0711,0730-074A,07A6-07B0,07EB-07F3,07FD,0816-0819,081B-0823,0825-0827,0829-082D,0859-085B,0898-089F,08CA-08E1,08E3-0903,093A-093C,093E-094F,0951-0957,0962-0963,0981-0983,09BC,09BE-09C4,09C7-09C8,09CB-09CD,09D7,09E2-09E3,09FE,0A01-0A03,0A3C,0A3E-0A42,0A47-0A48,0A4B-0A4D,0A51,0A70-0A71,0A75,0A81-0A83,0ABC,0ABE-0AC5,0AC7-0AC9,0ACB-0ACD,0AE2-0AE3,0AFA-0AFF,0B01-0B03,0B3C,0B3E-0B44,0B47-0B48,0B4B-0B4D,0B55-0B57,0B62-0B63,0B82,0BBE-0BC2,0BC6-0BC8,0BCA-0BCD,0BD7,0C00-0C04,0C3C,0C3E-0C44,0C46-0C48,0C4A-0C4D,0C55-0C56,0C62-0C63,0C81-0C83,0CBC,0CBE-0CC4,0CC6-0CC8,0CCA-0CCD,0CD5-0CD6,0CE2-0CE3,0D00-0D03,0D3B-0D3C,0D3E-0D44,0D46-0D48,0D4A-0D4D,0D57,0D62-0D63,0D81-0D83,0DCA,0DCF-0DD4,0DD6,0DD8-0DDF,0DF2-0DF3,0E31,0E34-0E3A,0E47-0E4E,0EB1,0EB4-0EBC,0EC8-0ECD,0F18-0F19,0F35,0F37,0F39,0F3E-0F3F,0F71-0F84,0F86-0F87,0F8D-0F97,0F99-0FBC,0FC6,102B-103E,1056-1059,105E-1060,1062-1064,1067-106D,1071-1074,1082-108D,108F,109A-109D,135D-135F,1712-1715,1732-1734,1752-1753,1772-1773,17B4-17D3,17DD,180B-180D,180F,1885-1886,18A9,1920-192B,1930-193B,1A17-1A1B,1A55-1A5E,1A60-1A7C,1A7F,1AB0-1ACE,1B00-1B04,1B34-1B44,1B6B-1B73,1B80-1B82,1BA1-1BAD,1BE6-1BF3,1C24-1C37,1CD0-1CD2,1CD4-1CE8,1CED,1CF4,1CF7-1CF9,1DC0-1DFF,200C-200D,20D0-20F0,2CEF-2CF1,2D7F,2DE0-2DFF,302A-302F,3099-309A,A66F-A672,A674-A67D,A69E-A69F,A6F0-A6F1,A802,A806,A80B,A823-A827,A82C,A880-A881,A8B4-A8C5,A8E0-A8F1,A8FF,A926-A92D,A947-A953,A980-A983,A9B3-A9C0,A9E5,AA29-AA36,AA43,AA4C-AA4D,AA7B-AA7D,AAB0,AAB2-AAB4,AAB7-AAB8,AABE-AABF,AAC1,AAEB-AAEF,AAF5-AAF6,ABE3-ABEA,ABEC-ABED,FB1E,FE00-FE0F,FE20-FE2F"
+)
+_MARK_RANGES = tuple(
+    (int(p.split("-")[0], 16), int(p.split("-")[-1], 16))
+    for p in _MARK_RANGES_PACKED.split(",")
+)
+
+MARK_CLASS = "[" + "".join(
+    chr(a) if a == b else f"{chr(a)}-{chr(b)}" for a, b in _MARK_RANGES
+) + "]"
+
+
 def _token_pattern(letter: str, digit: str) -> str:
     """UAX#29 word-break regex over the given letter/digit classes.
 
     Letter runs chain across single MidLetter∪MidNumLet chars flanked by
     letters; digit runs across single MidNum∪MidNumLet chars flanked by
-    digits; runs and underscores concatenate. Same construction for the
-    Python and RE2 dialects — the language is regular, no lookaround.
+    digits; runs and underscores concatenate; combining marks + ZWNJ/ZWJ
+    (the Extend approximation, MARK_CLASS) continue a run but cannot start
+    one. Same construction for the Python and RE2 dialects — the language
+    is regular, no lookaround, literal chars only.
     """
     mid_letter = "['‘’.:·]"  # MidLetter (: ·) ∪ MidNumLet (' ‘ ’ .)
     mid_num = "['‘’.,;]"  # MidNum (, ;) ∪ MidNumLet (' ‘ ’ .)
-    lrun = f"{letter}+(?:{mid_letter}{letter}+)*"
-    nrun = f"{digit}+(?:{mid_num}{digit}+)*"
+    lcont = f"(?:{letter}|{MARK_CLASS})"
+    ncont = f"(?:{digit}|{MARK_CLASS})"
+    lrun = f"{letter}{lcont}*(?:{mid_letter}{letter}{lcont}*)*"
+    nrun = f"{digit}{ncont}*(?:{mid_num}{digit}{ncont}*)*"
     return f"_*(?:{lrun}|{nrun})(?:{lrun}|{nrun}|_)*"
 
 
@@ -76,7 +108,7 @@ _TOKEN_RE = re.compile(TOKEN_PATTERN, re.UNICODE)
 # containment scan picks the path; the transcript corpus (pure [a-z0-9 ])
 # takes the fast branch for every row.
 _SIMPLE_RE = re.compile(r"[^\W_]+", re.UNICODE)
-_NEEDS_FULL = re.compile(r"['‘’.:·,;_]").search
+_NEEDS_FULL = re.compile("['‘’.:·,;_]|" + MARK_CLASS).search
 
 
 def _findall(text: str) -> list[str]:
@@ -131,7 +163,8 @@ ANALYZERS = (
     "standard", "english", "german", "swedish",
     "french", "spanish", "italian", "portuguese", "norwegian", "finnish",
     "hungarian", "russian", "czech", "bulgarian", "latvian", "indonesian",
-    "arabic", "persian", "sorani", "galician",
+    "arabic", "persian", "sorani", "galician", "greek", "hindi",
+    "brazilian",
 )
 
 
@@ -225,15 +258,20 @@ def _base_chain(analyzer: str):
                     (stemDerivational=true default)
     - "arabic":     ArabicAnalyzer.cs — UNnormalized stops, then
                     ArabicNormalizationFilter + ArabicStemFilter (POST)
-    - "persian":    PersianAnalyzer.cs — Arabic+Persian normalization (PRE,
-                    stop list is normalized), no stemmer; the
-                    PersianCharFilter ZWNJ->space is subsumed by this
-                    engine's tokenizer splitting on ZWNJ
+    - "persian":    PersianAnalyzer.cs — PersianCharFilter (ZWNJ->space,
+                    see char_filter), Arabic+Persian normalization (PRE,
+                    stop list is normalized), no stemmer
     - "sorani":     SoraniAnalyzer.cs — SoraniNormalizationFilter (PRE) +
                     SoraniStemFilter (POST)
     - "galician":   stops + GalicianMinimalStemFilter (the RSLP-S plural
                     step the reference ships alongside the full-RSLP
                     default — same light-variant policy as sv/no/fi)
+    - "greek":      GreekAnalyzer.cs — GreekLowerCaseFilter extras as the
+                    PRE transform (folded stop list), GreekStemmer POST
+    - "hindi":      HindiAnalyzer.cs — IndicNormalizer + HindiNormalizer
+                    PRE (normalized stop list), HindiStemmer POST
+    - "brazilian":  BrazilianAnalyzer.cs — raw-token stops +
+                    BrazilianStemFilter (full 5-step stemmer)
     """
     if analyzer == "standard":
         return ENGLISH_STOP_WORDS, None, None
@@ -343,11 +381,43 @@ def _base_chain(analyzer: str):
         from .stopsets import GALICIAN_STOP_WORDS
 
         return GALICIAN_STOP_WORDS, None, galician_minimal_stem
+    if analyzer == "greek":
+        # GreekAnalyzer.cs: GreekLowerCaseFilter REPLACES the generic
+        # lowercase; its extras (final sigma, tonos/dialytika folds) run
+        # as the PRE transform, before the (folded) stop list
+        from .lightstem import greek_lowercase, greek_stem
+        from .stopsets import GREEK_STOP_WORDS
+
+        return GREEK_STOP_WORDS, greek_lowercase, greek_stem
+    if analyzer == "hindi":
+        # HindiAnalyzer.cs: IndicNormalization + HindiNormalization run
+        # BEFORE the stop filter (the stop list carries normalized forms)
+        from .lightstem import hindi_chain_pre, hindi_stem
+        from .stopsets import HINDI_STOP_WORDS
+
+        return HINDI_STOP_WORDS, hindi_chain_pre, hindi_stem
+    if analyzer == "brazilian":
+        # BrazilianAnalyzer.cs: stop on the raw lowercased token, then
+        # BrazilianStemFilter (the full 5-step RSLP-style stemmer)
+        from .lightstem import brazilian_stem
+        from .stopsets import BRAZILIAN_STOP_WORDS
+
+        return BRAZILIAN_STOP_WORDS, None, brazilian_stem
     raise ValueError(f"unknown analyzer {analyzer!r} ({'|'.join(ANALYZERS)})")
 
 
 def stop_words(analyzer: str = "standard") -> frozenset:
     return _analyzer_chain(analyzer)[0]
+
+
+def char_filter(analyzer: str):
+    """Text-level transform ahead of the tokenizer (the Lucene CharFilter
+    stage). Persian: PersianCharFilter.cs replaces ZWNJ with a space —
+    1:1, so offsets need no correction. None for every other slot."""
+    base, _excl = split_analyzer(analyzer)
+    if base == "persian":
+        return lambda t: t.replace("\u200c", " ")
+    return None
 
 
 def elision_articles(analyzer: str = "standard"):
@@ -393,6 +463,9 @@ def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
     stop, pre, stemf = _analyzer_chain(analyzer)
     if not text:
         return []
+    cf = char_filter(analyzer)
+    if cf:
+        text = cf(text)
     out = []
     for tok in _findall(text):
         if len(tok) > MAX_TOKEN_LENGTH:
@@ -421,6 +494,9 @@ def tokenize_with_positions(
     stop, pre, stemf = _analyzer_chain(analyzer)
     if not text:
         return [], []
+    cf = char_filter(analyzer)
+    if cf:
+        text = cf(text)
     toks: list[str] = []
     poss: list[int] = []
     for i, tok in enumerate(_findall(text)):
@@ -447,6 +523,9 @@ def tokenize_with_offsets(
     stop, pre, stemf = _analyzer_chain(analyzer)
     if not text:
         return [], [], [], []
+    cf = char_filter(analyzer)
+    if cf:
+        text = cf(text)
     toks: list[str] = []
     poss: list[int] = []
     starts: list[int] = []
@@ -473,7 +552,10 @@ def _tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     # happens inside a single Arrow batch (no Spark-row-level Python).
     stop, pre, stemf = _analyzer_chain(analyzer)
     maxlen = MAX_TOKEN_LENGTH
-    findall = _findall
+    cf = char_filter(analyzer)
+    findall = (
+        _findall if cf is None else (lambda t, _c=cf: _findall(_c(t)))
+    )
     if stemf is None:
         def stemf(x):  # noqa: E306 - identity for the standard chain
             return x

@@ -1249,3 +1249,746 @@ def galician_minimal_stem(token: str) -> str:
                 and (exc is None or token not in exc)):
             return token[: -len(suf)] + repl
     return token
+
+
+# -- Greek ---------------------------------------------------------------------
+
+# GreekLowerCaseFilter.cs applied AFTER generic str.lower(): final sigma ->
+# sigma, tonos/dialytika vowels fold to the bare vowel, reserved U+03A2 ->
+# final sigma (the filter's backwards-compat arm, NOT re-folded)
+_EL_LOWER_MAP = str.maketrans(
+    {"ς": "σ", "ά": "α", "έ": "ε", "ή": "η",
+     "ί": "ι", "ϊ": "ι", "ΐ": "ι",
+     "ύ": "υ", "ϋ": "υ", "ΰ": "υ",
+     "ό": "ο", "ώ": "ω", "΢": "ς"}
+)
+
+
+def greek_lowercase(token: str) -> str:
+    """GreekLowerCaseFilter.cs on an already-lowercased token: for every
+    uppercase char X the filter maps, greek(lower(X)) == greek(X), so the
+    composition with the tokenizer's generic lowercase is exact."""
+    return token.translate(_EL_LOWER_MAP)
+
+
+_EL_VOWELS = frozenset("αεηιουω")
+_EL_VOWELS_NO_Y = frozenset("αεηιοω")
+
+_EL_EXC4 = frozenset({"θ", "δ", "ελ", "γαλ", "ν", "π", "ιδ", "παρ"})
+_EL_EXC6 = frozenset({
+    "αλ", "αδ", "ενδ", "αμαν", "αμμοχαλ", "ηθ", "ανηθ", "αντιδ", "φυσ",
+    "βρωμ", "γερ", "εξωδ", "καλπ", "καλλιν", "καταδ", "μουλ", "μπαν",
+    "μπαγιατ", "μπολ", "μποσ", "νιτ", "ξικ", "συνομηλ", "πετσ", "πιτσ",
+    "πικαντ", "πλιατσ", "ποστελν", "πρωτοδ", "σερτ", "συναδ", "τσαμ",
+    "υποδ", "φιλον", "φυλοδ", "χασ"})
+_EL_EXC7 = frozenset({"αναπ", "αποθ", "αποκ", "αποστ", "βουβ", "ξεθ",
+                      "ουλ", "πεθ", "πικρ", "ποτ", "σιχ", "χ"})
+_EL_EXC8A = frozenset({"τρ", "τσ"})
+_EL_EXC8B = frozenset({
+    "βετερ", "βουλκ", "βραχμ", "γ", "δραδουμ", "θ", "καλπουζ", "καστελ",
+    "κορμορ", "λαοπλ", "μωαμεθ", "μ", "μουσουλμ", "ν", "ουλ", "π",
+    "πελεκ", "πλ", "πολισ", "πορτολ", "σαρακατσ", "σουλτ", "τσαρλατ",
+    "ορφ", "τσιγγ", "τσοπ", "φωτοστεφ", "χ", "ψυχοπλ", "αγ", "γαλ",
+    "γερ", "δεκ", "διπλ", "αμερικαν", "ουρ", "πιθ", "πουριτ", "σ",
+    "ζωντ", "ικ", "καστ", "κοπ", "λιχ", "λουθηρ", "μαιντ", "μελ", "σιγ",
+    "σπ", "στεγ", "τραγ", "τσαγ", "φ", "ερ", "αδαπ", "αθιγγ", "αμηχ",
+    "ανικ", "ανοργ", "απηγ", "απιθ", "ατσιγγ", "βασ", "βασκ", "βαθυγαλ",
+    "βιομηχ", "βραχυκ", "διατ", "διαφ", "ενοργ", "θυσ", "καπνοβιομηχ",
+    "καταγαλ", "κλιβ", "κοιλαρφ", "λιβ", "μεγλοβιομηχ", "μικροβιομηχ",
+    "νταβ", "ξηροκλιβ", "ολιγοδαμ", "ολογαλ", "πενταρφ", "περηφ",
+    "περιτρ", "πλατ", "πολυδαπ", "πολυμηχ", "στεφ", "ταβ", "τετ",
+    "υπερηφ", "υποκοπ", "χαμηλοδαπ", "ψηλοταβ"})
+_EL_EXC9 = frozenset({"αβαρ", "βεν", "εναρ", "αβρ", "αδ", "αθ", "αν",
+                      "απλ", "βαρον", "ντρ", "σκ", "κοπ", "μπορ", "νιφ",
+                      "παγ", "παρακαλ", "σερπ", "σκελ", "συρφ", "τοκ",
+                      "υ", "δ", "εμ", "θαρρ", "θ"})
+_EL_EXC12A = frozenset({"π", "απ", "συμπ", "ασυμπ", "ακαταπ", "αμεταμφ"})
+_EL_EXC12B = frozenset({"αλ", "αρ", "εκτελ", "ζ", "μ", "ξ", "παρακαλ",
+                        "προ", "νισ"})
+_EL_EXC13 = frozenset({"διαθ", "θ", "παρακαταθ", "προσθ", "συνθ"})
+_EL_EXC14 = frozenset({
+    "φαρμακ", "χαδ", "αγκ", "αναρρ", "βρομ", "εκλιπ", "λαμπιδ", "λεχ",
+    "μ", "πατ", "ρ", "λ", "μεδ", "μεσαζ", "υποτειν", "αμ", "αιθ",
+    "ανηκ", "δεσποζ", "ενδιαφερ", "δε", "δευτερευ", "καθαρευ", "πλε",
+    "τσα"})
+_EL_EXC15A = frozenset({
+    "αβαστ", "πολυφ", "αδηφ", "παμφ", "ρ", "ασπ", "αφ", "αμαλ",
+    "αμαλλι", "ανυστ", "απερ", "ασπαρ", "αχαρ", "δερβεν", "δροσοπ",
+    "ξεφ", "νεοπ", "νομοτ", "ολοπ", "ομοτ", "προστ", "προσωποπ",
+    "συμπ", "συντ", "τ", "υποτ", "χαρ", "αειπ", "αιμοστ", "ανυπ",
+    "αποτ", "αρτιπ", "διατ", "εν", "επιτ", "κροκαλοπ", "σιδηροπ", "λ",
+    "ναυ", "ουλαμ", "ουρ", "π", "τρ", "μ"})
+_EL_EXC15B = frozenset({"ψοφ", "ναυλοχ"})
+_EL_EXC16 = frozenset({"ν", "χερσον", "δωδεκαν", "ερημον", "μεγαλον",
+                       "επταν"})
+_EL_EXC17 = frozenset({"ασβ", "σβ", "αχρ", "χρ", "απλ", "αειμν",
+                       "δυσχρ", "ευχρ", "κοινοχρ", "παλιμψ"})
+_EL_EXC18 = frozenset({"ν", "ρ", "σπι", "στραβομουτσ", "κακομουτσ",
+                       "εξων"})
+_EL_EXC19 = frozenset({"παρασουσ", "φ", "χ", "ωριοπλ", "αζ",
+                       "αλλοσουσ", "ασουσ"})
+
+
+def _el_strip_table(s, table):
+    """First matching (min-exclusive-len, suffixes, strip) row wins."""
+    for mn, sufs, cut in table:
+        if len(s) > mn and s.endswith(sufs):
+            return s[: len(s) - cut], True
+    return s, False
+
+
+def greek_stem(token: str) -> str:  # noqa: C901
+    """GreekStemmer.cs Stem (Ntais' rule set over GreekLowerCaseFilter
+    output): 21 "short rules" with add-back exception sets, the Rule21
+    "long list" only when no short rule fired, then the Rule22
+    comparative/superlative strip. Operates on lowercased, accent-folded,
+    final-sigma-folded text."""
+    if len(token) < 4:
+        return token
+    s = token
+    orig_len = len(s)
+    # Rule0: irregular neuter strip table
+    s, _ = _el_strip_table(s, (
+        (9, ("καθεστωτοσ", "καθεστωτων"), 4),
+        (8, ("γεγονοτοσ", "γεγονοτων"), 4),
+        (8, ("καθεστωτα",), 3),
+        (7, ("τατογιου", "τατογιων"), 4),
+        (7, ("γεγονοτα",), 3),
+        (7, ("καθεστωσ",), 2),
+        (6, ("σκαγιου", "σκαγιων", "ολογιου", "ολογιων", "κρεατοσ",
+             "κρεατων", "περατοσ", "περατων", "τερατοσ", "τερατων"), 4),
+        (6, ("τατογια",), 3),
+        (6, ("γεγονοσ",), 2),
+        (5, ("φαγιου", "φαγιων", "σογιου", "σογιων"), 4),
+        (5, ("σκαγια", "ολογια", "κρεατα", "περατα", "τερατα"), 3),
+        (4, ("φαγια", "σογια", "φωτοσ", "φωτων"), 3),
+        (4, ("κρεασ", "περασ", "τερασ"), 2),
+        (3, ("φωτα",), 2),
+        (2, ("φωσ",), 1),
+    ))
+    # Rule1
+    if len(s) > 4 and s.endswith(("αδεσ", "αδων")):
+        s = s[:-4]
+        if not s.endswith(("οκ", "μαμ", "μαν", "μπαμπ", "πατερ", "γιαγι",
+                           "νταντ", "κυρ", "θει", "πεθερ")):
+            s += "αδ"
+    # Rule2
+    if len(s) > 4 and s.endswith(("εδεσ", "εδων")):
+        s = s[:-4]
+        if s.endswith(("οπ", "ιπ", "εμπ", "υπ", "γηπ", "δαπ", "κρασπ",
+                       "μιλ")):
+            s += "εδ"
+    # Rule3
+    if len(s) > 5 and s.endswith(("ουδεσ", "ουδων")):
+        s = s[:-5]
+        if s.endswith(("αρκ", "καλιακ", "πεταλ", "λιχ", "πλεξ", "σκ", "σ",
+                       "φλ", "φρ", "βελ", "λουλ", "χν", "σπ", "τραγ",
+                       "φε")):
+            s += "ουδ"
+    # Rule4
+    if len(s) > 3 and s.endswith(("εωσ", "εων")):
+        s = s[:-3]
+        if s in _EL_EXC4:
+            s += "ε"
+    # Rule5
+    if len(s) > 2 and s.endswith("ια"):
+        s = s[:-2]
+        if s and s[-1] in _EL_VOWELS:
+            s += "ι"
+    elif len(s) > 3 and s.endswith(("ιου", "ιων")):
+        s = s[:-3]
+        if s and s[-1] in _EL_VOWELS:
+            s += "ι"
+    # Rule6
+    removed = False
+    if len(s) > 3 and s.endswith(("ικα", "ικο")):
+        s = s[:-3]
+        removed = True
+    elif len(s) > 4 and s.endswith(("ικου", "ικων")):
+        s = s[:-4]
+        removed = True
+    if removed and ((s and s[-1] in _EL_VOWELS) or s in _EL_EXC6):
+        s += "ικ"
+    # Rule7
+    if len(s) == 5 and s.endswith("αγαμε"):
+        s = s[:-1]
+    else:
+        if len(s) > 7 and s.endswith("ηθηκαμε"):
+            s = s[:-7]
+        elif len(s) > 6 and s.endswith("ουσαμε"):
+            s = s[:-6]
+        elif len(s) > 5 and s.endswith(("αγαμε", "ησαμε", "ηκαμε")):
+            s = s[:-5]
+        if len(s) > 3 and s.endswith("αμε"):
+            s = s[:-3]
+            if s in _EL_EXC7:
+                s += "αμ"
+    # Rule8
+    removed = False
+    if len(s) > 8 and s.endswith("ιουντανε"):
+        s = s[:-8]
+        removed = True
+    elif len(s) > 7 and s.endswith(("ιοντανε", "ουντανε", "ηθηκανε")):
+        s = s[:-7]
+        removed = True
+    elif len(s) > 6 and s.endswith(("ιοτανε", "οντανε", "ουσανε")):
+        s = s[:-6]
+        removed = True
+    elif len(s) > 5 and s.endswith(("αγανε", "ησανε", "οτανε", "ηκανε")):
+        s = s[:-5]
+        removed = True
+    if removed and s in _EL_EXC8A:
+        s += "αγαν"
+    if len(s) > 3 and s.endswith("ανε"):
+        s = s[:-3]
+        if (s and s[-1] in _EL_VOWELS_NO_Y) or s in _EL_EXC8B:
+            s += "αν"
+    # Rule9
+    if len(s) > 5 and s.endswith("ησετε"):
+        s = s[:-5]
+    if len(s) > 3 and s.endswith("ετε"):
+        s = s[:-3]
+        if (s in _EL_EXC9 or (s and s[-1] in _EL_VOWELS_NO_Y)
+                or s.endswith(("οδ", "αιρ", "φορ", "ταθ", "διαθ", "σχ",
+                               "ενδ", "ευρ", "τιθ", "υπερθ", "ραθ", "ενθ",
+                               "ροθ", "σθ", "πυρ", "αιν", "συνδ", "συν",
+                               "συνθ", "χωρ", "πον", "βρ", "καθ", "ευθ",
+                               "εκθ", "νετ", "ρον", "αρκ", "βαρ", "βολ",
+                               "ωφελ"))):
+            s += "ετ"
+    # Rule10
+    if len(s) > 5 and s.endswith(("οντασ", "ωντασ")):
+        s = s[:-5]
+        if len(s) == 3 and s.endswith("αρχ"):
+            s += "οντ"
+        if s.endswith("κρε"):
+            s += "ωντ"
+    # Rule11
+    if len(s) > 6 and s.endswith("ομαστε"):
+        s = s[:-6]
+        if len(s) == 2 and s.endswith("ον"):
+            s += "ομαστ"
+    elif len(s) > 7 and s.endswith("ιομαστε"):
+        s = s[:-7]
+        if len(s) == 2 and s.endswith("ον"):
+            s += "ομαστ"
+    # Rule12
+    if len(s) > 5 and s.endswith("ιεστε"):
+        s = s[:-5]
+        if s in _EL_EXC12A:
+            s += "ιεστ"
+    if len(s) > 4 and s.endswith("εστε"):
+        s = s[:-4]
+        if s in _EL_EXC12B:
+            s += "εστ"
+    # Rule13
+    if len(s) > 6 and s.endswith("ηθηκεσ"):
+        s = s[:-6]
+    elif len(s) > 5 and s.endswith(("ηθηκα", "ηθηκε")):
+        s = s[:-5]
+    removed = False
+    if len(s) > 4 and s.endswith("ηκεσ"):
+        s = s[:-4]
+        removed = True
+    elif len(s) > 3 and s.endswith(("ηκα", "ηκε")):
+        s = s[:-3]
+        removed = True
+    if removed and (s in _EL_EXC13
+                    or s.endswith(("σκωλ", "σκουλ", "ναρθ", "σφ", "οθ",
+                                   "πιθ"))):
+        s += "ηκ"
+    # Rule14
+    removed = False
+    if len(s) > 5 and s.endswith("ουσεσ"):
+        s = s[:-5]
+        removed = True
+    elif len(s) > 4 and s.endswith(("ουσα", "ουσε")):
+        s = s[:-4]
+        removed = True
+    if removed and (s in _EL_EXC14 or (s and s[-1] in _EL_VOWELS)
+                    or s.endswith(("ποδαρ", "βλεπ", "πανταχ", "φρυδ",
+                                   "μαντιλ", "μαλλ", "κυματ", "λαχ", "ληγ",
+                                   "φαγ", "ομ", "πρωτ"))):
+        s += "ουσ"
+    # Rule15
+    removed = False
+    if len(s) > 4 and s.endswith("αγεσ"):
+        s = s[:-4]
+        removed = True
+    elif len(s) > 3 and s.endswith(("αγα", "αγε")):
+        s = s[:-3]
+        removed = True
+    if removed:
+        cond1 = (s in _EL_EXC15A
+                 or s.endswith(("οφ", "πελ", "χορτ", "λλ", "σφ", "ρπ",
+                                "φρ", "πρ", "λοχ", "σμην")))
+        cond2 = s in _EL_EXC15B or s.endswith("κολλ")
+        if cond1 and not cond2:
+            s += "αγ"
+    # Rule16
+    removed = False
+    if len(s) > 4 and s.endswith("ησου"):
+        s = s[:-4]
+        removed = True
+    elif len(s) > 3 and s.endswith(("ησε", "ησα")):
+        s = s[:-3]
+        removed = True
+    if removed and s in _EL_EXC16:
+        s += "ησ"
+    # Rule17
+    if len(s) > 4 and s.endswith("ηστε"):
+        s = s[:-4]
+        if s in _EL_EXC17:
+            s += "ηστ"
+    # Rule18
+    removed = False
+    if len(s) > 6 and s.endswith(("ησουνε", "ηθουνε")):
+        s = s[:-6]
+        removed = True
+    elif len(s) > 4 and s.endswith("ουνε"):
+        s = s[:-4]
+        removed = True
+    if removed and s in _EL_EXC18:
+        s += "ουν"
+    # Rule19
+    removed = False
+    if len(s) > 6 and s.endswith(("ησουμε", "ηθουμε")):
+        s = s[:-6]
+        removed = True
+    elif len(s) > 4 and s.endswith("ουμε"):
+        s = s[:-4]
+        removed = True
+    if removed and s in _EL_EXC19:
+        s += "ουμ"
+    # Rule20
+    if len(s) > 5 and s.endswith(("ματων", "ματοσ")):
+        s = s[:-3]
+    elif len(s) > 4 and s.endswith("ματα"):
+        s = s[:-2]
+    # Rule21 — long list, only if NO short rule fired
+    if len(s) == orig_len:
+        s, fired = _el_strip_table(s, (
+            (9, ("ιοντουσαν",), 9),
+            (8, ("ιομασταν", "ιοσασταν", "ιουμαστε", "οντουσαν"), 8),
+            (7, ("ιεμαστε", "ιεσαστε", "ιομουνα", "ιοσαστε", "ιοσουνα",
+                 "ιουνται", "ιουνταν", "ηθηκατε", "ομασταν", "οσασταν",
+                 "ουμαστε"), 7),
+            (6, ("ιομουν", "ιονταν", "ιοσουν", "ηθειτε", "ηθηκαν",
+                 "ομουνα", "οσαστε", "οσουνα", "ουνται", "ουνταν",
+                 "ουσατε"), 6),
+            (5, ("αγατε", "ιεμαι", "ιεται", "ιεσαι", "ιοταν", "ιουμα",
+                 "ηθεισ", "ηθουν", "ηκατε", "ησατε", "ησουν", "ομουν",
+                 "ονται", "ονταν", "οσουν", "ουμαι", "ουσαν"), 5),
+            (4, ("αγαν", "αμαι", "ασαι", "αται", "ειτε", "εσαι", "εται",
+                 "ηδεσ", "ηδων", "ηθει", "ηκαν", "ησαν", "ησει", "ησεσ",
+                 "ομαι", "οταν"), 4),
+            (3, ("αει", "εισ", "ηθω", "ησω", "ουν", "ουσ"), 3),
+            (2, ("αν", "ασ", "αω", "ει", "εσ", "ησ", "οι", "οσ", "ου",
+                 "υσ", "ων"), 2),
+        ))
+        if not fired and len(s) > 1 and s[-1] in _EL_VOWELS:
+            s = s[:-1]
+    # Rule22 — comparatives/superlatives (no length guard)
+    if s.endswith(("εστερ", "εστατ")):
+        return s[:-5]
+    if s.endswith(("οτερ", "οτατ", "υτερ", "υτατ", "ωτερ", "ωτατ")):
+        return s[:-4]
+    return s
+
+
+# -- Hindi (+ the shared Indic normalizer) -------------------------------------
+
+# IndicNormalizer.cs decompositions: (ch1, ch2, ch3, res, script-flags) as
+# offsets into each script's codepage; -1 = absent, 0xFF = ZWJ. Flags index
+# into _INDIC_SCRIPTS below. Shared DATA with the SQL mirror.
+_IN_DEV, _IN_BEN, _IN_GUR, _IN_GUJ, _IN_ORI = 1, 2, 4, 8, 16
+_IN_TAM, _IN_TEL, _IN_KAN, _IN_MAL = 32, 64, 128, 256
+
+_INDIC_SCRIPTS = (
+    (_IN_DEV, 0x0900), (_IN_BEN, 0x0980), (_IN_GUR, 0x0A00),
+    (_IN_GUJ, 0x0A80), (_IN_ORI, 0x0B00), (_IN_TAM, 0x0B80),
+    (_IN_TEL, 0x0C00), (_IN_KAN, 0x0C80), (_IN_MAL, 0x0D00),
+)
+
+_INDIC_DECOMP = (
+    (0x05, 0x3E, 0x45, 0x11, _IN_DEV | _IN_GUJ),
+    (0x05, 0x3E, 0x46, 0x12, _IN_DEV),
+    (0x05, 0x3E, 0x47, 0x13, _IN_DEV | _IN_GUJ),
+    (0x05, 0x3E, 0x48, 0x14, _IN_DEV | _IN_GUJ),
+    (0x05, 0x3E, -1, 0x06, _IN_DEV | _IN_BEN | _IN_GUR | _IN_GUJ | _IN_ORI),
+    (0x05, 0x45, -1, 0x72, _IN_DEV),
+    (0x05, 0x45, -1, 0x0D, _IN_GUJ),
+    (0x05, 0x46, -1, 0x04, _IN_DEV),
+    (0x05, 0x47, -1, 0x0F, _IN_GUJ),
+    (0x05, 0x48, -1, 0x10, _IN_GUR | _IN_GUJ),
+    (0x05, 0x49, -1, 0x11, _IN_DEV | _IN_GUJ),
+    (0x05, 0x4A, -1, 0x12, _IN_DEV),
+    (0x05, 0x4B, -1, 0x13, _IN_DEV | _IN_GUJ),
+    (0x05, 0x4C, -1, 0x14, _IN_DEV | _IN_GUR | _IN_GUJ),
+    (0x06, 0x45, -1, 0x11, _IN_DEV | _IN_GUJ),
+    (0x06, 0x46, -1, 0x12, _IN_DEV),
+    (0x06, 0x47, -1, 0x13, _IN_DEV | _IN_GUJ),
+    (0x06, 0x48, -1, 0x14, _IN_DEV | _IN_GUJ),
+    (0x07, 0x57, -1, 0x08, _IN_MAL),
+    (0x09, 0x41, -1, 0x0A, _IN_DEV),
+    (0x09, 0x57, -1, 0x0A, _IN_TAM | _IN_MAL),
+    (0x0E, 0x46, -1, 0x10, _IN_MAL),
+    (0x0F, 0x45, -1, 0x0D, _IN_DEV),
+    (0x0F, 0x46, -1, 0x0E, _IN_DEV),
+    (0x0F, 0x47, -1, 0x10, _IN_DEV),
+    (0x0F, 0x57, -1, 0x10, _IN_ORI),
+    (0x12, 0x3E, -1, 0x13, _IN_MAL),
+    (0x12, 0x4C, -1, 0x14, _IN_TEL | _IN_KAN),
+    (0x12, 0x55, -1, 0x13, _IN_TEL),
+    (0x12, 0x57, -1, 0x14, _IN_TAM | _IN_MAL),
+    (0x13, 0x57, -1, 0x14, _IN_ORI),
+    (0x15, 0x3C, -1, 0x58, _IN_DEV),
+    (0x16, 0x3C, -1, 0x59, _IN_DEV | _IN_GUR),
+    (0x17, 0x3C, -1, 0x5A, _IN_DEV | _IN_GUR),
+    (0x1C, 0x3C, -1, 0x5B, _IN_DEV | _IN_GUR),
+    (0x21, 0x3C, -1, 0x5C, _IN_DEV | _IN_BEN | _IN_ORI),
+    (0x22, 0x3C, -1, 0x5D, _IN_DEV | _IN_BEN | _IN_ORI),
+    (0x23, 0x4D, 0xFF, 0x7A, _IN_MAL),
+    (0x24, 0x4D, 0xFF, 0x4E, _IN_BEN),
+    (0x28, 0x3C, -1, 0x29, _IN_DEV),
+    (0x28, 0x4D, 0xFF, 0x7B, _IN_MAL),
+    (0x2B, 0x3C, -1, 0x5E, _IN_DEV | _IN_GUR),
+    (0x2F, 0x3C, -1, 0x5F, _IN_DEV | _IN_BEN),
+    (0x2C, 0x41, 0x41, 0x0B, _IN_TEL),
+    (0x30, 0x3C, -1, 0x31, _IN_DEV),
+    (0x30, 0x4D, 0xFF, 0x7C, _IN_MAL),
+    (0x32, 0x4D, 0xFF, 0x7D, _IN_MAL),
+    (0x33, 0x3C, -1, 0x34, _IN_DEV),
+    (0x33, 0x4D, 0xFF, 0x7E, _IN_MAL),
+    (0x35, 0x41, -1, 0x2E, _IN_TEL),
+    (0x3E, 0x45, -1, 0x49, _IN_DEV | _IN_GUJ),
+    (0x3E, 0x46, -1, 0x4A, _IN_DEV),
+    (0x3E, 0x47, -1, 0x4B, _IN_DEV | _IN_GUJ),
+    (0x3E, 0x48, -1, 0x4C, _IN_DEV | _IN_GUJ),
+    (0x3F, 0x55, -1, 0x40, _IN_KAN),
+    (0x41, 0x41, -1, 0x42, _IN_GUR),
+    (0x46, 0x3E, -1, 0x4A, _IN_TAM | _IN_MAL),
+    (0x46, 0x42, 0x55, 0x4B, _IN_KAN),
+    (0x46, 0x42, -1, 0x4A, _IN_KAN),
+    (0x46, 0x46, -1, 0x48, _IN_MAL),
+    (0x46, 0x55, -1, 0x47, _IN_TEL | _IN_KAN),
+    (0x46, 0x56, -1, 0x48, _IN_TEL | _IN_KAN),
+    (0x46, 0x57, -1, 0x4C, _IN_TAM | _IN_MAL),
+    (0x47, 0x3E, -1, 0x4B, _IN_BEN | _IN_ORI | _IN_TAM | _IN_MAL),
+    (0x47, 0x57, -1, 0x4C, _IN_BEN | _IN_ORI),
+    (0x4A, 0x55, -1, 0x4B, _IN_KAN),
+    (0x72, 0x3F, -1, 0x07, _IN_GUR),
+    (0x72, 0x40, -1, 0x08, _IN_GUR),
+    (0x72, 0x47, -1, 0x0F, _IN_GUR),
+    (0x73, 0x41, -1, 0x09, _IN_GUR),
+    (0x73, 0x42, -1, 0x0A, _IN_GUR),
+    (0x73, 0x4B, -1, 0x13, _IN_GUR),
+)
+
+
+def _indic_script(c: str):
+    cp = ord(c)
+    for flag, base in _INDIC_SCRIPTS:
+        if base <= cp < base + 0x80:
+            return flag, base
+    return 0, 0
+
+
+def indic_normalize(token: str) -> str:
+    """IndicNormalizer.cs Normalize: left-to-right scan; at each position
+    in a known Indic block whose offset appears in the decomposition
+    table, compose the FIRST matching (2- or 3-char, same-script, ZWJ
+    allowed third) row and delete the consumed chars; the scan continues
+    after the composed char."""
+    s = list(token)
+    i = 0
+    while i < len(s):
+        flag, base = _indic_script(s[i])
+        if flag:
+            ch0 = ord(s[i]) - base
+            if i + 1 < len(s):
+                f1, _ = _indic_script(s[i + 1])
+                if f1 == flag:
+                    ch1 = ord(s[i + 1]) - base
+                    ch2 = -1
+                    if i + 2 < len(s):
+                        if s[i + 2] == "‍":
+                            ch2 = 0xFF
+                        else:
+                            f2, _ = _indic_script(s[i + 2])
+                            if f2 == flag:
+                                ch2 = ord(s[i + 2]) - base
+                    for c0, c1, c2, res, flags in _INDIC_DECOMP:
+                        if (c0 == ch0 and flags & flag and c1 == ch1
+                                and (c2 < 0 or c2 == ch2)):
+                            s[i] = chr(base + res)
+                            del s[i + 1]
+                            if c2 >= 0:
+                                del s[i + 1]
+                            break
+        i += 1
+    return "".join(s)
+
+
+# HindiNormalizer.cs: dead n -> bindu first (two-char), then the per-char
+# folds/deletions (nukta forms, candrabindu, ZWJ/ZWNJ/virama, chandra and
+# long->short vowels)
+_HI_NORM_MAP = str.maketrans(
+    {"ँ": "ं",
+     "़": None, "‍": None, "‌": None, "्": None,
+     "ऩ": "न", "ऱ": "र", "ऴ": "ळ",
+     "क़": "क", "ख़": "ख", "ग़": "ग",
+     "ज़": "ज", "ड़": "ड", "ढ़": "ढ",
+     "फ़": "फ", "य़": "य",
+     "ॅ": "े", "ॆ": "े",
+     "ॉ": "ो", "ॊ": "ो",
+     "ऍ": "ए", "ऎ": "ए",
+     "ऑ": "ओ", "ऒ": "ओ",
+     "ॲ": "अ", "आ": "अ", "ई": "इ",
+     "ऊ": "उ", "ॠ": "ऋ", "ॡ": "ऌ",
+     "ऐ": "ए", "औ": "ओ",
+     "ी": "ि", "ू": "ु", "ॄ": "ृ",
+     "ॣ": "ॢ", "ै": "े", "ौ": "ो"}
+)
+
+
+def hindi_normalize(token: str) -> str:
+    """HindiNormalizer.cs: the dead-n (न + virama -> anusvara) two-char
+    rule, then the per-char fold table. The global replace equals the
+    reference's scan: a virama consumed by dead-n is gone before the
+    standalone-virama deletion arm would see it."""
+    return token.replace("न्", "ं").translate(_HI_NORM_MAP)
+
+
+def hindi_chain_pre(token: str) -> str:
+    """HindiAnalyzer.cs pre-stop tail: IndicNormalizationFilter then
+    HindiNormalizationFilter (the stop list holds normalized forms)."""
+    return hindi_normalize(indic_normalize(token))
+
+
+_HI_SUF = (
+    (6, ("ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां"), 5),
+    (5, ("ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
+         "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ",
+         "ियों", "ियां"), 4),
+    (4, ("ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे", "ाने",
+         "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं", "ुओं", "ुएं",
+         "ुआं"), 3),
+    (3, ("कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं", "ती",
+         "ता", "ाँ", "ां", "ों", "ें"), 2),
+    (2, ("ो", "े", "ू", "ु", "ी", "ि", "ा"), 1),
+)
+
+
+def hindi_stem(token: str) -> str:
+    """HindiStemmer.cs (Ramanathan & Rao lightweight stemmer): longest of
+    the five suffix tiers, each with a strict length guard."""
+    for mn, sufs, cut in _HI_SUF:
+        if len(token) > mn and token.endswith(sufs):
+            return token[:-cut]
+    return token
+
+
+# -- Brazilian Portuguese ------------------------------------------------------
+
+_BR_VOWELS = frozenset("aeiou")
+
+_BR_FOLD = str.maketrans(
+    {"á": "a", "â": "a", "ã": "a", "é": "e", "ê": "e", "í": "i",
+     "ó": "o", "ô": "o", "õ": "o", "ú": "u", "ü": "u", "ç": "c",
+     "ñ": "n"}
+)
+
+_BR_EDGE = set("\"'-,;.?!")
+
+# BrazilianStemmer.cs Step1 rows in declaration order:
+# (suffix, region, replacement|None, min CT length guard, preceded|None,
+#  assign) — assign=False is the reference's unassigned-"logias" quirk
+# (the rule fires and reports altered but leaves CT unchanged)
+_BR_STEP1 = (
+    ("uciones", "r2", "u", 0, None, True),
+    ("imentos", "r2", None, 6, None, True),
+    ("amentos", "r2", None, 6, None, True),
+    ("adores", "r2", None, 6, None, True),
+    ("adoras", "r2", None, 6, None, True),
+    ("logias", "r2", "log", 6, None, False),
+    ("encias", "r2", "ente", 6, None, True),
+    ("amente", "r1", None, 6, None, True),
+    ("idades", "r2", None, 6, None, True),
+    ("acoes", "r2", None, 5, None, True),
+    ("imento", "r2", None, 5, None, True),
+    ("amento", "r2", None, 5, None, True),
+    ("adora", "r2", None, 5, None, True),
+    ("ismos", "r2", None, 5, None, True),
+    ("istas", "r2", None, 5, None, True),
+    ("logia", "r2", "log", 5, None, True),
+    ("ucion", "r2", "u", 5, None, True),
+    ("encia", "r2", "ente", 5, None, True),
+    ("mente", "r2", None, 5, None, True),
+    ("idade", "r2", None, 5, None, True),
+    ("acao", "r2", None, 4, None, True),
+    ("ezas", "r2", None, 4, None, True),
+    ("icos", "r2", None, 4, None, True),
+    ("icas", "r2", None, 4, None, True),
+    ("ismo", "r2", None, 4, None, True),
+    ("avel", "r2", None, 4, None, True),
+    ("ivel", "r2", None, 4, None, True),
+    ("ista", "r2", None, 4, None, True),
+    ("osos", "r2", None, 4, None, True),
+    ("osas", "r2", None, 4, None, True),
+    ("ador", "r2", None, 4, None, True),
+    ("ivas", "r2", None, 4, None, True),
+    ("ivos", "r2", None, 4, None, True),
+    ("iras", "rv", "ir", 4, "e", True),
+    ("eza", "r2", None, 3, None, True),
+    ("ico", "r2", None, 3, None, True),
+    ("ica", "r2", None, 3, None, True),
+    ("oso", "r2", None, 3, None, True),
+    ("osa", "r2", None, 3, None, True),
+    ("iva", "r2", None, 3, None, True),
+    ("ivo", "r2", None, 3, None, True),
+    ("ira", "rv", "ir", 3, "e", True),
+)
+
+# BrazilianStemmer.cs Step2 verb-suffix tiers: (min RV length, suffixes)
+# in declaration order — all suffixes within a tier share one length
+_BR_STEP2 = (
+    (7, ("issemos", "essemos", "assemos", "ariamos", "eriamos",
+         "iriamos")),
+    (6, ("iremos", "eremos", "aremos", "avamos", "iramos", "eramos",
+         "aramos", "asseis", "esseis", "isseis", "arieis", "erieis",
+         "irieis")),
+    (5, ("irmos", "iamos", "armos", "ermos", "areis", "ereis", "ireis",
+         "asses", "esses", "isses", "astes", "assem", "essem", "issem",
+         "ardes", "erdes", "irdes", "ariam", "eriam", "iriam", "arias",
+         "erias", "irias", "estes", "istes", "aveis")),
+    (4, ("aria", "eria", "iria", "asse", "esse", "isse", "aste", "este",
+         "iste", "arei", "erei", "irei", "aram", "eram", "iram", "avam",
+         "arem", "erem", "irem", "ando", "endo", "indo", "arao", "erao",
+         "irao", "adas", "idas", "aras", "eras", "iras", "avas", "ares",
+         "eres", "ires", "ados", "idos", "amos", "emos", "imos", "ieis")),
+    (3, ("ada", "ida", "ara", "era", "ira", "iam", "ado", "ido", "ias",
+         "ais", "eis", "ear")),
+    (2, ("ia", "ei", "am", "em", "ar", "er", "ir", "as", "es", "is",
+         "eu", "iu", "ou")),
+)
+
+
+def _br_r1(v: str | None) -> str | None:
+    """BrazilianStemmer.cs GetR1 — exact loop port (the scans run over
+    [0, len-1), so the last char can never be the region boundary)."""
+    if v is None:
+        return None
+    i = len(v) - 1
+    j = 0
+    while j < i and v[j] not in _BR_VOWELS:
+        j += 1
+    if not j < i:
+        return None
+    while j < i and v[j] in _BR_VOWELS:
+        j += 1
+    if not j < i:
+        return None
+    return v[j + 1:]
+
+
+def _br_rv(v: str | None) -> str | None:
+    """BrazilianStemmer.cs GetRV — exact three-branch port."""
+    if v is None:
+        return None
+    i = len(v) - 1
+    if i > 0 and v[1] not in _BR_VOWELS:
+        j = 2
+        while j < i and v[j] not in _BR_VOWELS:
+            j += 1
+        if j < i:
+            return v[j + 1:]
+    if i > 1 and v[0] in _BR_VOWELS and v[1] in _BR_VOWELS:
+        j = 2
+        while j < i and v[j] in _BR_VOWELS:
+            j += 1
+        if j < i:
+            return v[j + 1:]
+    if i > 2:
+        return v[3:]
+    return None
+
+
+def _br_ct(term: str) -> str:
+    ct = term.lower().translate(_BR_FOLD)
+    if len(ct) >= 2 and ct[0] in _BR_EDGE:
+        ct = ct[1:]
+    if len(ct) >= 2 and ct[-1] in _BR_EDGE:
+        ct = ct[:-1]
+    return ct
+
+
+def _br_remove(ct: str, suf: str) -> str:
+    return ct[: -len(suf)] if ct.endswith(suf) else ct
+
+
+def brazilian_stem(token: str) -> str:
+    """BrazilianStemmer.cs Stem via BrazilianStemFilter.cs semantics: CT
+    (folded changed term) with the five steps; non-indexable terms
+    (len <= 2 or >= 30 after folding) keep the ORIGINAL token, terms with
+    non-letter chars return CT unstemmed. R1/R2/RV are frozen from the
+    pre-stemming CT — later steps test the ORIGINAL regions while CT
+    shrinks, and removals stay conditional on the CURRENT CT suffix."""
+    ct = _br_ct(token)
+    if not (2 < len(ct) < 30):
+        return token
+    if not all(c.isalpha() for c in ct):
+        return ct
+    r1 = _br_r1(ct)
+    r2 = _br_r1(r1)
+    rv = _br_rv(ct)
+
+    def sfx(v, s):
+        return v is not None and v.endswith(s)
+
+    # Step 1 — standard suffixes
+    altered = False
+    for suf, region, repl, guard, preceded, assign in _BR_STEP1:
+        if guard and len(ct) < guard:
+            continue
+        reg = {"r1": r1, "r2": r2, "rv": rv}[region]
+        if not (ct.endswith(suf) and sfx(reg, suf)):
+            continue
+        if preceded and not ct[: -len(suf)].endswith(preceded):
+            continue
+        if assign:
+            ct = ct[: -len(suf)] + (repl or "")
+        altered = True
+        break
+    # Step 2 — verb suffixes in RV
+    if not altered and rv is not None:
+        for mn, sufs in _BR_STEP2:
+            if len(rv) < mn:
+                continue
+            hit = next((s for s in sufs if rv.endswith(s)), None)
+            if hit:
+                ct = _br_remove(ct, hit)
+                altered = True
+                break
+    if altered:
+        # Step 3
+        if rv is not None and rv.endswith("i") and rv[:-1].endswith("c"):
+            ct = _br_remove(ct, "i")
+    else:
+        # Step 4 — residual suffix
+        if rv is not None:
+            for s in ("os", "a", "i", "o"):
+                if rv.endswith(s):
+                    ct = _br_remove(ct, s)
+                    break
+    # Step 5
+    if rv is not None and rv.endswith("e"):
+        if rv[:-1].endswith("gu"):
+            ct = _br_remove(ct, "e")
+            ct = _br_remove(ct, "u")
+        elif rv[:-1].endswith("ci"):
+            ct = _br_remove(ct, "e")
+            ct = _br_remove(ct, "i")
+        else:
+            ct = _br_remove(ct, "e")
+    return ct

@@ -357,3 +357,52 @@ GALICIAN_STOP_WORDS = frozenset(
     ti tido tiña tiven túa túas un unha unhas uns vos vosa vosas voso
     vosos vós""".split()
 )
+
+# Analysis/El/stopwords.txt (GreekAnalyzer.cs DEFAULT_STOPWORD_FILE —
+# matched on GreekLowerCaseFilter output: lowercased, accents folded)
+GREEK_STOP_WORDS = frozenset(
+    """ο η το οι τα του τησ των τον την και κι κ ειμαι εισαι ειναι ειμαστε
+    ειστε στο στον στη στην μα αλλα απο για προσ με σε ωσ παρα αντι κατα
+    μετα θα να δε δεν μη μην επι ενω εαν αν τοτε που πωσ ποιοσ ποια ποιο
+    ποιοι ποιεσ ποιων ποιουσ αυτοσ αυτη αυτο αυτοι αυτων αυτουσ αυτεσ αυτα
+    εκεινοσ εκεινη εκεινο εκεινοι εκεινεσ εκεινα εκεινων εκεινουσ οπωσ
+    ομωσ ισωσ οσο οτι""".split()
+)
+
+
+# Analysis/Hi/stopwords.txt (HindiAnalyzer.cs DEFAULT_STOPWORD_FILE, Savoy
+# BSD list — contains both raw and HindiNormalizer-normalized forms)
+HINDI_STOP_WORDS = frozenset(
+    """अंदर अत अपना अपनी अपने अभी आदि आप इत्यादि इन इनका इन्हीं इन्हें इन्हों
+    इस इसका इसकी इसके इसमें इसी इसे उन उनका उनकी उनके उनको उन्हीं उन्हें
+    उन्हों उस उसके उसी उसे एक एवं एस ऐसे और कई कर करता करते करना करने करें
+    कहते कहा का काफ़ी कि कितना किन्हें किन्हों किया किर किस किसी किसे की
+    कुछ कुल के को कोई कौन कौनसा गया घर जब जहाँ जा जितना जिन जिन्हें
+    जिन्हों जिस जिसे जीधर जैसा जैसे जो तक तब तरह तिन तिन्हें तिन्हों तिस
+    तिसे तो था थी थे दबारा दिया दुसरा दूसरे दो द्वारा न नहीं ना निहायत
+    नीचे ने पर पर पहले पूरा पे फिर बनी बही बहुत बाद बाला बिलकुल भी भीतर
+    मगर मानो मे में यदि यह यहाँ यही या यिह ये रखें रहा रहे ऱ्वासा लिए लिये
+    लेकिन व वर्ग वह वह वहाँ वहीं वाले वुह वे वग़ैरह संग सकता सकते सबसे सभी
+    साथ साबुत साभ सारा से सो ही हुआ हुई हुए है हैं हो होता होती होते होना
+    होने अपनि जेसे होति सभि तिंहों इंहों दवारा इसि किंहें थि उंहों ओर
+    जिंहें वहिं अभि बनि हि उंहिं उंहें हें वगेरह एसे रवासा कोन निचे काफि
+    उसि पुरा भितर हे बहि वहां कोइ यहां जिंहों तिंहें किसि कइ यहि इंहिं
+    जिधर इंहें अदि इतयादि हुइ कोनसा इसकि दुसरे जहां अप किंहों उनकि भि वरग
+    हुअ जेसा नहिं""".split()
+)
+
+
+# Analysis/Br/stopwords.txt (BrazilianAnalyzer.cs DEFAULT_STOPWORD_FILE)
+BRAZILIAN_STOP_WORDS = frozenset(
+    """a ainda alem ambas ambos antes ao aonde aos apos aquele aqueles as
+    assim com como contra contudo cuja cujas cujo cujos da das de dela
+    dele deles demais depois desde desta deste dispoe dispoem diversa
+    diversas diversos do dos durante e ela elas ele eles em entao entre
+    essa essas esse esses esta estas este estes ha isso isto logo mais mas
+    mediante menos mesma mesmas mesmo mesmos na nas nao nas nem nesse
+    neste nos o os ou outra outras outro outros pelas pelas pelo pelos
+    perante pois por porque portanto proprio propios quais qual qualquer
+    quando quanto que quem quer se seja sem sendo seu seus sob sobre sua
+    suas tal tambem teu teus toda todas todo todos tua tuas tudo um uma
+    umas uns""".split()
+)

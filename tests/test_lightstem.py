@@ -971,3 +971,370 @@ def test_sql_persian_norm_matches_python():
         if persian_normalize(w) != got.get(w)
     ]
     assert not bad, (len(bad), bad[:10])
+
+
+# -- round 5f: Greek -----------------------------------------------------------
+
+
+def test_greek_lowercase_extras():
+    from lucenenet_spark.functions.lightstem import greek_lowercase
+
+    assert greek_lowercase("καλόσ") == "καλοσ"
+    assert greek_lowercase("ςωκράτης".lower()) == "σωκρατησ"
+    assert greek_lowercase("προϊόν") == "προιον"
+    assert greek_lowercase("ΰϋύ") == "υυυ"
+
+
+GREEK_FIXTURES = {
+    # hand-traced, rule by rule, against GreekStemmer.cs control flow
+    "γεγονοτα": "γεγον",       # rule0
+    "ομαδεσ": "ομαδ",          # rule1: -αδεσ, no exception -> add back αδ
+    "γιαγιαδεσ": "γιαγι",      # rule1 exception: no add-back
+    "κεφτεδεσ": "κεφτ",        # rule2: base not in the add-back list
+    "σκουπεδεσ": "σκουπεδ",    # rule2 add-back: base ends -υπ
+    "πλεξουδεσ": "πλεξουδ",    # rule3 add-back: base ends πλεξ
+    "πολεωσ": "πολ",           # rule4: -εωσ, not in exc4
+    "πελαγια": "πελαγ",        # rule5: base ends consonant, no ι back
+    "αξιου": "αξ",             # rule5: -ιου, base ξ consonant
+    "ποια": "ποι",             # rule5: base ends vowel -> + ι
+    "τοπικου": "τοπ",          # rule6: -ικου, base τοπ consonant & not exc
+    "φαγαμε": "φ",             # rule7: -αγαμε tier (len 6 > 5)
+    "γραψαμε": "γραψ",         # rule7: -αμε, base not in exc7
+    "τρωγανε": "τρωγ",         # rule8: -ανε, τρωγ not in exc8b
+    "γραφετε": "γραφ",         # rule9
+    "τρεχοντασ": "τρεχ",       # rule10
+    "αρχοντασ": "αρχοντ",      # rule10 αρχ restore
+    "χτυπιομαστε": "χτυπι",    # rule11: the -ομαστε arm fires FIRST, so
+                               # the ι stays (the ιομαστε elif is
+                               # unreachable in the reference too)
+    "γραφεστε": "γραφ",        # rule12
+    "χτυπηθηκε": "χτυπ",       # rule13
+    "γραφουσε": "γραφ",        # rule14
+    "φαγαγε": "φαγ",           # rule15: cond1 false, no add-back
+    "χτυπησε": "χτυπ",         # rule16
+    "χτυπηστε": "χτυπ",        # rule17
+    "γραφουνε": "γραφ",        # rule18
+    "γραφουμε": "γραφ",        # rule19
+    "ονοματων": "ονομα",       # rule20 (-3 of ματων)
+    "γραφει": "γραφ",          # rule21 long list (no short rule fired)
+    "ωραιοτερη": "ωραι",       # rule21 vowel strip, then rule22 -οτερ
+    "καλυτερα": "καλ",         # rule21 vowel strip, then rule22 -υτερ
+    "και": "και",              # < 4 chars bypasses
+    "merge": "merge",          # Latin text passes through
+}
+
+
+def test_greek_stem_fixtures():
+    # fixtures above that are non-obvious were first traced by hand, then
+    # pinned against the Python implementation; the SQL fuzz below is the
+    # independent check of both
+    from lucenenet_spark.functions.lightstem import greek_stem
+
+    for w, want in GREEK_FIXTURES.items():
+        got = greek_stem(w)
+        assert got == want, (w, got, want)
+
+
+def test_greek_chain():
+    assert tokenize_text("ο ΓΡΑΦΕΙ και τα γεγονότα", "greek") == [
+        "γραφ", "γεγον"
+    ]
+
+
+def test_sql_greek_fuzz_matches_python():
+    """SQL-vs-Python fuzz across every GreekStemmer rule family: stems
+    crossed with all 100+ rule suffixes plus random Greek-letter mutation
+    (which also hits the exception-set and add-back paths)."""
+    import random
+
+    import duckdb
+
+    from lucenenet_spark.entry_support import _STEM_PIPELINES
+    from lucenenet_spark.functions.lightstem import greek_stem
+
+    rng = random.Random(271)
+    stems = ["γραφ", "χτυπ", "τρεχ", "ομ", "γιαγι", "κεφτ", "πλεξ", "πολ",
+             "αξ", "τοπ", "φαγ", "τρωγ", "αρχ", "ον", "κρε", "τρ", "τσ",
+             "θ", "ν", "π", "σκ", "καθεστ", "γεγον", "φω", "κολλ", "ψοφ",
+             "ωραι", "καλ", "x"]
+    sufs = ["", "α", "ασ", "εσ", "ων", "ου", "η", "οσ", "οι",
+            "αδεσ", "αδων", "εδεσ", "εδων", "ουδεσ", "ουδων", "εωσ",
+            "εων", "ια", "ιου", "ιων", "ικα", "ικο", "ικου", "ικων",
+            "αγαμε", "ηθηκαμε", "ουσαμε", "ησαμε", "ηκαμε", "αμε",
+            "ιουντανε", "ιοντανε", "ουντανε", "ηθηκανε", "ιοτανε",
+            "οντανε", "ουσανε", "αγανε", "ησανε", "οτανε", "ηκανε", "ανε",
+            "ησετε", "ετε", "οντασ", "ωντασ", "ομαστε", "ιομαστε",
+            "ιεστε", "εστε", "ηθηκεσ", "ηθηκα", "ηθηκε", "ηκεσ", "ηκα",
+            "ηκε", "ουσεσ", "ουσα", "ουσε", "αγεσ", "αγα", "αγε", "ησου",
+            "ησε", "ησα", "ηστε", "ησουνε", "ηθουνε", "ουνε", "ησουμε",
+            "ηθουμε", "ουμε", "ματων", "ματοσ", "ματα", "ιοντουσαν",
+            "ιομασταν", "ουμαστε", "ιουνται", "ονται", "οταν", "ομαι",
+            "ειτε", "εισ", "ουν", "ουσ", "ει", "αει", "εστερ", "εστατ",
+            "οτερ", "υτερ", "ωτατ", "καθεστωτοσ", "γεγονοτα", "φωτα"]
+    alphabet = "αβγδεζηθικλμνξοπρστυφχψω"
+    words = set()
+    for st in stems:
+        for su in sufs:
+            words.add(st + su)
+    for _ in range(900):
+        st = rng.choice(stems)
+        st = "".join(
+            c if rng.random() > 0.3 else rng.choice(alphabet) for c in st
+        )
+        words.add(st + rng.choice(sufs))
+    words = sorted(w for w in words if w)
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in words)
+    sql = f"""WITH rawtoks AS (
+  SELECT 0 AS docid, 0 AS ord, tok FROM (VALUES {vals}) t(tok)),
+{_STEM_PIPELINES["greek"]()}
+SELECT tok, stem FROM stemmap"""
+    got = dict(con.execute(sql).fetchall())
+    bad = [
+        (w, greek_stem(w), got.get(w))
+        for w in words
+        if greek_stem(w) != got.get(w)
+    ]
+    assert not bad, (len(bad), bad[:10])
+
+
+# -- round 5g: Hindi + the Extend-aware tokenizer ------------------------------
+
+
+def test_tokenizer_attaches_marks():
+    """Round-5g tokenizer: BMP combining marks + ZWNJ/ZWJ continue a run
+    (UAX#29 Extend), in BOTH regex dialects."""
+    import duckdb
+
+    from lucenenet_spark.functions.analysis import (
+        TOKEN_PATTERN_RE2,
+        _findall,
+    )
+
+    con = duckdb.connect()
+    cases = {
+        "लडकियाँ और लडके": ["लडकियाँ", "और", "लडके"],
+        "كَلِمات": ["كَلِمات"],          # harakat stay attached
+        "می‌خواهم": ["می‌خواهم"],        # ZWNJ joins (Extend)
+        "áb c": ["áb", "c"],  # combining acute continues a run
+        "िx": ["x"],               # a mark cannot START a token
+        "don't b.com 21.35": ["don't", "b.com", "21.35"],
+    }
+    for text, want in cases.items():
+        assert _findall(text) == want, (text, _findall(text))
+        got = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [text, TOKEN_PATTERN_RE2]
+        ).fetchone()[0]
+        assert got == want, ("re2", text, got)
+
+
+def test_persian_char_filter():
+    # PersianCharFilter.cs: ZWNJ -> space BEFORE tokenization, persian
+    # slot only ("می" normalizes to "مي", a Persian stop word)
+    assert tokenize_text("می‌خواهم merge", "persian") == ["خواهم", "merge"]
+    assert tokenize_text("می‌خواهم", "standard") == ["می‌خواهم"]
+
+
+def test_indic_normalize_fixtures():
+    from lucenenet_spark.functions.lightstem import indic_normalize
+
+    assert indic_normalize("अा") == "आ"        # 2-char AA composition
+    assert indic_normalize("अाॅ") == "ऑ"       # 3-char candra O
+    # nukta qa composition (decomposed input -> precomposed U+0958)
+    assert indic_normalize("\u0915\u093C\u093E") == "\u0958\u093E"
+    # bengali khanda ta: TA + virama + ZWJ -> U+09CE
+    assert indic_normalize("\u09A4\u09CD\u200D") == "\u09CE"
+    assert indic_normalize("merge") == "merge"
+
+
+def test_hindi_fixtures():
+    from lucenenet_spark.functions.lightstem import (
+        hindi_normalize,
+        hindi_stem,
+    )
+
+    assert hindi_normalize("न्") == "ं"          # dead n -> bindu
+    assert hindi_normalize("आप") == "अप"        # long -> short vowel
+    # nukta deleted AND long ii folds to short i
+    assert hindi_normalize("पढ़ती") == "\u092A\u0922\u0924\u093F"
+    assert hindi_stem("लडकियाँ") == "लडक"        # 4-char tier
+    assert hindi_stem("खाते") == "खा"            # 2-char tier
+    assert hindi_stem("लडके") == "लडक"           # 1-char tier
+    assert hindi_stem("और") == "और"              # guards
+
+
+def test_hindi_chain():
+    assert tokenize_text("वह अपनी किताबें पढ़ती है", "hindi") == [
+        "किताब", "पढत"
+    ]
+    # decomposed AA composes (Indic scan), then folds, then stop-drops
+    assert tokenize_text("अाप आते हैं", "hindi") == ["अत"]
+
+
+def test_sql_hindi_fuzz_matches_python():
+    """Full-chain fuzz: raw Devanagari-ish tokens through the hindi
+    pre-norm CTEs (recursive Indic scan + HindiNormalizer + stop filter)
+    AND the stem pipeline, vs the Python chain — compares the final stem
+    STREAMS so stop-filtering parity is covered too."""
+    import random
+
+    import duckdb
+
+    from lucenenet_spark.entry_support import (
+        _STEM_PIPELINES,
+        _hindi_prenorm_ctes,
+    )
+    from lucenenet_spark.functions.analysis import stop_words, tokenize_text
+
+    rng = random.Random(643)
+    base = ["लडक", "खा", "किताब", "पढ", "अप", "आ", "अा", "हैं", "न", "क",
+            "merge", "x"]
+    sufs = ["", "ियाँ", "ते", "े", "ी", "ें", "ाएंगी", "ाकर", "ना", "ो",
+            "़", "्", "ाँ", "ा", "ॅ", "ं"]
+    alphabet = ("अआइईउऊएऐओऔकखगघचछजझटठडढणतथदधनपफबभमयरलवशषसह"
+                "ािीुूृेैोौंँ़्‍")
+    words = set()
+    for b in base:
+        for su in sufs:
+            words.add(b + su)
+    for _ in range(700):
+        b = rng.choice(base)
+        b = "".join(
+            c if rng.random() > 0.3 else rng.choice(alphabet) for c in b
+        )
+        words.add(b + rng.choice(sufs))
+    words = sorted(w for w in words if w and "'" not in w)
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(stop_words("hindi")))
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in words)
+    sql = f"""WITH RECURSIVE rawtoks0 AS (
+  SELECT 0 AS docid, tok, row_number() OVER () AS ord
+  FROM (VALUES {vals}) t(tok)),
+{_hindi_prenorm_ctes(stop_list)},
+{_STEM_PIPELINES["hindi"]()}
+SELECT r.ord, m.stem FROM rawtoks r JOIN stemmap m ON r.tok = m.tok
+ORDER BY r.ord"""
+    got = [st for _o, st in con.execute(sql).fetchall()]
+    # python side: each word is one raw token; run it through the chain
+    want = []
+    for w in words:
+        want.extend(tokenize_text("क " + w, "hindi")[1:]
+                    if False else [])
+    # simpler: the chain on the single token (tokenize would re-tokenize,
+    # so apply the chain stages directly)
+    from lucenenet_spark.functions.lightstem import (
+        hindi_chain_pre,
+        hindi_stem,
+    )
+
+    stops = stop_words("hindi")
+    want = []
+    for w in words:
+        n = hindi_chain_pre(w)
+        if n not in stops:
+            want.append(hindi_stem(n))
+    assert got == want, (len(got), len(want),
+                         [x for x in zip(got, want) if x[0] != x[1]][:10])
+
+
+# -- round 5h: Brazilian Portuguese --------------------------------------------
+
+
+def test_brazilian_reference_vectors():
+    """Every Check() pair from the reference's own TestBrazilianStemmer.cs
+    (the analyzer lowercases first, so inputs are lowercased here)."""
+    import re
+
+    from lucenenet_spark.functions.lightstem import brazilian_stem
+
+    src = open(
+        "/root/reference/src/Lucene.Net.Tests.Analysis.Common/Analysis/Br/"
+        "TestBrazilianStemmer.cs",
+        encoding="utf-8",
+    ).read()
+    pairs = re.findall(r'Check\("([^"]*)", "([^"]*)"\)', src)
+    assert len(pairs) > 80
+    bad = [
+        (w, brazilian_stem(w.lower()), want)
+        for w, want in pairs
+        if brazilian_stem(w.lower()) != want
+    ]
+    assert not bad, bad[:10]
+
+
+def test_brazilian_quirks():
+    from lucenenet_spark.functions.lightstem import brazilian_stem
+
+    # the unassigned-"logias" quirk: the rule needs "logias" inside R2
+    # (two vowel-consonant boundaries before it); it fires (altered=True)
+    # but CT keeps the suffix, and step4's residual strip is skipped
+    assert brazilian_stem("barbarlogias") == "barbarlogias"
+    # without R2 coverage the word falls through to step2's -ias strip
+    assert brazilian_stem("tecnologias") == "tecnolog"
+    # non-indexable lengths pass the RAW token through
+    assert brazilian_stem("ab") == "ab"
+    assert brazilian_stem("x" * 30) == "x" * 30
+    # non-letter terms fold but do not stem
+    assert brazilian_stem("bota3s") == "bota3s"
+    assert brazilian_stem("ação1") == "acao1"
+
+
+def test_brazilian_chain():
+    assert tokenize_text("as bocadas e os quilômetros", "brazilian") == [
+        "boc", "quilometr"
+    ]
+
+
+def test_sql_brazilian_matches_python():
+    """SQL-vs-Python on the reference vectors PLUS suffix-crossed fuzz."""
+    import random
+    import re
+
+    import duckdb
+
+    from lucenenet_spark.entry_support import _STEM_PIPELINES
+    from lucenenet_spark.functions.lightstem import (
+        _BR_STEP1,
+        _BR_STEP2,
+        brazilian_stem,
+    )
+
+    src = open(
+        "/root/reference/src/Lucene.Net.Tests.Analysis.Common/Analysis/Br/"
+        "TestBrazilianStemmer.cs",
+        encoding="utf-8",
+    ).read()
+    words = {w.lower() for w, _ in
+             re.findall(r'Check\("([^"]*)", "([^"]*)"\)', src)}
+    rng = random.Random(1117)
+    stems = ["boat", "bob", "boc", "quilometr", "tecno", "agu", "ci",
+             "gu", "a", "xyz", "emoc"]
+    sufs = [s for _, _, *_ in []]
+    sufs = [r[0] for r in _BR_STEP1] + [
+        s for _mn, group in _BR_STEP2 for s in group
+    ] + ["e", "gue", "cie", "os", "a", "i", "o", ""]
+    alphabet = "abcdefghijlmnopqrstuvxzáâãéêíóôõúüçñ"
+    for st in stems:
+        for su in sufs:
+            words.add(st + su)
+    for _ in range(800):
+        st = rng.choice(stems)
+        st = "".join(
+            c if rng.random() > 0.3 else rng.choice(alphabet) for c in st
+        )
+        words.add(st + rng.choice(sufs))
+    words = sorted(w for w in words if w and "'" not in w)
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in words)
+    sql = f"""WITH rawtoks AS (
+  SELECT 0 AS docid, 0 AS ord, tok FROM (VALUES {vals}) t(tok)),
+{_STEM_PIPELINES["brazilian"]()}
+SELECT tok, stem FROM stemmap"""
+    got = dict(con.execute(sql).fetchall())
+    bad = [
+        (w, brazilian_stem(w), got.get(w))
+        for w in words
+        if brazilian_stem(w) != got.get(w)
+    ]
+    assert not bad, (len(bad), bad[:10])
