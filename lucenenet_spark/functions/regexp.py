@@ -11,9 +11,12 @@ regex in ways that mis-match silently if the pattern is passed through:
   the Java digit class);
 - `"..."` quotes a literal string;
 - `@` is any-string, `#` the empty language;
-- `~` (complement), `&` (intersection) and `<n-m>` (numeric interval)
-  build automata with no regex equivalent — translating them silently is
-  impossible, so they raise loudly instead (RegExp.cs kleene ops).
+- `<n-m>` (numeric interval) compiles to the BasicAutomata.MakeInterval
+  language as a digit-range alternation (fixed-width when both bounds
+  have equal length, else leading zeros allowed);
+- `~` (complement) and `&` (intersection) build automata with no regex
+  equivalent — translating them silently is impossible, so they raise
+  loudly instead (RegExp.cs kleene ops).
 
 A recursive-descent walk of the RegExp.cs grammar (parseUnionExp ->
 parseInterExp -> parseConcatExp -> parseRepeatExp -> parseComplExp ->
@@ -35,11 +38,69 @@ def _lit(c: str) -> str:
     return c if (c.isalnum() or c == "_") else "\\" + c
 
 
+def _fixed_ge(s: str) -> str:
+    """Fixed-length digit strings >= s (same length)."""
+    if not s:
+        return ""
+    d, rest = int(s[0]), len(s) - 1
+    parts = [s[0] + _fixed_ge(s[1:])]
+    if d < 9:
+        cls = "9" if d + 1 == 9 else f"[{d + 1}-9]"
+        parts.append(cls + (f"[0-9]{{{rest}}}" if rest else ""))
+    return "(?:" + "|".join(parts) + ")" if len(parts) > 1 else parts[0]
+
+
+def _fixed_le(s: str) -> str:
+    """Fixed-length digit strings <= s (same length)."""
+    if not s:
+        return ""
+    d, rest = int(s[0]), len(s) - 1
+    parts = [s[0] + _fixed_le(s[1:])]
+    if d > 0:
+        cls = "0" if d - 1 == 0 else f"[0-{d - 1}]"
+        parts.append(cls + (f"[0-9]{{{rest}}}" if rest else ""))
+    return "(?:" + "|".join(parts) + ")" if len(parts) > 1 else parts[0]
+
+
+def _fixed_range(lo: str, hi: str) -> str:
+    """Fixed-length digit strings in [lo, hi] (equal lengths)."""
+    if lo == hi:
+        return lo
+    if lo[0] == hi[0]:
+        return lo[0] + _fixed_range(lo[1:], hi[1:])
+    l0, h0, rest = int(lo[0]), int(hi[0]), len(lo) - 1
+    parts = [lo[0] + _fixed_ge(lo[1:])]
+    if h0 - l0 >= 2:
+        cls = (str(l0 + 1) if h0 - l0 == 2 else f"[{l0 + 1}-{h0 - 1}]")
+        parts.append(cls + (f"[0-9]{{{rest}}}" if rest else ""))
+    parts.append(hi[0] + _fixed_le(hi[1:]))
+    return "(?:" + "|".join(parts) + ")"
+
+
+def _interval_regex(imin: int, imax: int, digits: int) -> str:
+    """BasicAutomata.MakeInterval as a Java regex: with digits > 0 the
+    language is EXACTLY-digits-wide zero-padded values in [min, max];
+    with digits == 0 it is any number of leading zeros followed by a
+    value in [min, max] (the brics interval semantics)."""
+    if digits > 0:
+        lo = str(imin).zfill(digits)
+        hi = str(imax).zfill(digits)
+        return "(?:" + _fixed_range(lo, hi) + ")"
+    parts = []
+    for ln in range(len(str(imin)), len(str(imax)) + 1):
+        lo_ln = 0 if ln == 1 else 10 ** (ln - 1)
+        hi_ln = 10 ** ln - 1
+        lo_v, hi_v = max(imin, lo_ln), min(imax, hi_ln)
+        if lo_v <= hi_v:
+            parts.append(_fixed_range(str(lo_v), str(hi_v)))
+    return "(?:0*(?:" + "|".join(parts) + "))"
+
+
 def lucene_regexp_to_java(pattern: str) -> str:
     """Translate a Lucene RegExp.cs pattern to an (unanchored) Java regex.
 
-    Raises UnsupportedRegexp on `~`, `&`, `<n-m>` — constructs whose
-    automaton semantics Java regex cannot express."""
+    Raises UnsupportedRegexp on `~`, `&`, and named `<id>` automata —
+    constructs whose semantics Java regex cannot express."""
     pos = 0
     n = len(pattern)
 
@@ -53,6 +114,13 @@ def lucene_regexp_to_java(pattern: str) -> str:
         c = pattern[pos]
         pos += 1
         return c
+
+    def take_if(c: str) -> bool:
+        nonlocal pos
+        if pos < n and pattern[pos] == c:
+            pos += 1
+            return True
+        return False
 
     def union_exp() -> str:
         out = inter_exp()
@@ -160,11 +228,32 @@ def lucene_regexp_to_java(pattern: str) -> str:
                 raise ValueError(f"unclosed group in regexp {pattern!r}")
             return "(?:" + inner + ")"
         if c == "<":
-            raise UnsupportedRegexp(
-                "Lucene regexp numeric interval '<n-m>' has no Java-regex "
-                f"equivalent (pattern {pattern!r}); use a NumericRangeQuery "
-                "on a typed column instead"
-            )
+            # RegExp.cs:1268 — scan to '>', split on '-'; a dash-less body
+            # is a NAMED AUTOMATON lookup (<id>), which the reference also
+            # rejects unless an IAutomatonProvider is supplied
+            body = ""
+            while peek() is not None and peek() != ">":
+                body += take()
+            if take_if(">") is False:
+                raise ValueError(f"expected '>' in regexp {pattern!r}")
+            i = body.find("-")
+            if i == -1:
+                raise UnsupportedRegexp(
+                    f"Lucene regexp named automaton '<{body}>' needs an "
+                    f"IAutomatonProvider (pattern {pattern!r}) — none exists "
+                    "here, matching the reference's default"
+                )
+            smin, smax = body[:i], body[i + 1:]
+            if (i == 0 or i == len(body) - 1 or "-" in smax
+                    or not smin.isdigit() or not smax.isdigit()):
+                raise ValueError(
+                    f"interval syntax error in regexp {pattern!r}"
+                )
+            imin, imax = int(smin), int(smax)
+            digits = len(smin) if len(smin) == len(smax) else 0
+            if imin > imax:
+                imin, imax = imax, imin
+            return _interval_regex(imin, imax, digits)
         if c == "\\":
             return _lit(take())
         return _lit(c)

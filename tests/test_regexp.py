@@ -47,7 +47,7 @@ def test_translate(lucene, java):
 
 
 @pytest.mark.parametrize(
-    "pattern", ["~ab", "a~b", "ab&cd", "word<1-9>", "<10-99>"]
+    "pattern", ["~ab", "a~b", "ab&cd", "word<named>"]
 )
 def test_unsupported_raise_loudly(pattern):
     with pytest.raises(UnsupportedRegexp):
@@ -81,9 +81,35 @@ def test_digit_class_is_literal(searcher, oracle_index):
     assert hits(searcher.search(RegexpQuery(pattern="word\\d"), 5)) == []
 
 
-def test_interval_raises_in_search(searcher):
-    with pytest.raises(UnsupportedRegexp):
-        searcher.search(RegexpQuery(pattern="word<1-9>"), 5).collect()
+def test_interval_matches_numeric_terms(searcher, oracle_index):
+    """<n-m> compiles to the MakeInterval language: unequal-width bounds
+    allow leading zeros; equal-width bounds demand exactly that width."""
+    # unequal widths (1 vs 2): leading zeros allowed, value in [1, 19]
+    got = _matched_terms(searcher, "word<1-19>")
+    want = {
+        t for t in oracle_index.postings
+        if t.startswith("word") and t[4:].isdigit() and 1 <= int(t[4:]) <= 19
+    }
+    assert got == want and want
+    # equal widths: exactly 2 digits, so word7 is excluded, word17 matches
+    got2 = _matched_terms(searcher, "word<10-29>")
+    want2 = {
+        t for t in oracle_index.postings
+        if t.startswith("word") and len(t) == 6 and t[4:].isdigit()
+        and 10 <= int(t[4:]) <= 29
+    }
+    assert got2 == want2 and want2
+    assert not any(len(t) == 5 for t in got2)
+
+
+def test_interval_search_count(searcher, oracle_index):
+    want = {
+        d
+        for t, pl in oracle_index.postings.items()
+        if t.startswith("word") and t[4:].isdigit() and 1 <= int(t[4:]) <= 19
+        for d, _ in pl
+    }
+    assert searcher.count(RegexpQuery(pattern="word<1-19>")) == len(want)
 
 
 def test_quoted_and_class_match(searcher, oracle_index):
@@ -94,3 +120,43 @@ def test_quoted_and_class_match(searcher, oracle_index):
     }
     got = _matched_terms(searcher, '"word"[0123456789]')
     assert got == want and got
+
+
+def test_interval_regex_brute_force():
+    """_interval_regex vs the MakeInterval language definition, sampled
+    across widths, with padded/overlong/non-digit probes."""
+    import random
+    import re as _re
+
+    from lucenenet_spark.functions.regexp import _interval_regex
+
+    rng = random.Random(7)
+    cases = [(0, 5, 1), (5, 100, 0), (1, 9, 1), (10, 99, 2), (0, 0, 1),
+             (7, 7, 1), (99, 1001, 0), (115, 117, 3), (0, 999, 0),
+             (25, 357, 0), (90, 210, 0), (1, 100000, 0)]
+    for _ in range(20):
+        a, b = sorted((rng.randint(0, 3000), rng.randint(0, 3000)))
+        cases.append((a, b, len(str(a)) if len(str(a)) == len(str(b)) else 0))
+
+    def expected(s, imin, imax, digits):
+        if not s or not s.isdigit():
+            return False
+        if digits > 0:
+            return len(s) == digits and imin <= int(s) <= imax
+        return imin <= int(s) <= imax
+
+    for imin, imax, digits in cases:
+        pat = _re.compile("^(?:" + _interval_regex(imin, imax, digits) + ")$")
+        probes = {"", "x", "1x"}
+        for v in list(range(0, 130)) + [imin - 1, imin, imin + 1,
+                                        imax - 1, imax, imax + 1,
+                                        (imin + imax) // 2]:
+            if v < 0:
+                continue
+            probes |= {str(v), str(v).zfill(3), "0" + str(v)}
+            if digits:
+                probes.add(str(v).zfill(digits))
+        for s in probes:
+            assert bool(pat.match(s)) == expected(s, imin, imax, digits), (
+                (imin, imax, digits), s
+            )
