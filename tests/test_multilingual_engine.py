@@ -181,3 +181,47 @@ def test_multilingual_phrase_positions(spark, tmp_path_factory):
     assert got0 == want0
     assert got2 == want2
     assert len(got2) > len(got0)  # the gapped doc only matches with slop
+
+
+def test_every_analyzer_slot_end_to_end(spark, tmp_path_factory):
+    """Blanket check: EVERY registered analyzer slot builds a real Spark
+    index over one shared mixed-script corpus and exact-matches the
+    pure-Python oracle for a term query — no slot is wired only at the
+    tokenize-function level."""
+    from lucenenet_spark.functions.analysis import ANALYZERS, tokenize_text
+    from lucenenet_spark.operators.search import IndexSearcher
+
+    mixed = [
+        "merges the tables quickly",
+        "merge batches and tables",
+        "лодки и корабли в море",
+        "الكتاب في المكتبة",
+        "οι μαθητές γράφουνε",
+        "लडकियाँ किताबें पढ़ती हैं",
+        "as casas e os livros",
+        "می‌خواهم کتاب",
+        "کتێبەکان باشن",
+        "a házakban és az ablakokat",
+        "merges merge merges",
+    ]
+    oidx_cache = {}
+    for analyzer in ANALYZERS:
+        # pick the corpus term every chain keeps: the analyzed form of
+        # "merges" (never a stop word in any shipped set)
+        toks = tokenize_text("merges", analyzer)
+        assert toks, analyzer
+        term = toks[0]
+        idx = _build(spark, tmp_path_factory, analyzer, mixed)
+        oidx = oracle.build_index(
+            _pdf(mixed).sort_values(["conv_id", "turn_idx"])["text"].tolist(),
+            analyzer=analyzer,
+        )
+        oidx_cache[analyzer] = oidx
+        s = IndexSearcher(spark, idx)
+        got = hits(s.search(TermQuery(term=term), 10))
+        want = oracle.top_k(oracle.term_scores(oidx, term), 10)
+        assert want, (analyzer, term)
+        assert got == want, (analyzer, term)
+    # the corpora really differ per analyzer (stem/stop variation)
+    vocabs = {a: frozenset(o.postings) for a, o in oidx_cache.items()}
+    assert len(set(vocabs.values())) > 10
