@@ -14,9 +14,14 @@ regex in ways that mis-match silently if the pattern is passed through:
 - `<n-m>` (numeric interval) compiles to the BasicAutomata.MakeInterval
   language as a digit-range alternation (fixed-width when both bounds
   have equal length, else leading zeros allowed);
-- `~` (complement) and `&` (intersection) build automata with no regex
-  equivalent — translating them silently is impossible, so they raise
-  loudly instead (RegExp.cs kleene ops).
+- `~` (complement) and `&` (intersection) have no single-regex
+  equivalent, but WHOLE-TERM boolean structure decomposes exactly:
+  RegexpQuery anchors the automaton on the term, so at any level above
+  concatenation `A&B` = (term in L(A)) AND (term in L(B)), `~A` = NOT
+  (term in L(A)), `A|B` = OR. lucene_regexp_to_tree returns that boolean
+  tree over plain Java patterns; a complement or intersection EMBEDDED in
+  a concatenation, repetition, or quoted context cannot decompose and
+  still raises loudly.
 
 A recursive-descent walk of the RegExp.cs grammar (parseUnionExp ->
 parseInterExp -> parseConcatExp -> parseRepeatExp -> parseComplExp ->
@@ -96,11 +101,14 @@ def _interval_regex(imin: int, imax: int, digits: int) -> str:
     return "(?:0*(?:" + "|".join(parts) + "))"
 
 
-def lucene_regexp_to_java(pattern: str) -> str:
-    """Translate a Lucene RegExp.cs pattern to an (unanchored) Java regex.
-
-    Raises UnsupportedRegexp on `~`, `&`, and named `<id>` automata —
-    constructs whose semantics Java regex cannot express."""
+def lucene_regexp_to_tree(pattern: str):
+    """Parse a Lucene RegExp.cs pattern into a whole-term boolean tree:
+    a plain str node is an (unanchored) Java pattern; ("not", node),
+    ("and", [nodes]) and ("or", [nodes]) decompose top-level complement /
+    intersection / union exactly (RegexpQuery anchors the automaton on
+    the whole term). Raises UnsupportedRegexp when `~`/`&` are embedded
+    in a concatenation or repetition (no exact decomposition exists) and
+    on named `<id>` automata (no provider)."""
     pos = 0
     n = len(pattern)
 
@@ -122,37 +130,61 @@ def lucene_regexp_to_java(pattern: str) -> str:
             return True
         return False
 
-    def union_exp() -> str:
-        out = inter_exp()
+    # Nodes: plain str = a Java pattern; ("not", node), ("and", [nodes]),
+    # ("or", [nodes]) = whole-term boolean structure (see module docstring)
+
+    def union_exp():
+        parts = [inter_exp()]
         while peek() == "|":
             take()
-            out += "|" + inter_exp()
-        return out
+            parts.append(inter_exp())
+        if len(parts) == 1:
+            return parts[0]
+        if all(isinstance(x, str) for x in parts):
+            return "|".join(parts)
+        return ("or", parts)
 
-    def inter_exp() -> str:
-        out = concat_exp()
-        if peek() == "&":
-            raise UnsupportedRegexp(
-                "Lucene regexp intersection '&' has no Java-regex equivalent "
-                f"(pattern {pattern!r}); rewrite the query or use two "
-                "RegexpQuery clauses under MUST"
-            )
-        return out
+    def inter_exp():
+        parts = [concat_exp()]
+        while peek() == "&":
+            take()
+            parts.append(concat_exp())
+        if len(parts) == 1:
+            return parts[0]
+        return ("and", parts)
 
-    def concat_exp() -> str:
+    def concat_exp():
         parts = []
         while peek() not in (None, "|", ")", "&"):
             parts.append(repeat_exp())
+        if len(parts) == 1:
+            return parts[0]
+        if any(not isinstance(x, str) for x in parts):
+            raise UnsupportedRegexp(
+                "Lucene regexp complement/intersection inside a "
+                f"concatenation cannot decompose (pattern {pattern!r}); "
+                "only whole-term boolean structure is supported"
+            )
         return "".join(parts)
 
-    def repeat_exp() -> str:
+    def repeat_exp():
         out = compl_exp()
         while True:
             c = peek()
             if c in ("?", "*", "+"):
+                if not isinstance(out, str):
+                    raise UnsupportedRegexp(
+                        "Lucene regexp complement under a repeat operator "
+                        f"cannot decompose (pattern {pattern!r})"
+                    )
                 take()
                 out += c
             elif c == "{":
+                if not isinstance(out, str):
+                    raise UnsupportedRegexp(
+                        "Lucene regexp complement under a repeat operator "
+                        f"cannot decompose (pattern {pattern!r})"
+                    )
                 take()
                 digits = ""
                 while peek() is not None and peek().isdigit():
@@ -174,13 +206,10 @@ def lucene_regexp_to_java(pattern: str) -> str:
             else:
                 return out
 
-    def compl_exp() -> str:
+    def compl_exp():
         if peek() == "~":
-            raise UnsupportedRegexp(
-                "Lucene regexp complement '~' has no Java-regex equivalent "
-                f"(pattern {pattern!r}); express the exclusion as a MUST_NOT "
-                "clause instead"
-            )
+            take()
+            return ("not", compl_exp())
         return char_class_exp()
 
     def char_class_exp() -> str:
@@ -226,6 +255,8 @@ def lucene_regexp_to_java(pattern: str) -> str:
             inner = union_exp()
             if take() != ")":
                 raise ValueError(f"unclosed group in regexp {pattern!r}")
+            if not isinstance(inner, str):
+                return inner  # parens around boolean structure
             return "(?:" + inner + ")"
         if c == "<":
             # RegExp.cs:1268 — scan to '>', split on '-'; a dash-less body
@@ -262,3 +293,30 @@ def lucene_regexp_to_java(pattern: str) -> str:
     if pos != n:
         raise ValueError(f"trailing characters in regexp {pattern!r} at {pos}")
     return out
+
+
+def lucene_regexp_to_java(pattern: str) -> str:
+    """Single-Java-pattern translation (raises UnsupportedRegexp whenever
+    the pattern needs boolean structure — use lucene_regexp_to_tree)."""
+    tree = lucene_regexp_to_tree(pattern)
+    if not isinstance(tree, str):
+        raise UnsupportedRegexp(
+            f"Lucene regexp {pattern!r} needs whole-term boolean structure "
+            "(complement/intersection) — evaluate lucene_regexp_to_tree"
+        )
+    return tree
+
+
+def tree_matches(tree, term: str) -> bool:
+    """Reference evaluator for a lucene_regexp_to_tree node (tests and the
+    pure-Python oracle)."""
+    import re as _re
+
+    if isinstance(tree, str):
+        return _re.fullmatch("(?:" + tree + ")", term) is not None
+    kind = tree[0]
+    if kind == "not":
+        return not tree_matches(tree[1], term)
+    if kind == "and":
+        return all(tree_matches(t, term) for t in tree[1])
+    return any(tree_matches(t, term) for t in tree[1])

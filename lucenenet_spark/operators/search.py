@@ -569,12 +569,26 @@ class IndexSearcher:
             return F.col("term").rlike(rx)
         if isinstance(q, RegexpQuery):
             # Lucene-automaton grammar, not Java regex: `\d` is a literal
-            # 'd', `^`/`$` are literals, `"..."` quotes, and the automaton
-            # is anchored (Util/Automaton/RegExp.cs); ~/&/<n-m> raise
-            from ..functions.regexp import lucene_regexp_to_java
+            # 'd', `^`/`$` are literals, `"..."` quotes, `<n-m>` is a
+            # numeric interval, and the automaton is anchored
+            # (Util/Automaton/RegExp.cs). Whole-term complement `~(...)`
+            # and intersection `&` decompose into a boolean condition tree
+            # over the terms dict; embedded ones raise loudly.
+            from ..functions.regexp import lucene_regexp_to_tree
 
-            rx = lucene_regexp_to_java(q.pattern)
-            return F.col("term").rlike("^(?:" + rx + ")$")
+            def cond(node):
+                if isinstance(node, str):
+                    return F.col("term").rlike("^(?:" + node + ")$")
+                kind = node[0]
+                if kind == "not":
+                    return ~cond(node[1])
+                parts = [cond(t) for t in node[1]]
+                out = parts[0]
+                for p in parts[1:]:
+                    out = (out & p) if kind == "and" else (out | p)
+                return out
+
+            return cond(lucene_regexp_to_tree(q.pattern))
         if isinstance(q, TermRangeQuery):
             cond = F.lit(True)
             if q.lower is not None:

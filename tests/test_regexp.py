@@ -47,11 +47,39 @@ def test_translate(lucene, java):
 
 
 @pytest.mark.parametrize(
-    "pattern", ["~ab", "a~b", "ab&cd", "word<named>"]
+    "pattern",
+    [
+        # embedded complement/intersection: no decomposition exists
+        # (Lucene's ~ binds ONE atom, so ~ab means (~a)b)
+        "~ab", "a~b", "x(a&b)y", "(~(ab))*", "(~(ab)){2}",
+        # named automata need an IAutomatonProvider
+        "word<named>",
+    ],
 )
 def test_unsupported_raise_loudly(pattern):
+    from lucenenet_spark.functions.regexp import lucene_regexp_to_tree
+
     with pytest.raises(UnsupportedRegexp):
-        lucene_regexp_to_java(pattern)
+        lucene_regexp_to_tree(pattern)
+
+
+def test_whole_term_boolean_tree():
+    """Top-level ~(...) and & decompose exactly into whole-term boolean
+    structure (RegexpQuery anchors the automaton on the term)."""
+    from lucenenet_spark.functions.regexp import (
+        lucene_regexp_to_tree,
+        tree_matches,
+    )
+
+    t = lucene_regexp_to_tree("a.*&~(abc)|xyz")
+    assert [tree_matches(t, w) for w in ("abc", "abd", "xyz", "zz")] == [
+        False, True, True, False,
+    ]
+    t2 = lucene_regexp_to_tree("~(~(ab))")  # double complement
+    assert tree_matches(t2, "ab") and not tree_matches(t2, "cd")
+    # the single-pattern API still refuses boolean structure
+    with pytest.raises(UnsupportedRegexp):
+        lucene_regexp_to_java("ab&cd")
 
 
 @pytest.mark.parametrize("pattern", ["a{b", "a{2", "(ab", 'a"bc'])
@@ -100,6 +128,21 @@ def test_interval_matches_numeric_terms(searcher, oracle_index):
     }
     assert got2 == want2 and want2
     assert not any(len(t) == 5 for t in got2)
+
+
+def test_complement_and_intersection_search(searcher, oracle_index):
+    """word.*&~(word7) through the engine: every word* term except the
+    exact term word7 (substrings like word71 still match)."""
+    want_terms = {
+        t for t in oracle_index.postings
+        if t.startswith("word") and t != "word7"
+    }
+    got = _matched_terms(searcher, "word.*&~(word7)")
+    assert got == want_terms and "word7" not in got
+    want_docs = {d for t in want_terms for d, _ in oracle_index.postings[t]}
+    assert searcher.count(RegexpQuery(pattern="word.*&~(word7)")) == len(
+        want_docs
+    )
 
 
 def test_interval_search_count(searcher, oracle_index):
