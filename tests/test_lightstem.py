@@ -793,9 +793,10 @@ def test_sorani_fixtures():
     assert sorani_normalize("ره") == "ڕە"    # initial reh + final heh
     assert sorani_normalize("كتێب") == "کتێب"  # kaf -> keheh
     assert sorani_normalize("دره") == "درە"   # non-initial reh stays
-    # heh + ZWNJ -> ae (the ZWNJ case, fed directly to the function;
-    # through the tokenizer the token would split at the ZWNJ)
+    # heh + ZWNJ -> ae — live through the tokenizer too since round 5g
+    # (ZWNJ is Extend and stays in-token)
     assert sorani_normalize("گته‌و") == "گتەو"
+    assert tokenize_text("گته‌و", "sorani") == ["گتەو"]
     # fatha before a final heh deletes AFTER the heh was scanned non-final
     assert sorani_normalize("بَه") == "بە"
     assert sorani_stem("پیاوەکان") == "پیاو"   # -ekan
