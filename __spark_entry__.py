@@ -513,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["term_greek"] = _analyzer_term_gate("greek", "merge")
     out["term_hindi"] = _analyzer_term_gate("hindi", "merge")
     out["term_brazilian"] = _analyzer_term_gate("brazilian", "merges")
+    out["term_cjk"] = _analyzer_term_gate("cjk", "merge")
 
     def join_terms_avg(spark, sf_dir):
         # JoinUtil term join: docs sharing a tool with the HOT-term hits,
@@ -1190,7 +1191,7 @@ _NEW_THIS_ROUND: list[str] = [
     # stop-before-normalize, derivational flags); the remaining variants
     # fall past the budget and are locally gate-checked instead
     "term_french", "term_stem_exclusion",
-    "term_hindi", "term_greek", "term_brazilian",
+    "term_hindi", "term_greek", "term_brazilian", "term_cjk",
     "bool_russian", "term_arabic", "term_indonesian",
     "pii_scrub", "split_assign", "repetition_2gram",
     "strip_boilerplate", "unigram_bits", "sample_stratified",
@@ -1441,6 +1442,7 @@ LIMIT 30"""
     out["term_greek"] = es.term_sql("merge", k=15, analyzer="greek")
     out["term_hindi"] = es.term_sql("merge", k=15, analyzer="hindi")
     out["term_brazilian"] = es.term_sql("merg", k=15, analyzer="brazilian")
+    out["term_cjk"] = es.term_sql("merge", k=15, analyzer="cjk")
     out["join_terms_avg"] = es.join_terms_sql(HOT, "tool", "tool", "avg", k=15)
     out["join_terms_total_seg"] = es.join_terms_sql(
         HOT, "tool", "tool", "total", k=15

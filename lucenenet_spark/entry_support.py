@@ -1906,6 +1906,61 @@ stemmap AS (
 )"""
 
 
+
+
+def _cjk_width_sql(e: str) -> str:
+    """CJKWidthFilter.cs as SQL, generated from the SAME tables the Python
+    mirror uses. Staged to equal the reference's in-place scan (the scan
+    converts a kana to fullwidth BEFORE a following voice mark examines
+    it): 1) fullwidth ASCII + halfwidth kana -> fullwidth, voice marks
+    left alone; 2) the combine pairs (fullwidth prev + halfwidth mark);
+    3) remaining marks -> the combining codepoints 3099/309A."""
+    from .functions.cjk import (
+        _KANA_COMBINE_HALF_VOICED,
+        _KANA_COMBINE_VOICED,
+        _KANA_NORM,
+    )
+
+    q = chr(39)
+    frm = "".join(chr(c) for c in range(0xFF01, 0xFF5F))
+    to = "".join(chr(c - 0xFEE0) for c in range(0xFF01, 0xFF5F))
+    frm += "".join(chr(c) for c in range(0xFF65, 0xFF9E))
+    to += "".join(chr(_KANA_NORM[c - 0xFF65]) for c in range(0xFF65, 0xFF9E))
+    out = (f"translate({e}, '{frm.replace(q, q * 2)}', "
+           f"'{to.replace(q, q * 2)}')")
+    for mark, table in ((0xFF9E, _KANA_COMBINE_VOICED),
+                        (0xFF9F, _KANA_COMBINE_HALF_VOICED)):
+        for off, diff in enumerate(table):
+            if diff:
+                prev = 0x30A6 + off
+                out = (f"replace({out}, '{chr(prev)}{chr(mark)}', "
+                       f"'{chr(prev + diff)}')")
+    return (f"translate({out}, '{chr(0xFF9E)}{chr(0xFF9F)}', "
+            f"'{chr(0x3099)}{chr(0x309A)}')")
+
+
+_CJK_RANGES = (
+    "\u4E00-\u9FFF\u3400-\u4DBF\uF900-\uFAFF\u3041-\u3096"
+    "\u30A1-\u30FA\u30FC\uAC00-\uD7A3"
+)
+_CJK_CLASS = "[" + _CJK_RANGES + "]"
+_CJK_NEG_CLASS = "[^" + _CJK_RANGES + "]"
+
+
+def _cjk_expand_sql(e: str) -> str:
+    """CJKBigramFilter.cs per-token expansion: alternating CJK / non-CJK
+    segments; a flagged segment of n >= 2 chars becomes its n-1 bigrams,
+    everything else passes whole."""
+    alt = f"{_CJK_CLASS}+|{_CJK_NEG_CLASS}+"
+    segs = f"regexp_extract_all({e}, '{alt}')"
+    return (
+        f"flatten(list_transform({segs}, seg -> "
+        f"CASE WHEN regexp_matches(seg, '^{_CJK_CLASS}') AND length(seg) >= 2 "
+        f"THEN list_transform(range(1, length(seg)), i -> substr(seg, CAST(i AS INT), 2)) "
+        f"ELSE [seg] END))"
+    )
+
+
 _STEM_PIPELINES = {
     "english": _porter_sql_pipeline,
     "german": _german_sql_pipeline,
@@ -1946,6 +2001,27 @@ def _toks_cte(analyzer: str) -> str:
     if analyzer == "standard":
         return plain
     base, excl = split_analyzer(analyzer)
+    if base == "cjk":
+        # width fold per token, bigram expansion, then the stop filter on
+        # the EMITTED stream (CJKAnalyzer.cs filter order); no stemmap
+        from .functions.analysis import stop_words
+
+        stop_list = ", ".join(f"'{w}'" for w in sorted(stop_words(base)))
+        raw = (
+            f"list_filter(list_transform(regexp_extract_all(COALESCE(text,"
+            f" ''), '{TOKEN_PATTERN_RE2_SQL}'), t -> lower(t)), "
+            f"t -> length(t) <= {MAX_TOKEN_LENGTH})"
+        )
+        widened = f"list_transform({raw}, t -> {_cjk_width_sql('t')})"
+        expanded = (
+            f"flatten(list_transform({widened}, "
+            f"tok -> {_cjk_expand_sql('tok')}))"
+        )
+        return f"""toks AS (
+  SELECT docid,
+         list_filter({expanded}, t -> t NOT IN ({stop_list})) AS tokens
+  FROM docs
+)"""
     pipeline = _STEM_PIPELINES[base]
     if base == "hindi":
         # heavy pre-norm chain: the Indic scan needs a recursive CTE, so

@@ -164,7 +164,7 @@ ANALYZERS = (
     "french", "spanish", "italian", "portuguese", "norwegian", "finnish",
     "hungarian", "russian", "czech", "bulgarian", "latvian", "indonesian",
     "arabic", "persian", "sorani", "galician", "greek", "hindi",
-    "brazilian",
+    "brazilian", "cjk",
 )
 
 
@@ -272,6 +272,9 @@ def _base_chain(analyzer: str):
                     PRE (normalized stop list), HindiStemmer POST
     - "brazilian":  BrazilianAnalyzer.cs — raw-token stops +
                     BrazilianStemFilter (full 5-step stemmer)
+    - "cjk":        CJKAnalyzer.cs — CJKWidthFilter PRE + the
+                    CJKBigramFilter stream expansion (functions/cjk.py),
+                    stops applied to the emitted stream
     """
     if analyzer == "standard":
         return ENGLISH_STOP_WORDS, None, None
@@ -403,6 +406,14 @@ def _base_chain(analyzer: str):
         from .stopsets import BRAZILIAN_STOP_WORDS
 
         return BRAZILIAN_STOP_WORDS, None, brazilian_stem
+    if analyzer == "cjk":
+        # CJKAnalyzer.cs: width fold PRE, no stemmer; the bigram stage is
+        # a STREAM expansion (see stream_filter) applied before the stop
+        # filter, exactly the reference's CJKBigramFilter -> StopFilter
+        from .cjk import cjk_width
+        from .stopsets import CJK_STOP_WORDS
+
+        return CJK_STOP_WORDS, cjk_width, None
     raise ValueError(f"unknown analyzer {analyzer!r} ({'|'.join(ANALYZERS)})")
 
 
@@ -417,6 +428,19 @@ def char_filter(analyzer: str):
     base, _excl = split_analyzer(analyzer)
     if base == "persian":
         return lambda t: t.replace("\u200c", " ")
+    return None
+
+
+def stream_filter(analyzer: str):
+    """Token-COUNT-changing stream stage applied after the PRE transform
+    and BEFORE the stop filter: maps one tokenizer match to the list of
+    emitted tokens, each occupying one position slot. Only the cjk slot
+    has one (CJKBigramFilter); None elsewhere."""
+    base, _excl = split_analyzer(analyzer)
+    if base == "cjk":
+        from .cjk import cjk_expand
+
+        return cjk_expand
     return None
 
 
@@ -466,6 +490,7 @@ def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
     cf = char_filter(analyzer)
     if cf:
         text = cf(text)
+    stream = stream_filter(analyzer)
     out = []
     for tok in _findall(text):
         if len(tok) > MAX_TOKEN_LENGTH:
@@ -473,9 +498,10 @@ def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
         low = tok.lower()
         if pre:
             low = pre(low)
-        if low in stop:
-            continue
-        out.append(stemf(low) if stemf else low)
+        for sub in (stream(low) if stream else (low,)):
+            if sub in stop:
+                continue
+            out.append(stemf(sub) if stemf else sub)
     return out
 
 
@@ -497,18 +523,36 @@ def tokenize_with_positions(
     cf = char_filter(analyzer)
     if cf:
         text = cf(text)
+    stream = stream_filter(analyzer)
     toks: list[str] = []
     poss: list[int] = []
-    for i, tok in enumerate(_findall(text)):
+    if stream is None:
+        for i, tok in enumerate(_findall(text)):
+            if len(tok) > MAX_TOKEN_LENGTH:
+                continue
+            low = tok.lower()
+            if pre:
+                low = pre(low)
+            if low in stop:
+                continue
+            toks.append(stemf(low) if stemf else low)
+            poss.append(i)
+        return toks, poss
+    # stream path (cjk): each EMITTED token consumes one position slot —
+    # a skipped raw token consumes the slots its expansion would have
+    slot = 0
+    for tok in _findall(text):
         if len(tok) > MAX_TOKEN_LENGTH:
+            slot += 1
             continue
         low = tok.lower()
         if pre:
             low = pre(low)
-        if low in stop:
-            continue
-        toks.append(stemf(low) if stemf else low)
-        poss.append(i)
+        for sub in stream(low):
+            if sub not in stop:
+                toks.append(stemf(sub) if stemf else sub)
+                poss.append(slot)
+            slot += 1
     return toks, poss
 
 
@@ -526,24 +570,56 @@ def tokenize_with_offsets(
     cf = char_filter(analyzer)
     if cf:
         text = cf(text)
+    stream = stream_filter(analyzer)
     toks: list[str] = []
     poss: list[int] = []
     starts: list[int] = []
     ends: list[int] = []
     it = (_TOKEN_RE if _NEEDS_FULL(text) else _SIMPLE_RE).finditer(text)
-    for i, m in enumerate(it):
+    if stream is None:
+        for i, m in enumerate(it):
+            tok = m.group(0)
+            if len(tok) > MAX_TOKEN_LENGTH:
+                continue
+            low = tok.lower()
+            if pre:
+                low = pre(low)
+            if low in stop:
+                continue
+            toks.append(stemf(low) if stemf else low)
+            poss.append(i)
+            starts.append(m.start())
+            ends.append(m.end())
+        return toks, poss, starts, ends
+    slot = 0
+    for m in it:
         tok = m.group(0)
         if len(tok) > MAX_TOKEN_LENGTH:
+            slot += 1
             continue
         low = tok.lower()
         if pre:
             low = pre(low)
-        if low in stop:
-            continue
-        toks.append(stemf(low) if stemf else low)
-        poss.append(i)
-        starts.append(m.start())
-        ends.append(m.end())
+        # sub-token offsets are derivable only while the transformed text
+        # is length-aligned with the raw match; otherwise every emitted
+        # token keeps the whole match's offsets (the reference's
+        # "crazy offsets" fallback in CJKBigramFilter.Refill)
+        aligned = len(low) == m.end() - m.start()
+        off = 0
+        for sub in stream(low):
+            if sub not in stop:
+                toks.append(stemf(sub) if stemf else sub)
+                poss.append(slot)
+                if aligned:
+                    starts.append(m.start() + off)
+                    ends.append(m.start() + off + len(sub))
+                else:
+                    starts.append(m.start())
+                    ends.append(m.end())
+            # consecutive bigrams overlap by one char; singleton segments
+            # advance their full width
+            off += max(1, len(sub) - 1) if len(sub) > 1 else len(sub)
+            slot += 1
     return toks, poss, starts, ends
 
 
@@ -553,6 +629,7 @@ def _tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     stop, pre, stemf = _analyzer_chain(analyzer)
     maxlen = MAX_TOKEN_LENGTH
     cf = char_filter(analyzer)
+    stream = stream_filter(analyzer)
     findall = (
         _findall if cf is None else (lambda t, _c=cf: _findall(_c(t)))
     )
@@ -562,12 +639,29 @@ def _tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     if pre is None:
         def pre(x):  # noqa: E306 - identity for chains without elision
             return x
+    if stream is None:
+        return pd.Series(
+            [
+                [
+                    stemf(low)
+                    for tok in findall(t)
+                    if len(tok) <= maxlen
+                    and (low := pre(tok.lower())) not in stop
+                ]
+                if isinstance(t, str) and t
+                else []
+                for t in texts
+            ],
+            index=texts.index,
+        )
     return pd.Series(
         [
             [
-                stemf(low)
+                stemf(sub)
                 for tok in findall(t)
-                if len(tok) <= maxlen and (low := pre(tok.lower())) not in stop
+                if len(tok) <= maxlen
+                for sub in stream(pre(tok.lower()))
+                if sub not in stop
             ]
             if isinstance(t, str) and t
             else []

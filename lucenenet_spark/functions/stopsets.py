@@ -406,3 +406,11 @@ BRAZILIAN_STOP_WORDS = frozenset(
     suas tal tambem teu teus toda todas todo todos tua tuas tudo um uma
     umas uns""".split()
 )
+
+
+# Analysis/Cjk/stopwords.txt (CJKAnalyzer.cs DEFAULT_STOPWORD_FILE — an
+# English-ish list applied AFTER the bigram stage)
+CJK_STOP_WORDS = frozenset(
+    """a and are as at be but by for if in into is it no not of on or s such
+    t that the their then there these they this to was will with www""".split()
+)
