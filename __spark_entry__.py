@@ -1192,13 +1192,14 @@ _NEW_THIS_ROUND: list[str] = [
     # fall past the budget and are locally gate-checked instead
     "term_french", "term_stem_exclusion",
     "term_hindi", "term_greek", "term_brazilian", "term_cjk",
-    "bool_russian", "term_arabic", "term_indonesian",
+    "bool_russian", "term_arabic",
     "pii_scrub", "split_assign", "repetition_2gram",
     "strip_boilerplate", "unigram_bits", "sample_stratified",
     "explain_bm25", "explain_classic",
     "sort_multi", "search_after_turn", "facet_range_len", "diversified_topk",
     "shingle_top", "suggest_freetext", "pack_chunks",
-    "term_finnish", "term_spanish", "term_italian", "term_portuguese", "term_norwegian",
+    "term_indonesian", "term_finnish", "term_spanish", "term_italian",
+    "term_portuguese", "term_norwegian",
     "term_hungarian", "term_czech", "term_latvian", "term_bulgarian",
     "term_galician", "term_persian", "term_sorani",
 ]
