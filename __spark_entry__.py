@@ -514,6 +514,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["term_hindi"] = _analyzer_term_gate("hindi", "merge")
     out["term_brazilian"] = _analyzer_term_gate("brazilian", "merges")
     out["term_cjk"] = _analyzer_term_gate("cjk", "merge")
+    # round-5j snowball slots: the full snowball stemmers (no light
+    # variant exists for these languages); "merges" -> "merg" conflates
+    # with the corpus word "merge" through main_suffix
+    out["term_danish"] = _analyzer_term_gate("danish", "merges")
+    # Dutch: -s after a vowel does NOT strip (valid s-ending excludes
+    # vowels and j), so the plural surface is "mergen" -> "merg", which
+    # conflates with corpus "merge" via the step-2 e_ending
+    out["term_dutch"] = _analyzer_term_gate("dutch", "mergen")
 
     def join_terms_avg(spark, sf_dir):
         # JoinUtil term join: docs sharing a tool with the HOT-term hits,
@@ -1192,6 +1200,7 @@ _NEW_THIS_ROUND: list[str] = [
     # fall past the budget and are locally gate-checked instead
     "term_french", "term_stem_exclusion",
     "term_hindi", "term_greek", "term_brazilian", "term_cjk",
+    "term_danish", "term_dutch",
     "bool_russian", "term_arabic",
     "pii_scrub", "split_assign", "repetition_2gram",
     "strip_boilerplate", "unigram_bits", "sample_stratified",
@@ -1444,6 +1453,8 @@ LIMIT 30"""
     out["term_hindi"] = es.term_sql("merge", k=15, analyzer="hindi")
     out["term_brazilian"] = es.term_sql("merg", k=15, analyzer="brazilian")
     out["term_cjk"] = es.term_sql("merge", k=15, analyzer="cjk")
+    out["term_danish"] = es.term_sql("merg", k=15, analyzer="danish")
+    out["term_dutch"] = es.term_sql("merg", k=15, analyzer="dutch")
     out["join_terms_avg"] = es.join_terms_sql(HOT, "tool", "tool", "avg", k=15)
     out["join_terms_total_seg"] = es.join_terms_sql(
         HOT, "tool", "tool", "total", k=15

@@ -1961,6 +1961,206 @@ def _cjk_expand_sql(e: str) -> str:
     )
 
 
+def _danish_sql_pipeline() -> str:
+    """Independent SQL snowball DanishStemmer over the distinct raw tokens
+    -> stemmap(tok, stem). The R1 start (p1) is computed ONCE as a column
+    via the `^[^v]*[v]+[^v]` prefix regexp (the gopast-v/gopast-non-v
+    idiom), clamped to >=3 (danish.sbl `hop 3`), null region for words
+    under 3 chars or with no non-vowel after a vowel; every suffix arm
+    then carries its own in-R1 fit check (length(w)-L >= p1 — deletions
+    never touch text before p1, so p1 stays valid across steps). Suffix
+    DATA is shared with functions/snowball.py (declaration-order tuples);
+    the CASE evaluation here is an independent expression of the same
+    longest-match-within-R1 semantics."""
+    from .functions.snowball import _DA_MAIN, _DA_OTHER, _DA_S_ENDINGS
+
+    v = "aeiouyæåø"
+    p1 = (
+        f"CASE WHEN length(tok) < 3 THEN length(tok) "
+        f"WHEN regexp_extract(tok, '^[^{v}]*[{v}]+[^{v}]') = '' "
+        f"THEN length(tok) ELSE greatest(length(regexp_extract(tok, "
+        f"'^[^{v}]*[{v}]+[^{v}]')), 3) END"
+    )
+    s_end = ", ".join(f"'{c}'" for c in sorted(_DA_S_ENDINGS))
+    main_arms = []
+    for suf, act in _DA_MAIN:
+        n = len(suf)
+        cond = f"length(w)-{n} >= p1 AND right(w,{n})='{suf}'"
+        if act == 1:
+            main_arms.append(f"WHEN {cond} THEN left(w,length(w)-{n})")
+        else:
+            main_arms.append(
+                f"WHEN {cond} THEN (CASE WHEN substr(w,length(w)-1,1) IN "
+                f"({s_end}) THEN left(w,length(w)-1) ELSE w END)"
+            )
+    main = "CASE\n    " + "\n    ".join(main_arms) + "\n    ELSE w END"
+    pair = (
+        "CASE WHEN length(w)-2 >= p1 AND right(w,2) IN "
+        "('gd','dt','gt','kt') THEN left(w,length(w)-1) ELSE w END"
+    )
+    other_arms, fired_arms = [], []
+    for suf, act in _DA_OTHER:
+        n = len(suf)
+        cond = f"length(w)-{n} >= p1 AND right(w,{n})='{suf}'"
+        if act == 1:
+            other_arms.append(f"WHEN {cond} THEN left(w,length(w)-{n})")
+            fired_arms.append(f"WHEN {cond} THEN 1")
+        else:
+            other_arms.append(f"WHEN {cond} THEN left(w,length(w)-1)")
+            fired_arms.append(f"WHEN {cond} THEN 0")
+    other = "CASE\n    " + "\n    ".join(other_arms) + "\n    ELSE w END"
+    fired = "CASE " + " ".join(fired_arms) + " ELSE 0 END"
+    vlist = ", ".join(f"'{c}'" for c in v)
+    undouble = (
+        f"CASE WHEN length(w)-1 >= p1 AND substr(w,length(w),1) NOT IN "
+        f"({vlist}) AND substr(w,length(w)-1,1) = substr(w,length(w),1) "
+        f"THEN left(w,length(w)-1) ELSE w END"
+    )
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+da0 AS (SELECT tok, tok AS w, {p1} AS p1 FROM vocab),
+da1 AS (SELECT tok, p1, {main} AS w FROM da0),
+da2 AS (SELECT tok, p1, {pair} AS w FROM da1),
+da3 AS (SELECT tok, p1,
+        CASE WHEN right(w,4)='igst' THEN left(w,length(w)-2) ELSE w END AS w
+        FROM da2),
+da4 AS (SELECT tok, p1, {other} AS w, {fired} AS pair_again FROM da3),
+da5 AS (SELECT tok, p1,
+        CASE WHEN pair_again=1 THEN {pair.replace(chr(10), ' ')} ELSE w END
+        AS w FROM da4),
+stemmap AS (SELECT tok, {undouble} AS stem FROM da5)"""
+
+
+def _dutch_sql_pipeline() -> str:
+    """Independent SQL snowball DutchStemmer -> stemmap(tok, stem).
+
+    The prelude's i/y marking is a RECURSIVE CTE building the marked
+    string one char at a time (the decision at position p reads the
+    MARKED char at p-1 — uppercase I/Y are consonants — and the ORIGINAL
+    char at p+1; see snowball._nl_mark for why that single pass equals
+    the generated cursor machine). prelude() emits WITH RECURSIVE for
+    this analyzer. R1 is clamped to >=3; R2 derives from the UNclamped
+    p1. Steps mirror dutch.sbl longest-match-THEN-conditions (a failed
+    condition does not retry a shorter suffix). The StemmerOverrideFilter
+    dict (DutchAnalyzer.cs DEFAULT_STEM_DICT) short-circuits at the end
+    on the ORIGINAL token."""
+    V = "'a','e','i','o','u','y','è'"
+    VJ = V + ",'j'"
+    VI = V + ",'I'"
+    vcls = "aeiouyè"
+    reg = f"'^[^{vcls}]*[{vcls}]+[^{vcls}]'"
+
+    def und(x):
+        return (f"CASE WHEN right({x},2) IN ('dd','kk','tt') "
+                f"THEN left({x},length({x})-1) ELSE {x} END")
+
+    def en_cond(L):
+        return (
+            f"length(w)-{L} >= p1 AND length(w)-{L} >= 1 "
+            f"AND substr(w,length(w)-{L},1) NOT IN ({V}) "
+            f"AND NOT (length(w)-{L} >= 3 "
+            f"AND substr(w,length(w)-{L}-2,3)='gem')"
+        )
+
+    e_cond = (
+        f"right(w,1)='e' AND length(w)-1 >= p1 AND length(w) >= 2 "
+        f"AND substr(w,length(w)-1,1) NOT IN ({V})"
+    )
+    heid_cond = (
+        "right(w,4)='heid' AND length(w)-4 >= p2 AND NOT "
+        "(length(w) >= 5 AND substr(w,length(w)-4,1)='c')"
+    )
+    ig_cond = (
+        "right(w,2)='ig' AND length(w)-2 >= p2 AND NOT "
+        "(length(w) >= 3 AND substr(w,length(w)-2,1)='e')"
+    )
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+nl0 AS (SELECT tok,
+        CASE WHEN left(t,1)='y' THEN 'Y' || substr(t,2) ELSE t END AS b
+        FROM (SELECT tok, translate(tok,'áäéëíïóöúü','aaeeiioouu') AS t
+              FROM vocab)),
+nlr AS (
+  SELECT tok, b, 1 AS i, left(b,1) AS acc FROM nl0
+  UNION ALL
+  SELECT tok, b, i+1,
+    acc || CASE
+      WHEN right(acc,1) IN ({V}) AND substr(b,i+1,1)='i'
+           AND substr(b,i+2,1) IN ({V}) THEN 'I'
+      WHEN right(acc,1) IN ({V}) AND substr(b,i+1,1)='y' THEN 'Y'
+      ELSE substr(b,i+1,1) END
+  FROM nlr WHERE i < length(b)),
+nlm AS (SELECT tok, acc AS m FROM nlr WHERE i = length(b)),
+nlp AS (SELECT tok, m, length(regexp_extract(m, {reg})) AS p1raw FROM nlm),
+nlq AS (SELECT tok, m AS w,
+  CASE WHEN p1raw=0 THEN length(m) ELSE greatest(p1raw,3) END AS p1,
+  CASE WHEN p1raw=0 THEN length(m)
+       WHEN length(regexp_extract(substr(m,p1raw+1), {reg}))=0
+            THEN length(m)
+       ELSE p1raw + length(regexp_extract(substr(m,p1raw+1), {reg})) END
+  AS p2 FROM nlp),
+nl1 AS (SELECT tok, p1, p2, CASE
+  WHEN right(w,5)='heden' THEN
+    CASE WHEN length(w)-5 >= p1 THEN left(w,length(w)-5) || 'heid'
+         ELSE w END
+  WHEN right(w,3)='ene' THEN
+    CASE WHEN {en_cond(3)} THEN {und("left(w,length(w)-3)")} ELSE w END
+  WHEN right(w,2)='en' THEN
+    CASE WHEN {en_cond(2)} THEN {und("left(w,length(w)-2)")} ELSE w END
+  WHEN right(w,2)='se' THEN
+    CASE WHEN length(w)-2 >= p1 AND substr(w,length(w)-2,1) NOT IN ({VJ})
+         THEN left(w,length(w)-2) ELSE w END
+  WHEN right(w,1)='s' THEN
+    CASE WHEN length(w)-1 >= p1 AND length(w) >= 2
+              AND substr(w,length(w)-1,1) NOT IN ({VJ})
+         THEN left(w,length(w)-1) ELSE w END
+  ELSE w END AS w FROM nlq),
+nl2 AS (SELECT tok, p1, p2,
+  CASE WHEN {e_cond} THEN {und("left(w,length(w)-1)")} ELSE w END AS w,
+  CASE WHEN {e_cond} THEN 1 ELSE 0 END AS ef FROM nl1),
+nl3a AS (SELECT tok, p1, p2, ef,
+  CASE WHEN {heid_cond} THEN left(w,length(w)-4) ELSE w END AS w,
+  CASE WHEN {heid_cond} THEN 1 ELSE 0 END AS hf FROM nl2),
+nl3b AS (SELECT tok, p1, p2, ef,
+  CASE WHEN hf=1 AND right(w,2)='en' AND {en_cond(2)}
+       THEN {und("left(w,length(w)-2)")} ELSE w END AS w FROM nl3a),
+nl4 AS (SELECT tok, p1, p2,
+  CASE
+  WHEN right(w,4)='lijk' THEN
+    CASE WHEN length(w)-4 >= p2 THEN left(w,length(w)-4) ELSE w END
+  WHEN right(w,4)='baar' THEN
+    CASE WHEN length(w)-4 >= p2 THEN left(w,length(w)-4) ELSE w END
+  WHEN right(w,3)='end' OR right(w,3)='ing' THEN
+    CASE WHEN length(w)-3 >= p2 THEN left(w,length(w)-3) ELSE w END
+  WHEN right(w,3)='bar' THEN
+    CASE WHEN length(w)-3 >= p2 AND ef=1 THEN left(w,length(w)-3)
+         ELSE w END
+  WHEN right(w,2)='ig' THEN
+    CASE WHEN {ig_cond} THEN left(w,length(w)-2) ELSE w END
+  ELSE w END AS w,
+  CASE WHEN right(w,4)='lijk' AND length(w)-4 >= p2 THEN 1 ELSE 0 END
+  AS lj,
+  CASE WHEN right(w,4) NOT IN ('lijk','baar')
+            AND (right(w,3)='end' OR right(w,3)='ing')
+            AND length(w)-3 >= p2 THEN 1 ELSE 0 END AS gx
+  FROM nl3b),
+nl5 AS (SELECT tok, p1, p2, CASE
+  WHEN gx=1 THEN
+    CASE WHEN {ig_cond} THEN left(w,length(w)-2) ELSE {und("w")} END
+  WHEN lj=1 THEN
+    CASE WHEN {e_cond} THEN {und("left(w,length(w)-1)")} ELSE w END
+  ELSE w END AS w FROM nl4),
+nl6 AS (SELECT tok, CASE
+  WHEN length(w) >= 4 AND substr(w,length(w),1) NOT IN ({VI})
+       AND substr(w,length(w)-2,2) IN ('aa','ee','oo','uu')
+       AND substr(w,length(w)-3,1) NOT IN ({V})
+  THEN left(w,length(w)-2) || right(w,1) ELSE w END AS w FROM nl5),
+stemmap AS (SELECT tok, CASE
+  WHEN tok='fiets' THEN 'fiets'
+  WHEN tok='bromfiets' THEN 'bromfiets'
+  WHEN tok='ei' THEN 'eier'
+  WHEN tok='kind' THEN 'kinder'
+  ELSE replace(replace(w,'I','i'),'Y','y') END AS stem FROM nl6)"""
+
+
 _STEM_PIPELINES = {
     "english": _porter_sql_pipeline,
     "german": _german_sql_pipeline,
@@ -1984,6 +2184,8 @@ _STEM_PIPELINES = {
     "greek": _greek_sql_pipeline,
     "hindi": _hindi_sql_pipeline,
     "brazilian": _brazilian_sql_pipeline,
+    "danish": _danish_sql_pipeline,
+    "dutch": _dutch_sql_pipeline,
 }
 
 
@@ -2088,9 +2290,11 @@ def prelude(analyzer: str = "standard") -> str:
     """
     from .functions.analysis import split_analyzer
 
-    # the finnish stem pipeline's kin/ko particle loop is a recursive CTE
+    # the finnish kin/ko particle loop, the hindi Indic scan, and the
+    # dutch prelude i/y marking scan are recursive CTEs
     rec = ("RECURSIVE "
-           if split_analyzer(analyzer)[0] in ("finnish", "hindi") else "")
+           if split_analyzer(analyzer)[0] in ("finnish", "hindi", "dutch")
+           else "")
     return f"""WITH {rec}docs AS (
   SELECT row_number() OVER (ORDER BY doc_id) - 1 AS docid,
          doc_id,

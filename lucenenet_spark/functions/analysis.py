@@ -164,7 +164,7 @@ ANALYZERS = (
     "french", "spanish", "italian", "portuguese", "norwegian", "finnish",
     "hungarian", "russian", "czech", "bulgarian", "latvian", "indonesian",
     "arabic", "persian", "sorani", "galician", "greek", "hindi",
-    "brazilian", "cjk",
+    "brazilian", "cjk", "danish", "dutch",
 )
 
 
@@ -275,6 +275,10 @@ def _base_chain(analyzer: str):
     - "cjk":        CJKAnalyzer.cs — CJKWidthFilter PRE + the
                     CJKBigramFilter stream expansion (functions/cjk.py),
                     stops applied to the emitted stream
+    - "danish":     DanishAnalyzer.cs — snowball stops + the full snowball
+                    DanishStemmer (functions/snowball.py)
+    - "dutch":      DutchAnalyzer.cs — snowball stops, StemmerOverrideFilter
+                    (DEFAULT_STEM_DICT), snowball DutchStemmer
     """
     if analyzer == "standard":
         return ENGLISH_STOP_WORDS, None, None
@@ -414,6 +418,21 @@ def _base_chain(analyzer: str):
         from .stopsets import CJK_STOP_WORDS
 
         return CJK_STOP_WORDS, cjk_width, None
+    if analyzer == "danish":
+        # DanishAnalyzer.cs: snowball stops + SnowballFilter(DanishStemmer)
+        # — the first slot whose stem filter is the full snowball
+        # algorithm (no light variant exists; functions/snowball.py)
+        from .snowball import danish_stem
+        from .stopsets import DANISH_STOP_WORDS
+
+        return DANISH_STOP_WORDS, None, danish_stem
+    if analyzer == "dutch":
+        # DutchAnalyzer.cs: snowball stops, StemmerOverrideFilter with the
+        # DEFAULT_STEM_DICT, then SnowballFilter(DutchStemmer)
+        from .snowball import dutch_chain
+        from .stopsets import DUTCH_STOP_WORDS
+
+        return DUTCH_STOP_WORDS, None, dutch_chain
     raise ValueError(f"unknown analyzer {analyzer!r} ({'|'.join(ANALYZERS)})")
 
 

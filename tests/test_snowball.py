@@ -1,0 +1,183 @@
+"""Round-5j analyzer slots: the full snowball stemmers (languages whose
+reference Analyzer ships ONLY SnowballFilter — no light variant), each with
+an independent DuckDB SQL mirror fuzz-compared against the Python stemmer.
+
+Fixtures are hand-traced from the published snowball algorithms with the
+suffix data checked against the reference's generated Among tables
+(Tartarus/Snowball/Ext/DanishStemmer.cs etc.)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from lucenenet_spark.entry_support import _STEM_PIPELINES
+from lucenenet_spark.functions import snowball
+from lucenenet_spark.functions.analysis import tokenize_text
+
+
+# -- Danish ---------------------------------------------------------------
+
+DANISH_FIXTURES = {
+    # main_suffix: longest a_0 entry inside R1 (R1 clamped to start >= 3)
+    "merges": "merg",          # -es
+    "merge": "merg",           # -e
+    "kærligheden": "kær",      # -heden, then other_suffix -ig in R1
+    "spørgsmålet": "spørgsmål",  # -et
+    "følelsen": "føl",         # -elsen? no: -en then -els via other_suffix
+    "hundene": "hund",         # -ene
+    "billeder": "billed",      # -er
+    # action 2: bare -s only after a valid s-ending
+    "afstands": "afstand",     # d is a valid s-ending
+    "cykles": "cykl",          # -es entry (e before s would fail act 2)
+    "hors": "hor",             # r valid s-ending
+    "vis": "vis",              # bare -s after i (NOT a valid s-ending)
+    # consonant_pair: gd/dt/gt/kt inside R1 drop the final letter
+    "vagt": "vagt",            # -gt pair NOT fully in R1 (p1=3, pair at 2..3)
+    "forsagt": "forsag",       # -gt pair inside R1 (p1=3, pair at 5..6)
+    "bundt": "bund",           # -dt pair at exactly the R1 boundary
+    # other_suffix
+    "ubetydeligst": "ubetyd",  # igst -> strip st, then -elig
+    "venligst": "ven",         # igst -> venlig, then -lig
+    "frygtløst": "frygtløs",   # løst -> løs
+    "løst": "løst",            # R1 starts at 3: løst's match can't fit
+    # undouble: final double non-vowel in R1
+    "bakken": "bak",           # -en then undouble kk
+    "bakke": "bak",            # -e then undouble
+    "kommer": "kom",           # -er then undouble mm
+    # null region: too short / no non-vowel after a vowel
+    "og": "og",
+    "by": "by",
+    "uro": "uro",              # p1 = max(3,3)=3 == len: nothing fits
+}
+
+
+def test_danish_fixtures():
+    for w, want in DANISH_FIXTURES.items():
+        got = snowball.danish_stem(w)
+        assert got == want, (w, got, want)
+
+
+def test_danish_chain_stops_then_stems():
+    # snowball Danish stop set applies pre-stem; English stops do not
+    assert tokenize_text("og hundene på bakken", "danish") == ["hund", "bak"]
+    assert "the" in tokenize_text("the merge", "danish")
+
+
+# -- Dutch ----------------------------------------------------------------
+
+DUTCH_FIXTURES = {
+    # step 1
+    "hoofden": "hoofd",        # -en after non-vowel
+    "lopen": "lop",            # -en
+    "bomen": "bom",            # -en after non-vowel m
+    "zeeën": "zeeen",          # -en preceded by a vowel: en_ending fails
+    "mergen": "merg",          # gate query surface
+    "volgens": "volgen",       # -s after n (a valid s-ending)
+    "merges": "merges",        # -s after vowel e: NOT a valid s-ending
+    "relaxjes": "relaxjes",    # -s after j: NOT a valid s-ending (g_v_j)
+    "bijzonderheden": "bijzonder",  # heden -> heid, then 3a strips heid+en?
+    # step 2 e_ending (+ undouble)
+    "merge": "merg",
+    "witte": "wit",            # -e then undouble tt
+    # step 3a/3b
+    "vrolijkheid": "vrolijk",  # heid in R2, then no en
+    "gezelligheid": "gezell",  # heid strip, then ig strip in R2
+    "lichamelijk": "licham",   # lijk in R2, then e_ending n/a
+    "lopend": "lopend",        # end NOT in R2 (p2=5)
+    "opheffende": "opheff",    # -e, then nothing; undouble keeps ff
+    # step 4 undouble vowel
+    "maan": "man",
+    "brood": "brod",
+    "bood": "bod",
+    "ijiy": "ijiy",            # marking: i/y casework round-trips
+    # overrides (StemmerOverrideFilter DEFAULT_STEM_DICT)
+    "ei": "eier",
+    "kind": "kinder",
+    "fiets": "fiets",
+    "fietsen": "fiets",        # NOT overridden: stems en off, s-ending t
+}
+
+
+def test_dutch_fixtures():
+    for w, want in DUTCH_FIXTURES.items():
+        got = snowball.dutch_chain(w)
+        assert got == want, (w, got, want)
+
+
+def test_dutch_marking():
+    # prelude: initial y, i between vowels, y after vowel; postlude
+    # restores case, so marking is only visible through vowel
+    # classification (here: 'baaien' — the marked I is a consonant, so
+    # R1's first non-vowel lands earlier than an unmarked scan would)
+    assert snowball._nl_mark("yoyo") == "YoYo"
+    assert snowball._nl_mark("baaien") == "baaIen"
+    assert snowball._nl_mark("aii") == "aIi"
+    assert snowball._nl_mark("aiia") == "aIia"
+
+
+def test_dutch_chain_stops_then_stems():
+    assert tokenize_text("de hoofden van lopen", "dutch") == ["hoofd", "lop"]
+    assert "the" in tokenize_text("the merge", "dutch")
+
+
+_SNOWBALL_FUZZ = {
+    "danish": dict(
+        stems=["kærlig", "merg", "spørgsmål", "føl", "hund", "afstand",
+               "billed", "bak", "løs", "hø", "x", "ab", "indtag",
+               "ubetyd", "bet", "cykl", "kom", "ven", "frygt", "va"],
+        sufs=["hed", "ethed", "ered", "e", "erede", "ende", "erende",
+              "ene", "erne", "ere", "en", "heden", "eren", "er", "heder",
+              "erer", "s", "heds", "es", "endes", "erendes", "enes",
+              "ernes", "eres", "ens", "hedens", "erens", "ers", "ets",
+              "erets", "et", "eret", "gd", "dt", "gt", "kt", "igst",
+              "ig", "lig", "elig", "els", "løst", "kk", "tt", "st", ""],
+        alphabet="abcdefghijklmnopqrstuvxyzæåø",
+        pyfn=snowball.danish_stem,
+    ),
+    "dutch": dict(
+        stems=["licham", "opheff", "man", "brod", "merg", "kinder", "lop",
+               "hoofd", "vrolijk", "gezell", "y", "ei", "kind", "fiets",
+               "aai", "ooi", "boom", "geloof", "paa", "ze", "wit"],
+        sufs=["heden", "ene", "en", "se", "s", "e", "heid", "heiden",
+              "end", "ing", "ig", "lijk", "baar", "bar", "dd", "kk", "tt",
+              "aa", "ee", "oo", "uu", "d", "t", "ische", "iën", "yen",
+              "iet", "", "gem", "gemen", "igen", "igend", "ende"],
+        alphabet="abcdefghijklmnopqrstuvwyzèáäéëíïóöúü",
+        pyfn=snowball.dutch_chain,
+    ),
+}
+
+
+@pytest.mark.parametrize("lang", sorted(_SNOWBALL_FUZZ))
+def test_sql_snowball_fuzz_matches_python(lang):
+    """SQL-pipeline-vs-Python fuzz: every suffix crossed with the stem
+    pool plus double-suffix random mutations, so the R1 fit checks, the
+    s-ending group, consonant pairs, and undouble all get exercised on
+    both sides of the region boundary."""
+    cfg = _SNOWBALL_FUZZ[lang]
+    rng = random.Random(977 + len(lang))
+    words = set()
+    for st in cfg["stems"]:
+        for su in cfg["sufs"]:
+            words.add(st + su)
+    for _ in range(900):
+        st = rng.choice(cfg["stems"])
+        st = "".join(
+            c if rng.random() > 0.25 else rng.choice(cfg["alphabet"])
+            for c in st
+        )
+        words.add(st + rng.choice(cfg["sufs"]) + rng.choice(cfg["sufs"]))
+    words = sorted(words)
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in words)
+    sql = f"""WITH RECURSIVE rawtoks AS (
+  SELECT 0 AS docid, 0 AS ord, tok FROM (VALUES {vals}) t(tok)),
+{_STEM_PIPELINES[lang]()}
+SELECT tok, stem FROM stemmap"""
+    got = dict(con.execute(sql).fetchall())
+    pyfn = cfg["pyfn"]
+    bad = [(w, pyfn(w), got.get(w)) for w in words if pyfn(w) != got.get(w)]
+    assert not bad, (len(bad), bad[:10])
