@@ -522,6 +522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # vowels and j), so the plural surface is "mergen" -> "merg", which
     # conflates with corpus "merge" via the step-2 e_ending
     out["term_dutch"] = _analyzer_term_gate("dutch", "mergen")
+    # Armenian rules are Armenian-script-only: the gate proves chain
+    # wiring + stop set, the fuzz pytest the stemmer itself
+    out["term_armenian"] = _analyzer_term_gate("armenian", "merge")
 
     def join_terms_avg(spark, sf_dir):
         # JoinUtil term join: docs sharing a tool with the HOT-term hits,
@@ -1200,7 +1203,7 @@ _NEW_THIS_ROUND: list[str] = [
     # fall past the budget and are locally gate-checked instead
     "term_french", "term_stem_exclusion",
     "term_hindi", "term_greek", "term_brazilian", "term_cjk",
-    "term_danish", "term_dutch",
+    "term_danish", "term_dutch", "term_armenian",
     "bool_russian", "term_arabic",
     "pii_scrub", "split_assign", "repetition_2gram",
     "strip_boilerplate", "unigram_bits", "sample_stratified",
@@ -1455,6 +1458,7 @@ LIMIT 30"""
     out["term_cjk"] = es.term_sql("merge", k=15, analyzer="cjk")
     out["term_danish"] = es.term_sql("merg", k=15, analyzer="danish")
     out["term_dutch"] = es.term_sql("merg", k=15, analyzer="dutch")
+    out["term_armenian"] = es.term_sql("merge", k=15, analyzer="armenian")
     out["join_terms_avg"] = es.join_terms_sql(HOT, "tool", "tool", "avg", k=15)
     out["join_terms_total_seg"] = es.join_terms_sql(
         HOT, "tool", "tool", "total", k=15

@@ -2161,6 +2161,56 @@ stemmap AS (SELECT tok, CASE
   ELSE replace(replace(w,'I','i'),'Y','y') END AS stem FROM nl6)"""
 
 
+def _armenian_sql_pipeline() -> str:
+    """Independent SQL snowball ArmenianStemmer -> stemmap(tok, stem).
+    pV (after the first vowel) and the standard R2 are columns; each of
+    the four passes (ending/verb/adjective/noun) is one CASE whose arms
+    come from the shared suffix tuples (functions/snowball), longest
+    first with the in-window fit in the arm condition — the ending
+    pass's R2 check sits INSIDE the selected arm (fail-no-retry)."""
+    from .functions.snowball import (
+        _HY_ADJ, _HY_ENDING, _HY_NOUN, _HY_VERB, _HY_VOWELS,
+    )
+
+    v = "".join(sorted(_HY_VOWELS))
+    reg = f"'^[^{v}]*[{v}]+[^{v}]'"
+    pv_expr = (
+        f"CASE WHEN regexp_extract(tok, '^[^{v}]*[{v}]') = '' "
+        f"THEN length(tok) "
+        f"ELSE length(regexp_extract(tok, '^[^{v}]*[{v}]')) END"
+    )
+    p1 = (
+        f"CASE WHEN regexp_extract(tok, {reg}) = '' THEN length(tok) "
+        f"ELSE length(regexp_extract(tok, {reg})) END"
+    )
+
+    def pass_case(table, with_r2):
+        arms = []
+        for suf in table:
+            L = len(suf)
+            cond = f"length(w)-{L} >= pv AND right(w,{L})='{suf}'"
+            strip = f"left(w,length(w)-{L})"
+            if with_r2:
+                strip = (
+                    f"(CASE WHEN length(w)-{L} >= p2 THEN {strip} "
+                    f"ELSE w END)"
+                )
+            arms.append(f"WHEN {cond} THEN {strip}")
+        return "CASE\n    " + "\n    ".join(arms) + "\n    ELSE w END"
+
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+hy0 AS (SELECT tok, tok AS w, {pv_expr} AS pv, {p1} AS p1x FROM vocab),
+hy1 AS (SELECT tok, w, pv,
+  CASE WHEN p1x >= length(tok) THEN length(tok)
+       WHEN regexp_extract(substr(tok,p1x+1), {reg}) = '' THEN length(tok)
+       ELSE p1x + length(regexp_extract(substr(tok,p1x+1), {reg})) END
+  AS p2 FROM hy0),
+hy2 AS (SELECT tok, pv, p2, {pass_case(_HY_ENDING, True)} AS w FROM hy1),
+hy3 AS (SELECT tok, pv, p2, {pass_case(_HY_VERB, False)} AS w FROM hy2),
+hy4 AS (SELECT tok, pv, p2, {pass_case(_HY_ADJ, False)} AS w FROM hy3),
+stemmap AS (SELECT tok, {pass_case(_HY_NOUN, False)} AS stem FROM hy4)"""
+
+
 _STEM_PIPELINES = {
     "english": _porter_sql_pipeline,
     "german": _german_sql_pipeline,
@@ -2186,6 +2236,7 @@ _STEM_PIPELINES = {
     "brazilian": _brazilian_sql_pipeline,
     "danish": _danish_sql_pipeline,
     "dutch": _dutch_sql_pipeline,
+    "armenian": _armenian_sql_pipeline,
 }
 
 

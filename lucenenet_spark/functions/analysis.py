@@ -164,7 +164,7 @@ ANALYZERS = (
     "french", "spanish", "italian", "portuguese", "norwegian", "finnish",
     "hungarian", "russian", "czech", "bulgarian", "latvian", "indonesian",
     "arabic", "persian", "sorani", "galician", "greek", "hindi",
-    "brazilian", "cjk", "danish", "dutch",
+    "brazilian", "cjk", "danish", "dutch", "armenian",
 )
 
 
@@ -279,6 +279,7 @@ def _base_chain(analyzer: str):
                     DanishStemmer (functions/snowball.py)
     - "dutch":      DutchAnalyzer.cs — snowball stops, StemmerOverrideFilter
                     (DEFAULT_STEM_DICT), snowball DutchStemmer
+    - "armenian":   ArmenianAnalyzer.cs — stops + snowball ArmenianStemmer
     """
     if analyzer == "standard":
         return ENGLISH_STOP_WORDS, None, None
@@ -433,6 +434,13 @@ def _base_chain(analyzer: str):
         from .stopsets import DUTCH_STOP_WORDS
 
         return DUTCH_STOP_WORDS, None, dutch_chain
+    if analyzer == "armenian":
+        # ArmenianAnalyzer.cs: Hy/stopwords.txt + SnowballFilter(
+        # ArmenianStemmer)
+        from .snowball import armenian_stem
+        from .stopsets import ARMENIAN_STOP_WORDS
+
+        return ARMENIAN_STOP_WORDS, None, armenian_stem
     raise ValueError(f"unknown analyzer {analyzer!r} ({'|'.join(ANALYZERS)})")
 
 

@@ -294,3 +294,72 @@ def dutch_chain(token: str) -> str:
     if o is not None:
         return o
     return dutch_stem(token)
+
+
+# -- Armenian -----------------------------------------------------------------
+# snowball armenian.sbl (Astghik Mkrtchyan); data checked against
+# Tartarus/Snowball/Ext/ArmenianStemmer.cs a_0..a_3 + the g_v bitmap
+# (vowels over U+0561..U+0585). Pure suffix deletion: four passes
+# (ending -> verb -> adjective -> noun), every match window-limited to
+# after the first vowel (setlimit tomark pV), endings additionally in R2.
+
+_HY_VOWELS = frozenset("աեէըիոււօ")
+
+_HY_ADJ = ("երորդ", "ական", "ավետ", "արան", "եկեն", "երեն", "լայն", "ովին",
+           "որակ", "որէն", "վուն", "րորդ", "ալի", "ակի", "բար", "գին",
+           "կոտ", "պես", "ատ", "եղ", "են", "ին", "իվ")
+_HY_VERB = ("ացրինք", "վեցինք", "ալուց", "ացանք", "ացինք", "ացնալ", "ացվել",
+            "ացրեց", "ացրին", "ացրիր", "ացրիք", "ելուց", "եցինք", "եցնել",
+            "եցվել", "կոտել", "վեցին", "վեցիր", "վեցիք", "ալիս", "ալով",
+            "ալու", "անալ", "ատել", "ացան", "ացավ", "ացար", "ացաք", "ացին",
+            "ացիր", "ացիք", "ացրի", "ելիս", "ելով", "ելու", "ենալ", "եցավ",
+            "եցար", "եցին", "եցիր", "եցիք", "ոտել", "վեցի", "վում", "ցանք",
+            "ցնել", "անք", "ացա", "ացի", "եցա", "եցի", "ըալ", "ըել", "նել",
+            "ում", "չել", "ված", "վել", "տել", "ցան", "ցաք", "ալ", "ան",
+            "ավ", "ար", "աց", "աք", "ել", "եց", "վե", "ա")
+_HY_NOUN = ("ություն", "մունք", "ալիք", "անակ", "անիք", "անօց", "ավոր",
+            "արան", "եղէն", "յուն", "ուհի", "ույթ", "ույք", "ունք", "ուստ",
+            "ստան", "վածք", "ածո", "արք", "գար", "ենք", "իչք", "յակ",
+            "ոնք", "որդ", "ուկ", "ուս", "չեք", "պան", "վոր", "ակ", "ան",
+            "իլ", "իկ", "իչ", "իք", "ոց", "ու", "ցի", "ք")
+_HY_ENDING = ("ությանդ", "ությանը", "ությանն", "ությանս", "ներում",
+              "ության", "անում", "երում", "ներին", "ներից", "ներով",
+              "վանից", "անով", "երին", "երից", "երով", "ներդ", "ները",
+              "ների", "ներն", "ոջից", "վանդ", "վանը", "վանս", "ամբ",
+              "անդ", "անը", "երդ", "երը", "երի", "երն", "ներ", "ոջդ",
+              "ոջը", "ոջս", "ուդ", "ուն", "ուց", "վան", "վից", "վով",
+              "ցից", "ան", "եր", "ին", "ից", "ոջ", "ով", "ոց", "սա",
+              "վա", "վի", "դ", "ը", "ի", "ն", "ց")
+
+
+def _hy_apply(s: str, pV: int, table: tuple, p2: int | None) -> str:
+    """One rule pass: the longest table suffix fitting the [pV:] window;
+    when p2 is given (the ending pass) the R2 check runs AFTER selection
+    — a match outside R2 fails the pass without retrying shorter."""
+    m = len(s)
+    for suf in table:
+        if m - len(suf) >= pV and s.endswith(suf):
+            if p2 is not None and m - len(suf) < p2:
+                return s
+            return s[: -len(suf)]
+    return s
+
+
+def armenian_stem(token: str) -> str:
+    """Snowball Armenian (ArmenianStemmer.cs Stem: setlimit tomark pV
+    around do(ending) do(verb) do(adjective) do(noun))."""
+    s = token
+    n = len(s)
+    i = 0
+    while i < n and s[i] not in _HY_VOWELS:
+        i += 1
+    if i >= n:
+        return s
+    pV = i + 1
+    p1 = _region_after(s, 0, _HY_VOWELS)
+    p2 = _region_after(s, p1, _HY_VOWELS)
+    s = _hy_apply(s, pV, _HY_ENDING, p2)
+    s = _hy_apply(s, pV, _HY_VERB, None)
+    s = _hy_apply(s, pV, _HY_ADJ, None)
+    s = _hy_apply(s, pV, _HY_NOUN, None)
+    return s

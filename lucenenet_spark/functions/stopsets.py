@@ -438,3 +438,11 @@ DUTCH_STOP_WORDS = frozenset(
     hier wie werd altijd doch wordt wezen kunnen ons zelf tegen na reeds
     wil kon niets uw iemand geweest andere""".split()
 )
+
+
+# Analysis/Hy/stopwords.txt (ArmenianAnalyzer.cs DEFAULT_STOPWORD_FILE)
+ARMENIAN_STOP_WORDS = frozenset(
+    """այդ այլ այն այս դու դուք եմ են ենք ես եք է էի էին էինք էիր էիք էր
+    ըստ թ ի ին իսկ իր կամ համար հետ հետո մենք մեջ մի ն նա նաև նրա նրանք
+    որ որը որոնք որպես ու ում պիտի վրա և""".split()
+)

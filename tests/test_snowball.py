@@ -123,6 +123,32 @@ def test_dutch_chain_stops_then_stems():
     assert "the" in tokenize_text("the merge", "dutch")
 
 
+# -- Armenian ---------------------------------------------------------------
+
+ARMENIAN_FIXTURES = {
+    # ending pass: suffix in window [pV:] AND in R2
+    "ուսանողներին": "ուսանող",   # -ներին (students, dat pl)
+    "մարդկություն": "մարդկությ",  # ENDING -ուն fires before NOUN -ություն
+    # window: suffix must sit after the first vowel
+    "գրքերը": "գրքերը",           # -ը matches but fails R2 (fail-no-retry)
+    # non-Armenian text passes through (no vowel -> empty window)
+    "merge": "merge",
+    "xyz": "xyz",
+}
+
+
+def test_armenian_fixtures():
+    for w, want in ARMENIAN_FIXTURES.items():
+        got = snowball.armenian_stem(w)
+        assert got == want, (w, got, want)
+
+
+def test_armenian_chain_stops_then_stems():
+    # stop set applies (որոնք is a stop word), then the stemmer
+    assert tokenize_text("որոնք ուսանողներին", "armenian") == ["ուսանող"]
+    assert "the" in tokenize_text("the merge", "armenian")
+
+
 _SNOWBALL_FUZZ = {
     "danish": dict(
         stems=["kærlig", "merg", "spørgsmål", "føl", "hund", "afstand",
@@ -147,6 +173,14 @@ _SNOWBALL_FUZZ = {
               "iet", "", "gem", "gemen", "igen", "igend", "ende"],
         alphabet="abcdefghijklmnopqrstuvwyzèáäéëíïóöúü",
         pyfn=snowball.dutch_chain,
+    ),
+    "armenian": dict(
+        stems=["գրք", "մարդկ", "ուսանող", "հայ", "տ", "աա", "խնդ",
+               "ծրագր", "բառ", "քաղաք", "սիր", "x", "մե"],
+        sufs=list(snowball._HY_ENDING) + list(snowball._HY_VERB)
+        + list(snowball._HY_ADJ) + list(snowball._HY_NOUN) + [""],
+        alphabet="աբգդեզէըթժիլխծկհձղճմյնշոչպջռսվտրցւփքօֆ",
+        pyfn=snowball.armenian_stem,
     ),
 }
 
