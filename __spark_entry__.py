@@ -525,6 +525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Armenian rules are Armenian-script-only: the gate proves chain
     # wiring + stop set, the fuzz pytest the stemmer itself
     out["term_armenian"] = _analyzer_term_gate("armenian", "merge")
+    # Catalan conflates query "merges" (verb -es strip) with corpus
+    # "merge" (residual -e strip) onto the same stem "merg" through two
+    # DIFFERENT stemmer passes — plus elision/stops in the chain
+    out["term_catalan"] = _analyzer_term_gate("catalan", "merges")
 
     def join_terms_avg(spark, sf_dir):
         # JoinUtil term join: docs sharing a tool with the HOT-term hits,
@@ -1203,7 +1207,7 @@ _NEW_THIS_ROUND: list[str] = [
     # fall past the budget and are locally gate-checked instead
     "term_french", "term_stem_exclusion",
     "term_hindi", "term_greek", "term_brazilian", "term_cjk",
-    "term_danish", "term_dutch", "term_armenian",
+    "term_danish", "term_dutch", "term_armenian", "term_catalan",
     "bool_russian", "term_arabic",
     "pii_scrub", "split_assign", "repetition_2gram",
     "strip_boilerplate", "unigram_bits", "sample_stratified",
@@ -1459,6 +1463,7 @@ LIMIT 30"""
     out["term_danish"] = es.term_sql("merg", k=15, analyzer="danish")
     out["term_dutch"] = es.term_sql("merg", k=15, analyzer="dutch")
     out["term_armenian"] = es.term_sql("merge", k=15, analyzer="armenian")
+    out["term_catalan"] = es.term_sql("merg", k=15, analyzer="catalan")
     out["join_terms_avg"] = es.join_terms_sql(HOT, "tool", "tool", "avg", k=15)
     out["join_terms_total_seg"] = es.join_terms_sql(
         HOT, "tool", "tool", "total", k=15

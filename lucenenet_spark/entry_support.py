@@ -212,10 +212,16 @@ def _norm_values_rows(max_len: int = 1 << 20) -> str:
     return ",\n    ".join(rows)
 
 
+def _sql_quoted_list(words) -> str:
+    """Comma-joined SQL string literals; apostrophes doubled (the Catalan
+    stop set carries word-internal apostrophes: d'un, li'n, s'ha ...)."""
+    return ", ".join("'{}'".format(w.replace("'", "''")) for w in sorted(words))
+
+
 def _tokens_expr(text_expr: str, analyzer: str = "standard") -> str:
     from .functions.analysis import elision_articles, elision_sql, stop_words
 
-    stop_list = ", ".join(f"'{w}'" for w in sorted(stop_words(analyzer)))
+    stop_list = _sql_quoted_list(stop_words(analyzer))
     src = f"COALESCE({text_expr}, '')"
     if split_analyzer_base(analyzer) == "persian":
         # PersianCharFilter.cs: ZWNJ -> space ahead of the tokenizer
@@ -2211,6 +2217,62 @@ hy4 AS (SELECT tok, pv, p2, {pass_case(_HY_ADJ, False)} AS w FROM hy3),
 stemmap AS (SELECT tok, {pass_case(_HY_NOUN, False)} AS stem FROM hy4)"""
 
 
+def _catalan_sql_pipeline() -> str:
+    """Independent SQL snowball CatalanStemmer -> stemmap(tok, stem).
+    Standard R1/R2 as columns (the gopast-v/gopast-non-v prefix regexp,
+    null region at word end); each pass is one CASE whose arms come from
+    the shared (suffix, region, replacement) tuples (functions/snowball,
+    longest first). Unlike the pV-limited Armenian arms, the region test
+    sits INSIDE the selected arm — snowball among matching here is
+    unlimited, and a region failure fails the whole pass without retrying
+    a shorter suffix (CatalanStemmer.cs returns false from the switch).
+    The standard-or-verb alternative is a COALESCE over two such CASEs
+    (both NULL-on-fail, evaluated against the same pre-pass w); pronoun
+    and residual failures keep w. Cleaning is one forward translate
+    (a_0: accent folds + middle dot -> '.')."""
+    from .functions.snowball import (
+        _CA_PRON, _CA_RES, _CA_STD, _CA_VERB, _CA_VOWELS,
+    )
+
+    v = "".join(sorted(_CA_VOWELS))
+    reg = f"'^[^{v}]*[{v}]+[^{v}]'"
+    p1x = (
+        f"CASE WHEN regexp_extract(tok, {reg}) = '' THEN length(tok) "
+        f"ELSE length(regexp_extract(tok, {reg})) END"
+    )
+
+    def pass_case(table, keep_w: bool) -> str:
+        arms = []
+        fail = "w" if keep_w else "NULL"
+        for suf, r, repl in table:
+            n = len(suf)
+            sufq = suf.replace("'", "''")
+            rewrite = f"left(w,length(w)-{n})"
+            if repl:
+                rewrite = f"{rewrite} || '{repl}'"
+            arms.append(
+                f"WHEN right(w,{n})='{sufq}' THEN (CASE WHEN "
+                f"length(w)-{n} >= {'p1' if r == 1 else 'p2'} "
+                f"THEN {rewrite} ELSE {fail} END)"
+            )
+        return "CASE\n    " + "\n    ".join(arms) + f"\n    ELSE {fail} END"
+
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+ca0 AS (SELECT tok, tok AS w, {p1x} AS p1x FROM vocab),
+ca1 AS (SELECT tok, w, p1x AS p1,
+  CASE WHEN p1x >= length(tok) THEN length(tok)
+       WHEN regexp_extract(substr(tok,p1x+1), {reg}) = '' THEN length(tok)
+       ELSE p1x + length(regexp_extract(substr(tok,p1x+1), {reg})) END
+  AS p2 FROM ca0),
+ca2 AS (SELECT tok, p1, p2, {pass_case(_CA_PRON, True)} AS w FROM ca1),
+ca3 AS (SELECT tok, p1, p2,
+  COALESCE({pass_case(_CA_STD, False)}, {pass_case(_CA_VERB, False)}, w)
+  AS w FROM ca2),
+ca4 AS (SELECT tok, {pass_case(_CA_RES, True)} AS w FROM ca3),
+stemmap AS (SELECT tok,
+  translate(w, 'àáèéìíïòóúü·', 'aaeeiiioouu.') AS stem FROM ca4)"""
+
+
 _STEM_PIPELINES = {
     "english": _porter_sql_pipeline,
     "german": _german_sql_pipeline,
@@ -2237,6 +2299,7 @@ _STEM_PIPELINES = {
     "danish": _danish_sql_pipeline,
     "dutch": _dutch_sql_pipeline,
     "armenian": _armenian_sql_pipeline,
+    "catalan": _catalan_sql_pipeline,
 }
 
 
@@ -2259,7 +2322,7 @@ def _toks_cte(analyzer: str) -> str:
         # the EMITTED stream (CJKAnalyzer.cs filter order); no stemmap
         from .functions.analysis import stop_words
 
-        stop_list = ", ".join(f"'{w}'" for w in sorted(stop_words(base)))
+        stop_list = _sql_quoted_list(stop_words(base))
         raw = (
             f"list_filter(list_transform(regexp_extract_all(COALESCE(text,"
             f" ''), '{TOKEN_PATTERN_RE2_SQL}'), t -> lower(t)), "
@@ -2282,7 +2345,7 @@ def _toks_cte(analyzer: str) -> str:
         # exploded, normalized stream (HindiAnalyzer.cs filter order)
         from .functions.analysis import stop_words
 
-        stop_list = ", ".join(f"'{w}'" for w in sorted(stop_words(base)))
+        stop_list = _sql_quoted_list(stop_words(base))
         raw = (
             f"list_filter(list_transform(regexp_extract_all(COALESCE(text,"
             f" ''), '{TOKEN_PATTERN_RE2_SQL}'), t -> lower(t)), "

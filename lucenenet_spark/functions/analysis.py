@@ -164,7 +164,7 @@ ANALYZERS = (
     "french", "spanish", "italian", "portuguese", "norwegian", "finnish",
     "hungarian", "russian", "czech", "bulgarian", "latvian", "indonesian",
     "arabic", "persian", "sorani", "galician", "greek", "hindi",
-    "brazilian", "cjk", "danish", "dutch", "armenian",
+    "brazilian", "cjk", "danish", "dutch", "armenian", "catalan",
 )
 
 
@@ -280,6 +280,8 @@ def _base_chain(analyzer: str):
     - "dutch":      DutchAnalyzer.cs — snowball stops, StemmerOverrideFilter
                     (DEFAULT_STEM_DICT), snowball DutchStemmer
     - "armenian":   ArmenianAnalyzer.cs — stops + snowball ArmenianStemmer
+    - "catalan":    CatalanAnalyzer.cs — ElisionFilter(d l m n s t),
+                    stops, snowball CatalanStemmer
     """
     if analyzer == "standard":
         return ENGLISH_STOP_WORDS, None, None
@@ -441,6 +443,19 @@ def _base_chain(analyzer: str):
         from .stopsets import ARMENIAN_STOP_WORDS
 
         return ARMENIAN_STOP_WORDS, None, armenian_stem
+    if analyzer == "catalan":
+        # CatalanAnalyzer.cs: ElisionFilter(DEFAULT_ARTICLES) runs before
+        # the stop filter (so "d'un" -> "un" -> dropped), then
+        # SnowballFilter(CatalanStemmer)
+        from .lightstem import elide
+        from .snowball import CATALAN_ARTICLES, catalan_stem
+        from .stopsets import CATALAN_STOP_WORDS
+
+        return (
+            CATALAN_STOP_WORDS,
+            lambda t: elide(t, CATALAN_ARTICLES),
+            catalan_stem,
+        )
     raise ValueError(f"unknown analyzer {analyzer!r} ({'|'.join(ANALYZERS)})")
 
 
@@ -484,6 +499,10 @@ def elision_articles(analyzer: str = "standard"):
         from .lightstem import ITALIAN_ARTICLES
 
         return ITALIAN_ARTICLES
+    if base == "catalan":
+        from .snowball import CATALAN_ARTICLES
+
+        return CATALAN_ARTICLES
     return None
 
 

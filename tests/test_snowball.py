@@ -149,6 +149,49 @@ def test_armenian_chain_stops_then_stems():
     assert "the" in tokenize_text("the merge", "armenian")
 
 
+# -- Catalan ----------------------------------------------------------------
+
+CATALAN_FIXTURES = {
+    # the reference's own TestCatalanAnalyzer.cs vectors
+    "llengües": "llengu",      # standard -ües? no: verb 'es' in R1, clean ü
+    "llengua": "llengu",       # residual -a, clean ü
+    "diccionari": "diccion",   # standard -ari
+    "institut": "inst",        # verb -ut, then residual -it
+    "estudis": "estud",        # residual -is
+    "catalans": "catalan",     # residual -s (no std/verb entry matches)
+    # region semantics: matched suffix outside its region fails the whole
+    # pass without retrying a shorter entry (fail-no-retry)
+    "merges": "merg",          # std fails, verb -es in R1
+    "merge": "merg",           # residual -e
+    "lògiques": "log",         # standard 'iques' -> 'ic' then residual
+    "quíssima": "quissim",     # R1/R2 too late for -íssima: residual -a,
+                               # then cleaning í -> i
+    "cantàvem": "cant",        # verb -àvem
+    # cleaning: middle dot and accents fold even when no suffix fires
+    "col·legi": "col.leg",
+    # apostrophe tokens pass through the stemmer untouched
+    "s'ha": "s'ha",
+}
+
+
+def test_catalan_fixtures():
+    for w, want in CATALAN_FIXTURES.items():
+        got = snowball.catalan_stem(w)
+        assert got == want, (w, got, want)
+
+
+def test_catalan_chain_elides_then_stops_then_stems():
+    # ElisionFilter ahead of the stop filter (CatalanAnalyzer.cs):
+    # l'/d' strip, then "de" drops as a stop word — the reference's own
+    # TestContractions vector
+    assert tokenize_text(
+        "Diccionari de l'Institut d'Estudis Catalans", "catalan"
+    ) == ["diccion", "inst", "estud", "catalan"]
+    # "d'un" -> elided to "un" -> stop; "li'n" is a literal stop entry
+    assert tokenize_text("d'un li'n merge", "catalan") == ["merg"]
+    assert tokenize_text("un", "catalan") == []
+
+
 _SNOWBALL_FUZZ = {
     "danish": dict(
         stems=["kærlig", "merg", "spørgsmål", "føl", "hund", "afstand",
@@ -182,6 +225,19 @@ _SNOWBALL_FUZZ = {
         alphabet="աբգդեզէըթժիլխծկհձղճմյնշոչպջռսվտրցւփքօֆ",
         pyfn=snowball.armenian_stem,
     ),
+    "catalan": dict(
+        # every suffix from all four tables (incl. apostrophe/hyphen
+        # pronouns — the SQL literal escaping is under test too) crossed
+        # with stems straddling the R1/R2 boundaries
+        stems=["lleng", "cant", "merg", "log", "q", "xyz", "aa",
+               "col·l", "estud", "tècn", "portà", "ïx", "be"],
+        sufs=list(s for s, _, _ in snowball._CA_PRON)
+        + list(s for s, _, _ in snowball._CA_STD)
+        + list(s for s, _, _ in snowball._CA_VERB)
+        + list(s for s, _, _ in snowball._CA_RES) + [""],
+        alphabet="abcdefghijlmnopqrstuvxyzàáèéìíïòóúü·'-",
+        pyfn=snowball.catalan_stem,
+    ),
 }
 
 
@@ -206,7 +262,7 @@ def test_sql_snowball_fuzz_matches_python(lang):
         words.add(st + rng.choice(cfg["sufs"]) + rng.choice(cfg["sufs"]))
     words = sorted(words)
     con = duckdb.connect()
-    vals = ", ".join(f"('{w}')" for w in words)
+    vals = ", ".join("('{}')".format(w.replace("'", "''")) for w in words)
     sql = f"""WITH RECURSIVE rawtoks AS (
   SELECT 0 AS docid, 0 AS ord, tok FROM (VALUES {vals}) t(tok)),
 {_STEM_PIPELINES[lang]()}
