@@ -529,6 +529,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # "merge" (residual -e strip) onto the same stem "merg" through two
     # DIFFERENT stemmer passes — plus elision/stops in the chain
     out["term_catalan"] = _analyzer_term_gate("catalan", "merges")
+    # Romanian conflates query "mergea" (step_0 ea->e, then vowel -e)
+    # with corpus "merge" (vowel -e) onto "merg" — two passes on the
+    # query side, one on the corpus side
+    out["term_romanian"] = _analyzer_term_gate("romanian", "mergea")
 
     def join_terms_avg(spark, sf_dir):
         # JoinUtil term join: docs sharing a tool with the HOT-term hits,
@@ -1208,6 +1212,7 @@ _NEW_THIS_ROUND: list[str] = [
     "term_french", "term_stem_exclusion",
     "term_hindi", "term_greek", "term_brazilian", "term_cjk",
     "term_danish", "term_dutch", "term_armenian", "term_catalan",
+    "term_romanian",
     "bool_russian", "term_arabic",
     "pii_scrub", "split_assign", "repetition_2gram",
     "strip_boilerplate", "unigram_bits", "sample_stratified",
@@ -1464,6 +1469,7 @@ LIMIT 30"""
     out["term_dutch"] = es.term_sql("merg", k=15, analyzer="dutch")
     out["term_armenian"] = es.term_sql("merge", k=15, analyzer="armenian")
     out["term_catalan"] = es.term_sql("merg", k=15, analyzer="catalan")
+    out["term_romanian"] = es.term_sql("merg", k=15, analyzer="romanian")
     out["join_terms_avg"] = es.join_terms_sql(HOT, "tool", "tool", "avg", k=15)
     out["join_terms_total_seg"] = es.join_terms_sql(
         HOT, "tool", "tool", "total", k=15

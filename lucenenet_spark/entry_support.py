@@ -2273,6 +2273,172 @@ stemmap AS (SELECT tok,
   translate(w, 'àáèéìíïòóúü·', 'aaeeiiioouu.') AS stem FROM ca4)"""
 
 
+def _romanian_sql_pipeline() -> str:
+    """Independent SQL snowball RomanianStemmer -> stemmap(tok, stem).
+
+    The prelude's u/i-between-vowels marking is the same recursive
+    per-char scan shape as the Dutch prelude (the left flank reads the
+    MARKED accumulator, the right flank the original string), run only
+    over tokens containing a candidate trigram — the rest short-circuit.
+    pV is the Spanish-style RV branch CASE; p1/p2 the standard prefix
+    regexps. step_0 / standard / vowel passes check their region INSIDE
+    the selected longest-match arm (fail keeps w — the reference's
+    fail-no-retry `do` wrapper); the combo repeat is a recursive CTE
+    (each fire strictly shortens, so min_by(length) is the fixpoint);
+    the verb pass carries the pV window fit in the MATCH condition
+    itself (setlimit tomark pV limits the among search). Suffix DATA is
+    shared with functions/snowball.py."""
+    from .functions.snowball import (
+        _RO_COMBO, _RO_STD, _RO_STEP0, _RO_VERB, _RO_VOWEL_SUF, _RO_VOWELS,
+    )
+
+    v = "".join(sorted(_RO_VOWELS))
+    V = ", ".join(f"'{c}'" for c in sorted(_RO_VOWELS))
+    reg = f"'^[^{v}]*[{v}]+[^{v}]'"
+
+    step0_arms = []
+    for suf, repl in _RO_STEP0:
+        L = len(suf)
+        rewrite = f"left(w,length(w)-{L})"
+        if repl:
+            rewrite = f"{rewrite} || '{repl}'"
+        cond = f"length(w)-{L} >= p1"
+        if suf == "ile":
+            cond += (
+                " AND NOT (length(w) >= 5 AND "
+                "substr(w,length(w)-4,2)='ab')"
+            )
+        step0_arms.append(
+            f"WHEN right(w,{L})='{suf}' THEN "
+            f"(CASE WHEN {cond} THEN {rewrite} ELSE w END)"
+        )
+    step0 = "CASE\n    " + "\n    ".join(step0_arms) + "\n    ELSE w END"
+
+    combo_arms = []
+    for suf, repl in _RO_COMBO:
+        L = len(suf)
+        combo_arms.append(
+            f"WHEN right(w,{L})='{suf}' THEN (CASE WHEN "
+            f"length(w)-{L} >= p1 THEN left(w,length(w)-{L}) || '{repl}' "
+            f"ELSE w END)"
+        )
+    combo = "CASE\n    " + "\n    ".join(combo_arms) + "\n    ELSE w END"
+
+    std_arms, std_fired_arms = [], []
+    for suf, act in _RO_STD:
+        L = len(suf)
+        if act == 1:
+            rewrite = f"left(w,length(w)-{L})"
+            cond = f"length(w)-{L} >= p2"
+        elif act == 2:
+            # iune/iuni: in R2 AND preceded by ţ, which becomes t
+            rewrite = f"left(w,length(w)-{L+1}) || 't'"
+            cond = (
+                f"length(w)-{L} >= p2 AND length(w) >= {L + 1} "
+                f"AND substr(w,length(w)-{L},1)='ţ'"
+            )
+        else:
+            rewrite = f"left(w,length(w)-{L}) || 'ist'"
+            cond = f"length(w)-{L} >= p2"
+        std_arms.append(
+            f"WHEN right(w,{L})='{suf}' THEN "
+            f"(CASE WHEN {cond} THEN {rewrite} ELSE w END)"
+        )
+        # the flag is set on FIRE, not on change: 'ist' -> 'ist' leaves w
+        # identical but still marks standard_suffix_removed
+        std_fired_arms.append(
+            f"WHEN right(w,{L})='{suf}' THEN "
+            f"(CASE WHEN {cond} THEN 1 ELSE fired END)"
+        )
+    std = "CASE\n    " + "\n    ".join(std_arms) + "\n    ELSE w END"
+    std_fired = (
+        "CASE\n    " + "\n    ".join(std_fired_arms) + "\n    ELSE fired END"
+    )
+
+    verb_arms = []
+    for suf, act in _RO_VERB:
+        L = len(suf)
+        match = f"length(w)-{L} >= pv AND right(w,{L})='{suf}'"
+        if act == 2:
+            verb_arms.append(
+                f"WHEN {match} THEN left(w,length(w)-{L})"
+            )
+        else:
+            verb_arms.append(
+                f"WHEN {match} THEN (CASE WHEN length(w)-{L} > pv AND "
+                f"(substr(w,length(w)-{L},1) NOT IN ({V}) OR "
+                f"substr(w,length(w)-{L},1)='u') "
+                f"THEN left(w,length(w)-{L}) ELSE w END)"
+            )
+    verb = "CASE\n    " + "\n    ".join(verb_arms) + "\n    ELSE w END"
+
+    vow_arms = []
+    for suf in _RO_VOWEL_SUF:
+        L = len(suf)
+        vow_arms.append(
+            f"WHEN right(w,{L})='{suf}' THEN (CASE WHEN "
+            f"length(w)-{L} >= pv THEN left(w,length(w)-{L}) ELSE w END)"
+        )
+    vow = "CASE\n    " + "\n    ".join(vow_arms) + "\n    ELSE w END"
+
+    pv_expr = f"""CASE
+    WHEN length(m) < 2 THEN length(m)
+    WHEN substr(m,2,1) NOT IN ({V}) THEN
+      CASE WHEN regexp_extract(substr(m,3), '^[^{v}]*[{v}]') = ''
+           THEN length(m)
+           ELSE 2 + length(regexp_extract(substr(m,3), '^[^{v}]*[{v}]'))
+      END
+    WHEN substr(m,1,1) IN ({V}) THEN
+      CASE WHEN regexp_extract(substr(m,3), '^[{v}]*[^{v}]') = ''
+           THEN length(m)
+           ELSE 2 + length(regexp_extract(substr(m,3), '^[{v}]*[^{v}]'))
+      END
+    ELSE least(3, length(m)) END"""
+
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+ror(tok, b, i, acc) AS (
+  SELECT tok, tok, 1, left(tok,1) FROM vocab
+  WHERE regexp_matches(tok, '[{v}][ui][{v}]')
+  UNION ALL
+  SELECT tok, b, i+1,
+    acc || CASE
+      WHEN substr(b,i+1,1) IN ('u','i') AND right(acc,1) IN ({V})
+           AND substr(b,i+2,1) IN ({V})
+      THEN upper(substr(b,i+1,1)) ELSE substr(b,i+1,1) END
+  FROM ror WHERE i < length(b)),
+rom AS (
+  SELECT tok, acc AS m FROM ror WHERE i = length(b)
+  UNION ALL
+  SELECT tok, tok AS m FROM vocab
+  WHERE NOT regexp_matches(tok, '[{v}][ui][{v}]')),
+rop AS (SELECT tok, m, {pv_expr} AS pv,
+  CASE WHEN regexp_extract(m, {reg}) = '' THEN length(m)
+       ELSE length(regexp_extract(m, {reg})) END AS p1 FROM rom),
+roq AS (SELECT tok, m AS w, pv, p1,
+  CASE WHEN p1 >= length(m) THEN length(m)
+       WHEN regexp_extract(substr(m,p1+1), {reg}) = '' THEN length(m)
+       ELSE p1 + length(regexp_extract(substr(m,p1+1), {reg})) END
+  AS p2 FROM rop),
+ro0 AS (SELECT tok, pv, p1, p2, {step0} AS w FROM roq),
+roc(tok, pv, p1, p2, w) AS (
+  SELECT tok, pv, p1, p2, w FROM ro0
+  UNION ALL
+  SELECT tok, pv, p1, p2, {combo} AS w FROM roc
+  WHERE ({combo}) <> w),
+ro1 AS (SELECT r.tok, r.pv, r.p1, r.p2, r.w,
+        CASE WHEN length(r.w) < length(s.w) THEN 1 ELSE 0 END AS fired
+        FROM (SELECT tok, pv, p1, p2, min_by(w, length(w)) AS w
+              FROM roc GROUP BY tok, pv, p1, p2) r
+        JOIN ro0 s ON r.tok = s.tok),
+ro2 AS (SELECT tok, pv, p1, p2, {std} AS w,
+        {std_fired} AS fired FROM ro1),
+ro3 AS (SELECT tok, pv,
+        CASE WHEN fired = 1 THEN w ELSE {verb} END AS w FROM ro2),
+ro4 AS (SELECT tok, {vow} AS w FROM ro3),
+stemmap AS (SELECT tok,
+  replace(replace(w,'I','i'),'U','u') AS stem FROM ro4)"""
+
+
 _STEM_PIPELINES = {
     "english": _porter_sql_pipeline,
     "german": _german_sql_pipeline,
@@ -2300,6 +2466,7 @@ _STEM_PIPELINES = {
     "dutch": _dutch_sql_pipeline,
     "armenian": _armenian_sql_pipeline,
     "catalan": _catalan_sql_pipeline,
+    "romanian": _romanian_sql_pipeline,
 }
 
 
@@ -2407,7 +2574,8 @@ def prelude(analyzer: str = "standard") -> str:
     # the finnish kin/ko particle loop, the hindi Indic scan, and the
     # dutch prelude i/y marking scan are recursive CTEs
     rec = ("RECURSIVE "
-           if split_analyzer(analyzer)[0] in ("finnish", "hindi", "dutch")
+           if split_analyzer(analyzer)[0]
+           in ("finnish", "hindi", "dutch", "romanian")
            else "")
     return f"""WITH {rec}docs AS (
   SELECT row_number() OVER (ORDER BY doc_id) - 1 AS docid,

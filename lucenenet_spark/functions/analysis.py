@@ -165,6 +165,7 @@ ANALYZERS = (
     "hungarian", "russian", "czech", "bulgarian", "latvian", "indonesian",
     "arabic", "persian", "sorani", "galician", "greek", "hindi",
     "brazilian", "cjk", "danish", "dutch", "armenian", "catalan",
+    "romanian",
 )
 
 
@@ -282,6 +283,7 @@ def _base_chain(analyzer: str):
     - "armenian":   ArmenianAnalyzer.cs — stops + snowball ArmenianStemmer
     - "catalan":    CatalanAnalyzer.cs — ElisionFilter(d l m n s t),
                     stops, snowball CatalanStemmer
+    - "romanian":   RomanianAnalyzer.cs — stops + snowball RomanianStemmer
     """
     if analyzer == "standard":
         return ENGLISH_STOP_WORDS, None, None
@@ -456,6 +458,13 @@ def _base_chain(analyzer: str):
             lambda t: elide(t, CATALAN_ARTICLES),
             catalan_stem,
         )
+    if analyzer == "romanian":
+        # RomanianAnalyzer.cs: Ro/stopwords.txt + SnowballFilter(
+        # RomanianStemmer)
+        from .snowball import romanian_stem
+        from .stopsets import ROMANIAN_STOP_WORDS
+
+        return ROMANIAN_STOP_WORDS, None, romanian_stem
     raise ValueError(f"unknown analyzer {analyzer!r} ({'|'.join(ANALYZERS)})")
 
 

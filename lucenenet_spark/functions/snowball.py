@@ -561,3 +561,209 @@ def catalan_stem(token: str) -> str:
         s = s2
     s = _ca_rule(s, _CA_RES, p1, p2) or s
     return s.translate(_CA_CLEAN)
+
+
+# -- Romanian -----------------------------------------------------------------
+# snowball romanian.sbl; data checked against Tartarus/Snowball/Ext/
+# RomanianStemmer.cs a_0..a_5 + the g_v bitmap (a e i o u â î ă).
+# Prelude marks u/i between vowels as U/I (consonants thereafter);
+# pV is the Spanish-style RV; step_0 and the combo/standard suffixes
+# check their region AFTER among selection (fail-no-retry), while the
+# verb pass window-limits the among match itself (setlimit tomark pV).
+
+_RO_VOWELS = frozenset("aeiouâîă")  # a e i o u â î ă
+
+# a_1 (step_0), longest-first; repl None = delete; "ile" carries the
+# not-preceded-by-"ab" condition (case 5)
+_RO_STEP0 = (
+    ("iilor", "i"), ("aţia", "aţi"), ("aţie", "aţi"),
+    ("ului", None), ("iile", "i"), ("atei", "at"), ("elor", "e"),
+    ("ilor", "i"),
+    ("aua", "a"), ("iua", "i"), ("ele", "e"), ("ile", "i"), ("iei", "i"),
+    ("ii", "i"), ("ul", None), ("ea", "e"),
+)
+
+# a_2 (combo_suffix), longest-first, replacement per case 1..6
+_RO_COMBO = tuple(
+    sorted(
+        [(s, "abil") for s in
+         ("abilitate", "abilitati", "abilităi", "abilităţi")]
+        + [("ibilitate", "ibil")]
+        + [(s, "iv") for s in
+           ("ivitate", "ivitati", "ivităi", "ivităţi")]
+        + [(s, "ic") for s in
+           ("icala", "iciva", "icale", "icali", "icitate", "icitati",
+            "icive", "icivi", "icităi", "icităţi", "ical",
+            "icator", "icatori", "iciv", "icală", "icivă")]
+        + [(s, "at") for s in
+           ("ativa", "ative", "ativi", "ativă", "aţiune",
+            "atoare", "ator", "atori", "ătoare", "ător",
+            "ători", "ativ")]
+        + [(s, "it") for s in
+           ("itiva", "itive", "itivi", "itivă", "iţiune",
+            "itoare", "itor", "itori", "itiv")],
+        key=lambda e: -len(e[0]),
+    )
+)
+
+# a_3 (standard_suffix): action 1 delete, 2 = ţiune/ţiuni -> t, 3 -> ist
+_RO_STD = tuple(
+    sorted(
+        [(s, 1) for s in
+         ("ica", "abila", "ibila", "oasa", "ata", "ita", "anta", "uta",
+          "iva", "ic", "ice", "abile", "ibile", "oase", "ate", "itate",
+          "ite", "ante", "ute", "ive", "ici", "abili", "ibili", "atori",
+          "osi", "ati", "itati", "iti", "anti", "uti", "ivi",
+          "ităi", "oşi", "ităţi", "abil", "ibil",
+          "ator", "os", "at", "it", "ant", "ut", "iv", "ică",
+          "abilă", "ibilă", "oasă", "ată",
+          "ită", "antă", "ută", "ivă")]
+        + [("iune", 2), ("iuni", 2)]
+        + [(s, 3) for s in
+           ("ista", "isme", "iste", "isti", "işti", "ism", "ist",
+            "istă")],
+        key=lambda e: -len(e[0]),
+    )
+)
+
+# a_4 (verb_suffix): action 1 = delete if preceded (inside the pV window)
+# by a non-vowel or by 'u'; action 2 = delete
+_RO_VERB = tuple(
+    sorted(
+        [(s, 2) for s in
+         ("se", "sese", "sei", "seşi", "seseşi", "aţi",
+          "eţi", "iţi", "âţi", "serăţi",
+          "seserăţi", "em", "sesem", "im", "âm",
+          "ăm", "serăm", "seserăm", "seră",
+          "seseră")]
+        + [(s, 1) for s in
+           ("ea", "ia", "esc", "ăsc", "ind", "ând", "are",
+            "ere", "ire", "âre", "ase", "ise", "use", "âse",
+            "eşte", "ăşte", "eze", "ai", "eai", "iai",
+            "eşti", "ăşti", "ui", "ezi", "âi",
+            "aşi", "aseşi", "iseşi", "useşi",
+            "âseşi", "işi", "uşi", "âşi",
+            "eaţi", "iaţi", "arăţi",
+            "aserăţi", "iserăţi", "userăţi",
+            "âserăţi", "irăţi", "urăţi",
+            "ârăţi", "am", "eam", "iam", "asem", "isem",
+            "usem", "âsem", "arăm", "aserăm",
+            "iserăm", "userăm", "âserăm",
+            "irăm", "urăm", "ârăm", "au", "eau",
+            "iau", "indu", "ându", "ez", "ească", "ară",
+            "aseră", "iseră", "useră", "âseră",
+            "iră", "ură", "âră", "ează")],
+        key=lambda e: -len(e[0]),
+    )
+)
+
+_RO_VOWEL_SUF = ("ie", "a", "e", "i", "ă")
+
+
+def _ro_prelude(s: str) -> str:
+    """romanian.sbl prelude: left-to-right, u/i with a vowel on both
+    sides -> U/I. The left flank reads the MARKED string (a replaced
+    char is uppercase, i.e. a consonant for later checks); the right
+    flank reads ahead of the cursor, i.e. the original lowercase."""
+    out = list(s)
+    for i in range(1, len(s) - 1):
+        if (
+            out[i] in ("u", "i")
+            and out[i - 1] in _RO_VOWELS
+            and s[i + 1] in _RO_VOWELS
+        ):
+            out[i] = out[i].upper()
+    return "".join(out)
+
+
+def _ro_pv(s: str) -> int:
+    """Spanish-style RV (romanian.sbl mark_regions): if the second char
+    is a consonant, after the next vowel; if the first two chars are
+    vowels, after the next consonant; otherwise (consonant-vowel)
+    position 3. End of word when the scan fails."""
+    n = len(s)
+    if n < 2:
+        return n
+    if s[1] not in _RO_VOWELS:
+        i = 2
+        while i < n and s[i] not in _RO_VOWELS:
+            i += 1
+        return i + 1 if i < n else n
+    if s[0] in _RO_VOWELS:
+        i = 2
+        while i < n and s[i] in _RO_VOWELS:
+            i += 1
+        return i + 1 if i < n else n
+    return 3 if n >= 3 else n
+
+
+def romanian_stem(token: str) -> str:
+    """Snowball Romanian (RomanianStemmer.cs Stem: prelude ->
+    mark_regions -> backwards do(step_0) do(standard_suffix)
+    do(standard_suffix_removed or verb_suffix) do(vowel_suffix) ->
+    postlude)."""
+    s = _ro_prelude(token)
+    pV = _ro_pv(s)
+    p1 = _region_after(s, 0, _RO_VOWELS)
+    p2 = _region_after(s, p1, _RO_VOWELS)
+    # step_0: longest a_1 match, then R1 (fail-no-retry)
+    n = len(s)
+    for suf, repl in _RO_STEP0:
+        if s.endswith(suf):
+            pos = n - len(suf)
+            if pos >= p1 and not (suf == "ile" and s[:pos].endswith("ab")):
+                s = s[:pos] + (repl or "")
+            break
+    # standard_suffix: repeat combo_suffix (R1), then a_3 (R2); the
+    # flag records whether ANY of them fired
+    fired = False
+    while True:
+        n = len(s)
+        hit = False
+        for suf, repl in _RO_COMBO:
+            if s.endswith(suf):
+                if n - len(suf) >= p1:
+                    s = s[: n - len(suf)] + repl
+                    fired = hit = True
+                break
+        if not hit:
+            break
+    n = len(s)
+    for suf, act in _RO_STD:
+        if s.endswith(suf):
+            pos = n - len(suf)
+            if pos < p2:
+                break
+            if act == 1:
+                s = s[:pos]
+                fired = True
+            elif act == 2:
+                if pos >= 1 and s[pos - 1] == "ţ":
+                    s = s[: pos - 1] + "t"
+                    fired = True
+            else:
+                s = s[:pos] + "ist"
+                fired = True
+            break
+    # verb_suffix only when standard_suffix removed nothing; the among
+    # match itself is limited to the [pV:] window (longest that FITS)
+    if not fired:
+        n = len(s)
+        for suf, act in _RO_VERB:
+            pos = n - len(suf)
+            if pos >= pV and s.endswith(suf):
+                if act == 2:
+                    s = s[:pos]
+                elif pos > pV and (
+                    s[pos - 1] not in _RO_VOWELS or s[pos - 1] == "u"
+                ):
+                    s = s[:pos]
+                break
+    # vowel_suffix: longest a_5 match, then RV (fail-no-retry)
+    n = len(s)
+    for suf in _RO_VOWEL_SUF:
+        if s.endswith(suf):
+            if n - len(suf) >= pV:
+                s = s[: n - len(suf)]
+            break
+    return s.replace("I", "i").replace("U", "u")

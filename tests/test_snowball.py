@@ -192,6 +192,68 @@ def test_catalan_chain_elides_then_stops_then_stems():
     assert tokenize_text("un", "catalan") == []
 
 
+# -- Romanian ---------------------------------------------------------------
+
+ROMANIAN_FIXTURES = {
+    # vowel_suffix alone (no standard/verb suffix)
+    "merge": "merg",
+    # step_0 ea -> e, then vowel -e
+    "mergea": "merg",
+    # no Romanian suffix matches: untouched
+    "merges": "merges",
+    # combo: abilitate -> abil (R1)
+    "abilitate": "abil",
+    # step_0 ile -> i (not preceded by ab), then vowel -i
+    "lucrurile": "lucrur",
+    # a_3 delete: -oasă in R2
+    "frumoasă": "frumoas",
+    # iune in R2 requires preceding ţ (which becomes t) — here R2 fails
+    "acţiune": "acţiun",
+    # step_0 ului fails R1 (p1=4); verb -ui preceded by consonant l
+    "fiului": "fiul",
+    # prelude: i between vowels -> I (a consonant for later checks),
+    # postlude restores it; vowel -i strips, the marked I survives as i
+    "copiii": "copii",
+    # step_0 aţia -> aţi... on "naţiunilor": ilor -> i, vowel -i
+    "naţiunilor": "naţiun",
+    # a_3 case 3: -istă -> ist in R2
+    "socialista": "socialist",
+    # verb: -ează
+    "lucrează": "lucr",
+    # verb act-1 condition: preceded by vowel (not u) -> keep
+    "ai": "ai",
+    # combo longest match "icatori" fails R1 (fail-no-retry), a_3
+    # "atori" fails R2, verb has no match -> only vowel -i strips
+    "icatori": "icator",
+    # ... but with a long enough prefix the combo fires (icatori -> ic)
+    # and a_3 then deletes the residual -ic in R2
+    "multiplicatori": "multipl",
+}
+
+
+def test_romanian_fixtures():
+    for w, want in ROMANIAN_FIXTURES.items():
+        got = snowball.romanian_stem(w)
+        assert got == want, (w, got, want)
+
+
+def test_romanian_flag_skips_verb_suffix():
+    # a_3 "ică" deletes in R2 (p1=3, p2=5, pos=5) and sets the flag
+    assert snowball.romanian_stem("politică") == "polit"
+    # "socialist" fires a_3 case 3 with UNCHANGED text ("ist" -> "ist"):
+    # the flag must still set, so verb_suffix must NOT strip anything
+    assert snowball.romanian_stem("socialist") == "socialist"
+
+
+def test_romanian_chain_stops_then_stems():
+    # Romanian stop set applies pre-stem ("este", "şi" are stops);
+    # English "the" is NOT a Romanian stop so it survives (and stems)
+    assert tokenize_text("este merge şi lucrurile", "romanian") == [
+        "merg", "lucrur",
+    ]
+    assert tokenize_text("the merge", "romanian") == ["the", "merg"]
+
+
 _SNOWBALL_FUZZ = {
     "danish": dict(
         stems=["kærlig", "merg", "spørgsmål", "føl", "hund", "afstand",
@@ -237,6 +299,21 @@ _SNOWBALL_FUZZ = {
         + list(s for s, _, _ in snowball._CA_RES) + [""],
         alphabet="abcdefghijlmnopqrstuvxyzàáèéìíïòóúü·'-",
         pyfn=snowball.catalan_stem,
+    ),
+    "romanian": dict(
+        # stems straddling the pV/p1/p2 boundaries plus prelude triggers
+        # (u/i between vowels) and the ab/ţ condition neighborhoods
+        stems=["merg", "lucr", "copi", "fi", "acţ", "soci", "x", "ab",
+               "frum", "întâln", "jucăr", "import", "naţ", "abil",
+               "artist", "realist", "aua", "oaie", "copii", "uşi",
+               "războai", "băieţ", "ţ", "aiu", "said"],
+        sufs=[s for s, _ in snowball._RO_STEP0]
+        + [s for s, _ in snowball._RO_COMBO]
+        + [s for s, _ in snowball._RO_STD]
+        + [s for s, _ in snowball._RO_VERB]
+        + list(snowball._RO_VOWEL_SUF) + ["", "ţ", "u", "i"],
+        alphabet="abcdefghijlmnoprstuvzăâîşţ",
+        pyfn=snowball.romanian_stem,
     ),
 }
 
