@@ -533,6 +533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with corpus "merge" (vowel -e) onto "merg" — two passes on the
     # query side, one on the corpus side
     out["term_romanian"] = _analyzer_term_gate("romanian", "mergea")
+    # Basque: the izenak repeat walks leftward — query "mergeak" peels
+    # -ak then -ge, corpus "merge" peels -ge, both landing on "mer"
+    out["term_basque"] = _analyzer_term_gate("basque", "mergeak")
 
     def join_terms_avg(spark, sf_dir):
         # JoinUtil term join: docs sharing a tool with the HOT-term hits,
@@ -1212,7 +1215,7 @@ _NEW_THIS_ROUND: list[str] = [
     "term_french", "term_stem_exclusion",
     "term_hindi", "term_greek", "term_brazilian", "term_cjk",
     "term_danish", "term_dutch", "term_armenian", "term_catalan",
-    "term_romanian",
+    "term_romanian", "term_basque",
     "bool_russian", "term_arabic",
     "pii_scrub", "split_assign", "repetition_2gram",
     "strip_boilerplate", "unigram_bits", "sample_stratified",
@@ -1470,6 +1473,7 @@ LIMIT 30"""
     out["term_armenian"] = es.term_sql("merge", k=15, analyzer="armenian")
     out["term_catalan"] = es.term_sql("merg", k=15, analyzer="catalan")
     out["term_romanian"] = es.term_sql("merg", k=15, analyzer="romanian")
+    out["term_basque"] = es.term_sql("mer", k=15, analyzer="basque")
     out["join_terms_avg"] = es.join_terms_sql(HOT, "tool", "tool", "avg", k=15)
     out["join_terms_total_seg"] = es.join_terms_sql(
         HOT, "tool", "tool", "total", k=15

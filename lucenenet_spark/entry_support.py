@@ -2439,6 +2439,88 @@ stemmap AS (SELECT tok,
   replace(replace(w,'I','i'),'U','u') AS stem FROM ro4)"""
 
 
+def _basque_sql_pipeline() -> str:
+    """Independent SQL snowball BasqueStemmer -> stemmap(tok, stem).
+
+    The three rules' walking-left repeats (see functions/snowball
+    basque_stem: each fire moves the suffix-end to the match start, and
+    each stage resumes where the previous stopped) run as ONE recursive
+    CTE over state (s, e, stage): stage 0 = aditzak repeat, 1 = izenak
+    repeat, 2 = adjetiboak once, 3 = done. Each step evaluates the
+    stage's longest-match arm as a STRUCT {len, ok, repl} — ok carries
+    the region check for the SELECTED suffix only (fail-no-retry), and
+    a failed rule advances the stage instead of rewriting. Suffix DATA
+    is shared with functions/snowball.py; regions are absolute indexes
+    into the original token, valid for the untouched prefix exactly as
+    the generated runtime leaves them."""
+    from .functions.snowball import (
+        _EU_ADITZAK, _EU_ADJ, _EU_IZENAK, _EU_VOWELS,
+    )
+
+    v = "".join(sorted(_EU_VOWELS))
+    V = ", ".join(f"'{c}'" for c in sorted(_EU_VOWELS))
+    reg = f"'^[^{v}]*[{v}]+[^{v}]'"
+
+    def rule_struct(table) -> str:
+        arms = []
+        for suf, act in table:
+            L = len(suf)
+            m = f"e >= {L} AND substr(s, e-{L}+1, {L}) = '{suf}'"
+            if isinstance(act, str):
+                ok = "TRUE"
+                repl = act
+            else:
+                bound = "pv" if act == 1 else ("p2" if act == 2 else "p1")
+                ok = f"e-{L} >= {bound}"
+                repl = ""
+            arms.append(
+                f"WHEN {m} THEN {{'l': {L}, 'ok': {ok}, 'r': '{repl}'}}"
+            )
+        return (
+            "CASE\n      " + "\n      ".join(arms)
+            + "\n      ELSE {'l': 0, 'ok': FALSE, 'r': ''} END"
+        )
+
+    pv_expr = f"""CASE
+    WHEN length(tok) < 2 THEN length(tok)
+    WHEN substr(tok,2,1) NOT IN ({V}) THEN
+      CASE WHEN regexp_extract(substr(tok,3), '^[^{v}]*[{v}]') = ''
+           THEN length(tok)
+           ELSE 2 + length(regexp_extract(substr(tok,3), '^[^{v}]*[{v}]'))
+      END
+    WHEN substr(tok,1,1) IN ({V}) THEN
+      CASE WHEN regexp_extract(substr(tok,3), '^[{v}]*[^{v}]') = ''
+           THEN length(tok)
+           ELSE 2 + length(regexp_extract(substr(tok,3), '^[{v}]*[^{v}]'))
+      END
+    ELSE least(3, length(tok)) END"""
+
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+eup AS (SELECT tok, {pv_expr} AS pv,
+  CASE WHEN regexp_extract(tok, {reg}) = '' THEN length(tok)
+       ELSE length(regexp_extract(tok, {reg})) END AS p1 FROM vocab),
+euq AS (SELECT tok, pv, p1,
+  CASE WHEN p1 >= length(tok) THEN length(tok)
+       WHEN regexp_extract(substr(tok,p1+1), {reg}) = '' THEN length(tok)
+       ELSE p1 + length(regexp_extract(substr(tok,p1+1), {reg})) END
+  AS p2 FROM eup),
+eur(tok, pv, p1, p2, s, e, stage) AS (
+  SELECT tok, pv, p1, p2, tok, length(tok), 0 FROM euq
+  UNION ALL
+  SELECT tok, pv, p1, p2,
+    CASE WHEN h.l > 0 AND h.ok
+         THEN left(s, e - h.l) || h.r || substr(s, e + 1) ELSE s END,
+    CASE WHEN h.l > 0 AND h.ok THEN e - h.l ELSE e END,
+    CASE WHEN stage = 2 THEN 3
+         WHEN h.l > 0 AND h.ok THEN stage ELSE stage + 1 END
+  FROM (SELECT tok, pv, p1, p2, s, e, stage,
+          CASE WHEN stage = 0 THEN {rule_struct(_EU_ADITZAK)}
+               WHEN stage = 1 THEN {rule_struct(_EU_IZENAK)}
+               ELSE {rule_struct(_EU_ADJ)} END AS h
+        FROM eur WHERE stage < 3) t),
+stemmap AS (SELECT tok, s AS stem FROM eur WHERE stage = 3)"""
+
+
 _STEM_PIPELINES = {
     "english": _porter_sql_pipeline,
     "german": _german_sql_pipeline,
@@ -2467,6 +2549,7 @@ _STEM_PIPELINES = {
     "armenian": _armenian_sql_pipeline,
     "catalan": _catalan_sql_pipeline,
     "romanian": _romanian_sql_pipeline,
+    "basque": _basque_sql_pipeline,
 }
 
 
@@ -2575,7 +2658,7 @@ def prelude(analyzer: str = "standard") -> str:
     # dutch prelude i/y marking scan are recursive CTEs
     rec = ("RECURSIVE "
            if split_analyzer(analyzer)[0]
-           in ("finnish", "hindi", "dutch", "romanian")
+           in ("finnish", "hindi", "dutch", "romanian", "basque")
            else "")
     return f"""WITH {rec}docs AS (
   SELECT row_number() OVER (ORDER BY doc_id) - 1 AS docid,

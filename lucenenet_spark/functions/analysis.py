@@ -165,7 +165,7 @@ ANALYZERS = (
     "hungarian", "russian", "czech", "bulgarian", "latvian", "indonesian",
     "arabic", "persian", "sorani", "galician", "greek", "hindi",
     "brazilian", "cjk", "danish", "dutch", "armenian", "catalan",
-    "romanian",
+    "romanian", "basque",
 )
 
 
@@ -284,6 +284,7 @@ def _base_chain(analyzer: str):
     - "catalan":    CatalanAnalyzer.cs — ElisionFilter(d l m n s t),
                     stops, snowball CatalanStemmer
     - "romanian":   RomanianAnalyzer.cs — stops + snowball RomanianStemmer
+    - "basque":     BasqueAnalyzer.cs — stops + snowball BasqueStemmer
     """
     if analyzer == "standard":
         return ENGLISH_STOP_WORDS, None, None
@@ -465,6 +466,12 @@ def _base_chain(analyzer: str):
         from .stopsets import ROMANIAN_STOP_WORDS
 
         return ROMANIAN_STOP_WORDS, None, romanian_stem
+    if analyzer == "basque":
+        # BasqueAnalyzer.cs: Eu/stopwords.txt + SnowballFilter(BasqueStemmer)
+        from .snowball import basque_stem
+        from .stopsets import BASQUE_STOP_WORDS
+
+        return BASQUE_STOP_WORDS, None, basque_stem
     raise ValueError(f"unknown analyzer {analyzer!r} ({'|'.join(ANALYZERS)})")
 
 

@@ -767,3 +767,178 @@ def romanian_stem(token: str) -> str:
                 s = s[: n - len(suf)]
             break
     return s.replace("I", "i").replace("U", "u")
+
+
+# -- Basque -------------------------------------------------------------------
+# snowball basque.sbl (Olatz Perez de Viñaspre / Maite Oronoz); data checked
+# against Tartarus/Snowball/Ext/BasqueStemmer.cs a_0..a_2 + g_v (a e i o u).
+# The three rules run as backward REPEATs with NO test wrapper: each fire
+# leaves the cursor at the START of the matched suffix (SliceDel/SliceFrom
+# leave m_cursor = m_bra), so the next iteration matches the text to the
+# LEFT of the previous match — the repeat walks leftward through the word,
+# and the izenak loop CONTINUES from wherever aditzak stopped. Region marks
+# are absolute indexes into the original string; every mutation happens at
+# positions >= the next match's start, so the untouched prefix keeps them
+# valid (the generated runtime likewise never adjusts I_pV/I_p1/I_p2).
+
+_EU_VOWELS = frozenset("aeiou")
+
+# actions: 1 = delete in RV, 2 = delete in R2, 4 = delete in R1,
+# otherwise an unconditional replacement (identity entries are word guards:
+# they consume the suffix position and move the walk left of it)
+_EU_ADITZAK = (
+    ("tzailea", 1), ("arabera", "arabera"), ("atseden", "atseden"),
+    ("kundea", 1),
+    ("tailea", 1), ("taldia", 1), ("garria", 2), ("karria", 1),
+    ("tezina", 1), ("kizuna", 1), ("gailua", 1), ("erreza", 1),
+    ("gaitza", 1), ("kaitza", 1), ("kuntza", 1), ("tzaile", 1),
+    ("tarazi", 1), ("aldatu", 1), ("baditu", "baditu"), ("bidea", 1),
+    ("kidea", 1), ("pidea", 1), ("galea", 1), ("gunea", 1), ("kunea", 1),
+    ("tzaga", 1), ("aldia", 1), ("karia", 1), ("tzaka", 1), ("ezina", 1),
+    ("korra", 1), ("kunde", 1), ("tzake", 1), ("tzeke", 1), ("taile", 1),
+    ("taldi", 1), ("etari", 1), ("garri", 2), ("karri", 1), ("arazi", 1),
+    ("rekin", 1), ("tezin", 1), ("kizun", 1), ("gailu", 1), ("errez", 1),
+    ("gaitz", 1), ("kaitz", 1), ("idea", 1), ("gaia", 1), ("mena", 1),
+    ("pena", 1), ("kina", 1), ("kuna", 1), ("tuna", 1), ("bera", 1),
+    ("kera", 1), ("pera", 1), ("orra", 1), ("dura", 1), ("gura", 1),
+    ("kura", 1), ("tura", 1), ("keta", 1), ("bide", 1), ("kide", 1),
+    ("pide", 1), ("gale", 1), ("gune", 1), ("kune", 1), ("atze", 1),
+    ("aldi", 1), ("kari", 1), ("lari", 1), ("tari", 1), ("rean", 1),
+    ("etan", 1), ("ezin", 1), ("dako", 1), ("tzat", 1), ("tatu", 1),
+    ("tzez", 1), ("era", 1), ("eta", 1), ("eza", 1), ("tza", 2),
+    ("ide", 1), ("tze", 1), ("gai", 1), ("ari", 1), ("ean", 1), ("kan", 1),
+    ("men", 1), ("pen", 1), ("kin", 1), ("tun", 1), ("ago", 1), ("tio", 1),
+    ("kor", 1), ("atu", 1), ("ka", 1), ("la", 1), ("le", 1), ("ki", 1),
+    ("an", 1), ("go", 1), ("or", 1), ("du", 1), ("tu", 1), ("ez", 1),
+)
+
+_EU_IZENAK = (
+    ("minutuko", "minutu"), ("garrena", 1), ("gerrena", 1), ("kaldea", 1),
+    ("taldea", 1), ("tzalea", 1), ("zionea", 1), ("aurrea", 1),
+    ("taldia", 1), ("handia", 1), ("mendia", 1), ("garria", 2),
+    ("larria", 1), ("kirria", 1), ("ontzia", 1), ("gibela", 1),
+    ("urrena", 1), ("tzaina", 1), ("tasuna", 1), ("kondoa", 1),
+    ("tzarra", 1), ("mendua", 1), ("mentua", 1), ("koitza", 1),
+    ("gintza", 1), ("kintza", 1), ("kuntza", 1), ("garren", 1),
+    ("gerren", 1), ("tariko", 1), ("gintzo", 1), ("gintzu", 1),
+    ("denda", 1), ("gabea", 1), ("kabea", 1), ("aldea", 1), ("ordea", 1),
+    ("zalea", 1), ("gilea", 1), ("kumea", 1), ("gunea", 1), ("kotea", 1),
+    ("artea", 1), ("ostea", 1), ("etxea", 1), ("aldia", 1), ("degia", 1),
+    ("tegia", 1), ("nahia", 1), ("tokia", 1), ("karia", 1), ("laria", 1),
+    ("taria", 1), ("keria", 1), ("teria", 1), ("duria", 1), ("bizia", 1),
+    ("aurka", "aurka"), ("kaila", 1), ("skila", 1), ("zaina", 1),
+    ("garna", 1),
+    ("asuna", 1), ("ondoa", 1), ("takoa", 1), ("zinoa", 1), ("taroa", 1),
+    ("zaroa", 1), ("liara", 1), ("tiara", 1), ("etara", 1), ("tzara", 1),
+    ("korra", 1), ("ordua", 1), ("lekua", 1), ("burua", 1), ("durua", 1),
+    ("estua", 1), ("eroza", 1), ("antza", 1), ("kalde", 1), ("talde", 1),
+    ("tzale", 1), ("zione", 1), ("aurre", 1), ("taldi", 1),
+    ("geldi", "geldi"),
+    ("handi", 1), ("mendi", 1), ("garri", 2), ("larri", 1), ("kirri", 1),
+    ("ontzi", 1), ("tarik", 1), ("gibel", 1), ("urren", 1), ("tzain", 1),
+    ("tasun", 1), ("aizun", 1), ("kondo", 1), ("trako", "tra"),
+    ("etako", 1),
+    ("igaro", "igaro"), ("behar", 1), ("zehar", "zehar"), ("mendu", 1),
+    ("mentu", 1),
+    ("koitz", 1), ("kada", 1), ("anda", 1), ("emea", 1), ("enea", 1),
+    ("unea", 1), ("anga", 1), ("gaia", 1), ("geia", 1), ("egia", 1),
+    ("ohia", 1), ("koia", 1), ("aria", 1), ("eria", 1), ("asia", 1),
+    ("ezia", 1), ("joka", "jok"), ("gela", 1), ("tila", 1), ("kana", 1),
+    ("kina", 1), ("mina", 1), ("duna", 1), ("ngoa", 1), ("zioa", 1),
+    ("zkoa", 1), ("aroa", 1), ("eroa", 1), ("oroa", 1), ("osoa", 1),
+    ("ttoa", 1), ("ztoa", 1), ("txoa", 1), ("tzoa", 1), ("dara", 1),
+    ("tara", 1), ("bera", 1), ("kera", 1), ("pera", 1), ("keta", 1),
+    ("tsua", 1), ("txua", 1), ("tzua", 1), ("gabe", 1), ("kabe", 1),
+    ("kide", 1), ("alde", 1), ("orde", 1), ("zale", 1), ("gile", 1),
+    ("kume", 1), ("gune", 1), ("kote", 1), ("arte", 1), ("oste", 1),
+    ("etxe", 1), ("aldi", 1), ("degi", 1), ("tegi", 1), ("nahi", 1),
+    ("toki", 1), ("kari", 1), ("lari", 1), ("tari", 1), ("duri", 1),
+    ("kail", 1), ("etan", 1), ("tzen", 4), ("zain", 1), ("asun", 1),
+    ("ondo", 1), ("tako", 1), ("tuko", 1), ("zino", 1), ("taro", 1),
+    ("zaro", 1), ("giro", 1), ("liar", 1), ("tiar", 1), ("tzar", 1),
+    ("ordu", 1), ("leku", 1), ("buru", 2), ("duru", 1), ("tatu", 4),
+    ("estu", 1), ("eroz", 1), ("ada", 1), ("nea", 1), ("pea", 1),
+    ("tea", 1), ("kia", 1), ("oia", 1), ("tia", 1), ("ska", 1), ("xka", 1),
+    ("zka", 1), ("ola", 1), ("ena", 1), ("una", 1), ("koa", 1), ("noa", 1),
+    ("toa", 1), ("ñoa", 1), ("ara", 1), ("ora", 2), ("tra", 1), ("osa", 1),
+    ("eta", 1), ("sta", 1), ("dua", 1), ("tua", 1), ("zua", 1), ("eza", 1),
+    ("tza", 2), ("eme", 1), ("une", 1), ("gai", 1), ("gei", 1), ("egi", 1),
+    ("ohi", 1), ("goi", 1), ("koi", 1), ("ari", 1), ("asi", 1), ("ail", 1),
+    ("kan", 1), ("tan", 1), ("ren", 2), ("ten", 4), ("kin", 1), ("min", 1),
+    ("dun", 1), ("ngo", 1), ("zio", 1), ("eko", 1), ("sko", 1), ("zko", 1),
+    ("aro", 1), ("ero", 1), ("oro", 1), ("oso", 1), ("tto", 1), ("zto", 1),
+    ("txo", 1), ("tzo", 1), ("dar", 1), ("tar", 1), ("kor", 1), ("ket", 1),
+    ("tsu", 1), ("txu", 1), ("tzu", 1), ("ga", 1), ("ka", 1), ("na", 1),
+    ("ra", 1), ("sa", 1), ("ta", 1), ("za", 1), ("ge", 1), ("ne", 1),
+    ("pe", 1), ("te", 1), ("di", 1), ("ki", 1), ("oi", 1), ("ti", 1),
+    ("ñi", 1), ("ak", 1), ("ek", 1), ("en", 4), ("go", 1), ("ko", 1),
+    ("no", 1), ("ro", 1), ("to", 1), ("ño", 1), ("zp", 1), ("ar", 1),
+    ("or", 2), ("os", 1), ("du", 1), ("tu", 1), ("zu", 1), ("ez", 1),
+    ("tz", 1), ("z", 1),
+)
+
+_EU_ADJ = (
+    ("keria", 1), ("lanik", 1), ("larik", 1), ("zlea", "z"), ("dade", 1),
+    ("tade", 1), ("date", 1), ("tate", 1), ("ztik", 1), ("era", 1),
+    ("rik", 1), ("ero", 1), ("la", 1), ("gi", 1), ("ki", 1), ("ik", 1),
+    ("go", 1), ("ro", 1), ("to", 1),
+)
+
+
+def _spanish_pv(s: str, vowels: frozenset) -> int:
+    """The Spanish-family RV (basque/romanian mark_regions): second char
+    consonant -> after the next vowel; first two chars vowels -> after
+    the next consonant; consonant-vowel -> position 3; end of word when
+    the scan fails."""
+    n = len(s)
+    if n < 2:
+        return n
+    if s[1] not in vowels:
+        i = 2
+        while i < n and s[i] not in vowels:
+            i += 1
+        return i + 1 if i < n else n
+    if s[0] in vowels:
+        i = 2
+        while i < n and s[i] in vowels:
+            i += 1
+        return i + 1 if i < n else n
+    return 3 if n >= 3 else n
+
+
+def _eu_rule(s: str, e: int, table: tuple, pv: int, p1: int, p2: int):
+    """One basque rule call with the suffix end at `e`: the longest table
+    suffix of s[:e], then the action's region check (fail-no-retry).
+    Returns (new_s, new_e) or None when the rule fails."""
+    head = s[:e]
+    for suf, act in table:
+        if head.endswith(suf):
+            pos = e - len(suf)
+            if isinstance(act, str):
+                return s[:pos] + act + s[e:], pos
+            bound = pv if act == 1 else (p2 if act == 2 else p1)
+            if pos < bound:
+                return None
+            return s[:pos] + s[e:], pos
+    return None
+
+
+def basque_stem(token: str) -> str:
+    """Snowball Basque (BasqueStemmer.cs Stem: mark_regions -> backwards
+    repeat(aditzak) repeat(izenak) do(adjetiboak) — the repeats walk
+    leftward, and each stage resumes at the previous stage's stop)."""
+    s = token
+    pv = _spanish_pv(s, _EU_VOWELS)
+    p1 = _region_after(s, 0, _EU_VOWELS)
+    p2 = _region_after(s, p1, _EU_VOWELS)
+    e = len(s)
+    for table in (_EU_ADITZAK, _EU_IZENAK):
+        while True:
+            r = _eu_rule(s, e, table, pv, p1, p2)
+            if r is None:
+                break
+            s, e = r
+    r = _eu_rule(s, e, _EU_ADJ, pv, p1, p2)
+    if r is not None:
+        s, e = r
+    return s

@@ -254,6 +254,50 @@ def test_romanian_chain_stops_then_stems():
     assert tokenize_text("the merge", "romanian") == ["the", "merg"]
 
 
+# -- Basque -------------------------------------------------------------------
+
+BASQUE_FIXTURES = {
+    # izenak walks leftward: -ak (RV), then -ge
+    "mergeak": "mer",
+    "merge": "mer",
+    "merges": "merges",
+    # aditzak -ka deletes in RV BEFORE izenak's identity "aurka" guard
+    # could see the word (reference rule order)
+    "aurka": "aur",
+    # identity guard consumes the whole match, walk moves left of it
+    "atseden": "atseden",
+    # izenak replacement: minutuko -> minutu
+    "minutuko": "minutu",
+    # longest match "etxea" fails RV (pos 0 < pV 4): fail-no-retry
+    "etxea": "etxea",
+    # izenak -ak in RV
+    "liburuak": "liburu",
+    # chained walk: -ren (R2) then -na (RV)
+    "gizonaren": "gizo",
+    # -an (aditzak, RV)
+    "mendian": "mendi",
+}
+
+
+def test_basque_fixtures():
+    for w, want in BASQUE_FIXTURES.items():
+        got = snowball.basque_stem(w)
+        assert got == want, (w, got, want)
+
+
+def test_basque_stage_resume():
+    # after aditzak stops at E, izenak resumes AT E (not at the word
+    # end): "zuhaitzak" — aditzak deletes -ak? "ak" is not in a_0; "ka"
+    # no; so aditzak fails at the end; izenak -ak fires, then -tz (RV)
+    assert snowball.basque_stem("zuhaitzak") == "zuhai"
+
+
+def test_basque_chain_stops_then_stems():
+    # Basque stop set pre-stem; English "the" is not a Basque stop
+    assert tokenize_text("eta liburuak ez dira", "basque") == ["liburu"]
+    assert tokenize_text("the mergeak", "basque") == ["the", "mer"]
+
+
 _SNOWBALL_FUZZ = {
     "danish": dict(
         stems=["kærlig", "merg", "spørgsmål", "føl", "hund", "afstand",
@@ -314,6 +358,19 @@ _SNOWBALL_FUZZ = {
         + list(snowball._RO_VOWEL_SUF) + ["", "ţ", "u", "i"],
         alphabet="abcdefghijlmnoprstuvzăâîşţ",
         pyfn=snowball.romanian_stem,
+    ),
+    "basque": dict(
+        # double suffixes exercise the leftward walk; identity guards
+        # (atseden/aurka/geldi/igaro/zehar) and the rewrites (jok, tra,
+        # minutu, z) are in the suffix pool
+        stems=["merge", "etxe", "liburu", "zuhai", "gizon", "mendi", "x",
+               "aa", "aurk", "atsed", "minutu", "handi", "lan", "bazter",
+               "itsas", "gald", "zehark", "tr", "behin"],
+        sufs=[s for s, _ in snowball._EU_ADITZAK]
+        + [s for s, _ in snowball._EU_IZENAK]
+        + [s for s, _ in snowball._EU_ADJ] + ["", "a", "ak", "en", "ko"],
+        alphabet="abdeghijklmnoprstuxzñ",
+        pyfn=snowball.basque_stem,
     ),
 }
 
