@@ -536,6 +536,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Basque: the izenak repeat walks leftward — query "mergeak" peels
     # -ak then -ge, corpus "merge" peels -ge, both landing on "mer"
     out["term_basque"] = _analyzer_term_gate("basque", "mergeak")
+    # Irish: initial_morph mh->m plus verb -tar (R1) conflate query
+    # "mhergetar" with the unchanged corpus "merge"; the raw-PRE chain
+    # (hyphenations stop, elision, prothesis) is wired into the same slot
+    out["term_irish"] = _analyzer_term_gate("irish", "mhergetar")
 
     def join_terms_avg(spark, sf_dir):
         # JoinUtil term join: docs sharing a tool with the HOT-term hits,
@@ -1215,7 +1219,7 @@ _NEW_THIS_ROUND: list[str] = [
     "term_french", "term_stem_exclusion",
     "term_hindi", "term_greek", "term_brazilian", "term_cjk",
     "term_danish", "term_dutch", "term_armenian", "term_catalan",
-    "term_romanian", "term_basque",
+    "term_romanian", "term_basque", "term_irish",
     "bool_russian", "term_arabic",
     "pii_scrub", "split_assign", "repetition_2gram",
     "strip_boilerplate", "unigram_bits", "sample_stratified",
@@ -1474,6 +1478,7 @@ LIMIT 30"""
     out["term_catalan"] = es.term_sql("merg", k=15, analyzer="catalan")
     out["term_romanian"] = es.term_sql("merg", k=15, analyzer="romanian")
     out["term_basque"] = es.term_sql("mer", k=15, analyzer="basque")
+    out["term_irish"] = es.term_sql("merge", k=15, analyzer="irish")
     out["join_terms_avg"] = es.join_terms_sql(HOT, "tool", "tool", "avg", k=15)
     out["join_terms_total_seg"] = es.join_terms_sql(
         HOT, "tool", "tool", "total", k=15

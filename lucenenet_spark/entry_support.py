@@ -218,6 +218,21 @@ def _sql_quoted_list(words) -> str:
     return ", ".join("'{}'".format(w.replace("'", "''")) for w in sorted(words))
 
 
+def _irish_pre_sql(e: str) -> str:
+    """The Irish raw-PRE stages over one RAW token expression:
+    hyphenations stop ('' sentinel, in the stop list), case-insensitive
+    d'/m'/b' elision at a first-position apostrophe, then the
+    IrishLowerCaseFilter prothesis ('n'/'t' + UPPERCASE vowel inserts
+    '-') and lowercase. Mirrors functions/snowball.irish_pre."""
+    x = f"regexp_replace({e}, '^[dDmMbB][''\u2019]', '')"
+    return (
+        f"CASE WHEN lower({e}) IN ('h','n','t') THEN '' "
+        f"WHEN regexp_matches({x}, '^[nt][AEIOU\u00c1\u00c9\u00cd\u00d3\u00da]') "
+        f"THEN left({x},1) || '-' || lower(substr({x},2)) "
+        f"ELSE lower({x}) END"
+    )
+
+
 def _tokens_expr(text_expr: str, analyzer: str = "standard") -> str:
     from .functions.analysis import elision_articles, elision_sql, stop_words
 
@@ -226,6 +241,16 @@ def _tokens_expr(text_expr: str, analyzer: str = "standard") -> str:
     if split_analyzer_base(analyzer) == "persian":
         # PersianCharFilter.cs: ZWNJ -> space ahead of the tokenizer
         src = f"replace({src}, '\u200c', ' ')"
+    if split_analyzer_base(analyzer) == "irish":
+        # the PRE stages read the RAW match (prothesis needs case), so
+        # lowercase happens inside the per-token transform
+        raw = (
+            f"list_filter(regexp_extract_all({src}, "
+            f"'{TOKEN_PATTERN_RE2_SQL}'), "
+            f"t -> length(t) <= {MAX_TOKEN_LENGTH})"
+        )
+        pre = f"list_transform({raw}, t -> {_irish_pre_sql('t')})"
+        return f"list_filter({pre}, t -> t NOT IN ({stop_list}))"
     lowered = (
         f"list_filter(list_transform(regexp_extract_all({src}, "
         f"'{TOKEN_PATTERN_RE2_SQL}'), t -> lower(t)), "
@@ -2521,6 +2546,66 @@ eur(tok, pv, p1, p2, s, e, stage) AS (
 stemmap AS (SELECT tok, s AS stem FROM eur WHERE stage = 3)"""
 
 
+def _irish_sql_pipeline() -> str:
+    """Independent SQL snowball IrishStemmer -> stemmap(tok, stem):
+    initial_morph as one longest-PREFIX-first CASE, regions on the
+    REWRITTEN string (pV after the first vowel), then the noun/deriv/verb
+    passes as check-inside-arm CASEs (fail keeps w). Suffix DATA shared
+    with functions/snowball.py."""
+    from .functions.snowball import (
+        _GA_DERIV, _GA_INITIAL, _GA_NOUN, _GA_VERB, _GA_VOWELS,
+    )
+
+    v = "".join(sorted(_GA_VOWELS))
+    reg = f"'^[^{v}]*[{v}]+[^{v}]'"
+
+    init_arms = []
+    for pre, repl in sorted(_GA_INITIAL, key=lambda e: -len(e[0])):
+        L = len(pre)
+        p = pre.replace("'", "''")
+        init_arms.append(
+            f"WHEN left(tok,{L})='{p}' THEN '{repl}' || substr(tok,{L + 1})"
+        )
+    init = "CASE\n    " + "\n    ".join(init_arms) + "\n    ELSE tok END"
+
+    def pass_case(table, bounds):
+        arms = []
+        for suf, act in table:
+            L = len(suf)
+            if isinstance(act, str):
+                arms.append(
+                    f"WHEN right(w,{L})='{suf}' "
+                    f"THEN left(w,length(w)-{L}) || '{act}'"
+                )
+            else:
+                arms.append(
+                    f"WHEN right(w,{L})='{suf}' THEN (CASE WHEN "
+                    f"length(w)-{L} >= {bounds[act]} "
+                    f"THEN left(w,length(w)-{L}) ELSE w END)"
+                )
+        return "CASE\n    " + "\n    ".join(arms) + "\n    ELSE w END"
+
+    noun = pass_case(_GA_NOUN, {1: "p1", 2: "p2"})
+    deriv = pass_case(_GA_DERIV, {1: "p2"})
+    verb = pass_case(_GA_VERB, {1: "pv", 2: "p1"})
+
+    return f"""vocab AS (SELECT DISTINCT tok FROM rawtoks),
+ga0 AS (SELECT tok, {init} AS m FROM vocab),
+ga1 AS (SELECT tok, m AS w,
+  CASE WHEN regexp_extract(m, '^[^{v}]*[{v}]') = '' THEN length(m)
+       ELSE length(regexp_extract(m, '^[^{v}]*[{v}]')) END AS pv,
+  CASE WHEN regexp_extract(m, {reg}) = '' THEN length(m)
+       ELSE length(regexp_extract(m, {reg})) END AS p1x FROM ga0),
+ga2 AS (SELECT tok, w, pv, p1x AS p1,
+  CASE WHEN p1x >= length(w) THEN length(w)
+       WHEN regexp_extract(substr(w,p1x+1), {reg}) = '' THEN length(w)
+       ELSE p1x + length(regexp_extract(substr(w,p1x+1), {reg})) END
+  AS p2 FROM ga1),
+ga3 AS (SELECT tok, pv, p1, p2, {noun} AS w FROM ga2),
+ga4 AS (SELECT tok, pv, p1, p2, {deriv} AS w FROM ga3),
+stemmap AS (SELECT tok, {verb} AS stem FROM ga4)"""
+
+
 _STEM_PIPELINES = {
     "english": _porter_sql_pipeline,
     "german": _german_sql_pipeline,
@@ -2550,6 +2635,7 @@ _STEM_PIPELINES = {
     "catalan": _catalan_sql_pipeline,
     "romanian": _romanian_sql_pipeline,
     "basque": _basque_sql_pipeline,
+    "irish": _irish_sql_pipeline,
 }
 
 

@@ -165,7 +165,7 @@ ANALYZERS = (
     "hungarian", "russian", "czech", "bulgarian", "latvian", "indonesian",
     "arabic", "persian", "sorani", "galician", "greek", "hindi",
     "brazilian", "cjk", "danish", "dutch", "armenian", "catalan",
-    "romanian", "basque",
+    "romanian", "basque", "irish",
 )
 
 
@@ -285,6 +285,9 @@ def _base_chain(analyzer: str):
                     stops, snowball CatalanStemmer
     - "romanian":   RomanianAnalyzer.cs — stops + snowball RomanianStemmer
     - "basque":     BasqueAnalyzer.cs — stops + snowball BasqueStemmer
+    - "irish":      IrishAnalyzer.cs — raw-PRE chain (hyphenations stop,
+                    elision, IrishLowerCaseFilter prothesis) + snowball
+                    IrishStemmer
     """
     if analyzer == "standard":
         return ENGLISH_STOP_WORDS, None, None
@@ -472,11 +475,30 @@ def _base_chain(analyzer: str):
         from .stopsets import BASQUE_STOP_WORDS
 
         return BASQUE_STOP_WORDS, None, basque_stem
+    if analyzer == "irish":
+        # IrishAnalyzer.cs: the PRE transform receives the RAW token
+        # (pre_takes_raw) and runs hyphenations-stop ('' sentinel) ->
+        # elision -> IrishLowerCaseFilter; then stop -> IrishStemmer
+        from .snowball import irish_pre, irish_stem
+        from .stopsets import IRISH_STOP_WORDS
+
+        return IRISH_STOP_WORDS, irish_pre, irish_stem
     raise ValueError(f"unknown analyzer {analyzer!r} ({'|'.join(ANALYZERS)})")
 
 
 def stop_words(analyzer: str = "standard") -> frozenset:
     return _analyzer_chain(analyzer)[0]
+
+
+def pre_takes_raw(analyzer: str) -> bool:
+    """True when the analyzer's PRE transform must see the RAW tokenizer
+    match (and do its own lowercasing) instead of the generically
+    lowercased token. Irish: IrishLowerCaseFilter's prothesis rule reads
+    the original case ('nAthair' -> 'n-athair' but lowercase 'nathair',
+    the word for snake, is untouched — IrishLowerCaseFilter.cs:55), and
+    the HYPHENATIONS stop + ElisionFilter stages run before it."""
+    base, _excl = split_analyzer(analyzer)
+    return base == "irish"
 
 
 def char_filter(analyzer: str):
@@ -544,6 +566,17 @@ def stem_filter(analyzer: str = "standard"):
     return lambda t: post(pre(t))
 
 
+def _norm_fn(analyzer: str, pre):
+    """lowercase+PRE composition for one raw tokenizer match: raw-pre
+    analyzers (see pre_takes_raw) own their lowercasing; everything else
+    lowercases generically first."""
+    if pre is None:
+        return str.lower
+    if pre_takes_raw(analyzer):
+        return pre
+    return lambda t: pre(t.lower())
+
+
 def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
     """Single-string analyzer chain (used by the pure-Python oracle and tests)."""
     stop, pre, stemf = _analyzer_chain(analyzer)
@@ -553,13 +586,12 @@ def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
     if cf:
         text = cf(text)
     stream = stream_filter(analyzer)
+    norm = _norm_fn(analyzer, pre)
     out = []
     for tok in _findall(text):
         if len(tok) > MAX_TOKEN_LENGTH:
             continue
-        low = tok.lower()
-        if pre:
-            low = pre(low)
+        low = norm(tok)
         for sub in (stream(low) if stream else (low,)):
             if sub in stop:
                 continue
@@ -586,15 +618,14 @@ def tokenize_with_positions(
     if cf:
         text = cf(text)
     stream = stream_filter(analyzer)
+    norm = _norm_fn(analyzer, pre)
     toks: list[str] = []
     poss: list[int] = []
     if stream is None:
         for i, tok in enumerate(_findall(text)):
             if len(tok) > MAX_TOKEN_LENGTH:
                 continue
-            low = tok.lower()
-            if pre:
-                low = pre(low)
+            low = norm(tok)
             if low in stop:
                 continue
             toks.append(stemf(low) if stemf else low)
@@ -607,9 +638,7 @@ def tokenize_with_positions(
         if len(tok) > MAX_TOKEN_LENGTH:
             slot += 1
             continue
-        low = tok.lower()
-        if pre:
-            low = pre(low)
+        low = norm(tok)
         for sub in stream(low):
             if sub not in stop:
                 toks.append(stemf(sub) if stemf else sub)
@@ -633,6 +662,7 @@ def tokenize_with_offsets(
     if cf:
         text = cf(text)
     stream = stream_filter(analyzer)
+    norm = _norm_fn(analyzer, pre)
     toks: list[str] = []
     poss: list[int] = []
     starts: list[int] = []
@@ -643,9 +673,7 @@ def tokenize_with_offsets(
             tok = m.group(0)
             if len(tok) > MAX_TOKEN_LENGTH:
                 continue
-            low = tok.lower()
-            if pre:
-                low = pre(low)
+            low = norm(tok)
             if low in stop:
                 continue
             toks.append(stemf(low) if stemf else low)
@@ -659,9 +687,7 @@ def tokenize_with_offsets(
         if len(tok) > MAX_TOKEN_LENGTH:
             slot += 1
             continue
-        low = tok.lower()
-        if pre:
-            low = pre(low)
+        low = norm(tok)
         # sub-token offsets are derivable only while the transformed text
         # is length-aligned with the raw match; otherwise every emitted
         # token keeps the whole match's offsets (the reference's
@@ -692,14 +718,12 @@ def _tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     maxlen = MAX_TOKEN_LENGTH
     cf = char_filter(analyzer)
     stream = stream_filter(analyzer)
+    norm = _norm_fn(analyzer, pre)
     findall = (
         _findall if cf is None else (lambda t, _c=cf: _findall(_c(t)))
     )
     if stemf is None:
         def stemf(x):  # noqa: E306 - identity for the standard chain
-            return x
-    if pre is None:
-        def pre(x):  # noqa: E306 - identity for chains without elision
             return x
     if stream is None:
         return pd.Series(
@@ -708,7 +732,7 @@ def _tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
                     stemf(low)
                     for tok in findall(t)
                     if len(tok) <= maxlen
-                    and (low := pre(tok.lower())) not in stop
+                    and (low := norm(tok)) not in stop
                 ]
                 if isinstance(t, str) and t
                 else []
@@ -722,7 +746,7 @@ def _tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
                 stemf(sub)
                 for tok in findall(t)
                 if len(tok) <= maxlen
-                for sub in stream(pre(tok.lower()))
+                for sub in stream(norm(tok))
                 if sub not in stop
             ]
             if isinstance(t, str) and t

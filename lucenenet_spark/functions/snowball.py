@@ -942,3 +942,117 @@ def basque_stem(token: str) -> str:
     if r is not None:
         s, e = r
     return s
+
+
+# -- Irish --------------------------------------------------------------------
+# IrishAnalyzer.cs chain: StopFilter(HYPHENATIONS h/n/t, ignoreCase) ->
+# ElisionFilter(d m b, ignoreCase) -> IrishLowerCaseFilter (t-prothesis /
+# n-eclipsis hyphenation + lowercase) -> stop -> SnowballFilter(IrishStemmer).
+# The first three stages need the RAW token (the prothesis rule reads the
+# original case), so the slot registers as a raw-PRE analyzer
+# (analysis.pre_takes_raw). Stemmer data checked against
+# Tartarus/Snowball/Ext/IrishStemmer.cs a_0..a_3 + g_v (a e i o u á é í ó ú).
+
+_GA_VOWELS = frozenset("aeiouáéíóú")
+_GA_UPPER_VOWELS = frozenset("AEIOUÁÉÍÓÚ")
+_GA_HYPHENATIONS = frozenset("hnt")
+_GA_ARTICLES = frozenset("dmb")
+
+# initial_morph (a_0): longest PREFIX match, unconditional rewrite
+_GA_INITIAL = (
+    ("d'fh", "f"), ("bhf", "f"),
+    ("h-", ""), ("n-", ""), ("t-", ""), ("d'", ""), ("b'", ""), ("m'", ""),
+    ("sh", "s"), ("mb", "b"), ("gc", "c"), ("nd", "d"), ("ng", "g"),
+    ("bp", "p"), ("ts", "s"), ("dt", "t"), ("bh", "b"), ("ch", "c"),
+    ("dh", "d"), ("fh", "f"), ("gh", "g"), ("mh", "m"), ("ph", "p"),
+    ("th", "t"),
+)
+
+# noun_sfx (a_1): 1 = R1 delete, 2 = R2 delete
+_GA_NOUN = (
+    ("aíochta", 1), ("íochta", 1), ("aíocht", 1), ("íocht", 1),
+    ("aire", 2), ("eabh", 1), ("aibh", 1), ("eamh", 1), ("aimh", 1),
+    ("airí", 2), ("ire", 2), ("abh", 1), ("ibh", 1), ("amh", 1),
+    ("imh", 1), ("irí", 2),
+)
+
+# deriv (a_2): 1 = R2 delete, otherwise an unconditional replacement
+_GA_DERIV = (
+    ("grafaíochtaí", "graf"), ("grafaíochta", "graf"),
+    ("grafaíocht", "graf"), ("grafaíoch", "graf"),
+    ("arcachtaí", "arc"), ("óideacha", "óid"), ("arcachta", "arc"),
+    ("eachtúil", 1), ("patacha", "paite"), ("óideach", "óid"),
+    ("gineach", "gin"), ("pataigh", "paite"), ("achtúil", 1),
+    ("arcacht", "arc"), ("eachta", 1), ("patach", "paite"),
+    ("óidigh", "óid"), ("gineas", "gin"), ("achta", 1),
+    ("paite", "paite"), ("ginis", "gin"), ("eacht", 1), ("each", 1),
+    ("acht", 1), ("ach", 1),
+)
+
+# verb_sfx (a_3): 1 = RV delete, 2 = R1 delete
+_GA_VERB = (
+    ("aimid", 1), ("aímid", 1), ("faidh", 1), ("imid", 1), ("ímid", 1),
+    ("eadh", 2), ("fidh", 1), ("tear", 2), ("adh", 2), ("áil", 2),
+    ("ain", 2), ("tar", 2),
+)
+
+
+def irish_pre(tok: str) -> str:
+    """The three pre-stop Irish stages over ONE raw tokenizer match:
+    HYPHENATIONS stop (h/n/t any case -> '' sentinel, which sits in the
+    slot's stop set), ElisionFilter (case-insensitive d'/m'/b' strip at
+    the first apostrophe), then IrishLowerCaseFilter: lowercase 'n'/'t'
+    followed by an UPPERCASE vowel inserts '-' (nAthair -> n-athair;
+    all-lowercase nathair is untouched), everything after lowercases."""
+    low = tok.lower()
+    if low in _GA_HYPHENATIONS:
+        return ""
+    # ElisionFilter.cs:59 splits at the FIRST ' or ’ only
+    for i, ch in enumerate(tok):
+        if ch in ("'", "’"):
+            if tok[:i].lower() in _GA_ARTICLES:
+                tok = tok[i + 1 :]
+            break
+    if len(tok) > 1 and tok[0] in ("n", "t") and tok[1] in _GA_UPPER_VOWELS:
+        return tok[0] + "-" + tok[1:].lower()
+    return tok.lower()
+
+
+def irish_stem(token: str) -> str:
+    """Snowball Irish (IrishStemmer.cs Stem: do(initial_morph) ->
+    do(mark_regions) on the REWRITTEN string -> backwards do(noun_sfx)
+    do(deriv) do(verb_sfx)). pV is after the first vowel; p1/p2 standard;
+    every among match checks its region AFTER selection (fail-no-retry)."""
+    s = token
+    for pre, repl in _GA_INITIAL:
+        if s.startswith(pre):
+            s = repl + s[len(pre):]
+            break
+    n = len(s)
+    i = 0
+    while i < n and s[i] not in _GA_VOWELS:
+        i += 1
+    pv = i + 1 if i < n else n
+    p1 = _region_after(s, 0, _GA_VOWELS)
+    p2 = _region_after(s, p1, _GA_VOWELS)
+    n = len(s)
+    for suf, act in _GA_NOUN:
+        if s.endswith(suf):
+            if n - len(suf) >= (p1 if act == 1 else p2):
+                s = s[: n - len(suf)]
+            break
+    n = len(s)
+    for suf, act in _GA_DERIV:
+        if s.endswith(suf):
+            if isinstance(act, str):
+                s = s[: n - len(suf)] + act
+            elif n - len(suf) >= p2:
+                s = s[: n - len(suf)]
+            break
+    n = len(s)
+    for suf, act in _GA_VERB:
+        if s.endswith(suf):
+            if n - len(suf) >= (pv if act == 1 else p1):
+                s = s[: n - len(suf)]
+            break
+    return s

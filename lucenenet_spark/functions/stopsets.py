@@ -512,3 +512,19 @@ BASQUE_STOP_WORDS = frozenset(
     nongo nor nora ze zein zen zenbait zenbat zer zergatik ziren zituen zu
     zuek zuen zuten""".split()
 )
+
+
+# IrishAnalyzer.cs DEFAULT_STOPWORD_FILE (Ga/stopwords.txt). The '' entry
+# is this engine's sentinel for the pre-stop HYPHENATIONS filter: the raw
+# tokens h/n/t map to '' in irish_pre and drop here (IrishAnalyzer.cs:134
+# applies that stop set BEFORE elision/lowercase, position-preserving).
+IRISH_STOP_WORDS = frozenset(
+    """a ach ag agus an aon ar arna as b' ba beirt bhúr caoga ceathair
+    ceathrar chomh chtó chuig chun cois céad cúig cúigear d' daichead dar
+    de deich deichniúr den dhá do don dtí dá dár dó faoi faoin faoina
+    faoinár fara fiche gach gan go gur haon hocht i iad idir in ina ins
+    inár is le leis lena lenár m' mar mo mé na nach naoi naonúr ná ní
+    níor nó nócha ocht ochtar os roimh sa seacht seachtar seachtó seasca
+    seisear siad sibh sinn sna sé sí tar thar thú triúr trí trína trínár
+    tríocha tú um ár é éis í ó ón óna ónár""".split()
+) | {""}

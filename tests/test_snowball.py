@@ -298,6 +298,70 @@ def test_basque_chain_stops_then_stems():
     assert tokenize_text("the mergeak", "basque") == ["the", "mer"]
 
 
+# -- Irish --------------------------------------------------------------------
+
+IRISH_PRE_FIXTURES = {
+    # prothesis: lowercase n/t + UPPERCASE vowel inserts the hyphen
+    "nAthair": "n-athair",
+    "tUachtarán": "t-uachtarán",
+    # all-lowercase words are untouched (nathair = snake)
+    "nathair": "nathair",
+    # elision (ignoreCase) strips d'/m'/b' at a first-position apostrophe
+    "d'Athair": "athair",
+    "D'fhuascail": "fhuascail",
+    "m'Éire": "éire",
+    # non-article prefix: no strip
+    "dd'x": "dd'x",
+    # HYPHENATIONS stop -> '' sentinel (any case)
+    "n": "", "T": "", "h": "",
+    # elision output feeds the prothesis check in chain order
+    "d'nAthair": "n-athair",
+}
+
+IRISH_FIXTURES = {
+    # verb -tar (R1 delete) after initial_morph mh -> m
+    "mhergetar": "merge",
+    "mergetar": "merge",
+    "merge": "merge",
+    # eclipsis/prothesis prefixes
+    "n-athair": "athair",
+    "bhfuil": "fuil",
+    "t-uachtarán": "uachtarán",
+    # deriv replacements
+    "grafaíocht": "graf",
+    "siopadóireacht": "siopadóir",
+    # deriv R2-checked delete fails when the suffix sits before p2
+    "achtúil": "achtúil",
+    # noun then nothing else fires
+    "bailiúchánaibh": "bailiúchán",
+}
+
+
+def test_irish_pre_fixtures():
+    for w, want in IRISH_PRE_FIXTURES.items():
+        got = snowball.irish_pre(w)
+        assert got == want, (w, got, want)
+
+
+def test_irish_fixtures():
+    for w, want in IRISH_FIXTURES.items():
+        got = snowball.irish_stem(w)
+        assert got == want, (w, got, want)
+
+
+def test_irish_chain_raw_pre():
+    # the chain must hand the RAW token to the pre stage: nAthair and
+    # nathair diverge, h/n/t drop any-case, stops apply post-lowercase
+    assert tokenize_text(
+        "an mhergetar agus nAthair ach nathair t h N", "irish"
+    ) == ["merge", "athair", "nathair"]
+    # positions: dropped hyphenation tokens leave gaps like stops do
+    from lucenenet_spark.functions.analysis import tokenize_with_positions
+
+    toks, poss = tokenize_with_positions("t merge n merge", "irish")
+    assert toks == ["merge", "merge"] and poss == [1, 3]
+
+
 _SNOWBALL_FUZZ = {
     "danish": dict(
         stems=["kærlig", "merg", "spørgsmål", "føl", "hund", "afstand",
@@ -371,6 +435,18 @@ _SNOWBALL_FUZZ = {
         + [s for s, _ in snowball._EU_ADJ] + ["", "a", "ak", "en", "ko"],
         alphabet="abdeghijklmnoprstuxzñ",
         pyfn=snowball.basque_stem,
+    ),
+    "irish": dict(
+        # initial_morph prefixes crossed in via the stem pool (prefixed
+        # variants included below), suffixes from all three passes
+        stems=["merge", "athair", "fuascail", "siopadóir", "graf", "arc",
+               "gin", "paite", "óid", "x", "aa", "beal", "scéal",
+               "bhmerge", "gcbeal", "d'fhx", "n-a", "mhóid"],
+        sufs=[s for s, _ in snowball._GA_NOUN]
+        + [s for s, _ in snowball._GA_DERIV]
+        + [s for s, _ in snowball._GA_VERB] + ["", "a", "e", "ach"],
+        alphabet="abcdefghilmnoprstuáéíóú",
+        pyfn=snowball.irish_stem,
     ),
 }
 
