@@ -540,6 +540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # "mhergetar" with the unchanged corpus "merge"; the raw-PRE chain
     # (hyphenations stop, elision, prothesis) is wired into the same slot
     out["term_irish"] = _analyzer_term_gate("irish", "mhergetar")
+    # Turkish: ApostropheFilter drops 'in, the nominal-verb DUr branch
+    # peels -dir, the noun lAr branch peels -ler — query "mergelerdir'in"
+    # conflates with the unchanged corpus "merge" through three stages
+    out["term_turkish"] = _analyzer_term_gate("turkish", "mergelerdir'in")
 
     def join_terms_avg(spark, sf_dir):
         # JoinUtil term join: docs sharing a tool with the HOT-term hits,
@@ -1219,7 +1223,7 @@ _NEW_THIS_ROUND: list[str] = [
     "term_french", "term_stem_exclusion",
     "term_hindi", "term_greek", "term_brazilian", "term_cjk",
     "term_danish", "term_dutch", "term_armenian", "term_catalan",
-    "term_romanian", "term_basque", "term_irish",
+    "term_romanian", "term_basque", "term_irish", "term_turkish",
     "bool_russian", "term_arabic",
     "pii_scrub", "split_assign", "repetition_2gram",
     "strip_boilerplate", "unigram_bits", "sample_stratified",
@@ -1479,6 +1483,7 @@ LIMIT 30"""
     out["term_romanian"] = es.term_sql("merg", k=15, analyzer="romanian")
     out["term_basque"] = es.term_sql("mer", k=15, analyzer="basque")
     out["term_irish"] = es.term_sql("merge", k=15, analyzer="irish")
+    out["term_turkish"] = es.term_sql("merge", k=15, analyzer="turkish")
     out["join_terms_avg"] = es.join_terms_sql(HOT, "tool", "tool", "avg", k=15)
     out["join_terms_total_seg"] = es.join_terms_sql(
         HOT, "tool", "tool", "total", k=15

@@ -241,6 +241,13 @@ def _tokens_expr(text_expr: str, analyzer: str = "standard") -> str:
     if split_analyzer_base(analyzer) == "persian":
         # PersianCharFilter.cs: ZWNJ -> space ahead of the tokenizer
         src = f"replace({src}, '\u200c', ' ')"
+    if split_analyzer_base(analyzer) == "turkish":
+        # TurkishLowerCaseFilter's \u0130/I folds at the text level (mirrors
+        # functions/turkish.turkish_fold, same order: \u0130, I+dots, bare I)
+        src = (
+            f"replace(regexp_replace(replace({src}, '\u0130', 'i'), "
+            f"'I\u0307+', 'i', 'g'), 'I', '\u0131')"
+        )
     if split_analyzer_base(analyzer) == "irish":
         # the PRE stages read the RAW match (prothesis needs case), so
         # lowercase happens inside the per-token transform
@@ -1219,9 +1226,15 @@ def _sorani_norm_sql(e: str) -> str:
     return "regexp_replace(" + s4 + ", '^ر', 'ڕ')"
 
 
+def _turkish_apostrophe_sql(e: str) -> str:
+    """ApostropheFilter.cs: keep the text before the FIRST ' or ’."""
+    return f"regexp_replace({e}, '[''’].*$', '')"
+
+
 _PRE_NORM_SQL = {
     "persian": _persian_norm_sql,
     "sorani": _sorani_norm_sql,
+    "turkish": _turkish_apostrophe_sql,
 }
 
 
@@ -2606,6 +2619,455 @@ ga4 AS (SELECT tok, pv, p1, p2, {deriv} AS w FROM ga3),
 stemmap AS (SELECT tok, {verb} AS stem FROM ga4)"""
 
 
+
+
+# -- Turkish snowball SQL mirror -----------------------------------------------
+# Emitters for the TurkishStemmer pipeline: every mark routine evaluates on
+# a head EXPRESSION with the cursor at its end (suffix-anchored), so the
+# whole cursor machine becomes CASE arms over right()/substr() probes.
+
+_TK_V = "aeıioöuü"
+_TK_HARM = (("a", "aıou"), ("e", "eiöü"), ("ı", "aı"), ("i", "ei"),
+         ("o", "ou"), ("ö", "öü"), ("u", "ou"), ("ü", "öü"))
+_TK_VLIST = ", ".join(f"'{c}'" for c in _TK_V)
+_TK_ULIST = ", ".join(f"'{c}'" for c in "ıiuü")
+
+
+def _tk_h(x):
+    """check_vowel_harmony with the cursor at the END of expression x."""
+    alts = "|".join(f"[{p}].*{v}" for v, p in _TK_HARM)
+    return f"regexp_matches({x}, '({alts})[^{_TK_V}]*$')"
+
+
+def _tk_ch(x, k):
+    """the char k positions before the end of x (k=0 = last char)."""
+    return f"substr({x}, length({x})-{k}, 1)"
+
+
+def _tk_opt_cons(x, L, ch):
+    """mark_suffix_with_optional_{ch}_consonant after an among of length
+    L consumed from the end of x: TOTAL consumed (L or L+1) or NULL."""
+    return (
+        f"CASE WHEN length({x}) >= {L+1} AND {_tk_ch(x, L)} = '{ch}' THEN "
+        f"(CASE WHEN length({x}) >= {L+2} AND {_tk_ch(x, L+1)} IN ({_TK_VLIST}) "
+        f"THEN {L+1} END) "
+        f"WHEN length({x}) >= {L+2} AND {_tk_ch(x, L+1)} IN ({_TK_VLIST}) "
+        f"THEN {L} END"
+    )
+
+
+def _tk_opt_U(x, L):
+    return (
+        f"CASE WHEN length({x}) >= {L+1} AND {_tk_ch(x, L)} IN ({_TK_ULIST}) THEN "
+        f"(CASE WHEN length({x}) >= {L+2} AND {_tk_ch(x, L+1)} NOT IN ({_TK_VLIST}) "
+        f"THEN {L+1} END) "
+        f"WHEN length({x}) >= {L+2} AND {_tk_ch(x, L+1)} NOT IN ({_TK_VLIST}) "
+        f"THEN {L} END"
+    )
+
+
+def _tk_among_case(x, sufs, inner):
+    """longest-first among over sufs; inner(L) gives the THEN value."""
+    bylen = {}
+    for s in sufs:
+        bylen.setdefault(len(s), []).append(s)
+    arms = []
+    for L in sorted(bylen, reverse=True):
+        lst = ", ".join(f"'{s}'" for s in sorted(bylen[L]))
+        arms.append(f"WHEN right({x},{L}) IN ({lst}) THEN {inner(L)}")
+    return "CASE " + " ".join(arms) + " END"
+
+
+def _tk_mark(x, sufs, harmony=True, opt=None):
+    """a mark routine on head-expression x -> consumed INT or NULL.
+    opt: ('n'|'s'|'y'|'U') optional-consonant/vowel helper."""
+    if opt is None:
+        inner = lambda L: str(L)
+    elif opt == "U":
+        inner = lambda L: "(" + _tk_opt_U(x, L) + ")"
+    else:
+        inner = lambda L: "(" + _tk_opt_cons(x, L, opt) + ")"
+    body = _tk_among_case(x, sufs, inner)
+    if harmony:
+        return f"(CASE WHEN {_tk_h(x)} THEN ({body}) END)"
+    return f"({body})"
+
+
+def _tk_mark_sU(x):
+    return (
+        f"(CASE WHEN {_tk_h(x)} AND length({x}) >= 1 "
+        f"AND {_tk_ch(x, 0)} IN ({_TK_ULIST}) THEN ({_tk_opt_cons(x, 1, 's')}) END)"
+    )
+
+
+def _tk_mark_yU(x):
+    return (
+        f"(CASE WHEN {_tk_h(x)} AND length({x}) >= 1 "
+        f"AND {_tk_ch(x, 0)} IN ({_TK_ULIST}) THEN ({_tk_opt_cons(x, 1, 'y')}) END)"
+    )
+
+
+def _tk_mark_yken(x):
+    return (
+        f"(CASE WHEN right({x},3) = 'ken' THEN ({_tk_opt_cons(x, 3, 'y')}) END)"
+    )
+
+
+
+
+def _turkish_sql_pipeline() -> str:
+    """Independent SQL snowball TurkishStemmer -> stemmap(tok, stem).
+
+    Mirrors functions/turkish.py's pure-string derivation of
+    TurkishStemmer.cs (see that module's docstring, incl. SnowballFilter's
+    ignore-the-return-value contract):
+    - check_vowel_harmony is ONE regexp per head (last vowel V + a partner
+      anywhere left of it: '([partners].*V|...)[^vowels]*$').
+    - phase A and the noun branch heads are chained MATERIALIZED stages
+      (materialization stops DuckDB's CTE inlining from exponentially
+      duplicating the mark expressions).
+    - stem_suffix_chain_before_ki runs as TWO recursive CTEs sharing the
+      level logic: tkP decides success per candidate (noun branches 3/6/8
+      need the answer BEFORE committing — their fall-throughs run on the
+      undeleted string), and tkC computes the value with (fallback, tail)
+      state: the ndA branch descends keeping the fallback (failure
+      cascades past it) and retains the matched nda+ki tail.
+    - failed alternatives leak completed deletions into later alternatives
+      exactly like the generated cursor machine (noun branches 2c/6/9).
+    Suffix DATA is shared with functions/turkish.py; the CASE/CTE
+    evaluation is an independent expression of the same semantics."""
+    from .functions import turkish as T
+
+    A = dict(
+        ymus=T.A22_YMUS, ydu=T.A20_YDU, ysa=T.A21_YSA, casina=T.A19_CASINA,
+        sunuz=T.A15_SUNUZ, lar=T.A16_LAR, yum=T.A12_YUM, sun=T.A13_SUN,
+        yuz=T.A14_YUZ, nuz=T.A17_NUZ, dur=T.A18_DUR, poss=T.A0_POSS,
+        lari=T.A1_LARI, nca=T.A11_NCA, nda=T.A7_NDA, na=T.A5_NA,
+        ndan=T.A9_NDAN, nu=T.A2_NU, dan=T.A8_DAN, nun=T.A3_NUN,
+        yla=T.A10_YLA, da=T.A6_DA, ya=T.A4_YA,
+    )
+
+    def ymus(x): return _tk_mark(x, A["ymus"], True, "y")
+    def ydu(x): return _tk_mark(x, A["ydu"], True, "y")
+    def ysa(x): return _tk_mark(x, A["ysa"], False, "y")
+    def casina(x): return _tk_mark(x, A["casina"], False)
+    def sunuz(x): return _tk_mark(x, A["sunuz"], False)
+    def lar(x): return _tk_mark(x, A["lar"], True)
+    def yum(x): return _tk_mark(x, A["yum"], True, "y")
+    def sun(x): return _tk_mark(x, A["sun"], True)
+    def yuz(x): return _tk_mark(x, A["yuz"], True, "y")
+    def nuz(x): return _tk_mark(x, A["nuz"], True)
+    def dur(x): return _tk_mark(x, A["dur"], True)
+    def poss(x): return _tk_mark(x, A["poss"], False, "U")
+    def lari(x): return _tk_mark(x, A["lari"], False)
+    def nca(x): return _tk_mark(x, A["nca"], True, "n")
+    def nda(x): return _tk_mark(x, A["nda"], True)
+    def na(x): return _tk_mark(x, A["na"], True)
+    def ndan(x): return _tk_mark(x, A["ndan"], True)
+    def nu(x): return _tk_mark(x, A["nu"], True)
+    def dan(x): return _tk_mark(x, A["dan"], True)
+    def nun(x): return _tk_mark(x, A["nun"], True, "n")
+    def yla(x): return _tk_mark(x, A["yla"], True, "y")
+    def da(x): return _tk_mark(x, A["da"], True)
+    def ya(x): return _tk_mark(x, A["ya"], True, "y")
+
+    def strip(x, l):
+        return f"left({x}, length({x}) - ({l}))"
+
+    person5 = lambda x: (f"COALESCE({sunuz(x)}, {lar(x)}, {yum(x)}, "
+                         f"{sun(x)}, {yuz(x)})")
+
+    # ---------- phase A ----------
+    PA = f"""tk0 AS MATERIALIZED (
+      SELECT tok, tok AS s,
+             length(regexp_replace(tok, '[^{_TK_V}]', '', 'g')) AS vcnt
+      FROM (SELECT DISTINCT tok FROM rawtoks) v),
+    tk1 AS MATERIALIZED (SELECT tok, s, vcnt,
+      COALESCE({ymus('s')}, {ydu('s')}, {ysa('s')}, {_tk_mark_yken('s')}) AS b1,
+      {casina('s')} AS c2a,
+      {lar('s')} AS l3,
+      {nuz('s')} AS n4,
+      COALESCE({sunuz('s')}, {yuz('s')}, {sun('s')}, {yum('s')}) AS p5,
+      {dur('s')} AS d6
+      FROM tk0),
+    tk2 AS MATERIALIZED (SELECT *,
+      CASE WHEN c2a IS NOT NULL
+           THEN COALESCE({person5(strip('s', 'c2a'))}, 0) END AS p2,
+      CASE WHEN l3 IS NOT NULL THEN COALESCE(
+        {dur(strip('s', 'l3'))}, {ydu(strip('s', 'l3'))},
+        {ysa(strip('s', 'l3'))}, {ymus(strip('s', 'l3'))}, 0) END AS d3,
+      CASE WHEN n4 IS NOT NULL THEN COALESCE(
+        {ydu(strip('s', 'n4'))}, {ysa(strip('s', 'n4'))}) END AS m4,
+      CASE WHEN p5 IS NOT NULL
+           THEN COALESCE({ymus(strip('s', 'p5'))}, 0) END AS m5,
+      CASE WHEN d6 IS NOT NULL
+           THEN COALESCE({person5(strip('s', 'd6'))}, 0) END AS p6
+      FROM tk1),
+    tk3 AS MATERIALIZED (SELECT *,
+      CASE WHEN c2a IS NOT NULL
+           THEN {ymus(strip('s', 'c2a + p2'))} END AS m2,
+      CASE WHEN d6 IS NOT NULL
+           THEN {ymus(strip('s', 'd6 + p6'))} END AS m6
+      FROM tk2),
+    tkA AS MATERIALIZED (SELECT tok, s, vcnt,
+      CASE
+        WHEN vcnt < 2 THEN s
+        WHEN b1 IS NOT NULL THEN {strip('s', 'b1')}
+        WHEN c2a IS NOT NULL AND m2 IS NOT NULL
+             THEN {strip('s', 'c2a + p2 + m2')}
+        WHEN l3 IS NOT NULL THEN {strip(strip('s', 'l3'), 'd3')}
+        WHEN n4 IS NOT NULL AND m4 IS NOT NULL THEN {strip('s', 'n4 + m4')}
+        WHEN p5 IS NOT NULL THEN {strip('s', 'p5 + m5')}
+        WHEN d6 IS NOT NULL THEN {strip('s',
+            'd6 + (CASE WHEN m6 IS NOT NULL THEN p6 + m6 ELSE 0 END)')}
+        ELSE s END AS s1,
+      (vcnt < 2 OR (b1 IS NULL AND NOT (c2a IS NOT NULL AND m2 IS NOT NULL)
+                    AND l3 IS NOT NULL)) AS skip_noun
+      FROM tk3)"""
+
+
+    NSTAGES = f"""tkN0 AS MATERIALIZED (SELECT tok, s1,
+      {lar('s1')} AS b1l,
+      {nca('s1')} AS b2c,
+      COALESCE({nda('s1')}, {na('s1')}) AS b3c,
+      COALESCE({ndan('s1')}, {nu('s1')}) AS b4c,
+      {dan('s1')} AS b5c,
+      COALESCE({nun('s1')}, {yla('s1')}) AS b6c,
+      {lari('s1')} AS b7l,
+      COALESCE({da('s1')}, {_tk_mark_yU('s1')}, {ya('s1')}) AS b9c,
+      COALESCE({poss('s1')}, {_tk_mark_sU('s1')}) AS b10c
+      FROM tkA WHERE NOT skip_noun),
+    tkN0b AS MATERIALIZED (SELECT *,
+      CASE WHEN b1l IS NOT NULL THEN {strip('s1', 'b1l')} END AS s2_1,
+      CASE WHEN b2c IS NOT NULL THEN {strip('s1', 'b2c')} END AS s2_2,
+      CASE WHEN b3c IS NOT NULL THEN {strip('s1', 'b3c')} END AS c3h,
+      CASE WHEN b4c IS NOT NULL THEN {strip('s1', 'b4c')} END AS h4,
+      CASE WHEN b5c IS NOT NULL THEN {strip('s1', 'b5c')} END AS s5,
+      CASE WHEN b6c IS NOT NULL THEN {strip('s1', 'b6c')} END AS s6,
+      CASE WHEN b9c IS NOT NULL THEN {strip('s1', 'b9c')} END AS s9,
+      CASE WHEN b10c IS NOT NULL THEN {strip('s1', 'b10c')} END AS s10
+      FROM tkN0),
+    tkN1 AS MATERIALIZED (SELECT *,
+      {lari('s2_2')} AS lari2,
+      COALESCE({poss('s2_2')}, {_tk_mark_sU('s2_2')}) AS p2x,
+      {lar('s2_2')} AS lar2,
+      {lari('c3h')} AS lari3,
+      {_tk_mark_sU('c3h')} AS su3,
+      {_tk_mark_sU('h4')} AS su4,
+      {lari('h4')} AS lari4,
+      {poss('s5')} AS poss5,
+      {lar('s5')} AS lar5,
+      {lar('s6')} AS lar6,
+      {poss('s9')} AS poss9,
+      {lar('s9')} AS lar9,
+      {lar('s10')} AS lar10
+      FROM tkN0b),
+    tkN2 AS MATERIALIZED (SELECT *,
+      CASE WHEN p2x IS NOT NULL THEN {strip('s2_2', 'p2x')} END AS s3_2,
+      CASE WHEN su3 IS NOT NULL THEN {strip('c3h', 'su3')} END AS s2_3,
+      CASE WHEN su4 IS NOT NULL THEN {strip('h4', 'su4')} END AS s2_4,
+      CASE WHEN poss5 IS NOT NULL THEN {strip('s5', 'poss5')} END AS s3_5,
+      CASE WHEN lar6 IS NOT NULL THEN {strip('s6', 'lar6')} END AS s3_6,
+      CASE WHEN poss9 IS NOT NULL THEN {strip('s9', 'poss9')} END AS s3_9,
+      CASE WHEN lar10 IS NOT NULL THEN {strip('s10', 'lar10')} END AS s3_10
+      FROM tkN1),
+    tkN2b AS MATERIALIZED (SELECT *,
+      {lar('s3_2')} AS lar3_2,
+      {lar('s2_3')} AS lar2_3,
+      {lar('s2_4')} AS lar2_4,
+      {lar('s3_5')} AS lar3_5,
+      {lar('s3_9')} AS lar3_9
+      FROM tkN2)"""
+
+    # ---- P machine ----
+    h1x = "left(x, length(x)-2)"
+    def deeper(l):
+        return f"left(x, length(x)-2-({l}))"
+    pstep = f"""CASE
+       WHEN length(x) < 2 OR right(x,2) <> 'ki' THEN 'F'
+       WHEN {da(h1x)} IS NOT NULL THEN 'T'
+       WHEN {nun(h1x)} IS NOT NULL THEN 'T'
+       WHEN {nda(h1x)} IS NOT NULL THEN (
+         CASE WHEN {lari(deeper(nda(h1x)))} IS NOT NULL THEN 'T'
+              WHEN {_tk_mark_sU(deeper(nda(h1x)))} IS NOT NULL THEN 'T'
+              ELSE 'R' END)
+       ELSE 'F' END"""
+    PM = f"""tkP(tok, cand, x, st) AS (
+      SELECT tok, cand, x, 'R' FROM (
+        SELECT tok, 'c8' AS cand, s1 AS x FROM tkN0b
+        UNION ALL
+        SELECT tok, 'c3', c3h FROM tkN0b WHERE c3h IS NOT NULL
+        UNION ALL
+        SELECT tok, 'c6', s3_6 FROM tkN2 WHERE s3_6 IS NOT NULL) z
+      UNION ALL
+      SELECT tok, cand,
+             CASE WHEN stp = 'R' THEN {deeper(nda(h1x))} ELSE x END,
+             stp
+      FROM (SELECT tok, cand, x, ({pstep}) AS stp FROM tkP WHERE st = 'R') q),
+    tkPf AS MATERIALIZED (
+      SELECT n.tok,
+        COALESCE(BOOL_OR(p.cand='c3' AND p.st='T'), FALSE) AS p3,
+        COALESCE(BOOL_OR(p.cand='c6' AND p.st='T'), FALSE) AS p6ok,
+        COALESCE(BOOL_OR(p.cand='c8' AND p.st='T'), FALSE) AS p8
+      FROM tkN0 n LEFT JOIN tkP p ON n.tok = p.tok AND p.st <> 'R'
+      GROUP BY n.tok)"""
+
+    # ---- branch-6 leak stage (needs p6ok) ----
+    N6 = f"""tkN4 AS MATERIALIZED (SELECT n.*, f.p3, f.p6ok, f.p8,
+      CASE WHEN n.lar6 IS NOT NULL AND NOT f.p6ok THEN n.s3_6
+           WHEN n.lar6 IS NULL THEN n.s6 END AS s6b
+      FROM tkN2b n JOIN tkPf f ON n.tok = f.tok),
+    tkN5 AS MATERIALIZED (SELECT *,
+      COALESCE({poss('s6b')}, {_tk_mark_sU('s6b')}) AS p6b
+      FROM tkN4),
+    tkN6 AS MATERIALIZED (SELECT *,
+      CASE WHEN p6b IS NOT NULL THEN {strip('s6b', 'p6b')} END AS s3_6b
+      FROM tkN5),
+    tkN7 AS MATERIALIZED (SELECT *, {lar('s3_6b')} AS lar6b FROM tkN6)"""
+
+    # ---- noun decision ----
+    def RES(v): return f"{{'r': {v}, 'x': CAST(NULL AS VARCHAR), 't': ''}}"
+    def CHX(v, t="''"): return f"{{'r': CAST(NULL AS VARCHAR), 'x': {v}, 't': {t}}}"
+    ND = f"""tkND AS MATERIALIZED (SELECT tok, (CASE
+      WHEN b1l IS NOT NULL THEN {CHX('s2_1')}
+      WHEN b2c IS NOT NULL THEN (CASE
+        WHEN lari2 IS NOT NULL THEN {RES(strip('s2_2', 'lari2'))}
+        WHEN p2x IS NOT NULL THEN (CASE
+          WHEN lar3_2 IS NOT NULL THEN {CHX(strip('s3_2', 'lar3_2'))}
+          ELSE {RES('s3_2')} END)
+        WHEN lar2 IS NOT NULL THEN {CHX(strip('s2_2', 'lar2'))}
+        ELSE {RES('s2_2')} END)
+      WHEN b3c IS NOT NULL AND lari3 IS NOT NULL
+           THEN {RES(strip('c3h', 'lari3'))}
+      WHEN b3c IS NOT NULL AND su3 IS NOT NULL THEN (CASE
+        WHEN lar2_3 IS NOT NULL THEN {CHX(strip('s2_3', 'lar2_3'))}
+        ELSE {RES('s2_3')} END)
+      WHEN b3c IS NOT NULL AND p3 THEN {CHX('c3h', 'right(s1, b3c)')}
+      WHEN b4c IS NOT NULL AND su4 IS NOT NULL THEN (CASE
+        WHEN lar2_4 IS NOT NULL THEN {CHX(strip('s2_4', 'lar2_4'))}
+        ELSE {RES('s2_4')} END)
+      WHEN b4c IS NOT NULL AND lari4 IS NOT NULL
+           THEN {RES(strip('h4', 'lari4'))}
+      WHEN b5c IS NOT NULL THEN (CASE
+        WHEN poss5 IS NOT NULL THEN (CASE
+          WHEN lar3_5 IS NOT NULL THEN {CHX(strip('s3_5', 'lar3_5'))}
+          ELSE {RES('s3_5')} END)
+        WHEN lar5 IS NOT NULL THEN {CHX(strip('s5', 'lar5'))}
+        ELSE {CHX('s5')} END)
+      WHEN b6c IS NOT NULL THEN (CASE
+        WHEN lar6 IS NOT NULL AND p6ok THEN {CHX('s3_6')}
+        WHEN p6b IS NOT NULL THEN (CASE
+          WHEN lar6b IS NOT NULL THEN {CHX(strip('s3_6b', 'lar6b'))}
+          ELSE {RES('s3_6b')} END)
+        ELSE {CHX('s6b')} END)
+      WHEN b7l IS NOT NULL THEN {RES(strip('s1', 'b7l'))}
+      WHEN p8 THEN {CHX('s1')}
+      WHEN b9c IS NOT NULL THEN (CASE
+        WHEN poss9 IS NOT NULL THEN (CASE
+          WHEN lar3_9 IS NOT NULL THEN {CHX(strip('s3_9', 'lar3_9'))}
+          ELSE {CHX('s3_9')} END)
+        WHEN lar9 IS NOT NULL THEN {CHX(strip('s9', 'lar9'))}
+        ELSE {RES('s9')} END)
+      WHEN b10c IS NOT NULL THEN (CASE
+        WHEN lar10 IS NOT NULL THEN {CHX('s3_10')}
+        ELSE {RES('s10')} END)
+      ELSE {RES('s1')} END) AS nd
+      FROM tkN7)"""
+
+    # ---- chain value machine ----
+    def run_t(c, t):
+        return f"{{'c': {c}, 't': {t}, 'fc': {c}, 'ft': {t}, 'st': 'R'}}"
+    def done_t(c, t):
+        return f"{{'c': {c}, 't': {t}, 'fc': {c}, 'ft': {t}, 'st': 'D'}}"
+    CH = f"""tkC(tok, cur, tail, fbc, fbt, st) AS (
+      SELECT tok, nd.x, nd.t, nd.x, nd.t, 'R' FROM tkND WHERE nd.x IS NOT NULL
+      UNION ALL
+      SELECT tok, h.c, h.t, h.fc, h.ft, h.st FROM (
+        SELECT tok, (CASE
+          WHEN NOT ki THEN {done_t('fbc', 'fbt')}
+          WHEN daL IS NOT NULL THEN (CASE
+            WHEN a1L IS NOT NULL THEN {run_t(strip('s2d', 'a1L'), 'tail')}
+            WHEN a2L IS NOT NULL THEN (CASE
+              WHEN a2lar IS NOT NULL THEN {run_t(strip('s3a2', 'a2lar'), 'tail')}
+              ELSE {done_t('s3a2', 'tail')} END)
+            ELSE {done_t('s2d', 'tail')} END)
+          WHEN nunL IS NOT NULL THEN (CASE
+            WHEN b1L IS NOT NULL THEN {done_t(strip('s2n', 'b1L'), 'tail')}
+            WHEN bpL IS NOT NULL THEN (CASE
+              WHEN bplar IS NOT NULL THEN {run_t(strip('s3bp', 'bplar'), 'tail')}
+              ELSE {done_t('s3bp', 'tail')} END)
+            ELSE {run_t('s2n', 'tail')} END)
+          WHEN ndaL IS NOT NULL THEN (CASE
+            WHEN cLariL IS NOT NULL THEN {done_t(strip('c2h', 'cLariL'), 'tail')}
+            WHEN cSuL IS NOT NULL THEN (CASE
+              WHEN cslar IS NOT NULL THEN {run_t(strip('s2cs', 'cslar'), 'tail')}
+              ELSE {done_t('s2cs', 'tail')} END)
+            ELSE {{'c': c2h, 't': right(cur, 2 + ndaL) || tail,
+                   'fc': fbc, 'ft': fbt, 'st': 'R'}} END)
+          ELSE {done_t('fbc', 'fbt')} END) AS h
+        FROM (
+          SELECT *,
+            {lar('s3a2x')} AS a2lar,
+            {lar('s3bpx')} AS bplar,
+            {lar('s2csx')} AS cslar
+          FROM (
+          SELECT *,
+            CASE WHEN a2L IS NOT NULL THEN {strip('s2d', 'a2L')} END AS s3a2x,
+            CASE WHEN bpL IS NOT NULL THEN {strip('s2n', 'bpL')} END AS s3bpx,
+            CASE WHEN cSuL IS NOT NULL THEN {strip('c2h', 'cSuL')} END AS s2csx
+          FROM (
+            SELECT *,
+              {lar('s2d')} AS a1L, {poss('s2d')} AS a2L,
+              {lari('s2n')} AS b1L,
+              COALESCE({poss('s2n')}, {_tk_mark_sU('s2n')}) AS bpL,
+              {lari('c2h')} AS cLariL, {_tk_mark_sU('c2h')} AS cSuL
+            FROM (
+              SELECT *,
+                CASE WHEN daL IS NOT NULL THEN {strip('h1', 'daL')} END AS s2d,
+                CASE WHEN nunL IS NOT NULL THEN {strip('h1', 'nunL')} END AS s2n,
+                CASE WHEN ndaL IS NOT NULL THEN {strip('h1', 'ndaL')} END AS c2h
+              FROM (
+                SELECT *, {da('h1')} AS daL, {nun('h1')} AS nunL,
+                       {nda('h1')} AS ndaL
+                FROM (
+                  SELECT tok, cur, tail, fbc, fbt,
+                         (length(cur) >= 2 AND right(cur,2) = 'ki') AS ki,
+                         CASE WHEN length(cur) >= 2 AND right(cur,2) = 'ki'
+                              THEN left(cur, length(cur)-2) END AS h1
+                  FROM tkC WHERE st = 'R') z0) z1) z2) z25) z26
+        ) z3 WHERE TRUE) zz ),
+    tkCf AS MATERIALIZED (SELECT tok, cur || tail AS v FROM tkC WHERE st = 'D')"""
+    # fix: s3a2/s3bp/s2cs names
+    CH = CH.replace("s3a2x", "s3a2").replace("s3bpx", "s3bp").replace("s2csx", "s2cs")
+
+    # ---- postlude ----
+    lastv = f"regexp_extract(v, '([{_TK_V}])[^{_TK_V}]*$', 1)"
+    post = f"""CASE WHEN v IN ('ad','soyad') THEN v ELSE (
+      CASE WHEN right(w,1)='b' THEN left(w, length(w)-1) || 'p'
+           WHEN right(w,1)='c' THEN left(w, length(w)-1) || 'ç'
+           WHEN right(w,1)='d' THEN left(w, length(w)-1) || 't'
+           WHEN right(w,1)='ğ' THEN left(w, length(w)-1) || 'k'
+           ELSE w END) END"""
+    appendu = f"""CASE WHEN right(v,1) IN ('d','g') THEN (
+      CASE WHEN {lastv} IN ('a','ı') THEN v || 'ı'
+           WHEN {lastv} IN ('e','i') THEN v || 'i'
+           WHEN {lastv} IN ('o','u') THEN v || 'u'
+           WHEN {lastv} IN ('ö','ü') THEN v || 'ü'
+           ELSE v END) ELSE v END"""
+    FINAL = f"""tkRES AS MATERIALIZED (
+      SELECT tok, s1 AS v FROM tkA WHERE skip_noun
+      UNION ALL
+      SELECT tok, nd.r AS v FROM tkND WHERE nd.r IS NOT NULL
+      UNION ALL
+      SELECT tok, v FROM tkCf),
+    stemmap AS (
+      SELECT tok, {post} AS stem
+      FROM (SELECT tok, v, {appendu} AS w FROM tkRES) pp)"""
+
+
+    return ",\n".join([PA, NSTAGES, PM, N6, ND, CH, FINAL])
+
+
 _STEM_PIPELINES = {
     "english": _porter_sql_pipeline,
     "german": _german_sql_pipeline,
@@ -2636,6 +3098,7 @@ _STEM_PIPELINES = {
     "romanian": _romanian_sql_pipeline,
     "basque": _basque_sql_pipeline,
     "irish": _irish_sql_pipeline,
+    "turkish": _turkish_sql_pipeline,
 }
 
 
@@ -2744,7 +3207,7 @@ def prelude(analyzer: str = "standard") -> str:
     # dutch prelude i/y marking scan are recursive CTEs
     rec = ("RECURSIVE "
            if split_analyzer(analyzer)[0]
-           in ("finnish", "hindi", "dutch", "romanian", "basque")
+           in ("finnish", "hindi", "dutch", "romanian", "basque", "turkish")
            else "")
     return f"""WITH {rec}docs AS (
   SELECT row_number() OVER (ORDER BY doc_id) - 1 AS docid,

@@ -165,7 +165,7 @@ ANALYZERS = (
     "hungarian", "russian", "czech", "bulgarian", "latvian", "indonesian",
     "arabic", "persian", "sorani", "galician", "greek", "hindi",
     "brazilian", "cjk", "danish", "dutch", "armenian", "catalan",
-    "romanian", "basque", "irish",
+    "romanian", "basque", "irish", "turkish",
 )
 
 
@@ -288,6 +288,9 @@ def _base_chain(analyzer: str):
     - "irish":      IrishAnalyzer.cs — raw-PRE chain (hyphenations stop,
                     elision, IrishLowerCaseFilter prothesis) + snowball
                     IrishStemmer
+    - "turkish":    TurkishAnalyzer.cs — TurkishLowerCaseFilter as a char
+                    filter (İ/I folds), ApostropheFilter PRE, snowball
+                    TurkishStemmer
     """
     if analyzer == "standard":
         return ENGLISH_STOP_WORDS, None, None
@@ -483,6 +486,16 @@ def _base_chain(analyzer: str):
         from .stopsets import IRISH_STOP_WORDS
 
         return IRISH_STOP_WORDS, irish_pre, irish_stem
+    if analyzer == "turkish":
+        # TurkishAnalyzer.cs: ApostropheFilter (PRE — truncation is
+        # case-independent so post-lowercase placement is equivalent to
+        # the reference's pre-lowercase slot), Turkish İ/I casing as the
+        # char filter (see functions/turkish.turkish_fold), stop set,
+        # then SnowballFilter(TurkishStemmer)
+        from .stopsets import TURKISH_STOP_WORDS
+        from .turkish import apostrophe_truncate, turkish_stem
+
+        return TURKISH_STOP_WORDS, apostrophe_truncate, turkish_stem
     raise ValueError(f"unknown analyzer {analyzer!r} ({'|'.join(ANALYZERS)})")
 
 
@@ -508,6 +521,12 @@ def char_filter(analyzer: str):
     base, _excl = split_analyzer(analyzer)
     if base == "persian":
         return lambda t: t.replace("\u200c", " ")
+    if base == "turkish":
+        # TurkishLowerCaseFilter's \u0130/I handling lifted to the text level
+        # (letters map to letters, so token boundaries are unchanged)
+        from .turkish import turkish_fold
+
+        return turkish_fold
     return None
 
 
