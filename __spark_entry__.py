@@ -544,6 +544,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # peels -dir, the noun lAr branch peels -ler — query "mergelerdir'in"
     # conflates with the unchanged corpus "merge" through three stages
     out["term_turkish"] = _analyzer_term_gate("turkish", "mergelerdir'in")
+    # ASCIIFoldingFilter as the :ascii analyzer flag — the accented query
+    # surface "mérgé" folds to the corpus term "merge" at parse time AND
+    # the whole index is built through the folding chain
+    out["term_ascii_fold"] = _analyzer_term_gate("standard:ascii", "mérgé")
 
     def join_terms_avg(spark, sf_dir):
         # JoinUtil term join: docs sharing a tool with the HOT-term hits,
@@ -1224,6 +1228,7 @@ _NEW_THIS_ROUND: list[str] = [
     "term_hindi", "term_greek", "term_brazilian", "term_cjk",
     "term_danish", "term_dutch", "term_armenian", "term_catalan",
     "term_romanian", "term_basque", "term_irish", "term_turkish",
+    "term_ascii_fold",
     "bool_russian", "term_arabic",
     "pii_scrub", "split_assign", "repetition_2gram",
     "strip_boilerplate", "unigram_bits", "sample_stratified",
@@ -1484,6 +1489,9 @@ LIMIT 30"""
     out["term_basque"] = es.term_sql("mer", k=15, analyzer="basque")
     out["term_irish"] = es.term_sql("merge", k=15, analyzer="irish")
     out["term_turkish"] = es.term_sql("merge", k=15, analyzer="turkish")
+    out["term_ascii_fold"] = es.term_sql(
+        "merge", k=15, analyzer="standard:ascii"
+    )
     out["join_terms_avg"] = es.join_terms_sql(HOT, "tool", "tool", "avg", k=15)
     out["join_terms_total_seg"] = es.join_terms_sql(
         HOT, "tool", "tool", "total", k=15

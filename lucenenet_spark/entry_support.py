@@ -257,6 +257,12 @@ def _tokens_expr(text_expr: str, analyzer: str = "standard") -> str:
             f"t -> length(t) <= {MAX_TOKEN_LENGTH})"
         )
         pre = f"list_transform({raw}, t -> {_irish_pre_sql('t')})"
+        from .functions.analysis import has_ascii_fold
+
+        if has_ascii_fold(analyzer):
+            from .functions.asciifold import ascii_fold_sql
+
+            pre = f"list_transform({pre}, t -> {ascii_fold_sql('t')})"
         return f"list_filter({pre}, t -> t NOT IN ({stop_list}))"
     lowered = (
         f"list_filter(list_transform(regexp_extract_all({src}, "
@@ -277,6 +283,14 @@ def _tokens_expr(text_expr: str, analyzer: str = "standard") -> str:
         # pre-stop normalization (PersianAnalyzer.cs / SoraniAnalyzer.cs:
         # the stop list holds NORMALIZED forms, so normalize first)
         lowered = f"list_transform({lowered}, t -> {pre('t')})"
+    from .functions.analysis import has_ascii_fold
+
+    if has_ascii_fold(analyzer):
+        # ASCIIFoldingFilter after the base PRE stage, before the stop
+        # filter — same composition point as the Python chain
+        from .functions.asciifold import ascii_fold_sql
+
+        lowered = f"list_transform({lowered}, t -> {ascii_fold_sql('t')})"
     return f"list_filter({lowered}, t -> t NOT IN ({stop_list}))"
 
 
@@ -3116,6 +3130,11 @@ def _toks_cte(analyzer: str) -> str:
     if analyzer == "standard":
         return plain
     base, excl = split_analyzer(analyzer)
+    if base == "standard":
+        # flagged standard chain (:ascii) — folded tokens, no stem map
+        return f"""toks AS (
+  SELECT docid, {_tokens_expr('text', analyzer)} AS tokens FROM docs
+)"""
     if base == "cjk":
         # width fold per token, bigram expansion, then the stop filter on
         # the EMITTED stream (CJKAnalyzer.cs filter order); no stemmap

@@ -170,25 +170,45 @@ ANALYZERS = (
 
 
 def split_analyzer(analyzer: str):
-    """Parse the optional stem-exclusion suffix out of an analyzer name:
-    "english:excl=merge,value" -> ("english", frozenset({"merge","value"})).
+    """Parse the optional suffixes out of an analyzer name:
+    "english:ascii:excl=merge,value" ->
+    ("english", frozenset({"merge","value"})) — the ":ascii" flag is
+    queried separately via has_ascii_fold().
 
-    The suffix is this engine's encoding of the reference Analyzers' third
+    ":excl=" is this engine's encoding of the reference Analyzers' third
     constructor argument (stemExclusionSet -> SetKeywordMarkerFilter,
     e.g. GermanAnalyzer.cs:156,175): tokens in the set are indexed but NOT
-    stemmed. Encoding it in the name lets the whole string-typed analyzer
-    plumbing (manifest, parse, NRT, merge) carry it with no schema change.
+    stemmed. ":ascii" composes ASCIIFoldingFilter
+    (Analysis/Miscellaneous/ASCIIFoldingFilter.cs) into the chain as a
+    PRE stage on the lowercased token, before the stop filter. Encoding
+    both in the name lets the string-typed analyzer plumbing (manifest,
+    parse, NRT, merge) carry them with no schema change.
     """
+    excl = frozenset()
     if ":excl=" in analyzer:
-        base, _, rest = analyzer.partition(":excl=")
-        return base, frozenset(w for w in rest.split(",") if w)
-    return analyzer, frozenset()
+        analyzer, _, rest = analyzer.partition(":excl=")
+        excl = frozenset(w for w in rest.split(",") if w)
+    if analyzer.endswith(":ascii"):
+        analyzer = analyzer[: -len(":ascii")]
+    return analyzer, excl
+
+
+def has_ascii_fold(analyzer: str) -> bool:
+    """True when the name carries the ":ascii" ASCIIFoldingFilter flag."""
+    if ":excl=" in analyzer:
+        analyzer = analyzer.partition(":excl=")[0]
+    return analyzer.endswith(":ascii")
 
 
 def validate_analyzer(analyzer: str) -> None:
     base, _excl = split_analyzer(analyzer)
     if base not in ANALYZERS:
         raise ValueError(f"unknown analyzer {analyzer!r} ({'|'.join(ANALYZERS)})")
+    if has_ascii_fold(analyzer) and base in ("cjk", "hindi"):
+        # their oracle SQL moves stop filtering into custom CTE shapes the
+        # fold stage is not wired through — reject loudly rather than
+        # letting the two engines drift
+        raise ValueError(f":ascii is not supported with the {base} chain")
 
 
 def _analyzer_chain(analyzer: str):
@@ -201,6 +221,17 @@ def _analyzer_chain(analyzer: str):
     German tokens still normalize — they only skip the light stem."""
     base, excl = split_analyzer(analyzer)
     stop, pre, post = _base_chain(base)
+    if has_ascii_fold(analyzer):
+        # ASCIIFoldingFilter composes after the base PRE stage (elision /
+        # normalization), before the stop filter — the engine's documented
+        # composition point for the :ascii flag
+        from .asciifold import ascii_fold
+
+        if pre is None:
+            pre = ascii_fold
+        else:
+            def pre(t, _inner=pre):  # noqa: F811
+                return ascii_fold(_inner(t))
     if excl and post is not None:
         if base in ("german", "arabic"):
             # normalization filters with no keyword check (German per its
