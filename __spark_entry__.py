@@ -549,6 +549,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the whole index is built through the folding chain
     out["term_ascii_fold"] = _analyzer_term_gate("standard:ascii", "mérgé")
 
+    def synonym_or(spark, sf_dir):
+        # query-time synonyms (SolrSynonymParser expand=true group):
+        # "join" expands to the QueryBuilder BOOLEAN shape
+        # OR(merge, join) in group declaration order
+        from lucenenet_spark.plans.synonyms import (
+            expand_query, parse_solr_synonyms,
+        )
+
+        s = _searcher(spark, sf_dir)
+        m = parse_solr_synonyms("merge, join")
+        return s.search(expand_query(parse("join"), m), 15)
+
+    out["synonym_or"] = synonym_or
+
+    def synonym_phrase(spark, sf_dir):
+        # a synonym inside a quoted phrase becomes a MultiPhraseQuery
+        # position (QueryBuilder MUST_PHRASE shape)
+        from lucenenet_spark.plans.synonyms import (
+            expand_query, parse_solr_synonyms,
+        )
+
+        s = _searcher(spark, sf_dir)
+        m = parse_solr_synonyms("table, value")
+        return s.search(expand_query(parse('"table hash"'), m), 15)
+
+    out["synonym_phrase"] = synonym_phrase
+
     def join_terms_avg(spark, sf_dir):
         # JoinUtil term join: docs sharing a tool with the HOT-term hits,
         # scored by the per-tool average of from-hit scores
@@ -1228,7 +1255,7 @@ _NEW_THIS_ROUND: list[str] = [
     "term_hindi", "term_greek", "term_brazilian", "term_cjk",
     "term_danish", "term_dutch", "term_armenian", "term_catalan",
     "term_romanian", "term_basque", "term_irish", "term_turkish",
-    "term_ascii_fold",
+    "term_ascii_fold", "synonym_or", "synonym_phrase",
     "bool_russian", "term_arabic",
     "pii_scrub", "split_assign", "repetition_2gram",
     "strip_boilerplate", "unigram_bits", "sample_stratified",
@@ -1491,6 +1518,10 @@ LIMIT 30"""
     out["term_turkish"] = es.term_sql("merge", k=15, analyzer="turkish")
     out["term_ascii_fold"] = es.term_sql(
         "merge", k=15, analyzer="standard:ascii"
+    )
+    out["synonym_or"] = es.boolean_sql(should=["merge", "join"], k=15)
+    out["synonym_phrase"] = es.phrase_sql(
+        [["table", "value"], ["hash"]], k=15
     )
     out["join_terms_avg"] = es.join_terms_sql(HOT, "tool", "tool", "avg", k=15)
     out["join_terms_total_seg"] = es.join_terms_sql(
