@@ -264,6 +264,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return freetext_suggest(_docs(spark, sf_dir), f"{HOT} s", k=10)
 
+    def edge_ngram_top(spark, sf_dir):
+        # EdgeNGramTokenFilter over the analyzed stream (autocomplete
+        # index shape): top front-grams by doc-freq
+        from lucenenet_spark.functions.analysis import tokens_col
+        from lucenenet_spark.functions.ngram import edge_ngram_udf
+
+        d = _docs(spark, sf_dir)
+        ex = d.select(
+            "doc_id",
+            F.explode(
+                edge_ngram_udf(1, 3)(tokens_col(F.col("text")))
+            ).alias("gram"),
+        )
+        return (
+            ex.groupBy("gram")
+            .agg(F.countDistinct("doc_id").alias("df"),
+                 F.count("*").alias("ttf"))
+            .orderBy(F.desc("df"), F.asc("gram"))
+            .limit(20)
+        )
+
+    def ngram_top(spark, sf_dir):
+        # NGramTokenFilter (fuzzy/infix index shape): all 2-3 grams
+        from lucenenet_spark.functions.analysis import tokens_col
+        from lucenenet_spark.functions.ngram import ngram_udf
+
+        d = _docs(spark, sf_dir)
+        ex = d.select(
+            "doc_id",
+            F.explode(
+                ngram_udf(2, 3)(tokens_col(F.col("text")))
+            ).alias("gram"),
+        )
+        return (
+            ex.groupBy("gram")
+            .agg(F.countDistinct("doc_id").alias("df"),
+                 F.count("*").alias("ttf"))
+            .orderBy(F.desc("df"), F.asc("gram"))
+            .limit(20)
+        )
+
+    def common_grams_top(spark, sf_dir):
+        # CommonGramsFilter stream (unigrams + stop-adjacent bigrams)
+        # over the UNSTOPPED lowercase tokens
+        from lucenenet_spark.functions.analysis import ENGLISH_STOP_WORDS
+        from lucenenet_spark.functions.ngram import common_grams_udf
+
+        d = _docs(spark, sf_dir)
+        ex = d.select(
+            "doc_id",
+            F.explode(
+                common_grams_udf(ENGLISH_STOP_WORDS)(F.col("text"))
+            ).alias("term"),
+        )
+        return (
+            ex.groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"),
+                 F.count("*").alias("ttf"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(20)
+        )
+
     def doclen(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         return s.docs().select(
@@ -302,6 +364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         facet_range_len=facet_range_len,
         diversified_topk=diversified_topk,
         shingle_top=shingle_top,
+        edge_ngram_top=edge_ngram_top,
+        ngram_top=ngram_top,
+        common_grams_top=common_grams_top,
         suggest_freetext=suggest_freetext,
         doclen=doclen,
         term_stats_top=term_stats_top,
@@ -1256,6 +1321,7 @@ _NEW_THIS_ROUND: list[str] = [
     "term_danish", "term_dutch", "term_armenian", "term_catalan",
     "term_romanian", "term_basque", "term_irish", "term_turkish",
     "term_ascii_fold", "synonym_or", "synonym_phrase",
+    "edge_ngram_top", "ngram_top", "common_grams_top",
     "bool_russian", "term_arabic",
     "pii_scrub", "split_assign", "repetition_2gram",
     "strip_boilerplate", "unigram_bits", "sample_stratified",
@@ -1474,6 +1540,9 @@ LIMIT 30"""
     out["explain_bm25"] = es.explain_term_sql(MID, k=12)
     out["explain_classic"] = es.explain_classic_sql(MID, k=12)
     out["shingle_top"] = es.shingle_top_sql(20)
+    out["edge_ngram_top"] = es.edge_ngram_top_sql(1, 3, k=20)
+    out["ngram_top"] = es.ngram_top_sql(2, 3, k=20)
+    out["common_grams_top"] = es.common_grams_top_sql(20)
     out["suggest_freetext"] = es.freetext_suggest_sql(HOT, "s", k=10)
     out["term_lmd"] = es.lmd_term_sql(HOT, k=15)
     out["phrase_tfidf"] = es.phrase_sim_sql(["table", "hash"], "classic", k=15)

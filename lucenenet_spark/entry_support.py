@@ -5273,6 +5273,85 @@ FROM grams GROUP BY shingle
 ORDER BY df DESC, shingle ASC LIMIT {k}"""
 
 
+def edge_ngram_top_sql(
+    min_gram: int = 1, max_gram: int = 2, k: int = 20
+) -> str:
+    """Top-k EdgeNGramTokenFilter grams by doc-freq over the analyzed
+    stream (front grams, sizes min..min(max, len) — EdgeNGramTokenFilter.cs;
+    matches functions.ngram.edge_ngrams)."""
+    expr = (
+        f"list_transform(range({min_gram}, "
+        f"least({max_gram}, length(t)) + 1), n -> left(t, CAST(n AS INT)))"
+    )
+    return f"""{prelude()},
+grams AS (
+  SELECT docid, unnest(flatten(list_transform(tokens, t -> {expr}))) AS gram
+  FROM toks
+)
+SELECT gram, count(DISTINCT docid) AS df, count(*) AS ttf
+FROM grams GROUP BY gram
+ORDER BY df DESC, gram ASC LIMIT {k}"""
+
+
+def ngram_top_sql(min_gram: int = 2, max_gram: int = 3, k: int = 20) -> str:
+    """Top-k NGramTokenFilter grams by doc-freq (all positions, sizes
+    min..max per position; tokens shorter than minGram removed —
+    NGramTokenFilter.cs + CodepointCountFilter; matches
+    functions.ngram.ngrams)."""
+    sizes = ", ".join(str(g) for g in range(min_gram, max_gram + 1))
+    per_pos = (
+        f"list_filter(list_transform([{sizes}], g -> "
+        f"CASE WHEN p + g - 1 <= length(t) "
+        f"THEN substr(t, CAST(p AS INT), CAST(g AS INT)) END), "
+        f"x -> x IS NOT NULL)"
+    )
+    per_tok = (
+        f"CASE WHEN length(t) < {min_gram} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE flatten(list_transform(range(1, length(t) + 1), "
+        f"p -> {per_pos})) END"
+    )
+    return f"""{prelude()},
+grams AS (
+  SELECT docid, unnest(flatten(list_transform(tokens, t -> {per_tok})))
+         AS gram
+  FROM toks
+)
+SELECT gram, count(DISTINCT docid) AS df, count(*) AS ttf
+FROM grams GROUP BY gram
+ORDER BY df DESC, gram ASC LIMIT {k}"""
+
+
+def common_grams_top_sql(k: int = 20) -> str:
+    """Top-k CommonGramsFilter terms (unigrams + '_' bigrams where either
+    adjacent member is a common word) by doc-freq over the UNSTOPPED
+    lowercase stream — CommonGramsFilter.cs replaces stop removal; the
+    common set is the 33 English stop words. Matches
+    functions.ngram.common_grams."""
+    from .functions.analysis import stop_words
+
+    common = _sql_quoted_list(stop_words("standard"))
+    raw = (
+        f"list_filter(list_transform(regexp_extract_all(COALESCE(text,"
+        f" ''), '{TOKEN_PATTERN_RE2_SQL}'), t -> lower(t)), "
+        f"t -> length(t) <= {MAX_TOKEN_LENGTH})"
+    )
+    return f"""{prelude()},
+rawu AS (
+  SELECT docid, unnest(tl) AS tok, generate_subscripts(tl, 1) AS ord
+  FROM (SELECT docid, {raw} AS tl FROM docs) z
+),
+stream AS (
+  SELECT docid, tok AS term FROM rawu
+  UNION ALL
+  SELECT a.docid, a.tok || '_' || b.tok
+  FROM rawu a JOIN rawu b ON a.docid = b.docid AND b.ord = a.ord + 1
+  WHERE a.tok IN ({common}) OR b.tok IN ({common})
+)
+SELECT term, count(DISTINCT docid) AS df, count(*) AS ttf
+FROM stream GROUP BY term
+ORDER BY df DESC, term ASC LIMIT {k}"""
+
+
 def freetext_suggest_sql(
     w1: str, prefix: str, k: int = 10, alpha: float = 0.4
 ) -> str:
