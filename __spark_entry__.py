@@ -1283,6 +1283,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.embedding_near_dup_pairs(planted, threshold=0.9)
 
     out["emb_near_dups"] = emb_near_dups
+
+    # -- grouping extras (AllGroups / AllGroupHeads / DistinctValues) --------
+    out["group_all"] = lambda s, d: _searcher(s, d).all_groups(
+        TermQuery(term=HOT), "conv_id"
+    )
+    out["group_heads"] = lambda s, d: _searcher(s, d).group_heads(
+        TermQuery(term=HOT), "conv_id", [("role", False, False)]
+    )
+    out["distinct_values"] = lambda s, d: _searcher(s, d).distinct_values(
+        TermQuery(term=HOT), "role", "tool"
+    )
+
+    # -- facet extras (double ranges over the score source; sum value source)
+    out["facet_range_score"] = lambda s, d: _searcher(s, d).facet_ranges(
+        TermQuery(term=HOT),
+        "score",
+        [
+            ("lo", 0.0, 0.8, True, False),
+            ("midlo", 0.8, 1.2, True, False),
+            ("hi", 1.2, 100.0, True, True),
+            ("all", 0.0, 100.0, True, True),
+        ],
+    )
+    out["facet_sum_score"] = lambda s, d: _searcher(s, d).facet_sum_value(
+        TermQuery(term=HOT), "role"
+    )
+
+    # -- Sandbox DuplicateFilter -------------------------------------------
+    out["dup_filter"] = lambda s, d: _searcher(s, d).duplicate_filter(
+        TermQuery(term=HOT), "conv_id", keep="last", mode="full", k=15
+    )
+    out["dup_filter_fast"] = lambda s, d: _searcher(s, d).duplicate_filter(
+        TermQuery(term=HOT), "tool", keep="first", mode="fast", k=15
+    )
+
     # analyzer parity on a planted punctuated corpus (UAX#29 word-break
     # joins the pure-[a-z0-9 ] transcript corpus never exercises)
     out["analyze_uax29"] = lambda s, d: es.analyze_uax29(s)
@@ -1332,6 +1367,8 @@ _NEW_THIS_ROUND: list[str] = [
     "term_portuguese", "term_norwegian",
     "term_hungarian", "term_czech", "term_latvian", "term_bulgarian",
     "term_galician", "term_persian", "term_sorani",
+    "group_all", "group_heads", "distinct_values",
+    "facet_range_score", "facet_sum_score", "dup_filter", "dup_filter_fast",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1826,4 +1863,72 @@ JOIN ({sim.ivf_topk_sql(QV, 10)}) b USING (vec_id)"""
     out["doc_simhash"] = dd.simhash_sql()
     out["media_features"] = mm.media_features_sql()
     out["analyze_uax29"] = es.analyze_uax29_sql()
+
+    # grouping extras
+    out["group_all"] = f"""{P}
+SELECT DISTINCT d.conv_id AS grp
+FROM scored s JOIN docs d ON s.docid = d.docid
+WHERE s.term = '{HOT}'
+ORDER BY grp"""
+    out["group_heads"] = f"""{P},
+gh AS (
+  SELECT d.conv_id AS grp, s.docid,
+         row_number() OVER (
+           PARTITION BY d.conv_id ORDER BY d.role ASC, s.docid ASC
+         ) AS rk
+  FROM scored s JOIN docs d ON s.docid = d.docid
+  WHERE s.term = '{HOT}'
+)
+SELECT grp, docid FROM gh WHERE rk = 1 ORDER BY grp"""
+    out["distinct_values"] = f"""{P}
+SELECT d.role AS grp,
+       CAST(count(DISTINCT d.tool)
+            + max(CASE WHEN d.tool IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_values
+FROM scored s JOIN docs d ON s.docid = d.docid
+WHERE s.term = '{HOT}'
+GROUP BY d.role ORDER BY grp"""
+
+    # facet extras
+    out["facet_range_score"] = f"""{P},
+h AS (SELECT s.s FROM scored s WHERE s.term = '{HOT}')
+SELECT 'lo' AS label, count(*) FILTER (WHERE s >= 0.0 AND s < 0.8) AS n FROM h
+UNION ALL
+SELECT 'midlo', count(*) FILTER (WHERE s >= 0.8 AND s < 1.2) FROM h
+UNION ALL
+SELECT 'hi', count(*) FILTER (WHERE s >= 1.2 AND s <= 100.0) FROM h
+UNION ALL
+SELECT 'all', count(*) FILTER (WHERE s >= 0.0 AND s <= 100.0) FROM h"""
+    out["facet_sum_score"] = f"""{P},
+fs AS (
+  SELECT d.role AS value,
+         list_reduce(list(s.s ORDER BY s.docid), (x, y) -> CAST(x + y AS REAL))
+           AS sum_score
+  FROM scored s JOIN docs d ON s.docid = d.docid
+  WHERE s.term = '{HOT}' AND d.role IS NOT NULL
+  GROUP BY 1
+)
+SELECT value, sum_score FROM fs ORDER BY value"""
+
+    # Sandbox DuplicateFilter
+    out["dup_filter"] = f"""{P},
+kept AS (
+  SELECT max(docid) AS docid FROM docs
+  WHERE conv_id IS NOT NULL GROUP BY conv_id
+)
+SELECT s.docid, s.s AS score
+FROM scored s JOIN kept k ON s.docid = k.docid
+WHERE s.term = '{HOT}'
+ORDER BY score DESC, s.docid ASC LIMIT 15"""
+    out["dup_filter_fast"] = f"""{P},
+kept AS (
+  SELECT min(docid) AS docid FROM docs
+  WHERE tool IS NOT NULL GROUP BY tool
+  UNION ALL
+  SELECT docid FROM docs WHERE tool IS NULL
+)
+SELECT s.docid, s.s AS score
+FROM scored s JOIN kept k ON s.docid = k.docid
+WHERE s.term = '{HOT}'
+ORDER BY score DESC, s.docid ASC LIMIT 15"""
     return _prioritize(out)

@@ -2973,7 +2973,13 @@ class IndexSearcher:
         range accepting it; min/max bounds are each inclusive or exclusive
         per range. One conditional-sum aggregate over the hits (a single
         map-side-combined pass), never one rescan per range.
-        ranges: (label, lo, hi, min_inclusive, max_inclusive)."""
+        ranges: (label, lo, hi, min_inclusive, max_inclusive).
+
+        Float bounds give DoubleRangeFacetCounts (Facet/Range/
+        DoubleRangeFacetCounts.cs) semantics: col may be any numeric hit
+        column including 'score' — the reference's DoubleValuesSource
+        over scores — and the comparisons promote to double exactly like
+        DoubleRange.accept()."""
         hits = self.fetch(self.scores(q), self._hits_bound(q))
         aggs = []
         for i, (_label, lo, hi, min_incl, max_incl) in enumerate(ranges):
@@ -3011,6 +3017,140 @@ class IndexSearcher:
             .orderBy(F.desc("score"), F.asc("docid"))
             .limit(k)
         )
+
+    def all_groups(self, q: Query, group_col: str = "conv_id") -> DataFrame:
+        """TermAllGroupsCollector (Lucene.Net.Grouping/Term/
+        TermAllGroupsCollector.cs): the distinct set of group values among
+        matching docs. A doc with no group value (ord -1) contributes the
+        null group, so nulls survive the distinct. Output: (grp) asc,
+        nulls first (the reference returns an unordered set; the order
+        here is just a stable presentation)."""
+        hits = self.fetch(self.scores(q), self._hits_bound(q))
+        return (
+            hits.select(F.col(group_col).alias("grp"))
+            .distinct()
+            .orderBy(F.asc_nulls_first("grp"))
+        )
+
+    def group_heads(
+        self,
+        q: Query,
+        group_col: str,
+        specs: list[tuple[str, bool, bool]],
+    ) -> DataFrame:
+        """TermAllGroupHeadsCollector (Lucene.Net.Grouping/Term/
+        TermAllGroupHeadsCollector.cs): for EVERY group the single head doc
+        under sortWithinGroup. The collector replaces a head only when the
+        candidate compares strictly before it, and docs arrive in docid
+        order — so equal sort values keep the earliest doc: docid asc is
+        the implicit final tie-break. specs are (col, reverse,
+        missing_last) like sort_by_fields. Output: (grp, docid) ordered by
+        group."""
+        hits = self.fetch(self.scores(q), self._hits_bound(q))
+        order = []
+        for col, reverse, missing_last in specs:
+            if reverse:
+                order.append(
+                    F.desc_nulls_last(col) if missing_last
+                    else F.desc_nulls_first(col)
+                )
+            else:
+                order.append(
+                    F.asc_nulls_last(col) if missing_last
+                    else F.asc_nulls_first(col)
+                )
+        order.append(F.asc("docid"))
+        win = Window.partitionBy(group_col).orderBy(*order)
+        return (
+            hits.withColumn("_rk", F.row_number().over(win))
+            .filter(F.col("_rk") == 1)
+            .select(F.col(group_col).alias("grp"), "docid")
+            .orderBy(F.asc_nulls_first("grp"))
+        )
+
+    def distinct_values(
+        self, q: Query, group_col: str, count_col: str
+    ) -> DataFrame:
+        """TermDistinctValuesCollector (Lucene.Net.Grouping/Term/
+        TermDistinctValuesCollector.cs): per group, how many DISTINCT
+        count-field values its matching docs carry. A doc with no count
+        value adds null to the unique set (the countOrd == -1 arm), so a
+        group with any missing value counts one extra. Output:
+        (grp, n_values) ordered by group."""
+        hits = self.fetch(self.scores(q), self._hits_bound(q))
+        c = F.col(count_col)
+        return (
+            hits.groupBy(F.col(group_col).alias("grp"))
+            .agg(
+                (
+                    F.countDistinct(c)
+                    + F.max(F.when(c.isNull(), 1).otherwise(0))
+                )
+                .cast("long")
+                .alias("n_values")
+            )
+            .orderBy(F.asc_nulls_first("grp"))
+        )
+
+    def facet_sum_value(self, q: Query, facet_col: str = "role") -> DataFrame:
+        """TaxonomyFacetSumValueSource (Lucene.Net.Facet/Taxonomy/
+        TaxonomyFacetSumValueSource.cs) with the score value source: per
+        facet value, the float32 sum of matching docs' scores, accumulated
+        in docid order — exactly the collector's values[ord] += value walk
+        over docs. Unlabeled (null) docs contribute nothing. The fold
+        reuses the bounded flat/segmented machinery of _fold_from_hits so
+        a hot facet value never materializes one unbounded aggregation
+        row. Output: (value, sum_score) ordered by value."""
+        bound = self._hits_bound(q)
+        hits = (
+            self.fetch(self.scores(q), bound)
+            .select(F.col(facet_col).alias("value"), "docid", "score")
+            .filter(F.col("value").isNotNull())
+        )
+        folded = self._fold_from_hits(hits, "total", bound, group_col="value")
+        return folded.select(
+            "value", F.col("jscore").alias("sum_score")
+        ).orderBy("value")
+
+    def duplicate_filter(
+        self,
+        q: Query,
+        key_col: str = "conv_id",
+        keep: str = "last",
+        mode: str = "full",
+        k: int = 10,
+    ) -> DataFrame:
+        """DuplicateFilter (Lucene.Net.Sandbox/Queries/DuplicateFilter.cs):
+        restrict matches to one kept occurrence per key.
+
+        keep: KM_USE_FIRST/LAST_OCCURRENCE — the min/max docid among LIVE
+        docs carrying the key (CorrectBits/FastBits walk each term's
+        postings, which respect acceptDocs, in docid order).
+        mode: PM_FULL_VALIDATION ('full') matches ONLY docs that carry the
+        field; PM_FAST_INVALIDATION ('fast') starts from the all-set
+        bitset and only clears keyed duplicates, so docs WITHOUT the field
+        also match. Output: (docid, score) ranked."""
+        if keep not in ("first", "last"):
+            raise ValueError(f"unknown keep mode {keep!r}")
+        if mode not in ("full", "fast"):
+            raise ValueError(f"unknown processing mode {mode!r}")
+        keyed = self._apply_live_docs(
+            self.docs()
+            .filter(F.col(key_col).isNotNull())
+            .select("docid", F.col(key_col).alias("_k"))
+        )
+        pick = F.min("docid") if keep == "first" else F.max("docid")
+        kept = keyed.groupBy("_k").agg(pick.alias("docid")).select("docid")
+        if mode == "fast":
+            kept = kept.unionByName(
+                self._apply_live_docs(
+                    self.docs()
+                    .filter(F.col(key_col).isNull())
+                    .select("docid")
+                )
+            )
+        out = self.scores(q).join(kept, "docid", "semi")
+        return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
 
     def to_parent_join(
         self, q: Query, score_mode: str = "max", k: int = 10,
@@ -3159,20 +3299,26 @@ class IndexSearcher:
     JOIN_FOLD_RANGE = 1 << 20
 
     def _fold_from_hits(
-        self, fromv: DataFrame, score_mode: str, bound: int | None
+        self,
+        fromv: DataFrame,
+        score_mode: str,
+        bound: int | None,
+        group_col: str = "jterm",
     ) -> DataFrame:
-        """Per-term f32 fold of from-hit scores in from-docid order — the
-        exact accumulation order of TermsWithScoreCollector.cs.
+        """Per-group f32 fold of hit scores in docid order — the exact
+        accumulation order of TermsWithScoreCollector.cs (and of
+        TaxonomyFacetSumValueSource's values[ord] += walk, which
+        facet_sum_value reuses this for).
 
         Flat path (from-hit bound known and small): one sorted collect per
-        term. Segmented path: level 1 groups (jterm, docid-range) into
+        group. Segmented path: level 1 groups (group, docid-range) into
         packed float arrays (<= JOIN_FOLD_RANGE docids each, ranges spread
         across executors); level 2 folds range arrays in range order with
         the accumulator CARRIED across ranges by a nested aggregate —
         bit-identical to the flat fold (proven in test_join_fold), while
         level-2 rows hold 4-byte floats instead of struct rows."""
         if bound is not None and bound <= self.JOIN_FLAT_FOLD_MAX:
-            folded = fromv.groupBy("jterm").agg(
+            folded = fromv.groupBy(group_col).agg(
                 F.sort_array(F.collect_list(F.struct("docid", "score"))).alias("fh")
             )
             total = F.aggregate(
@@ -3183,7 +3329,7 @@ class IndexSearcher:
             n = F.size("fh")
         else:
             lvl1 = fromv.groupBy(
-                "jterm",
+                group_col,
                 F.floor(F.col("docid") / self.JOIN_FOLD_RANGE).alias("rng"),
             ).agg(
                 F.transform(
@@ -3191,7 +3337,7 @@ class IndexSearcher:
                     lambda x: x["score"],
                 ).alias("scores")
             )
-            folded = lvl1.groupBy("jterm").agg(
+            folded = lvl1.groupBy(group_col).agg(
                 F.sort_array(F.collect_list(F.struct("rng", "scores"))).alias("rs")
             )
             total = F.aggregate(
@@ -3209,7 +3355,7 @@ class IndexSearcher:
             if score_mode == "total"
             else (total / n.cast("float")).cast("float")
         )
-        return folded.select("jterm", score.alias("jscore"))
+        return folded.select(group_col, score.alias("jscore"))
 
     def function_score(
         self, value_expr: str, k: int = 10, boost: float = 1.0
