@@ -458,6 +458,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["phrase_tfidf"] = phrase_tfidf
 
+    def _sweet_searcher(spark, sf_dir):
+        # SweetSpotSimilarity: plateau length norm baked into the INDEX
+        # (norm_spec), BaselineTf factors (base=1.5, min=2) at query time
+        from lucenenet_spark.operators.search import IndexSearcher
+
+        return IndexSearcher(
+            spark,
+            es.ensure_sweet_index(spark, sf_dir),
+            similarity="sweetspot:1.5:2",
+        )
+
+    def term_sweetspot(spark, sf_dir):
+        return _sweet_searcher(spark, sf_dir).search(TermQuery(term=HOT), 15)
+
+    def phrase_sweetspot(spark, sf_dir):
+        return _sweet_searcher(spark, sf_dir).search(
+            PhraseQuery(terms=("table", "hash")), 15
+        )
+
+    out["term_sweetspot"] = term_sweetspot
+    out["phrase_sweetspot"] = phrase_sweetspot
+
     def phrase_lmd(spark, sf_dir):
         # sloppy phrase under LM-Dirichlet (MultiSimScorer sums the
         # per-term kernels at the shared sloppyFreq)
@@ -1369,6 +1391,7 @@ _NEW_THIS_ROUND: list[str] = [
     "term_galician", "term_persian", "term_sorani",
     "group_all", "group_heads", "distinct_values",
     "facet_range_score", "facet_sum_score", "dup_filter", "dup_filter_fast",
+    "term_sweetspot", "phrase_sweetspot",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1909,6 +1932,10 @@ fs AS (
   GROUP BY 1
 )
 SELECT value, sum_score FROM fs ORDER BY value"""
+
+    # SweetSpotSimilarity (plateau norm index + BaselineTf query factors)
+    out["term_sweetspot"] = es.sweetspot_sql([HOT], k=15)
+    out["phrase_sweetspot"] = es.sweetspot_sql(["table", "hash"], k=15)
 
     # Sandbox DuplicateFilter
     out["dup_filter"] = f"""{P},

@@ -152,6 +152,41 @@ def ensure_stemmed_index(spark: SparkSession, sf_dir: str) -> str:
     return ensure_analyzer_index(spark, sf_dir, "english")
 
 
+SWEET_NORM_SPEC = "sweetspot:3:10:0.5"  # plateau 3..10, steepness 0.5
+_SWEET_INDEX_CACHE: dict[str, str] = {}
+
+
+def ensure_sweet_index(spark: SparkSession, sf_dir: str) -> str:
+    """Like ensure_index, but the norm bytes carry SweetSpotSimilarity's
+    plateau ComputeLengthNorm (an index-time Similarity choice — the
+    sweetspot gates query this index)."""
+    if sf_dir in _SWEET_INDEX_CACHE:
+        return _SWEET_INDEX_CACHE[sf_dir]
+    from .operators.index_build import IndexBuilder
+
+    _add_pyfiles(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join("/tmp/lucenenet_entry", f"idxsweet_{tag}")
+    mpath = os.path.join(out, "_manifest.json")
+    if os.path.exists(mpath):
+        import json
+        import shutil
+
+        with open(mpath) as f:
+            m = json.load(f)
+        if m.get("format_version") != 5 or m.get("norm_spec") != SWEET_NORM_SPEC:
+            shutil.rmtree(out, ignore_errors=True)
+    IndexBuilder(
+        spark, out, k1=K1, b=B, n_buckets=8, n_segments=8, salt_target=2000,
+        norm_spec=SWEET_NORM_SPEC,
+    ).build(
+        transcripts_from_documents(spark, sf_dir),
+        build_id=f"gate-sweet-{tag}",
+    )
+    _SWEET_INDEX_CACHE[sf_dir] = out
+    return out
+
+
 def _add_pyfiles(spark: SparkSession) -> None:
     import zipfile
 
@@ -3875,6 +3910,81 @@ dnorm AS (
 )
 SELECT p.docid AS docid, {total} AS score
 FROM pf p JOIN dnorm d ON p.docid = d.docid
+ORDER BY score DESC, p.docid ASC
+LIMIT {k}"""
+
+
+def sweetspot_sql(
+    terms: list[str],
+    k: int = 10,
+    tf_base: float = 1.5,
+    tf_min: float = 2.0,
+    norm_spec: str = SWEET_NORM_SPEC,
+) -> str:
+    """Term / exact-phrase query under SweetSpotSimilarity, float32-exact.
+
+    DefaultSimilarity's value chain (idf / queryNorm / IDFStats.Normalize —
+    for one clause the coord multiply is an exact *1.0) with two swaps
+    (SweetSpotSimilarity.cs): tf = BaselineTf (CASE over the f32 operand,
+    sqrt in double) and the norm byte = the plateau ComputeLengthNorm — the
+    index-time quantization embedded as (lo, hi, decoded) VALUES runs from
+    the very encoder the sweet index used (functions/sweetspot.py)."""
+    from .functions.sweetspot import sweet_norm_runs
+
+    runs = sweet_norm_runs(norm_spec)
+    rows = ",\n    ".join(
+        f"({lo}, {hi}, {_f32lit(d)})" for lo, hi, d in runs
+    )
+    bb = np.float32(np.float32(tf_base) * np.float32(tf_base))
+    base32 = _f32lit(tf_base)
+    mn32 = _f32lit(tf_min)
+    op = (
+        f"CAST(CAST(CAST(p.freq AS REAL) + {_f32lit(float(bb))} AS REAL)"
+        f" - {mn32} AS REAL)"
+    )
+    tfv = (
+        f"CASE WHEN CAST(p.freq AS REAL) <= {mn32} THEN {base32}"
+        f" ELSE CAST(sqrt(CAST({op} AS DOUBLE)) AS REAL) END"
+    )
+
+    def cidf(t):
+        return (
+            "(SELECT CAST(ln(CAST(f.max_doc AS DOUBLE) / "
+            "(CAST(t.df AS DOUBLE) + 1.0)) + CAST(1.0 AS DOUBLE) AS REAL) "
+            f"FROM tstats t CROSS JOIN fstats f WHERE t.term = '{t}')"
+        )
+
+    ssum = cidf(terms[0])
+    for t in terms[1:]:
+        ssum = f"CAST({ssum} + {cidf(t)} AS REAL)"
+    qw = ssum  # boost = 1
+    ssq = f"CAST({qw} * {qw} AS REAL)"
+    qnorm = f"CAST(CAST(1.0 AS DOUBLE) / sqrt(CAST({ssq} AS DOUBLE)) AS REAL)"
+    value = f"CAST(CAST({qw} * {qnorm} AS REAL) * {ssum} AS REAL)"
+    if len(terms) == 1:
+        p = prelude()
+        freq_part = (
+            f"pf AS (SELECT docid, tf AS freq FROM posting"
+            f" WHERE term = '{terms[0]}')"
+        )
+    else:
+        arrays = [[t] for t in terms]
+        p = prelude() + ",\n" + _positions_cte()
+        freq_part = _phrase_freq_cte(arrays, list(range(len(arrays))), 0)
+    return f"""{p},
+{freq_part},
+swnorm(lo, hi, dt) AS (
+  VALUES
+    {rows}
+),
+cval AS (SELECT {value} AS v)
+SELECT p.docid AS docid,
+       CAST(CAST({tfv} * c.v AS REAL) * d.dt AS REAL) AS score
+FROM pf p
+CROSS JOIN cval c
+JOIN lens l ON p.docid = l.docid
+JOIN swnorm d ON l.fl >= d.lo AND l.fl <= d.hi
+WHERE p.freq > 0
 ORDER BY score DESC, p.docid ASC
 LIMIT {k}"""
 

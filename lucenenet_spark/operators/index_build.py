@@ -67,7 +67,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.analysis import tokenize_with_offsets, tokenize_with_positions
-from ..functions.smallfloat import encode_norm
 from ..oracle import norm_cache
 from .codec import BLOCK_SIZE, encode_posting_list
 
@@ -385,6 +384,7 @@ class IndexBuilder:
         analyzer: str = "standard",
         max_partial_postings: int = _MAX_PARTIAL_POSTINGS,
         max_partial_positions: int = _MAX_PARTIAL_POSITIONS,
+        norm_spec: str = "standard",
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -423,6 +423,17 @@ class IndexBuilder:
         # per emitted token (PayloadHelper.EncodeSingle wire format).
         # Payloads require positions (FieldInfo.cs: payloads imply
         # DOCS_AND_FREQS_AND_POSITIONS+).
+        # Norm encoder choice (Similarity.ComputeNorm is an INDEX-time
+        # decision in Lucene — the byte stream differs per similarity):
+        # "standard" = boost/sqrt(len) (BM25/DefaultSimilarity share it),
+        # "sweetspot:<min>:<max>:<steepness>" = SweetSpotSimilarity's
+        # plateau ComputeLengthNorm. Recorded in the manifest; queries on a
+        # sweet index should use the "sweetspot[:...]" similarity (BM25's
+        # docLen reconstruction assumes the standard byte).
+        from ..functions.sweetspot import parse_norm_spec
+
+        parse_norm_spec(norm_spec)  # validate early
+        self.norm_spec = norm_spec
         if payload_provider not in (None, "position_float"):
             raise ValueError(f"unknown payload_provider {payload_provider!r}")
         if payload_provider and index_options == "docs_freqs":
@@ -516,6 +527,7 @@ class IndexBuilder:
         with_offsets = self.index_options == "docs_freqs_positions_offsets"
         with_payloads = self.payload_provider == "position_float"
         analyzer = self.analyzer
+        norm_spec = self.norm_spec
         max_partial_postings = self.max_partial_postings
         max_partial_positions = self.max_partial_positions
 
@@ -532,6 +544,9 @@ class IndexBuilder:
             # exchange. Violation = hard error (builder falls back).
             from pyspark import TaskContext
 
+            from ..functions.sweetspot import norm_encoder
+
+            enc_norms = norm_encoder(norm_spec)
             gt0 = time.time()
             rank = 0
             # pid from the task context, NOT a spark_partition_id() column:
@@ -603,7 +618,7 @@ class IndexBuilder:
                         for a, b in zip(st_, en_):
                             off_flat.append(a)
                             off_flat.append(b - a)
-                norm_bytes = encode_norm(lengths)
+                norm_bytes = enc_norms(lengths)
                 total = len(term_flat)
                 if total:
                     codes, uniques = pd.factorize(
@@ -1177,6 +1192,7 @@ class IndexBuilder:
             "index_options": self.index_options,
             "payload_provider": self.payload_provider,
             "analyzer": self.analyzer,
+            "norm_spec": self.norm_spec,
             "fields": stats_info.get("fields"),
             "k1": self.k1,
             "b": self.b,

@@ -172,7 +172,24 @@ class IndexSearcher:
         from .simbase import parse_spec
 
         self.sim_spec = parse_spec(similarity)  # DFR/IB matrix member or None
-        if similarity not in ("bm25", "classic", "lmd", "lmjm") and (
+        # SweetSpotSimilarity (Lucene.Net.Misc/Misc/SweetSpotSimilarity.cs):
+        # DefaultSimilarity with BaselineTf swapped in at query time —
+        # "sweetspot[:<tf_base>:<tf_min>]". The plateau LengthNorm half is
+        # an index-time choice (IndexBuilder norm_spec); this searcher
+        # simply decodes whatever norm bytes the index stored, exactly like
+        # classic. Defaults (0, 0) degrade BaselineTf to sqrt(freq).
+        self.tf_params: tuple | None = None
+        if similarity.startswith("sweetspot"):
+            parts = similarity.split(":")
+            if len(parts) not in (1, 3):
+                raise ValueError(
+                    "sweetspot takes none or both tf factors: "
+                    "sweetspot[:<tf_base>:<tf_min>]"
+                )
+            base = np.float32(parts[1]) if len(parts) > 1 else np.float32(0.0)
+            mn = np.float32(parts[2]) if len(parts) > 2 else np.float32(0.0)
+            self.tf_params = (base, mn)
+        elif similarity not in ("bm25", "classic", "lmd", "lmjm") and (
             self.sim_spec is None
         ):
             raise ValueError(f"unknown similarity {similarity!r}")
@@ -454,6 +471,7 @@ class IndexSearcher:
             by_key.setdefault(c.key, []).append((c.clause_id, float(c.weight)))
         caches = self._field_caches
         decodes = self._decode_tables
+        tf_params = self.tf_params  # sweetspot BaselineTf; None = sqrt
 
         def score_batches(it):
             from .codec import decode_block  # executor-side import
@@ -469,7 +487,12 @@ class IndexSearcher:
                     nbytes = np.frombuffer(r.norms_enc, dtype=np.uint8)
                     freq = tfs.astype(np.float32)
                     if classic:
-                        tfv = np.sqrt(freq)  # f32 sqrt == (float)Math.Sqrt
+                        if tf_params is not None:
+                            from ..functions.sweetspot import baseline_tf
+
+                            tfv = baseline_tf(freq, *tf_params)
+                        else:
+                            tfv = np.sqrt(freq)  # f32 sqrt == (float)Math.Sqrt
                         dec = decodes[r.field][nbytes]
                         for clause_id, w in by_key[(r.field, r.term)]:
                             outs.append(
@@ -501,6 +524,30 @@ class IndexSearcher:
 
         cols = ["field", "term", "first_docid", "count", "docids_enc", "tfs_enc", "norms_enc", "docbase"]
         return blocks.select(cols).mapInPandas(score_batches, SCORE_ROWS_SCHEMA)
+
+    @property
+    def _classic_like(self) -> bool:
+        """classic TF-IDF kernel, possibly with SweetSpot's BaselineTf."""
+        return self.similarity == "classic" or self.tf_params is not None
+
+    def _classic_tf_expr(self):
+        """tf(freq) as a Catalyst expression over the `freq` column:
+        sqrt(freq) for DefaultSimilarity (TFIDFSimScorer.Score:687), or
+        BaselineTf (SweetSpotSimilarity.cs:172-180) under sweetspot —
+        float32 operand steps, the sqrt in double, one cast back."""
+        f = F.col("freq").cast("float")
+        if self.tf_params is None:
+            return F.sqrt(f).cast("float")
+        base, mn = self.tf_params
+        bb = np.float32(base * base)
+        op = (
+            (f + F.lit(float(bb)).cast("float")).cast("float")
+            - F.lit(float(mn)).cast("float")
+        ).cast("float")
+        tf = F.sqrt(op.cast("double")).cast("float")
+        return F.when(
+            f <= F.lit(float(mn)).cast("float"), F.lit(float(base)).cast("float")
+        ).otherwise(tf)
 
     def _docids_of_terms(self, terms: list[str], dedupe: bool = True) -> DataFrame:
         """Matching docids only (for MUST_NOT / constant score) — no scoring.
@@ -844,7 +891,7 @@ class IndexSearcher:
                     isinstance(c, TermQuery)
                     for c in q.must + q.should + q.must_not
                 )
-                if self.similarity == "classic":
+                if self._classic_like:
                     return self._classic_boolean_scores(q)
                 if pure_terms:
                     if self.sim_spec is not None:
@@ -885,7 +932,7 @@ class IndexSearcher:
                 # and _phrase_finalize applies the active kernel
                 return self._phrase_scores(q)
             if isinstance(q, DisMaxQuery):
-                if self.similarity == "classic":
+                if self._classic_like:
                     return self._classic_dismax_scores(q)
                 return self._dismax_scores_nested(q)
             raise NotImplementedError(
@@ -1122,7 +1169,7 @@ class IndexSearcher:
                 continue
             pf, _flat = self._phrase_scores(c, return_freqs=True)
             raw = (
-                F.sqrt(F.col("freq").cast("float")).cast("float")
+                self._classic_tf_expr()
                 * F.lit(float(values[i])).cast("float")
             ).cast("float")
             omit = c.field in {
@@ -1923,7 +1970,7 @@ class IndexSearcher:
         omit = field in {
             f for f, info in self.fields_info.items() if info.get("omit_norms")
         }
-        if self.similarity == "classic":
+        if self._classic_like:
             from ..oracle import classic_idf
 
             dfs = self.doc_freqs(sorted(set(keys)))
@@ -1939,7 +1986,7 @@ class IndexSearcher:
             )
             value = np.float32(np.float32(qw * qnorm) * s)
             raw = (
-                F.sqrt(F.col("freq").cast("float")).cast("float")
+                self._classic_tf_expr()
                 * F.lit(float(value)).cast("float")
             ).cast("float")
             if omit:
@@ -2305,7 +2352,7 @@ class IndexSearcher:
                 continue
             pf, _flat2 = self._phrase_scores(c, return_freqs=True)
             raw = (
-                F.sqrt(F.col("freq").cast("float")).cast("float")
+                self._classic_tf_expr()
                 * F.lit(float(values[i])).cast("float")
             ).cast("float")
             dec = F.array(

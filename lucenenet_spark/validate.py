@@ -22,7 +22,6 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from .functions.smallfloat import encode_norm
 from .operators.index_build import docs_view, load_manifest
 from .oracle import norm_cache
 
@@ -187,9 +186,17 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
     out["term_stats"] = {"ok": bad == 0, "mismatched_terms": int(bad)}
 
     # -- norms + field stats (CheckIndex.cs:920,1626) ------------------------
+    # re-derive under the index's own norm encoder (manifest norm_spec —
+    # a sweet-spot index stores SweetSpotSimilarity.ComputeLengthNorm bytes)
+    norm_spec = m.get("norm_spec", "standard")
+
     def renorm(lengths: pd.Series) -> pd.Series:
+        from .functions.sweetspot import norm_encoder
+
         return pd.Series(
-            encode_norm(lengths.to_numpy(dtype=np.int64)).astype(np.int16),
+            norm_encoder(norm_spec)(lengths.to_numpy(dtype=np.int64)).astype(
+                np.int16
+            ),
             index=lengths.index,
         )
 
