@@ -480,6 +480,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["term_sweetspot"] = term_sweetspot
     out["phrase_sweetspot"] = phrase_sweetspot
 
+    # -- Expressions module (JS expression compiler over doc values + _score)
+    out["expr_sort"] = lambda s, d: _searcher(s, d).expression_sort(
+        TermQuery(term=HOT), "_score + sqrt(1.0 + turn_idx)", k=15
+    )
+    out["expr_rescore"] = lambda s, d: _searcher(s, d).expression_rescore(
+        TermQuery(term=MID),
+        "turn_idx % 2.0 == 0.0 ? _score * 1.5 : max(_score, 0.5)",
+        n=20,
+        k=10,
+    )
+
     def phrase_lmd(spark, sf_dir):
         # sloppy phrase under LM-Dirichlet (MultiSimScorer sums the
         # per-term kernels at the shared sloppyFreq)
@@ -1391,7 +1402,7 @@ _NEW_THIS_ROUND: list[str] = [
     "term_galician", "term_persian", "term_sorani",
     "group_all", "group_heads", "distinct_values",
     "facet_range_score", "facet_sum_score", "dup_filter", "dup_filter_fast",
-    "term_sweetspot", "phrase_sweetspot",
+    "term_sweetspot", "phrase_sweetspot", "expr_sort", "expr_rescore",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1936,6 +1947,25 @@ SELECT value, sum_score FROM fs ORDER BY value"""
     # SweetSpotSimilarity (plateau norm index + BaselineTf query factors)
     out["term_sweetspot"] = es.sweetspot_sql([HOT], k=15)
     out["phrase_sweetspot"] = es.sweetspot_sql(["table", "hash"], k=15)
+
+    # Expressions module
+    out["expr_sort"] = f"""{P}
+SELECT s.docid,
+       CAST(s.s AS DOUBLE) + sqrt(1.0 + CAST(d.turn_idx AS DOUBLE)) AS sortval
+FROM scored s JOIN docs d ON s.docid = d.docid
+WHERE s.term = '{HOT}'
+ORDER BY sortval DESC, s.docid ASC LIMIT 15"""
+    out["expr_rescore"] = f"""{P},
+top AS (
+  SELECT s.docid, s.s FROM scored s WHERE s.term = '{MID}'
+  ORDER BY s.s DESC, s.docid ASC LIMIT 20
+)
+SELECT t.docid,
+       CASE WHEN fmod(CAST(d.turn_idx AS DOUBLE), 2.0) = 0.0
+            THEN CAST(t.s AS DOUBLE) * 1.5
+            ELSE greatest(CAST(t.s AS DOUBLE), 0.5) END AS sortval
+FROM top t JOIN docs d ON t.docid = d.docid
+ORDER BY sortval DESC, t.docid ASC LIMIT 10"""
 
     # Sandbox DuplicateFilter
     out["dup_filter"] = f"""{P},

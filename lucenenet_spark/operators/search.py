@@ -3065,6 +3065,60 @@ class IndexSearcher:
             .limit(k)
         )
 
+    # -- Expressions module (Lucene.Net.Expressions) --------------------------
+    def _expression_col(self, expr_src: str, extra: dict | None = None):
+        """Compile a JS expression against SimpleBindings-style defaults:
+        _score -> the hit's score (ScoreValueSource), any numeric doc
+        column -> its double value (SortField binding). Unknown names
+        raise, like SimpleBindings.GetValueSource."""
+        from ..plans.expressions import compile_expression
+
+        numeric = {
+            f.name
+            for f in self.docs().schema.fields
+            if f.dataType.typeName()
+            in ("integer", "long", "short", "double", "float")
+        }
+
+        def resolve(name: str):
+            if extra and name in extra:
+                return extra[name]
+            if name == "_score":
+                return F.col("score").cast("double")
+            if name in numeric:
+                return F.col(name).cast("double")
+            raise ValueError(f"unbound expression variable {name!r}")
+
+        return compile_expression(expr_src, resolve)
+
+    def expression_sort(
+        self, q: Query, expr_src: str, k: int = 10, reverse: bool = True
+    ) -> DataFrame:
+        """ExpressionSortField / ExpressionComparator
+        (Lucene.Net.Expressions/ExpressionSortField.cs): sort matches by a
+        compiled JavaScript expression over doc values and _score; double
+        compare, docid asc tie-break. Output (docid, sortval)."""
+        hits = self.fetch(self.scores(q), self._hits_bound(q))
+        out = hits.withColumn("sortval", self._expression_col(expr_src))
+        order = F.desc("sortval") if reverse else F.asc("sortval")
+        return out.select("docid", "sortval").orderBy(
+            order, F.asc("docid")
+        ).limit(k)
+
+    def expression_rescore(
+        self, q: Query, expr_src: str, n: int = 20, k: int = 10
+    ) -> DataFrame:
+        """ExpressionRescorer (Expressions/ExpressionRescorer.cs — a
+        SortRescorer over the reverse expression sort): re-rank the top-n
+        hits of the original ranking by the expression, _score bound to
+        the first-pass score. Output (docid, sortval) for the top k."""
+        top = self.search(q, n).select("docid", "score")
+        hits = self.fetch(top, n)
+        out = hits.withColumn("sortval", self._expression_col(expr_src))
+        return out.select("docid", "sortval").orderBy(
+            F.desc("sortval"), F.asc("docid")
+        ).limit(k)
+
     def all_groups(self, q: Query, group_col: str = "conv_id") -> DataFrame:
         """TermAllGroupsCollector (Lucene.Net.Grouping/Term/
         TermAllGroupsCollector.cs): the distinct set of group values among
