@@ -259,6 +259,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(20)
         )
 
+    def _phonetic_top(encoder, inject):
+        def run(spark, sf_dir):
+            from lucenenet_spark.functions.phonetic import phonetic_udf
+
+            d = _docs(spark, sf_dir)
+            ex = d.select(
+                "doc_id",
+                F.explode(phonetic_udf(encoder, inject)(F.col("text"))).alias(
+                    "term"
+                ),
+            )
+            return (
+                ex.groupBy("term")
+                .agg(
+                    F.countDistinct("doc_id").alias("df"),
+                    F.count("*").alias("ttf"),
+                )
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(20)
+            )
+
+        return run
+
+    out["phonetic_soundex_top"] = _phonetic_top("soundex", True)
+    out["phonetic_caverphone_top"] = _phonetic_top("caverphone2", True)
+    out["phonetic_refined_replace"] = _phonetic_top("refined_soundex", False)
+
     def suggest_freetext(spark, sf_dir):
         from lucenenet_spark.operators.suggest import freetext_suggest
 
@@ -1403,6 +1430,8 @@ _NEW_THIS_ROUND: list[str] = [
     "group_all", "group_heads", "distinct_values",
     "facet_range_score", "facet_sum_score", "dup_filter", "dup_filter_fast",
     "term_sweetspot", "phrase_sweetspot", "expr_sort", "expr_rescore",
+    "phonetic_soundex_top", "phonetic_caverphone_top",
+    "phonetic_refined_replace",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1611,6 +1640,11 @@ LIMIT 30"""
     out["explain_bm25"] = es.explain_term_sql(MID, k=12)
     out["explain_classic"] = es.explain_classic_sql(MID, k=12)
     out["shingle_top"] = es.shingle_top_sql(20)
+    out["phonetic_soundex_top"] = es.phonetic_top_sql("soundex", True, 20)
+    out["phonetic_caverphone_top"] = es.phonetic_top_sql("caverphone2", True, 20)
+    out["phonetic_refined_replace"] = es.phonetic_top_sql(
+        "refined_soundex", False, 20
+    )
     out["edge_ngram_top"] = es.edge_ngram_top_sql(1, 3, k=20)
     out["ngram_top"] = es.ngram_top_sql(2, 3, k=20)
     out["common_grams_top"] = es.common_grams_top_sql(20)

@@ -5383,6 +5383,42 @@ FROM grams GROUP BY shingle
 ORDER BY df DESC, shingle ASC LIMIT {k}"""
 
 
+def phonetic_top_sql(encoder: str, inject: bool = True, k: int = 20) -> str:
+    """Top-k emitted terms of PhoneticFilter(encoder, inject) by doc-freq
+    over the analyzed stream. The encoder runs over the DISTINCT
+    vocabulary (a per-batch memo engine-side; a vocab CTE here) — encode
+    cost ∝ vocabulary, not token stream. Matches
+    functions.phonetic.phonetic_udf exactly."""
+    from .functions import phonetic as ph
+
+    cte = {
+        "soundex": ph.soundex_cte,
+        "refined_soundex": ph.refined_soundex_cte,
+        "caverphone2": ph.caverphone2_cte,
+    }[encoder]("vocab")
+    if inject:
+        em = f"""em AS (
+  SELECT t.docid, t.tok AS term FROM tt t
+  UNION ALL
+  SELECT t.docid, e.ph AS term FROM tt t JOIN encv e ON t.tok = e.tok
+  WHERE e.ph IS NOT NULL AND e.ph <> '' AND e.ph <> t.tok
+)"""
+    else:
+        em = f"""em AS (
+  SELECT t.docid,
+         CASE WHEN e.ph IS NOT NULL AND e.ph <> '' AND e.ph <> t.tok
+              THEN e.ph ELSE t.tok END AS term
+  FROM tt t JOIN encv e ON t.tok = e.tok
+)"""
+    return f"""{prelude()},
+tt AS (SELECT docid, unnest(tokens) AS tok FROM toks),
+vocab AS (SELECT DISTINCT tok FROM tt),
+{cte},
+{em}
+SELECT term, count(DISTINCT docid) AS df, count(*) AS ttf
+FROM em GROUP BY term ORDER BY df DESC, term ASC LIMIT {k}"""
+
+
 def edge_ngram_top_sql(
     min_gram: int = 1, max_gram: int = 2, k: int = 20
 ) -> str:

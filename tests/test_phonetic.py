@@ -1,0 +1,94 @@
+"""Phonetic encoders + PhoneticFilter stream semantics.
+
+Vectors transcribed from the reference's own
+Lucene.Net.Tests.Analysis.Phonetic/TestPhoneticFilter.cs (TestAlgorithms)
+plus classic commons-codec Soundex fixtures; the SQL mirrors are fuzzed
+against the Python encoders over a generated vocabulary via DuckDB.
+"""
+import random
+import string
+
+import duckdb
+import pytest
+
+from lucenenet_spark.functions.phonetic import (
+    caverphone2,
+    caverphone2_cte,
+    phonetic_stream,
+    refined_soundex,
+    refined_soundex_cte,
+    soundex,
+    soundex_cte,
+)
+
+
+def test_reference_soundex_vectors():
+    # TestPhoneticFilter: "aaa bbb ccc easgasg"
+    assert [soundex(t) for t in ["aaa", "bbb", "ccc", "easgasg"]] == [
+        "A000", "B000", "C000", "E220"
+    ]
+    # classic commons-codec fixtures (H/W silent: Ashcraft -> A261)
+    assert soundex("robert") == soundex("rupert") == "R163"
+    assert soundex("ashcraft") == "A261"
+    assert soundex("tymczak") == "T522"
+    assert soundex("pfister") == "P236"
+
+
+def test_reference_refined_soundex_vectors():
+    assert [refined_soundex(t) for t in ["aaa", "bbb", "ccc", "easgasg"]] == [
+        "A0", "B1", "C3", "E034034"
+    ]
+
+
+def test_reference_caverphone2_vectors():
+    assert [
+        caverphone2(t) for t in ["darda", "karleen", "datha", "carlene"]
+    ] == ["TTA1111111", "KLN1111111", "TTA1111111", "KLN1111111"]
+
+
+def test_unmappable_letters_pass_through():
+    assert soundex("café") is None
+    assert refined_soundex("über") is None
+    assert soundex("x86") == "X000"  # digits cleaned away
+    assert soundex("42") == ""  # cleaned-empty -> pass-through upstream
+
+
+def test_phonetic_stream_inject_order_and_positions():
+    toks, poss = ["aaa", "42", "bbb"], [0, 1, 3]
+    got = phonetic_stream(toks, poss, "soundex", inject=True)
+    # phonetic first at the token's position, original second at the SAME
+    # position (posIncrement 0); unencodable tokens pass through alone
+    assert got == [
+        ("A000", 0), ("aaa", 0), ("42", 1), ("B000", 3), ("bbb", 3)
+    ]
+    got = phonetic_stream(toks, poss, "soundex", inject=False)
+    assert got == [("A000", 0), ("42", 1), ("B000", 3)]
+
+
+@pytest.mark.parametrize(
+    "pyfn,cte",
+    [
+        (soundex, soundex_cte),
+        (refined_soundex, refined_soundex_cte),
+        (caverphone2, caverphone2_cte),
+    ],
+)
+def test_sql_mirror_fuzz(pyfn, cte):
+    rng = random.Random(42)
+    vocab = set()
+    for _ in range(800):
+        n = rng.randint(1, 12)
+        vocab.add(
+            "".join(rng.choice(string.ascii_lowercase + "0123456789") for _ in range(n))
+        )
+    vocab |= {"aaa", "bbb", "ccc", "easgasg", "darda", "karleen", "ashcraft",
+              "tymczak", "pfister", "hw", "wh", "h", "w", "42", "x86"}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE vocab(tok VARCHAR)")
+    con.executemany("INSERT INTO vocab VALUES (?)", [(v,) for v in sorted(vocab)])
+    rows = con.execute(
+        f"WITH {cte('vocab')} SELECT tok, ph FROM encv ORDER BY tok"
+    ).fetchall()
+    for tok, ph in rows:
+        want = pyfn(tok)
+        assert ph == want, (tok, ph, want)
