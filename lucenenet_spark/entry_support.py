@@ -5395,6 +5395,7 @@ def phonetic_top_sql(encoder: str, inject: bool = True, k: int = 20) -> str:
         "soundex": ph.soundex_cte,
         "refined_soundex": ph.refined_soundex_cte,
         "caverphone2": ph.caverphone2_cte,
+        "nysiis": ph.nysiis_cte,
     }[encoder]("vocab")
     if inject:
         em = f"""em AS (
@@ -5410,7 +5411,10 @@ def phonetic_top_sql(encoder: str, inject: bool = True, k: int = 20) -> str:
               THEN e.ph ELSE t.tok END AS term
   FROM tt t JOIN encv e ON t.tok = e.tok
 )"""
-    return f"""{prelude()},
+    p = prelude()
+    if encoder == "nysiis":  # the mutating-scan walk is a recursive CTE
+        p = "WITH RECURSIVE " + p[len("WITH "):]
+    return f"""{p},
 tt AS (SELECT docid, unnest(tokens) AS tok FROM toks),
 vocab AS (SELECT DISTINCT tok FROM tt),
 {cte},

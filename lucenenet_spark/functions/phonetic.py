@@ -158,10 +158,84 @@ def caverphone2(token: str) -> str:
     return (txt + _TEN_1)[:10]
 
 
+_NYSIIS_VOWELS = set("AEIOU")
+_NYSIIS_PRE = [
+    (re.compile("^MAC"), "MCC"),
+    (re.compile("^KN"), "NN"),
+    (re.compile("^K"), "C"),
+    (re.compile("^(PH|PF)"), "FF"),
+    (re.compile("^SCH"), "SSS"),
+    (re.compile("(EE|IE)$"), "Y"),
+    (re.compile("(DT|RT|RD|NT|ND)$"), "D"),
+]
+
+
+def _nysiis_transcode(prev: str, curr: str, nxt: str, anext: str) -> str:
+    """TranscodeRemaining (Nysiis.cs:143-211) over the 4-char window."""
+    if curr == "E" and nxt == "V":
+        return "AF"
+    if curr in _NYSIIS_VOWELS:
+        return "A"
+    if curr == "Q":
+        return "G"
+    if curr == "Z":
+        return "S"
+    if curr == "M":
+        return "N"
+    if curr == "K":
+        return "NN" if nxt == "N" else "C"
+    if curr == "S" and nxt == "C" and anext == "H":
+        return "SSS"
+    if curr == "P" and nxt == "H":
+        return "FF"
+    if curr == "H" and (prev not in _NYSIIS_VOWELS or nxt not in _NYSIIS_VOWELS):
+        return prev
+    if curr == "W" and prev in _NYSIIS_VOWELS:
+        return prev
+    return curr
+
+
+def nysiis(token: str, strict: bool = True) -> str | None:
+    """NYSIIS (Language/Nysiis.cs): prefix/suffix transcodes, then the
+    sliding MUTATING window — TranscodeRemaining's output is copied back
+    INTO the char array at position i, so later windows see rewritten
+    text — append-if-different, S/AY/A tail trims, strict = 6-char cap."""
+    s = _clean(token)
+    if s is None:
+        return None
+    if not s:
+        return ""
+    for rx, rep in _NYSIIS_PRE:
+        s = rx.sub(rep, s, count=1)
+    chars = list(s)
+    n = len(chars)
+    key = [chars[0]]
+    for i in range(1, n):
+        nxt = chars[i + 1] if i < n - 1 else " "
+        anext = chars[i + 2] if i < n - 2 else " "
+        t = _nysiis_transcode(chars[i - 1], chars[i], nxt, anext)
+        for j, ch in enumerate(t):
+            chars[i + j] = ch
+        if chars[i] != chars[i - 1]:
+            key.append(chars[i])
+    if len(key) > 1:
+        last = key[-1]
+        if last == "S":
+            key.pop()
+            last = key[-1]
+        if len(key) > 2 and key[-2] == "A" and key[-1] == "Y":
+            del key[-2]
+        if last == "A":
+            key.pop()
+    out = "".join(key)
+    return out[:6] if strict else out
+
+
 ENCODERS = {
     "soundex": soundex,
     "refined_soundex": refined_soundex,
     "caverphone2": caverphone2,
+    "nysiis": nysiis,
 }
 
 
@@ -293,6 +367,89 @@ encv AS (
              list_filter(chs, (x, i) -> i = 1 OR x <> chs[i - 1]), ''), '')
          END AS ph
   FROM v3
+)"""
+
+
+def nysiis_cte(vocab: str = "vocab") -> str:
+    """NYSIIS as a recursive CTE walking the MUTATING char array: state
+    (tok, s, i, key); each step rewrites s at position i with the
+    transcode window output, then appends s[i] to key if it differs from
+    s[i-1] — the exact Arrays.Copy-into-chars semantics. Needs WITH
+    RECURSIVE on the enclosing query."""
+    vowel = "IN ('A','E','I','O','U')"
+    curr, prev = "substr(s, i, 1)", "substr(s, i - 1, 1)"
+    nxt = "CASE WHEN i < len(s) THEN substr(s, i + 1, 1) ELSE ' ' END"
+    anx = "CASE WHEN i < len(s) - 1 THEN substr(s, i + 2, 1) ELSE ' ' END"
+    t = f"""CASE
+      WHEN {curr} = 'E' AND {nxt} = 'V' THEN 'AF'
+      WHEN {curr} {vowel} THEN 'A'
+      WHEN {curr} = 'Q' THEN 'G'
+      WHEN {curr} = 'Z' THEN 'S'
+      WHEN {curr} = 'M' THEN 'N'
+      WHEN {curr} = 'K' THEN (CASE WHEN {nxt} = 'N' THEN 'NN' ELSE 'C' END)
+      WHEN {curr} = 'S' AND {nxt} = 'C' AND {anx} = 'H' THEN 'SSS'
+      WHEN {curr} = 'P' AND {nxt} = 'H' THEN 'FF'
+      WHEN {curr} = 'H' AND ({prev} NOT {vowel} OR {nxt} NOT {vowel})
+        THEN {prev}
+      WHEN {curr} = 'W' AND {prev} {vowel} THEN {prev}
+      ELSE {curr}
+    END"""
+    return f"""n0 AS (
+  SELECT tok, upper(regexp_replace(tok, '[^a-zA-Z]', '', 'g')) AS s0
+  FROM {vocab}
+),
+n1 AS (
+  SELECT tok, s0,
+    regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(s0, '^MAC', 'MCC'),
+        '^KN', 'NN'), '^K', 'C'), '^(PH|PF)', 'FF'), '^SCH', 'SSS'),
+      '(EE|IE)$', 'Y'), '(DT|RT|RD|NT|ND)$', 'D') AS s
+  FROM n0
+),
+nwalk(tok, s, i, key) AS (
+  SELECT tok, s, 2, substr(s, 1, 1) FROM n1 WHERE s <> ''
+  UNION ALL
+  SELECT tok, new_s, i + 1,
+         key || CASE WHEN substr(new_s, i, 1) <> substr(new_s, i - 1, 1)
+                     THEN substr(new_s, i, 1) ELSE '' END
+  FROM (
+    SELECT tok, i, key,
+           substr(s, 1, i - 1) || t || substr(s, i + len(t)) AS new_s
+    FROM (SELECT tok, s, i, key, {t} AS t FROM nwalk WHERE i <= len(s))
+  )
+),
+nfin AS (
+  SELECT tok, key FROM nwalk WHERE i = len(s) + 1
+),
+ntrim AS (
+  SELECT tok, key,
+         CASE WHEN len(key) > 1 AND substr(key, len(key), 1) = 'S'
+              THEN substr(key, 1, len(key) - 1) ELSE key END AS k2
+  FROM nfin
+),
+ntrim2 AS (
+  SELECT tok, key, k2,
+         CASE WHEN len(key) > 1 AND len(k2) > 2
+                   AND substr(k2, len(k2) - 1, 1) = 'A'
+                   AND substr(k2, len(k2), 1) = 'Y'
+              THEN substr(k2, 1, len(k2) - 2) || 'Y' ELSE k2 END AS k3
+  FROM ntrim
+),
+ntrim3 AS (
+  SELECT tok,
+         CASE WHEN len(key) > 1 AND substr(k2, len(k2), 1) = 'A'
+              THEN substr(k3, 1, len(k3) - 1) ELSE k3 END AS k4
+  FROM ntrim2
+),
+encv AS (
+  SELECT n0.tok,
+         CASE
+           WHEN regexp_matches(n0.tok, '[^a-z0-9]') THEN NULL
+           WHEN n0.s0 = '' THEN ''
+           ELSE substr(t3.k4, 1, 6)
+         END AS ph
+  FROM n0 LEFT JOIN ntrim3 t3 ON n0.tok = t3.tok
 )"""
 
 

@@ -14,12 +14,43 @@ import pytest
 from lucenenet_spark.functions.phonetic import (
     caverphone2,
     caverphone2_cte,
+    nysiis,
+    nysiis_cte,
     phonetic_stream,
     refined_soundex,
     refined_soundex_cte,
     soundex,
     soundex_cte,
 )
+
+
+def test_reference_nysiis_vectors():
+    # NysiisTest.cs (dropby.com list, the modified/full encoder)
+    full = {
+        "MACINTOSH": "MCANT", "KNUTH": "NAT", "KOEHN": "CAN",
+        "PHILLIPSON": "FALAPSAN", "PFEISTER": "FASTAR",
+        "SCHOENHOEFT": "SANAFT", "MCKEE": "MCY", "MACKIE": "MCY",
+        "HEITSCHMIDT": "HATSNAD", "BART": "BAD", "HURD": "HAD",
+        "HUNT": "HAD", "WESTERLUND": "WASTARLAD", "CASSTEVENS": "CASTAFAN",
+        "VASQUEZ": "VASG", "FRAZIER": "FRASAR", "BOWMAN": "BANAN",
+        "MCKNIGHT": "MCNAGT", "RICKERT": "RACAD", "DEUTSCH": "DAT",
+        "WESTPHAL": "WASTFAL", "SHRIVER": "SRAVAR", "KUHL": "CAL",
+        "RAWSON": "RASAN", "JILES": "JAL", "CARRAWAY": "CARY",
+        "YAMADA": "YANAD",
+    }
+    for src, want in full.items():
+        assert nysiis(src, strict=False) == want, src
+    for group, want in [
+        (["Brian", "Brown", "Brun"], "BRAN"),
+        (["Capp", "Cope", "Copp", "Kipp"], "CAP"),
+        (["Dent"], "DAD"),
+        (["Dane", "Dean", "Dionne"], "DAN"),
+        (["Phil"], "FAL"),
+    ]:
+        for src in group:
+            assert nysiis(src, strict=False) == want, src
+    # strict mode truncates to 6
+    assert nysiis("WESTERLUND", strict=True) == "WASTAR"
 
 
 def test_reference_soundex_vectors():
@@ -71,6 +102,7 @@ def test_phonetic_stream_inject_order_and_positions():
         (soundex, soundex_cte),
         (refined_soundex, refined_soundex_cte),
         (caverphone2, caverphone2_cte),
+        (nysiis, nysiis_cte),
     ],
 )
 def test_sql_mirror_fuzz(pyfn, cte):
@@ -87,7 +119,7 @@ def test_sql_mirror_fuzz(pyfn, cte):
     con.execute("CREATE TABLE vocab(tok VARCHAR)")
     con.executemany("INSERT INTO vocab VALUES (?)", [(v,) for v in sorted(vocab)])
     rows = con.execute(
-        f"WITH {cte('vocab')} SELECT tok, ph FROM encv ORDER BY tok"
+        f"WITH RECURSIVE {cte('vocab')} SELECT tok, ph FROM encv ORDER BY tok"
     ).fetchall()
     for tok, ph in rows:
         want = pyfn(tok)
