@@ -5396,6 +5396,7 @@ def phonetic_top_sql(encoder: str, inject: bool = True, k: int = 20) -> str:
         "refined_soundex": ph.refined_soundex_cte,
         "caverphone2": ph.caverphone2_cte,
         "nysiis": ph.nysiis_cte,
+        "metaphone": ph.metaphone_cte,
     }[encoder]("vocab")
     if inject:
         em = f"""em AS (
@@ -5412,7 +5413,7 @@ def phonetic_top_sql(encoder: str, inject: bool = True, k: int = 20) -> str:
   FROM tt t JOIN encv e ON t.tok = e.tok
 )"""
     p = prelude()
-    if encoder == "nysiis":  # the mutating-scan walk is a recursive CTE
+    if encoder in ("nysiis", "metaphone"):  # the scans are recursive CTEs
         p = "WITH RECURSIVE " + p[len("WITH "):]
     return f"""{p},
 tt AS (SELECT docid, unnest(tokens) AS tok FROM toks),

@@ -231,11 +231,143 @@ def nysiis(token: str, strict: bool = True) -> str | None:
     return out[:6] if strict else out
 
 
+_MET_VOWELS = "AEIOU"
+_MET_FRONTV = "EIY"
+_MET_VARSON = "CSPTG"
+
+
+def metaphone(token: str, max_code_len: int = 4) -> str:
+    """Original Metaphone (Language/Metaphone.cs GetMetaphone): initial
+    two-char exceptions (KN/GN/PN/AE/WR drop the first char, WH -> W,
+    X -> S), then the symbol switch over the fixed working string with
+    duplicate letters (except C) skipped; D in DGE/DGI/DGY consumes three
+    chars. No Clean step — non-letters hit the default arm and encode
+    nothing; a single-char input returns itself uppercased."""
+    if not token:
+        return ""
+    if len(token) == 1:
+        return token.upper()
+    up = token.upper()
+    a, b = up[0], up[1]
+    if a in "KGP" and b == "N":
+        local = up[1:]
+    elif a == "A" and b == "E":
+        local = up[1:]
+    elif a == "W" and b == "R":
+        local = up[1:]
+    elif a == "W" and b == "H":
+        local = "W" + up[2:]
+    elif a == "X":
+        local = "S" + up[1:]
+    else:
+        local = up
+    wdsz = len(local)
+    code: list[str] = []
+    n = 0
+    while len(code) < max_code_len and n < wdsz:
+        symb = local[n]
+        if symb != "C" and n > 0 and local[n - 1] == symb:
+            n += 1
+            continue
+        nxt = local[n + 1] if n + 1 < wdsz else ""
+        if symb in _MET_VOWELS:
+            if n == 0:
+                code.append(symb)
+        elif symb == "B":
+            if not (n > 0 and local[n - 1] == "M" and n + 1 == wdsz):
+                code.append("B")
+        elif symb == "C":
+            if n > 0 and local[n - 1] == "S" and nxt in _MET_FRONTV:
+                pass  # SCI/SCE/SCY: discard
+            elif local[n:n + 3] == "CIA":
+                code.append("X")
+            elif nxt in _MET_FRONTV and nxt:
+                code.append("S")  # CI, CE, CY
+            elif n > 0 and local[n - 1] == "S" and nxt == "H":
+                code.append("K")  # SCH
+            elif nxt == "H":
+                if n == 0 and wdsz >= 3 and local[2] in _MET_VOWELS:
+                    code.append("K")  # CH + consonant cluster head
+                else:
+                    code.append("X")
+            else:
+                code.append("K")
+        elif symb == "D":
+            if n + 2 < wdsz and nxt == "G" and local[n + 2] in _MET_FRONTV:
+                code.append("J")
+                n += 2
+            else:
+                code.append("T")
+        elif symb == "G":
+            if n + 2 == wdsz and nxt == "H":
+                pass  # GH silent at end
+            elif n + 2 < wdsz and nxt == "H" and local[n + 2] not in _MET_VOWELS:
+                pass  # GH before consonant
+            elif n > 0 and (
+                local[n:n + 2] == "GN" or local[n:n + 4] == "GNED"
+            ):
+                pass  # silent G in GN / GNED
+            else:
+                if nxt in _MET_FRONTV and nxt:
+                    code.append("J")
+                else:
+                    code.append("K")
+        elif symb == "H":
+            if n + 1 == wdsz:
+                pass  # terminal H
+            elif n > 0 and local[n - 1] in _MET_VARSON:
+                pass
+            elif nxt in _MET_VOWELS:
+                code.append("H")
+        elif symb in "FJLMNR":
+            code.append(symb)
+        elif symb == "K":
+            if not (n > 0 and local[n - 1] == "C"):
+                code.append("K")
+        elif symb == "P":
+            code.append("F" if nxt == "H" else "P")
+        elif symb == "Q":
+            code.append("K")
+        elif symb == "S":
+            if (
+                local[n:n + 2] == "SH"
+                or local[n:n + 3] == "SIO"
+                or local[n:n + 3] == "SIA"
+            ):
+                code.append("X")
+            else:
+                code.append("S")
+        elif symb == "T":
+            if local[n:n + 3] == "TIA" or local[n:n + 3] == "TIO":
+                code.append("X")
+            elif local[n:n + 3] == "TCH":
+                pass
+            elif local[n:n + 2] == "TH":
+                code.append("0")
+            else:
+                code.append("T")
+        elif symb == "V":
+            code.append("F")
+        elif symb in "WY":
+            if nxt in _MET_VOWELS and nxt:
+                code.append(symb)
+        elif symb == "X":
+            code.append("K")
+            code.append("S")
+        elif symb == "Z":
+            code.append("S")
+        # default: non-letters encode nothing
+        n += 1
+        del code[max_code_len:]
+    return "".join(code)
+
+
 ENCODERS = {
     "soundex": soundex,
     "refined_soundex": refined_soundex,
     "caverphone2": caverphone2,
     "nysiis": nysiis,
+    "metaphone": metaphone,
 }
 
 
@@ -450,6 +582,103 @@ encv AS (
            ELSE substr(t3.k4, 1, 6)
          END AS ph
   FROM n0 LEFT JOIN ntrim3 t3 ON n0.tok = t3.tok
+)"""
+
+
+def metaphone_cte(vocab: str = "vocab") -> str:
+    """Metaphone as a recursive CTE over the FIXED working string: state
+    (tok, s, n, code); app/adv computed by parallel CASEs (D in DGE/DGI/
+    DGY advances 3), duplicate letters except C skipped, code truncated
+    to 4 after each append. Needs WITH RECURSIVE on the enclosing query.
+    1-based positions: 0-based guards translate as n0+2<w ⇔ n+2<=w etc."""
+    vow = "IN ('A','E','I','O','U')"
+    fr = "IN ('E','I','Y')"
+    sym = "substr(s, n, 1)"
+    prv = "substr(s, n - 1, 1)"  # '' when n = 1
+    nx = "substr(s, n + 1, 1)"
+    nx2 = "substr(s, n + 2, 1)"
+    r2, r3, r4 = "substr(s, n, 2)", "substr(s, n, 3)", "substr(s, n, 4)"
+    dup = f"n > 1 AND {sym} <> 'C' AND {sym} = {prv}"
+    dge = f"n + 2 <= len(s) AND {nx} = 'G' AND {nx2} {fr}"
+    app = f"""CASE
+      WHEN {dup} THEN ''
+      WHEN {sym} {vow} THEN (CASE WHEN n = 1 THEN {sym} ELSE '' END)
+      WHEN {sym} = 'B' THEN
+        (CASE WHEN {prv} = 'M' AND n = len(s) THEN '' ELSE 'B' END)
+      WHEN {sym} = 'C' THEN (CASE
+        WHEN {prv} = 'S' AND n < len(s) AND {nx} {fr} THEN ''
+        WHEN {r3} = 'CIA' THEN 'X'
+        WHEN n < len(s) AND {nx} {fr} THEN 'S'
+        WHEN {prv} = 'S' AND {nx} = 'H' THEN 'K'
+        WHEN {nx} = 'H' THEN (CASE
+          WHEN n = 1 AND len(s) >= 3 AND substr(s, 3, 1) {vow} THEN 'K'
+          ELSE 'X' END)
+        ELSE 'K' END)
+      WHEN {sym} = 'D' THEN (CASE WHEN {dge} THEN 'J' ELSE 'T' END)
+      WHEN {sym} = 'G' THEN (CASE
+        WHEN n + 1 = len(s) AND {nx} = 'H' THEN ''
+        WHEN n + 1 < len(s) AND {nx} = 'H' AND NOT ({nx2} {vow}) THEN ''
+        WHEN n > 1 AND ({r2} = 'GN' OR {r4} = 'GNED') THEN ''
+        WHEN n < len(s) AND {nx} {fr} THEN 'J'
+        ELSE 'K' END)
+      WHEN {sym} = 'H' THEN (CASE
+        WHEN n = len(s) THEN ''
+        WHEN n > 1 AND {prv} IN ('C','S','P','T','G') THEN ''
+        WHEN {nx} {vow} THEN 'H'
+        ELSE '' END)
+      WHEN {sym} IN ('F','J','L','M','N','R') THEN {sym}
+      WHEN {sym} = 'K' THEN
+        (CASE WHEN n > 1 AND {prv} = 'C' THEN '' ELSE 'K' END)
+      WHEN {sym} = 'P' THEN (CASE WHEN {nx} = 'H' THEN 'F' ELSE 'P' END)
+      WHEN {sym} = 'Q' THEN 'K'
+      WHEN {sym} = 'S' THEN (CASE
+        WHEN {r2} = 'SH' OR {r3} = 'SIO' OR {r3} = 'SIA' THEN 'X'
+        ELSE 'S' END)
+      WHEN {sym} = 'T' THEN (CASE
+        WHEN {r3} = 'TIA' OR {r3} = 'TIO' THEN 'X'
+        WHEN {r3} = 'TCH' THEN ''
+        WHEN {r2} = 'TH' THEN '0'
+        ELSE 'T' END)
+      WHEN {sym} = 'V' THEN 'F'
+      WHEN {sym} IN ('W','Y') THEN
+        (CASE WHEN n < len(s) AND {nx} {vow} THEN {sym} ELSE '' END)
+      WHEN {sym} = 'X' THEN 'KS'
+      WHEN {sym} = 'Z' THEN 'S'
+      ELSE '' END"""
+    adv = f"""CASE
+      WHEN {dup} THEN 1
+      WHEN {sym} = 'D' AND {dge} THEN 3
+      ELSE 1 END"""
+    return f"""m0 AS (SELECT tok, upper(tok) AS up FROM {vocab}),
+m1 AS (
+  SELECT tok, up,
+    CASE
+      WHEN len(up) < 2 THEN up
+      WHEN substr(up, 1, 1) IN ('K','G','P') AND substr(up, 2, 1) = 'N'
+        THEN substr(up, 2)
+      WHEN substr(up, 1, 2) = 'AE' THEN substr(up, 2)
+      WHEN substr(up, 1, 2) = 'WR' THEN substr(up, 2)
+      WHEN substr(up, 1, 2) = 'WH' THEN 'W' || substr(up, 3)
+      WHEN substr(up, 1, 1) = 'X' THEN 'S' || substr(up, 2)
+      ELSE up
+    END AS s
+  FROM m0
+),
+mwalk(tok, s, n, code) AS (
+  -- the single-char shortcut keys on the INPUT length (GetMetaphone's
+  -- txt.Length), not the working string: 'wh' -> local 'W' still walks
+  SELECT tok, s, 1, '' FROM m1 WHERE len(up) >= 2
+  UNION ALL
+  SELECT tok, s, n + {adv}, substr(code || {app}, 1, 4)
+  FROM mwalk WHERE len(code) < 4 AND n <= len(s)
+),
+mfin AS (
+  SELECT tok, code FROM mwalk WHERE NOT (len(code) < 4 AND n <= len(s))
+),
+encv AS (
+  SELECT m1.tok,
+         CASE WHEN len(m1.up) < 2 THEN m1.up ELSE f.code END AS ph
+  FROM m1 LEFT JOIN mfin f ON m1.tok = f.tok
 )"""
 
 

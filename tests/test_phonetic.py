@@ -14,6 +14,8 @@ import pytest
 from lucenenet_spark.functions.phonetic import (
     caverphone2,
     caverphone2_cte,
+    metaphone,
+    metaphone_cte,
     nysiis,
     nysiis_cte,
     phonetic_stream,
@@ -22,6 +24,29 @@ from lucenenet_spark.functions.phonetic import (
     soundex,
     soundex_cte,
 )
+
+
+def test_reference_metaphone_vectors():
+    # MetaphoneTest.cs direct assertions
+    vectors = {
+        "howl": "HL", "testing": "TSTN", "The": "0", "quick": "KK",
+        "brown": "BRN", "fox": "FKS", "jumped": "JMPT", "over": "OFR",
+        "lazy": "LS", "dogs": "TKS",
+        "COMB": "KM", "TOMB": "TM", "WOMB": "WM",
+        "SCIENCE": "SNS", "SCENE": "SN", "SCY": "S",
+        "WHY": "", "CIAPO": "XP",
+        "SCHEDULE": "SKTL", "SCHEMATIC": "SKMT", "CHARACTER": "KRKT",
+        "TEACH": "TX", "DODGY": "TJ", "DODGE": "TJ", "ADGIEMTI": "AJMT",
+        "GHENT": "KNT", "BAUGH": "B", "GNU": "N", "SIGNED": "SNT",
+        "PHISH": "FX", "SHOT": "XT", "ODSIAN": "OTXN", "PULSION": "PLXN",
+        "OTIA": "OX", "PORTION": "PRXN", "RETCH": "RX", "WATCH": "WX",
+        "AXEAXE": "AKSK", "aaa": "A", "bbb": "B", "ccc": "KKK",
+        "easgasg": "ESKS",
+    }
+    for src, want in vectors.items():
+        assert metaphone(src) == want, src
+    assert metaphone("AXEAXEAXE", max_code_len=6) == "AKSKSK"
+    assert metaphone("a") == "A" and metaphone("") == ""
 
 
 def test_reference_nysiis_vectors():
@@ -103,6 +128,7 @@ def test_phonetic_stream_inject_order_and_positions():
         (refined_soundex, refined_soundex_cte),
         (caverphone2, caverphone2_cte),
         (nysiis, nysiis_cte),
+        (metaphone, metaphone_cte),
     ],
 )
 def test_sql_mirror_fuzz(pyfn, cte):
