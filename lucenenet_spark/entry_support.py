@@ -5397,6 +5397,7 @@ def phonetic_top_sql(encoder: str, inject: bool = True, k: int = 20) -> str:
         "caverphone2": ph.caverphone2_cte,
         "nysiis": ph.nysiis_cte,
         "metaphone": ph.metaphone_cte,
+        "cologne": ph.cologne_cte,
     }[encoder]("vocab")
     if inject:
         em = f"""em AS (
@@ -5413,7 +5414,7 @@ def phonetic_top_sql(encoder: str, inject: bool = True, k: int = 20) -> str:
   FROM tt t JOIN encv e ON t.tok = e.tok
 )"""
     p = prelude()
-    if encoder in ("nysiis", "metaphone"):  # the scans are recursive CTEs
+    if encoder in ("nysiis", "metaphone", "cologne"):  # recursive-CTE scans
         p = "WITH RECURSIVE " + p[len("WITH "):]
     return f"""{p},
 tt AS (SELECT docid, unnest(tokens) AS tok FROM toks),

@@ -362,12 +362,77 @@ def metaphone(token: str, max_code_len: int = 4) -> str:
     return "".join(code)
 
 
+_COLOGNE_PRE = {"Ä": "A", "Ü": "U", "Ö": "O", "ß": "S"}
+
+
+def cologne_phonetic(token: str) -> str:
+    """Kölner Phonetik (Language/ColognePhonetic.cs GetColognePhonetic):
+    German-tuned code digits with a consumable input buffer — the X rule
+    pushes an 'S' back onto the input (AddLeft). The append condition is
+    the reference's exact boolean: a '0' repeats only at word start
+    (lastCode '/'), '-' never emits, and leading non-letters are consumed
+    silently (the lastCode == '/' continue)."""
+    text = "".join(_COLOGNE_PRE.get(c, c) for c in token.upper())
+    inp = list(text)
+    out: list[str] = []
+    last_chr, last_code = "-", "/"
+    while inp:
+        chr_ = inp.pop(0)
+        nxt = inp[0] if inp else "-"
+        if chr_ in "AEIJOUY":
+            code = "0"
+        elif chr_ == "H" or chr_ < "A" or chr_ > "Z":
+            if last_code == "/":
+                continue
+            code = "-"
+        elif chr_ == "B" or (chr_ == "P" and nxt != "H"):
+            code = "1"
+        elif chr_ in "DT" and nxt not in "SCZ":
+            code = "2"
+        elif chr_ in "WFPV":
+            code = "3"
+        elif chr_ in "GKQ":
+            code = "4"
+        elif chr_ == "X" and last_chr not in "CKQ":
+            code = "4"
+            inp.insert(0, "S")
+        elif chr_ in "SZ":
+            code = "8"
+        elif chr_ == "C":
+            if last_code == "/":
+                code = "4" if nxt in "AHKLOQRUX" else "8"
+            else:
+                if last_chr in "SZ" or nxt not in "AHOUKQX":
+                    code = "8"
+                else:
+                    code = "4"
+        elif chr_ in "TDX":
+            code = "8"
+        elif chr_ == "R":
+            code = "7"
+        elif chr_ == "L":
+            code = "5"
+        elif chr_ in "MN":
+            code = "6"
+        else:
+            code = chr_
+        if code != "-" and (
+            (last_code != code and (code != "0" or last_code == "/"))
+            or code < "0"
+            or code > "8"
+        ):
+            out.append(code)
+        last_chr, last_code = chr_, code
+    return "".join(out)
+
+
 ENCODERS = {
     "soundex": soundex,
     "refined_soundex": refined_soundex,
     "caverphone2": caverphone2,
     "nysiis": nysiis,
     "metaphone": metaphone,
+    "cologne": cologne_phonetic,
 }
 
 
@@ -679,6 +744,63 @@ encv AS (
   SELECT m1.tok,
          CASE WHEN len(m1.up) < 2 THEN m1.up ELSE f.code END AS ph
   FROM m1 LEFT JOIN mfin f ON m1.tok = f.tok
+)"""
+
+
+def cologne_cte(vocab: str = "vocab") -> str:
+    """Kölner Phonetik as a recursive CTE: state (tok, rest, lc, lcode,
+    outp); the X rule prepends 'S' to rest (AddLeft); the leading-junk
+    continue keeps lc/lcode. Needs WITH RECURSIVE."""
+    c = "substr(rest, 1, 1)"
+    nxt = "CASE WHEN len(rest) > 1 THEN substr(rest, 2, 1) ELSE '-' END"
+    code = f"""CASE
+      WHEN {c} IN ('A','E','I','J','O','U','Y') THEN '0'
+      WHEN {c} = 'H' OR {c} < 'A' OR {c} > 'Z' THEN '-'
+      WHEN {c} = 'B' OR ({c} = 'P' AND {nxt} <> 'H') THEN '1'
+      WHEN {c} IN ('D','T') AND {nxt} NOT IN ('S','C','Z') THEN '2'
+      WHEN {c} IN ('W','F','P','V') THEN '3'
+      WHEN {c} IN ('G','K','Q') THEN '4'
+      WHEN {c} = 'X' AND lc NOT IN ('C','K','Q') THEN '4'
+      WHEN {c} IN ('S','Z') THEN '8'
+      WHEN {c} = 'C' THEN (CASE
+        WHEN lcode = '/' THEN
+          (CASE WHEN {nxt} IN ('A','H','K','L','O','Q','R','U','X')
+                THEN '4' ELSE '8' END)
+        WHEN lc IN ('S','Z')
+             OR {nxt} NOT IN ('A','H','O','U','K','Q','X') THEN '8'
+        ELSE '4' END)
+      WHEN {c} IN ('T','D','X') THEN '8'
+      WHEN {c} = 'R' THEN '7'
+      WHEN {c} = 'L' THEN '5'
+      WHEN {c} IN ('M','N') THEN '6'
+      ELSE {c}
+    END"""
+    skip = f"({c} = 'H' OR {c} < 'A' OR {c} > 'Z') AND lcode = '/'"
+    xr = f"{c} = 'X' AND lc NOT IN ('C','K','Q')"
+    return f"""c0 AS (
+  SELECT tok,
+         translate(upper(tok), 'ÄÜÖß', 'AUOS') AS s
+  FROM {vocab}
+),
+cwalk(tok, rest, lc, lcode, outp) AS (
+  SELECT tok, s, '-', '/', '' FROM c0
+  UNION ALL
+  SELECT tok,
+         CASE WHEN {xr} THEN 'S' || substr(rest, 2) ELSE substr(rest, 2) END,
+         CASE WHEN {skip} THEN lc ELSE {c} END,
+         CASE WHEN {skip} THEN lcode ELSE {code} END,
+         outp || CASE
+           WHEN {skip} THEN ''
+           WHEN {code} <> '-' AND (
+                (lcode <> {code} AND ({code} <> '0' OR lcode = '/'))
+                OR {code} < '0' OR {code} > '8')
+             THEN {code}
+           ELSE '' END
+  FROM cwalk WHERE rest <> ''
+),
+encv AS (
+  SELECT c0.tok, w.outp AS ph
+  FROM c0 JOIN cwalk w ON c0.tok = w.tok AND w.rest = ''
 )"""
 
 

@@ -14,6 +14,8 @@ import pytest
 from lucenenet_spark.functions.phonetic import (
     caverphone2,
     caverphone2_cte,
+    cologne_cte,
+    cologne_phonetic,
     metaphone,
     metaphone_cte,
     nysiis,
@@ -24,6 +26,25 @@ from lucenenet_spark.functions.phonetic import (
     soundex,
     soundex_cte,
 )
+
+
+def test_reference_cologne_vectors():
+    from lucenenet_spark.functions.phonetic import cologne_phonetic as cp
+
+    # ColognePhoneticTest.cs: edge cases + the surname list
+    vectors = {
+        "Aabjoe": "01", "Aaclan": "0856", "Aychlmajr": "04567",
+        "a": "0", "aa": "0", "ha": "0", "h": "", "aha": "0",
+        "b": "1", "p": "1", "ph": "3", "f": "3", "v": "3", "w": "3",
+        "g": "4", "k": "4", "q": "4", "x": "48", "ax": "048", "cx": "48",
+        "l": "5", "cl": "45", "acl": "085", "mn": "6", "r": "7",
+        "müller": "657", "schmidt": "862", "schneider": "8627",
+        "fischer": "387", "weber": "317", "wagner": "3467",
+        "becker": "147", "hoffmann": "0366", "schäfer": "837",
+        "Breschnew": "17863", "Wikipedia": "3412", "peter": "127",
+    }
+    for src, want in vectors.items():
+        assert cp(src) == want, src
 
 
 def test_reference_metaphone_vectors():
@@ -129,6 +150,7 @@ def test_phonetic_stream_inject_order_and_positions():
         (caverphone2, caverphone2_cte),
         (nysiis, nysiis_cte),
         (metaphone, metaphone_cte),
+        (cologne_phonetic, cologne_cte),
     ],
 )
 def test_sql_mirror_fuzz(pyfn, cte):
