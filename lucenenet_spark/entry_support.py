@@ -5398,6 +5398,7 @@ def phonetic_top_sql(encoder: str, inject: bool = True, k: int = 20) -> str:
         "nysiis": ph.nysiis_cte,
         "metaphone": ph.metaphone_cte,
         "cologne": ph.cologne_cte,
+        "match_rating": ph.match_rating_cte,
     }[encoder]("vocab")
     if inject:
         em = f"""em AS (

@@ -426,6 +426,101 @@ def cologne_phonetic(token: str) -> str:
     return "".join(out)
 
 
+_MRA_PLAIN = (
+    "AaEeIiOoUu" "AaEeIiOoUuYy" "AaEeIiOoUuYy" "AaOoNn"
+    "AaEeIiOoUuYy" "Aa" "Cc" "OoUu"
+)
+_MRA_UNI = (
+    "ÀàÈèÌìÒòÙù"
+    "ÁáÉéÍíÓóÚúÝý"
+    "ÂâÊêÎîÔôÛûŶŷ"
+    "ÃãÕõÑñ"
+    "ÄäËëÏïÖöÜüŸÿ"
+    "Åå" "Çç" "ŐőŰű"
+)
+_MRA_ACCENTS = dict(zip(_MRA_UNI, _MRA_PLAIN))
+_MRA_DC = [c + c for c in "BCDFGHJKLMNPQRSTVWXYZ"]
+_MRA_NAME_CHARS = re.compile(r"\-|[&]|\'|\.|[\,]")
+_MRA_WS = re.compile(r"\s+")
+_MRA_VOWEL = re.compile("A|E|I|O|U")
+_MRA_VOWEL_WS = re.compile(r"\s{2,}\b")
+
+
+def _mra_clean(name: str) -> str:
+    up = _MRA_NAME_CHARS.sub("", name.upper())
+    up = "".join(_MRA_ACCENTS.get(c, c) for c in up)
+    return _MRA_WS.sub("", up)
+
+
+def _mra_devowel_dedouble_f3l3(name: str) -> str:
+    first = name[0]  # empty cleaned name raises, like the reference
+    nv = _MRA_VOWEL.sub("", name)
+    nv = _MRA_VOWEL_WS.sub(" ", nv)
+    if first in "AEIOU":
+        nv = first + nv
+    s = nv.upper()
+    for dc in _MRA_DC:
+        s = s.replace(dc, dc[0])
+    return s[:3] + s[-3:] if len(s) > 6 else s
+
+
+def match_rating_encode(token: str) -> str | None:
+    """Match Rating Approach encode (Language/
+    MatchRatingApproachEncoder.cs Encode): trivial inputs (empty/space/
+    1-char) encode to '' ; clean -> devowel (leading vowel kept) ->
+    double-consonant collapse -> first-3 + last-3. A cleaned-empty name
+    raises in the reference (Substring on empty) — None here, so the
+    filter passes the original through."""
+    if not token or token == " " or len(token) == 1:
+        return ""
+    name = _mra_clean(token)
+    if not name:
+        return None
+    return _mra_devowel_dedouble_f3l3(name)
+
+
+def match_rating_equals(name1: str, name2: str) -> bool:
+    """IsEncodeEquals: the actual MRA similarity verdict — length-gated,
+    minimum rating from the summed code lengths, LtR-then-RtL identical
+    character elimination, 6 - longest leftover."""
+    if not name1 or name1 == " " or not name2 or name2 == " ":
+        return False
+    if len(name1) == 1 or len(name2) == 1:
+        return False
+    if name1.upper() == name2.upper():
+        return True
+    c1 = _mra_devowel_dedouble_f3l3(_mra_clean(name1))
+    c2 = _mra_devowel_dedouble_f3l3(_mra_clean(name2))
+    if abs(len(c1) - len(c2)) >= 3:
+        return False
+    sum_len = abs(len(c1) + len(c2))
+    if sum_len <= 4:
+        min_rating = 5
+    elif sum_len <= 7:
+        min_rating = 4
+    elif sum_len <= 11:
+        min_rating = 3
+    elif sum_len == 12:
+        min_rating = 2
+    else:
+        min_rating = 1
+    a, b = list(c1), list(c2)
+    n1, n2 = len(c1) - 1, len(c2) - 1
+    for i in range(len(c1)):
+        if i > n2:
+            break
+        if c1[i] == c2[i]:
+            a[i] = " "
+            b[i] = " "
+        if c1[n1 - i] == c2[n2 - i]:
+            a[n1 - i] = " "
+            b[n2 - i] = " "
+    sa = _MRA_WS.sub("", "".join(a))
+    sb = _MRA_WS.sub("", "".join(b))
+    count = abs(6 - max(len(sa), len(sb)))
+    return count >= min_rating
+
+
 ENCODERS = {
     "soundex": soundex,
     "refined_soundex": refined_soundex,
@@ -433,6 +528,7 @@ ENCODERS = {
     "nysiis": nysiis,
     "metaphone": metaphone,
     "cologne": cologne_phonetic,
+    "match_rating": match_rating_encode,
 }
 
 
@@ -502,6 +598,39 @@ def phonetic_udf(encoder: str, inject: bool = True, analyzer: str = "standard"):
         return pd.Series(rows, index=texts.index)
 
     return F.pandas_udf(batch, ArrayType(StringType()))
+
+
+def match_rating_cte(vocab: str = "vocab") -> str:
+    """MRA encode as staged CTEs: clean (upper, punctuation strip, accent
+    translate) -> devowel with leading vowel kept -> 21 double-consonant
+    collapses -> first-3 + last-3."""
+    dd = "nv2"
+    for ch in "BCDFGHJKLMNPQRSTVWXYZ":
+        dd = f"replace({dd}, '{ch}{ch}', '{ch}')"
+    return f"""r1 AS (
+  SELECT tok,
+         translate(regexp_replace(upper(tok), '-|[&]|''|\\.|[,]', '', 'g'),
+                   '{_MRA_UNI}', '{_MRA_PLAIN}') AS s0
+  FROM {vocab}
+),
+r2 AS (
+  SELECT tok, s0,
+         CASE WHEN substr(s0, 1, 1) IN ('A','E','I','O','U')
+              THEN substr(s0, 1, 1) ELSE '' END
+         || regexp_replace(s0, 'A|E|I|O|U', '', 'g') AS nv2
+  FROM r1
+),
+r3 AS (SELECT tok, s0, {dd} AS d FROM r2),
+encv AS (
+  SELECT tok,
+         CASE
+           WHEN len(tok) <= 1 THEN ''
+           WHEN s0 = '' THEN NULL
+           WHEN len(d) > 6 THEN substr(d, 1, 3) || substr(d, len(d) - 2, 3)
+           ELSE d
+         END AS ph
+  FROM r3
+)"""
 
 
 # -- ANSI-SQL mirrors (DuckDB) for the oracle side ---------------------------

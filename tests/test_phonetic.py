@@ -16,6 +16,8 @@ from lucenenet_spark.functions.phonetic import (
     caverphone2_cte,
     cologne_cte,
     cologne_phonetic,
+    match_rating_cte,
+    match_rating_encode,
     metaphone,
     metaphone_cte,
     nysiis,
@@ -26,6 +28,34 @@ from lucenenet_spark.functions.phonetic import (
     soundex,
     soundex_cte,
 )
+
+
+def test_reference_match_rating_vectors():
+    from lucenenet_spark.functions.phonetic import (
+        match_rating_encode as enc,
+        match_rating_equals as eq,
+    )
+
+    # MatchRatingApproachEncoderTest.cs
+    assert enc("HARPER") == "HRPR"
+    assert enc("Smith") == "SMTH"
+    assert enc("Smyth") == "SMYTH"
+    assert enc(" ") == "" and enc("") == "" and enc("E") == ""
+    assert eq("John", "John")
+    assert eq("smith", "smyth")
+    assert eq("Burns", "Bourne")
+    assert not eq("Al", "Ed")
+    assert eq("Catherine", "Kathryn")
+    assert eq("Brian", "Bryan")
+    assert eq("Séan", "Shaun")
+    assert eq("Cólm.   ", "C-olín")
+    assert eq("Stephen", "Steven")
+    assert eq("Steven", "Stefan")
+    assert eq("Stephen", "Stefan")
+    assert eq("Sam", "Samuel")
+    assert eq("Micky", "Michael")
+    assert not eq("test", "") and not eq("", "test")
+    assert not eq("t", "test") and not eq("test", "t")
 
 
 def test_reference_cologne_vectors():
@@ -151,6 +181,7 @@ def test_phonetic_stream_inject_order_and_positions():
         (nysiis, nysiis_cte),
         (metaphone, metaphone_cte),
         (cologne_phonetic, cologne_cte),
+        (match_rating_encode, match_rating_cte),
     ],
 )
 def test_sql_mirror_fuzz(pyfn, cte):
