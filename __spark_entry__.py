@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["phonetic_metaphone_top"] = _phonetic_top("metaphone", True)
     out["phonetic_cologne_top"] = _phonetic_top("cologne", True)
     out["phonetic_mra_top"] = _phonetic_top("match_rating", True)
+    out["phonetic_caverphone1_top"] = _phonetic_top("caverphone1", False)
 
     def suggest_freetext(spark, sf_dir):
         from lucenenet_spark.operators.suggest import freetext_suggest
@@ -1437,6 +1438,7 @@ _NEW_THIS_ROUND: list[str] = [
     "phonetic_soundex_top", "phonetic_caverphone_top",
     "phonetic_refined_replace", "phonetic_nysiis_top",
     "phonetic_metaphone_top", "phonetic_cologne_top", "phonetic_mra_top",
+    "phonetic_caverphone1_top",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1654,6 +1656,7 @@ LIMIT 30"""
     out["phonetic_metaphone_top"] = es.phonetic_top_sql("metaphone", True, 20)
     out["phonetic_cologne_top"] = es.phonetic_top_sql("cologne", True, 20)
     out["phonetic_mra_top"] = es.phonetic_top_sql("match_rating", True, 20)
+    out["phonetic_caverphone1_top"] = es.phonetic_top_sql("caverphone1", False, 20)
     out["edge_ngram_top"] = es.edge_ngram_top_sql(1, 3, k=20)
     out["ngram_top"] = es.ngram_top_sql(2, 3, k=20)
     out["common_grams_top"] = es.common_grams_top_sql(20)

@@ -5399,6 +5399,7 @@ def phonetic_top_sql(encoder: str, inject: bool = True, k: int = 20) -> str:
         "metaphone": ph.metaphone_cte,
         "cologne": ph.cologne_cte,
         "match_rating": ph.match_rating_cte,
+        "caverphone1": ph.caverphone1_cte,
     }[encoder]("vocab")
     if inject:
         em = f"""em AS (

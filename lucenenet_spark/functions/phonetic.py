@@ -158,6 +158,78 @@ def caverphone2(token: str) -> str:
     return (txt + _TEN_1)[:10]
 
 
+_CAVERPHONE1_RULES = [
+    (re.compile(p), r)
+    for p, r in [
+        ("[^a-z]", ""),
+        ("^cough", "cou2f"),
+        ("^rough", "rou2f"),
+        ("^tough", "tou2f"),
+        ("^enough", "enou2f"),
+        ("^gn", "2n"),
+        ("mb$", "m2"),
+        ("cq", "2q"),
+        ("ci", "si"),
+        ("ce", "se"),
+        ("cy", "sy"),
+        ("tch", "2ch"),
+        ("c", "k"),
+        ("q", "k"),
+        ("x", "k"),
+        ("v", "f"),
+        ("dg", "2g"),
+        ("tio", "sio"),
+        ("tia", "sia"),
+        ("d", "t"),
+        ("ph", "fh"),
+        ("b", "p"),
+        ("sh", "s2"),
+        ("z", "s"),
+        ("^[aeiou]", "A"),
+        ("[aeiou]", "3"),
+        ("3gh3", "3kh3"),
+        ("gh", "22"),
+        ("g", "k"),
+        ("s+", "S"),
+        ("t+", "T"),
+        ("p+", "P"),
+        ("k+", "K"),
+        ("f+", "F"),
+        ("m+", "M"),
+        ("n+", "N"),
+        ("w3", "W3"),
+        ("wy", "Wy"),
+        ("wh3", "Wh3"),
+        ("why", "Why"),
+        ("w", "2"),
+        ("^h", "A"),
+        ("h", "2"),
+        ("r3", "R3"),
+        ("ry", "Ry"),
+        ("r", "2"),
+        ("l3", "L3"),
+        ("ly", "Ly"),
+        ("l", "2"),
+        ("j", "y"),
+        ("y3", "Y3"),
+        ("y", "2"),
+        ("2", ""),
+        ("3", ""),
+    ]
+]
+
+_SIX_1 = "111111"
+
+
+def caverphone1(token: str) -> str:
+    """Caverphone 1.0 (Language/Caverphone1.cs): the original rule list —
+    no final-e strip, wy/why/ry/ly vowel-like rules, 6-char code."""
+    txt = token.lower()
+    for rx, rep in _CAVERPHONE1_RULES:
+        txt = rx.sub(rep, txt)
+    return (txt + _SIX_1)[:6]
+
+
 _NYSIIS_VOWELS = set("AEIOU")
 _NYSIIS_PRE = [
     (re.compile("^MAC"), "MCC"),
@@ -529,6 +601,7 @@ ENCODERS = {
     "metaphone": metaphone,
     "cologne": cologne_phonetic,
     "match_rating": match_rating_encode,
+    "caverphone1": caverphone1,
 }
 
 
@@ -873,6 +946,15 @@ encv AS (
   SELECT m1.tok,
          CASE WHEN len(m1.up) < 2 THEN m1.up ELSE f.code END AS ph
   FROM m1 LEFT JOIN mfin f ON m1.tok = f.tok
+)"""
+
+
+def caverphone1_cte(vocab: str = "vocab") -> str:
+    expr = "lower(tok)"
+    for rx, rep in _CAVERPHONE1_RULES:
+        expr = f"regexp_replace({expr}, '{rx.pattern}', '{rep}', 'g')"
+    return f"""encv AS (
+  SELECT tok, substr({expr} || '{_SIX_1}', 1, 6) AS ph FROM {vocab}
 )"""
 
 

@@ -12,6 +12,8 @@ import duckdb
 import pytest
 
 from lucenenet_spark.functions.phonetic import (
+    caverphone1,
+    caverphone1_cte,
     caverphone2,
     caverphone2_cte,
     cologne_cte,
@@ -178,6 +180,7 @@ def test_phonetic_stream_inject_order_and_positions():
         (soundex, soundex_cte),
         (refined_soundex, refined_soundex_cte),
         (caverphone2, caverphone2_cte),
+        (caverphone1, caverphone1_cte),
         (nysiis, nysiis_cte),
         (metaphone, metaphone_cte),
         (cologne_phonetic, cologne_cte),
