@@ -291,6 +291,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["phonetic_mra_top"] = _phonetic_top("match_rating", True)
     out["phonetic_caverphone1_top"] = _phonetic_top("caverphone1", False)
 
+    def _dmetaphone_top(inject):
+        def run(spark, sf_dir):
+            from lucenenet_spark.functions.dmetaphone import dmetaphone_udf
+
+            d = _docs(spark, sf_dir)
+            ex = d.select(
+                "doc_id",
+                F.explode(dmetaphone_udf(inject)(F.col("text"))).alias("term"),
+            )
+            return (
+                ex.groupBy("term")
+                .agg(
+                    F.countDistinct("doc_id").alias("df"),
+                    F.count("*").alias("ttf"),
+                )
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(20)
+            )
+
+        return run
+
+    out["phonetic_dmetaphone_top"] = _dmetaphone_top(True)
+    out["phonetic_dmetaphone_replace"] = _dmetaphone_top(False)
+
     def suggest_freetext(spark, sf_dir):
         from lucenenet_spark.operators.suggest import freetext_suggest
 
@@ -1438,7 +1462,8 @@ _NEW_THIS_ROUND: list[str] = [
     "phonetic_soundex_top", "phonetic_caverphone_top",
     "phonetic_refined_replace", "phonetic_nysiis_top",
     "phonetic_metaphone_top", "phonetic_cologne_top", "phonetic_mra_top",
-    "phonetic_caverphone1_top",
+    "phonetic_caverphone1_top", "phonetic_dmetaphone_top",
+    "phonetic_dmetaphone_replace",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1657,6 +1682,8 @@ LIMIT 30"""
     out["phonetic_cologne_top"] = es.phonetic_top_sql("cologne", True, 20)
     out["phonetic_mra_top"] = es.phonetic_top_sql("match_rating", True, 20)
     out["phonetic_caverphone1_top"] = es.phonetic_top_sql("caverphone1", False, 20)
+    out["phonetic_dmetaphone_top"] = es.dmetaphone_top_sql(True, 20)
+    out["phonetic_dmetaphone_replace"] = es.dmetaphone_top_sql(False, 20)
     out["edge_ngram_top"] = es.edge_ngram_top_sql(1, 3, k=20)
     out["ngram_top"] = es.ngram_top_sql(2, 3, k=20)
     out["common_grams_top"] = es.common_grams_top_sql(20)

@@ -5427,6 +5427,48 @@ SELECT term, count(DISTINCT docid) AS df, count(*) AS ttf
 FROM em GROUP BY term ORDER BY df DESC, term ASC LIMIT {k}"""
 
 
+def dmetaphone_top_sql(inject: bool = True, k: int = 20) -> str:
+    """Top-k emitted terms of DoubleMetaphoneFilter(inject) by doc-freq.
+    The encoder runs as a generated recursive-CTE walk over the distinct
+    vocabulary (functions/dmetaphone.dmetaphone_cte); emission mirrors
+    the filter's queue trace: original first, then primary (if non-empty
+    and != token), then the differing alternate; replace mode falls back
+    to the original when nothing qualifies."""
+    from .functions.dmetaphone import dmetaphone_cte
+
+    pq = "e.pri IS NOT NULL AND e.pri <> '' AND e.pri <> t.tok"
+    aq = (
+        "e.alt IS NOT NULL AND e.alt <> '' AND e.alt <> e.pri"
+        " AND e.pri <> t.tok"
+    )
+    if inject:
+        em = f"""em AS (
+  SELECT t.docid, t.tok AS term FROM tt t
+  UNION ALL
+  SELECT t.docid, e.pri FROM tt t JOIN encv e ON t.tok = e.tok WHERE {pq}
+  UNION ALL
+  SELECT t.docid, e.alt FROM tt t JOIN encv e ON t.tok = e.tok WHERE {aq}
+)"""
+    else:
+        em = f"""em AS (
+  SELECT t.docid, e.pri AS term FROM tt t JOIN encv e ON t.tok = e.tok
+  WHERE {pq}
+  UNION ALL
+  SELECT t.docid, e.alt FROM tt t JOIN encv e ON t.tok = e.tok WHERE {aq}
+  UNION ALL
+  SELECT t.docid, t.tok FROM tt t JOIN encv e ON t.tok = e.tok
+  WHERE NOT ({pq}) AND NOT ({aq})
+)"""
+    p = "WITH RECURSIVE " + prelude()[len("WITH "):]
+    return f"""{p},
+tt AS (SELECT docid, unnest(tokens) AS tok FROM toks),
+vocab AS (SELECT DISTINCT tok FROM tt),
+{dmetaphone_cte("vocab")},
+{em}
+SELECT term, count(DISTINCT docid) AS df, count(*) AS ttf
+FROM em GROUP BY term ORDER BY df DESC, term ASC LIMIT {k}"""
+
+
 def edge_ngram_top_sql(
     min_gram: int = 1, max_gram: int = 2, k: int = 20
 ) -> str:
