@@ -1384,6 +1384,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         TermQuery(term=HOT), "role", "tool"
     )
 
+    out["grouped_facets"] = lambda s, d: _searcher(s, d).grouped_facets(
+        TermQuery(term=HOT), "conv_id", "tool"
+    )
+    # SortedSetDocValues as the derived [role, tool] label set
+    _LABELS = "filter(array(role, tool), x -> x is not null)"
+    out["sorted_set_min"] = lambda s, d: _searcher(s, d).sort_by_sorted_set(
+        TermQuery(term=HOT), _LABELS, "min", k=15
+    )
+    out["sorted_set_middle_max"] = lambda s, d: _searcher(
+        s, d
+    ).sort_by_sorted_set(
+        TermQuery(term=HOT), _LABELS, "middle_max", k=15, reverse=True,
+        missing_last=True,
+    )
+
     # -- facet extras (double ranges over the score source; sum value source)
     out["facet_range_score"] = lambda s, d: _searcher(s, d).facet_ranges(
         TermQuery(term=HOT),
@@ -1464,6 +1479,7 @@ _NEW_THIS_ROUND: list[str] = [
     "phonetic_metaphone_top", "phonetic_cologne_top", "phonetic_mra_top",
     "phonetic_caverphone1_top", "phonetic_dmetaphone_top",
     "phonetic_dmetaphone_replace",
+    "grouped_facets", "sorted_set_min", "sorted_set_middle_max",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -2020,6 +2036,33 @@ SELECT value, sum_score FROM fs ORDER BY value"""
     # SweetSpotSimilarity (plateau norm index + BaselineTf query factors)
     out["term_sweetspot"] = es.sweetspot_sql([HOT], k=15)
     out["phrase_sweetspot"] = es.sweetspot_sql(["table", "hash"], k=15)
+
+    # grouped facets + sorted-set sort
+    out["grouped_facets"] = f"""{P}
+SELECT d.tool AS value,
+       CAST(count(DISTINCT d.conv_id) AS BIGINT) AS n_groups
+FROM scored s JOIN docs d ON s.docid = d.docid
+WHERE s.term = '{HOT}'
+GROUP BY d.tool ORDER BY value NULLS FIRST"""
+    _LABS = (
+        "list_sort(list_distinct("
+        "list_filter([d.role, d.tool], x -> x IS NOT NULL)))"
+    )
+    out["sorted_set_min"] = f"""{P},
+labs AS (
+  SELECT s.docid, {_LABS} AS st
+  FROM scored s JOIN docs d ON s.docid = d.docid WHERE s.term = '{HOT}'
+)
+SELECT docid, CASE WHEN len(st) > 0 THEN st[1] END AS sortkey
+FROM labs ORDER BY sortkey ASC NULLS FIRST, docid ASC LIMIT 15"""
+    out["sorted_set_middle_max"] = f"""{P},
+labs AS (
+  SELECT s.docid, {_LABS} AS st
+  FROM scored s JOIN docs d ON s.docid = d.docid WHERE s.term = '{HOT}'
+)
+SELECT docid,
+       CASE WHEN len(st) > 0 THEN st[len(st) // 2 + 1] END AS sortkey
+FROM labs ORDER BY sortkey DESC NULLS LAST, docid ASC LIMIT 15"""
 
     # Expressions module
     out["expr_sort"] = f"""{P}

@@ -3193,6 +3193,67 @@ class IndexSearcher:
             .orderBy(F.asc_nulls_first("grp"))
         )
 
+    def grouped_facets(
+        self, q: Query, group_col: str, facet_col: str
+    ) -> DataFrame:
+        """TermGroupFacetCollector (Lucene.Net.Grouping/Term/
+        TermGroupFacetCollector.cs): facet counts where each GROUP counts
+        at most once per facet value — per value, the number of distinct
+        groups having at least one matching doc carrying it. Docs without
+        the facet value contribute their group to the missing count: the
+        NULL-value row here. Output (value, n_groups), value asc with the
+        missing row first."""
+        hits = self.fetch(self.scores(q), self._hits_bound(q))
+        return (
+            hits.groupBy(F.col(facet_col).alias("value"))
+            .agg(F.countDistinct(group_col).cast("long").alias("n_groups"))
+            .orderBy(F.asc_nulls_first("value"))
+        )
+
+    def sort_by_sorted_set(
+        self,
+        q: Query,
+        set_expr: str,
+        selector: str = "min",
+        k: int = 10,
+        reverse: bool = False,
+        missing_last: bool = False,
+    ) -> DataFrame:
+        """SortedSetSortField (Lucene.Net.Sandbox/Queries/
+        SortedSetSortField.cs): sort matches by a per-doc representative
+        of the multi-valued field's SORTED DISTINCT value set. Selectors:
+        min, max, middle_min (lower middle of an even set), middle_max
+        (upper middle). An empty set is the missing value, placed first
+        or last like SortField.SetMissingValue. docid asc tie-break.
+        set_expr is a SQL array<string> expression over the docs view
+        (SortedSetDocValues as a derived column). Output (docid, sortkey)."""
+        if selector not in ("min", "max", "middle_min", "middle_max"):
+            raise ValueError(f"unknown selector {selector!r}")
+        hits = self.fetch(self.scores(q), self._hits_bound(q))
+        s = F.array_sort(F.array_distinct(F.expr(set_expr)))
+        n = F.size(s)
+        idx = {
+            "min": F.lit(1),
+            "max": n,
+            "middle_min": ((n + 1) / 2).cast("int"),
+            "middle_max": (n / 2).cast("int") + 1,
+        }[selector]
+        key = F.when(n > 0, F.element_at(s, idx))
+        out = hits.withColumn("sortkey", key)
+        if reverse:
+            order = (
+                F.desc_nulls_last("sortkey") if missing_last
+                else F.desc_nulls_first("sortkey")
+            )
+        else:
+            order = (
+                F.asc_nulls_last("sortkey") if missing_last
+                else F.asc_nulls_first("sortkey")
+            )
+        return out.select("docid", "sortkey").orderBy(
+            order, F.asc("docid")
+        ).limit(k)
+
     def facet_sum_value(self, q: Query, facet_col: str = "role") -> DataFrame:
         """TaxonomyFacetSumValueSource (Lucene.Net.Facet/Taxonomy/
         TaxonomyFacetSumValueSource.cs) with the score value source: per
