@@ -861,6 +861,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["suggest_analyzing"] = suggest_analyzing
 
+    def _infix_entries(spark, sf_dir):
+        from lucenenet_spark.functions.analysis import tokenize_udf
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return docs.select(
+            F.array_join(
+                F.slice(tokenize_udf("standard")(F.col("text")), 1, 3), " "
+            ).alias("surface"),
+            F.col("doc_id").alias("weight"),
+        )
+
+    def suggest_infix(spark, sf_dir):
+        from lucenenet_spark.operators import suggest as sg
+
+        return sg.infix_lookup(
+            _infix_entries(spark, sf_dir), "batch sc", k=15
+        )
+
+    def suggest_blended(spark, sf_dir):
+        from lucenenet_spark.operators import suggest as sg
+
+        return sg.blended_infix_lookup(
+            _infix_entries(spark, sf_dir), "bat", k=10, blender="reciprocal"
+        )
+
+    out["suggest_infix"] = suggest_infix
+    out["suggest_blended"] = suggest_blended
+
     CLS_TEXT_KNN = "batch stream scan merge small table hash batch stream batch"
     CLS_TEXT_NB = "batch stream scan merge small"
 
@@ -1480,6 +1508,7 @@ _NEW_THIS_ROUND: list[str] = [
     "phonetic_caverphone1_top", "phonetic_dmetaphone_top",
     "phonetic_dmetaphone_replace",
     "grouped_facets", "sorted_set_min", "sorted_set_middle_max",
+    "suggest_infix", "suggest_blended",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -2036,6 +2065,39 @@ SELECT value, sum_score FROM fs ORDER BY value"""
     # SweetSpotSimilarity (plateau norm index + BaselineTf query factors)
     out["term_sweetspot"] = es.sweetspot_sql([HOT], k=15)
     out["phrase_sweetspot"] = es.sweetspot_sql(["table", "hash"], k=15)
+
+    # infix suggesters (entries = first-3-token surface, weight = doc_id)
+    _ENT = """ent AS (
+  SELECT array_to_string(t.tokens[1:3], ' ') AS surface,
+         d.doc_id AS weight, t.tokens[1:3] AS st
+  FROM toks t JOIN docs d ON t.docid = d.docid
+)"""
+    out["suggest_infix"] = f"""{P},
+{_ENT}
+SELECT surface, CAST(weight AS BIGINT) AS weight FROM ent
+WHERE list_contains(st, 'batch')
+  AND len(list_filter(st, x -> x LIKE 'sc%')) > 0
+ORDER BY weight DESC, surface ASC LIMIT 15"""
+    out["suggest_blended"] = f"""{P},
+{_ENT},
+m AS (
+  SELECT surface, weight, st FROM ent
+  WHERE len(list_filter(st, x -> x LIKE 'bat%')) > 0
+  ORDER BY weight DESC, surface ASC LIMIT 100
+),
+sc AS (
+  SELECT surface, weight,
+    CASE WHEN surface LIKE 'bat%' THEN CAST(1.0 AS DOUBLE)
+         ELSE 1.0 / (1.0 + CAST(list_min(list_transform(
+           list_filter(
+             list_transform(st, (x, i) -> {{'p': i - 1, 'ok': x LIKE 'bat%'}}),
+             s -> s.ok),
+           s -> s.p)) AS DOUBLE))
+    END AS coef
+  FROM m
+)
+SELECT surface, CAST(trunc(CAST(weight AS DOUBLE) * coef) AS BIGINT) AS score
+FROM sc ORDER BY score DESC, surface DESC LIMIT 10"""
 
     # grouped facets + sorted-set sort
     out["grouped_facets"] = f"""{P}

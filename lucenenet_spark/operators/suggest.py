@@ -235,3 +235,115 @@ def freetext_suggest(
         )
     )
     return out.orderBy(F.desc("score"), F.asc("token")).limit(k)
+
+
+def _infix_query_parts(key: str, analyzer: str = "standard"):
+    """AnalyzingInfixSuggester.DoLookup's query-side analysis: every token
+    but the last is an exact term; the last is a PREFIX unless the key
+    ends in discarded chars (maxEndOffset == ts.End()'s offset — i.e. the
+    last token runs to the end of the key), in which case it is exact
+    too. Returns (exact_tokens, prefix_token_or_None)."""
+    from ..functions.analysis import tokenize_with_offsets
+
+    toks, _poss, _starts, ends = tokenize_with_offsets(key, analyzer)
+    if not toks:
+        return [], None
+    if ends[-1] == len(key):
+        return list(toks[:-1]), toks[-1]
+    return list(toks), None
+
+
+def infix_lookup(
+    entries: DataFrame,
+    key: str,
+    k: int = 10,
+    all_terms_required: bool = True,
+    analyzer: str = "standard",
+    surface_col: str = "surface",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """AnalyzingInfixSuggester (Suggest/Analyzing/
+    AnalyzingInfixSuggester.cs DoLookup): suggestions whose analyzed text
+    contains every query token (allTermsRequired -> MUST, else SHOULD =
+    at least one), the last query token matching as a prefix of ANY
+    suggestion token when the key has no trailing discarded chars.
+    Matches sort by weight desc — the suggester ignores scores
+    (AnalyzingInfixSuggester.cs "Sort by weight, descending"); surface
+    asc is this engine's deterministic tie-break. Output
+    (surface, weight)."""
+    from ..functions.analysis import tokenize_udf
+
+    exact, prefix = _infix_query_parts(key, analyzer)
+    df = entries.select(
+        F.col(surface_col).alias("surface"),
+        F.col(weight_col).cast("long").alias("weight"),
+        tokenize_udf(analyzer)(F.col(surface_col)).alias("_toks"),
+    )
+    conds = [F.array_contains("_toks", t) for t in exact]
+    if prefix is not None:
+        conds.append(
+            F.exists(F.col("_toks"), lambda x: x.startswith(F.lit(prefix)))
+        )
+    if not conds:
+        return df.select("surface", "weight").limit(0)
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = (cond & c) if all_terms_required else (cond | c)
+    return (
+        df.filter(cond)
+        .select("surface", "weight")
+        .orderBy(F.desc("weight"), F.asc("surface"))
+        .limit(k)
+    )
+
+
+def blended_infix_lookup(
+    entries: DataFrame,
+    key: str,
+    k: int = 10,
+    blender: str = "linear",
+    num_factor: int = 10,
+    analyzer: str = "standard",
+    surface_col: str = "surface",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """BlendedInfixSuggester (Suggest/Analyzing/BlendedInfixSuggester.cs):
+    take the top num*numFactor infix matches by weight, then re-score by
+    the position of the FIRST matching token in the suggestion's analyzed
+    stream — coefficient 1 when the raw text startswith the raw key,
+    else POSITION_LINEAR 1 - 0.10*position or POSITION_RECIPROCAL
+    1/(position+1); score = (long)(weight * coefficient), truncation
+    toward zero like the C# cast. Final order mirrors LOOKUP_COMP
+    reversed: score desc, then surface DESC (the comparator sorts
+    ascending on (value, key) and the result list is reversed). Output
+    (surface, score)."""
+    if blender not in ("linear", "reciprocal"):
+        raise ValueError(f"unknown blender {blender!r}")
+    from ..functions.analysis import tokenize_positions_udf
+
+    exact, prefix = _infix_query_parts(key, analyzer)
+    base = infix_lookup(
+        entries, key, k * num_factor, True, analyzer, surface_col, weight_col
+    )
+    tp = tokenize_positions_udf()(F.col("surface"))
+    matched = F.filter(
+        tp,
+        lambda x: (
+            x["term"].isin(exact) | x["term"].startswith(F.lit(prefix))
+            if prefix is not None
+            else x["term"].isin(exact) if exact else F.lit(False)
+        ),
+    )
+    pos = F.array_min(F.transform(matched, lambda x: x["pos"]))
+    if blender == "linear":
+        coef = F.lit(1.0) - F.lit(0.10) * pos.cast("double")
+    else:
+        coef = F.lit(1.0) / (pos.cast("double") + F.lit(1.0))
+    coef = F.when(F.col("surface").startswith(F.lit(key)), F.lit(1.0)).otherwise(coef)
+    score = (F.col("weight").cast("double") * coef).cast("long")
+    return (
+        base.withColumn("score", score)
+        .select("surface", "score")
+        .orderBy(F.desc("score"), F.desc("surface"))
+        .limit(k)
+    )
