@@ -889,6 +889,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["suggest_infix"] = suggest_infix
     out["suggest_blended"] = suggest_blended
 
+    # -- misc token filters ---------------------------------------------------
+    def _term_stats_top(col_udf):
+        def run(spark, sf_dir):
+            d = _docs(spark, sf_dir)
+            ex = d.select(
+                "doc_id", F.explode(col_udf(F.col("text"))).alias("term")
+            )
+            return (
+                ex.groupBy("term")
+                .agg(
+                    F.countDistinct("doc_id").alias("df"),
+                    F.count("*").alias("ttf"),
+                )
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(20)
+            )
+
+        return run
+
+    def filter_chain_top(spark, sf_dir):
+        from lucenenet_spark.functions.miscfilters import misc_chain_udf
+
+        return _term_stats_top(misc_chain_udf(3, 8, 5))(spark, sf_dir)
+
+    def filter_pattern_top(spark, sf_dir):
+        from lucenenet_spark.functions.miscfilters import pattern_replace_udf
+
+        return _term_stats_top(pattern_replace_udf("[0-9]+$", "#"))(
+            spark, sf_dir
+        )
+
+    def keyword_repeat_top(spark, sf_dir):
+        from lucenenet_spark.functions.miscfilters import keyword_repeat_udf
+
+        return _term_stats_top(keyword_repeat_udf())(spark, sf_dir)
+
+    out["filter_chain_top"] = filter_chain_top
+    out["filter_pattern_top"] = filter_pattern_top
+    out["keyword_repeat_top"] = keyword_repeat_top
+
     CLS_TEXT_KNN = "batch stream scan merge small table hash batch stream batch"
     CLS_TEXT_NB = "batch stream scan merge small"
 
@@ -1509,6 +1549,7 @@ _NEW_THIS_ROUND: list[str] = [
     "phonetic_dmetaphone_replace",
     "grouped_facets", "sorted_set_min", "sorted_set_middle_max",
     "suggest_infix", "suggest_blended",
+    "filter_chain_top", "filter_pattern_top", "keyword_repeat_top",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -2065,6 +2106,32 @@ SELECT value, sum_score FROM fs ORDER BY value"""
     # SweetSpotSimilarity (plateau norm index + BaselineTf query factors)
     out["term_sweetspot"] = es.sweetspot_sql([HOT], k=15)
     out["phrase_sweetspot"] = es.sweetspot_sql(["table", "hash"], k=15)
+
+    # misc token filters
+    out["filter_chain_top"] = f"""{P},
+tt AS (SELECT docid, unnest(tokens) AS tok FROM toks),
+em AS (
+  SELECT docid, reverse(left(tok, 5)) AS term FROM tt
+  WHERE len(tok) BETWEEN 3 AND 8
+)
+SELECT term, count(DISTINCT docid) AS df, count(*) AS ttf
+FROM em GROUP BY term ORDER BY df DESC, term ASC LIMIT 20"""
+    out["filter_pattern_top"] = f"""{P},
+tt AS (SELECT docid, unnest(tokens) AS tok FROM toks),
+em AS (SELECT docid, regexp_replace(tok, '[0-9]+$', '#', 'g') AS term FROM tt)
+SELECT term, count(DISTINCT docid) AS df, count(*) AS ttf
+FROM em GROUP BY term ORDER BY df DESC, term ASC LIMIT 20"""
+    out["keyword_repeat_top"] = f"""{P},
+rawtoks AS (SELECT docid, unnest(tokens) AS tok FROM toks),
+{es._porter_sql_pipeline()},
+em AS (
+  SELECT docid, tok AS term FROM rawtoks
+  UNION ALL
+  SELECT r.docid, m.stem FROM rawtoks r
+  JOIN stemmap m ON r.tok = m.tok WHERE m.stem <> r.tok
+)
+SELECT term, count(DISTINCT docid) AS df, count(*) AS ttf
+FROM em GROUP BY term ORDER BY df DESC, term ASC LIMIT 20"""
 
     # infix suggesters (entries = first-3-token surface, weight = doc_id)
     _ENT = """ent AS (
