@@ -929,6 +929,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["filter_pattern_top"] = filter_pattern_top
     out["keyword_repeat_top"] = keyword_repeat_top
 
+    def word_delim_top(spark, sf_dir):
+        from lucenenet_spark.functions.worddelim import word_delimiter_udf
+
+        return _term_stats_top(word_delimiter_udf())(spark, sf_dir)
+
+    out["word_delim_top"] = word_delim_top
+
     CLS_TEXT_KNN = "batch stream scan merge small table hash batch stream batch"
     CLS_TEXT_NB = "batch stream scan merge small"
 
@@ -1550,6 +1557,7 @@ _NEW_THIS_ROUND: list[str] = [
     "grouped_facets", "sorted_set_min", "sorted_set_middle_max",
     "suggest_infix", "suggest_blended",
     "filter_chain_top", "filter_pattern_top", "keyword_repeat_top",
+    "word_delim_top",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -2129,6 +2137,23 @@ em AS (
   UNION ALL
   SELECT r.docid, m.stem FROM rawtoks r
   JOIN stemmap m ON r.tok = m.tok WHERE m.stem <> r.tok
+)
+SELECT term, count(DISTINCT docid) AS df, count(*) AS ttf
+FROM em GROUP BY term ORDER BY df DESC, term ASC LIMIT 20"""
+
+    # WordDelimiterFilter over the gate corpus domain ([a-z0-9]+ tokens —
+    # only alpha<->digit transitions split; catenate_all = the token):
+    # single-subword tokens pass through, multi-subword tokens emit every
+    # subword plus the full catenation
+    _SW = "regexp_extract_all(tok, '[a-z]+|[0-9]+')"
+    out["word_delim_top"] = f"""{P},
+tt AS (SELECT docid, unnest(tokens) AS tok FROM toks),
+em AS (
+  SELECT docid, tok AS term FROM tt WHERE len({_SW}) = 1
+  UNION ALL
+  SELECT docid, unnest({_SW}) AS term FROM tt WHERE len({_SW}) > 1
+  UNION ALL
+  SELECT docid, tok FROM tt WHERE len({_SW}) > 1
 )
 SELECT term, count(DISTINCT docid) AS df, count(*) AS ttf
 FROM em GROUP BY term ORDER BY df DESC, term ASC LIMIT 20"""
