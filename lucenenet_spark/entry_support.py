@@ -3170,6 +3170,23 @@ def _toks_cte(analyzer: str) -> str:
         return f"""toks AS (
   SELECT docid, {_tokens_expr('text', analyzer)} AS tokens FROM docs
 )"""
+    if base in ("whitespace", "simple", "stop", "keyword"):
+        # core-tokenizer slots (tokenizer change, no stem filter):
+        # duckdb_tokens_sql mirrors the CharTokenizer run extraction /
+        # 255-chunk split / keyword whole-input directly
+        from .functions.analysis import duckdb_tokens_sql
+
+        return f"""toks AS (
+  SELECT docid, {duckdb_tokens_sql('text', analyzer)} AS tokens FROM docs
+)"""
+    if base == "classic":
+        # ClassicAnalyzer over the gate corpus domain: transcript text is
+        # space-separated [a-z0-9]+ words (asserted by
+        # tests/test_coreanalyzers.py), on which every classic compound
+        # rule (APOSTROPHE/ACRONYM/COMPANY/EMAIL/HOST/NUM) is unreachable
+        # — the grammar degenerates to ALPHANUM runs + the same English
+        # stop set, i.e. exactly the standard-chain token stream
+        return plain
     if base == "cjk":
         # width fold per token, bigram expansion, then the stop filter on
         # the EMITTED stream (CJKAnalyzer.cs filter order); no stemmap

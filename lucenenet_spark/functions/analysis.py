@@ -166,7 +166,59 @@ ANALYZERS = (
     "arabic", "persian", "sorani", "galician", "greek", "hindi",
     "brazilian", "cjk", "danish", "dutch", "armenian", "catalan",
     "romanian", "basque", "irish", "turkish",
+    # Core-tokenizer slots (round 5n) — these change the TOKENIZER, not
+    # just the filter chain:
+    #   "whitespace": WhitespaceAnalyzer.cs (WhitespaceTokenizer — \S+
+    #                 runs split at 255; NO lowercase, no stops)
+    #   "simple":     SimpleAnalyzer.cs (LowerCaseTokenizer — letter runs
+    #                 split at 255, lowercased; no stops)
+    #   "stop":       StopAnalyzer.cs (LowerCaseTokenizer + English stops)
+    #   "keyword":    KeywordAnalyzer.cs (whole input = ONE token, no cap,
+    #                 no case fold, no stops)
+    #   "classic":    ClassicAnalyzer.cs (ClassicTokenizer grammar +
+    #                 ClassicFilter + LowerCase + English stops; >255 drop)
+    "whitespace", "simple", "stop", "keyword", "classic",
 )
+
+# slots whose tokenizer is NOT the UAX#29 standard grammar
+_CORE_TOKENIZER_BASES = frozenset(
+    ("whitespace", "simple", "stop", "keyword", "classic")
+)
+# CharTokenizer subclasses SPLIT over-long runs at MAX_WORD_LEN=255
+# (CharTokenizer.cs:108,183 — emit and continue, never drop);
+# KeywordTokenizer has no cap at all (its buffer grows). Only the
+# JFlex-scanner tokenizers (standard grammar + classic) DROP tokens
+# longer than maxTokenLength with a position bump.
+_NO_LONG_DROP = frozenset(("whitespace", "simple", "stop", "keyword"))
+# slots with no LowerCaseFilter in the chain (WhitespaceAnalyzer.cs /
+# KeywordAnalyzer.cs chains are tokenizer-only)
+_CASELESS = frozenset(("whitespace", "keyword"))
+
+_WS_RUN = re.compile(r"\S+")  # WhitespaceTokenizer: !IsWhiteSpace runs
+_LETTER_RUN = re.compile(r"[^\W\d_]+")  # LetterTokenizer: IsLetter runs
+
+
+def _token_triples(text: str, base: str):
+    """(raw_or_filtered_token, start, end) triples for the non-standard
+    tokenizer slots. Offsets are raw-text char spans; classic tokens carry
+    ClassicFilter output (type-dependent) while their span stays raw."""
+    if base in ("whitespace", "simple", "stop"):
+        pat = _WS_RUN if base == "whitespace" else _LETTER_RUN
+        for m in pat.finditer(text):
+            s, e = m.span()
+            # CharTokenizer MAX_WORD_LEN split (255 code points per chunk;
+            # the reference counts UTF-16 units — identical on the BMP)
+            for i in range(s, e, MAX_TOKEN_LENGTH):
+                j = min(i + MAX_TOKEN_LENGTH, e)
+                yield text[i:j], i, j
+    elif base == "keyword":
+        yield text, 0, len(text)
+    elif base == "classic":
+        from .classic import classic_matches
+
+        yield from classic_matches(text)
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(base)
 
 
 def split_analyzer(analyzer: str):
@@ -204,10 +256,13 @@ def validate_analyzer(analyzer: str) -> None:
     base, _excl = split_analyzer(analyzer)
     if base not in ANALYZERS:
         raise ValueError(f"unknown analyzer {analyzer!r} ({'|'.join(ANALYZERS)})")
-    if has_ascii_fold(analyzer) and base in ("cjk", "hindi"):
-        # their oracle SQL moves stop filtering into custom CTE shapes the
-        # fold stage is not wired through — reject loudly rather than
-        # letting the two engines drift
+    if has_ascii_fold(analyzer) and (
+        base in ("cjk", "hindi") or base in _CORE_TOKENIZER_BASES
+    ):
+        # cjk/hindi oracle SQL moves stop filtering into custom CTE shapes
+        # the fold stage is not wired through, and the core-tokenizer
+        # slots' SQL mirrors don't carry the fold either — reject loudly
+        # rather than letting the two engines drift
         raise ValueError(f":ascii is not supported with the {base} chain")
 
 
@@ -324,6 +379,16 @@ def _base_chain(analyzer: str):
                     TurkishStemmer
     """
     if analyzer == "standard":
+        return ENGLISH_STOP_WORDS, None, None
+    if analyzer in ("whitespace", "simple", "keyword"):
+        # tokenizer-only chains (WhitespaceAnalyzer.cs, SimpleAnalyzer.cs,
+        # KeywordAnalyzer.cs): no stop filter, no stemmer; casing is the
+        # tokenizer's own (see _CASELESS / _norm_fn)
+        return frozenset(), None, None
+    if analyzer in ("stop", "classic"):
+        # StopAnalyzer.cs (LowerCaseTokenizer + English stops) and
+        # ClassicAnalyzer.cs (ClassicTokenizer + ClassicFilter + LowerCase
+        # + English stops — ClassicFilter runs inside the tokenizer slot)
         return ENGLISH_STOP_WORDS, None, None
     if analyzer == "english":
         from .porter import porter_stem
@@ -618,13 +683,37 @@ def stem_filter(analyzer: str = "standard"):
 
 def _norm_fn(analyzer: str, pre):
     """lowercase+PRE composition for one raw tokenizer match: raw-pre
-    analyzers (see pre_takes_raw) own their lowercasing; everything else
-    lowercases generically first."""
+    analyzers (see pre_takes_raw) own their lowercasing; caseless slots
+    (whitespace/keyword — no LowerCaseFilter in the reference chain) skip
+    it; everything else lowercases generically first."""
+    caseless = split_analyzer(analyzer)[0] in _CASELESS
     if pre is None:
-        return str.lower
-    if pre_takes_raw(analyzer):
+        return (lambda t: t) if caseless else str.lower
+    if pre_takes_raw(analyzer) or caseless:
         return pre
     return lambda t: pre(t.lower())
+
+
+def _raw_matches(text: str, analyzer: str):
+    """(token, start, end) triples of the analyzer's TOKENIZER (before any
+    filter): the standard UAX#29 grammar for every language slot, or the
+    core-tokenizer slot's own scanner (whitespace/letter runs split at
+    255, keyword whole-input, classic grammar + ClassicFilter)."""
+    base = split_analyzer(analyzer)[0]
+    if base in _CORE_TOKENIZER_BASES:
+        yield from _token_triples(text, base)
+    else:
+        for m in (_TOKEN_RE if _NEEDS_FULL(text) else _SIMPLE_RE).finditer(
+            text
+        ):
+            yield m.group(0), m.start(), m.end()
+
+
+def _long_drop(analyzer: str) -> bool:
+    """True when the tokenizer DROPS >maxTokenLength matches (JFlex
+    scanners); CharTokenizer slots split instead and KeywordTokenizer has
+    no cap, so they never drop."""
+    return split_analyzer(analyzer)[0] not in _NO_LONG_DROP
 
 
 def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
@@ -637,9 +726,10 @@ def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
         text = cf(text)
     stream = stream_filter(analyzer)
     norm = _norm_fn(analyzer, pre)
+    drops = _long_drop(analyzer)
     out = []
-    for tok in _findall(text):
-        if len(tok) > MAX_TOKEN_LENGTH:
+    for tok, s, e in _raw_matches(text, analyzer):
+        if drops and e - s > MAX_TOKEN_LENGTH:
             continue
         low = norm(tok)
         for sub in (stream(low) if stream else (low,)):
@@ -669,11 +759,12 @@ def tokenize_with_positions(
         text = cf(text)
     stream = stream_filter(analyzer)
     norm = _norm_fn(analyzer, pre)
+    drops = _long_drop(analyzer)
     toks: list[str] = []
     poss: list[int] = []
     if stream is None:
-        for i, tok in enumerate(_findall(text)):
-            if len(tok) > MAX_TOKEN_LENGTH:
+        for i, (tok, s, e) in enumerate(_raw_matches(text, analyzer)):
+            if drops and e - s > MAX_TOKEN_LENGTH:
                 continue
             low = norm(tok)
             if low in stop:
@@ -684,8 +775,8 @@ def tokenize_with_positions(
     # stream path (cjk): each EMITTED token consumes one position slot —
     # a skipped raw token consumes the slots its expansion would have
     slot = 0
-    for tok in _findall(text):
-        if len(tok) > MAX_TOKEN_LENGTH:
+    for tok, s, e in _raw_matches(text, analyzer):
+        if drops and e - s > MAX_TOKEN_LENGTH:
             slot += 1
             continue
         low = norm(tok)
@@ -717,24 +808,23 @@ def tokenize_with_offsets(
     poss: list[int] = []
     starts: list[int] = []
     ends: list[int] = []
-    it = (_TOKEN_RE if _NEEDS_FULL(text) else _SIMPLE_RE).finditer(text)
+    drops = _long_drop(analyzer)
+    it = _raw_matches(text, analyzer)
     if stream is None:
-        for i, m in enumerate(it):
-            tok = m.group(0)
-            if len(tok) > MAX_TOKEN_LENGTH:
+        for i, (tok, ms, me) in enumerate(it):
+            if drops and me - ms > MAX_TOKEN_LENGTH:
                 continue
             low = norm(tok)
             if low in stop:
                 continue
             toks.append(stemf(low) if stemf else low)
             poss.append(i)
-            starts.append(m.start())
-            ends.append(m.end())
+            starts.append(ms)
+            ends.append(me)
         return toks, poss, starts, ends
     slot = 0
-    for m in it:
-        tok = m.group(0)
-        if len(tok) > MAX_TOKEN_LENGTH:
+    for tok, ms, me in it:
+        if drops and me - ms > MAX_TOKEN_LENGTH:
             slot += 1
             continue
         low = norm(tok)
@@ -742,18 +832,18 @@ def tokenize_with_offsets(
         # is length-aligned with the raw match; otherwise every emitted
         # token keeps the whole match's offsets (the reference's
         # "crazy offsets" fallback in CJKBigramFilter.Refill)
-        aligned = len(low) == m.end() - m.start()
+        aligned = len(low) == me - ms
         off = 0
         for sub in stream(low):
             if sub not in stop:
                 toks.append(stemf(sub) if stemf else sub)
                 poss.append(slot)
                 if aligned:
-                    starts.append(m.start() + off)
-                    ends.append(m.start() + off + len(sub))
+                    starts.append(ms + off)
+                    ends.append(ms + off + len(sub))
                 else:
-                    starts.append(m.start())
-                    ends.append(m.end())
+                    starts.append(ms)
+                    ends.append(me)
             # consecutive bigrams overlap by one char; singleton segments
             # advance their full width
             off += max(1, len(sub) - 1) if len(sub) > 1 else len(sub)
@@ -764,6 +854,16 @@ def tokenize_with_offsets(
 def _tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     # vectorized-enough: one findall per row, list-comp filtering; all work
     # happens inside a single Arrow batch (no Spark-row-level Python).
+    if split_analyzer(analyzer)[0] in _CORE_TOKENIZER_BASES:
+        # non-standard tokenizer slots: the span-aware single-string chain
+        # per row (still one Python pass per Arrow batch)
+        return pd.Series(
+            [
+                tokenize_text(t, analyzer) if isinstance(t, str) else []
+                for t in texts
+            ],
+            index=texts.index,
+        )
     stop, pre, stemf = _analyzer_chain(analyzer)
     maxlen = MAX_TOKEN_LENGTH
     cf = char_filter(analyzer)
@@ -884,7 +984,40 @@ def duckdb_tokens_sql(text_expr: str, analyzer: str = "standard") -> str:
     identically. len filter uses 255 like MAX_TOKEN_LENGTH on the RAW token
     (elision runs after it, like the reference's tokenizer-level
     maxTokenLength); stopwords filtered after lower()+elision.
+
+    Core-tokenizer slots: whitespace/simple/stop mirror their
+    CharTokenizer (run extraction + the 255-chunk split), keyword mirrors
+    whole-input; classic has no generic mirror (its gates carry a
+    domain-restricted one) and raises.
     """
+    base = split_analyzer(analyzer)[0]
+    if base in _CORE_TOKENIZER_BASES:
+        if base == "classic":
+            raise ValueError(
+                "classic has no generic SQL mirror; gates use a "
+                "domain-restricted one"
+            )
+        if base == "keyword":
+            return (
+                f"CASE WHEN COALESCE({text_expr}, '') <> '' "
+                f"THEN [{text_expr}] ELSE CAST([] AS VARCHAR[]) END"
+            )
+        run_pat = r"[^\s]+" if base == "whitespace" else r"\p{L}+"
+        runs = f"regexp_extract_all(COALESCE({text_expr}, ''), '{run_pat}')"
+        # CharTokenizer MAX_WORD_LEN=255 chunk split (emit-and-continue)
+        chunks = (
+            f"flatten(list_transform({runs}, t -> list_transform("
+            f"generate_series(1, greatest(1, CAST(ceil(length(t) / 255.0)"
+            f" AS BIGINT))), i -> substr(t, CAST((i - 1) * 255 + 1 AS"
+            f" BIGINT), 255))))"
+        )
+        if base == "whitespace":
+            return chunks
+        lowered = f"list_transform({chunks}, t -> lower(t))"
+        if base == "simple":
+            return lowered
+        stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+        return f"list_filter({lowered}, t -> t NOT IN ({stops}))"
     stop_list = ", ".join(f"'{w}'" for w in sorted(stop_words(analyzer)))
     arts = elision_articles(analyzer)
     lowered = (

@@ -207,8 +207,10 @@ def test_every_analyzer_slot_end_to_end(spark, tmp_path_factory):
     oidx_cache = {}
     for analyzer in ANALYZERS:
         # pick the corpus term every chain keeps: the analyzed form of
-        # "merges" (never a stop word in any shipped set)
-        toks = tokenize_text("merges", analyzer)
+        # "merges" (never a stop word in any shipped set) — except the
+        # keyword slot, whose terms are whole input texts
+        probe = "merges merge merges" if analyzer == "keyword" else "merges"
+        toks = tokenize_text(probe, analyzer)
         assert toks, analyzer
         term = toks[0]
         idx = _build(spark, tmp_path_factory, analyzer, mixed)
