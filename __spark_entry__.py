@@ -476,6 +476,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=30,
     )
 
+    # -- Filter family (round 5n): TermsFilter / FieldValueFilter /
+    # BooleanFilter / ChainedFilter as docid-set producers under
+    # ConstantScoreQuery and FilteredQuery
+    from lucenenet_spark.plans.query import (
+        CHAIN_OR,
+        CHAIN_XOR,
+        BooleanFilter,
+        ChainedFilter,
+        FieldValueFilter,
+        TermsFilter,
+    )
+
+    out["terms_filter"] = topk(
+        ConstantScoreQuery(
+            filter=TermsFilter(terms=(("role", "tool"), ("text", MID))),
+            boost=1.5,
+        ),
+        k=20,
+    )
+    out["field_value_filter"] = topk(
+        FilteredQuery(
+            query=TermQuery(term=HOT), filter=FieldValueFilter(field="tool")
+        ),
+        k=15,
+    )
+    out["bool_filter"] = topk(
+        ConstantScoreQuery(
+            filter=BooleanFilter(
+                should=(
+                    TermsFilter(terms=(("text", MID),)),
+                    TermsFilter(terms=(("text", T3),)),
+                ),
+                must_not=(FieldValueFilter(field="tool"),),
+            )
+        ),
+        k=25,
+    )
+    out["chained_filter_xor"] = topk(
+        ConstantScoreQuery(
+            filter=ChainedFilter(
+                filters=(
+                    TermsFilter(terms=(("text", HOT),)),
+                    TermsFilter(terms=(("text", MID),)),
+                ),
+                logic=(CHAIN_OR, CHAIN_XOR),
+            )
+        ),
+        k=25,
+    )
+
     def term_tfidf(spark, sf_dir):
         s = _searcher(spark, sf_dir, similarity="classic")
         return s.search(TermQuery(term=HOT), 15)
@@ -702,6 +752,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # surface "mérgé" folds to the corpus term "merge" at parse time AND
     # the whole index is built through the folding chain
     out["term_ascii_fold"] = _analyzer_term_gate("standard:ascii", "mérgé")
+    # Core-tokenizer slots (round 5n). whitespace: NO stop filter, so the
+    # stopword "the" is indexed, scoreable, and counted in every norm
+    # (field lengths grow vs the standard index); simple/stop:
+    # LetterTokenizer splits digit-bearing words ("word7" -> "word"),
+    # shifting df/tf/norms; classic: ALPHANUM==standard on the [a-z0-9 ]
+    # corpus, so the gate proves chain wiring end to end (grammar parity
+    # is classic_tokens_top + the reference-vector pytest)
+    out["term_whitespace"] = _analyzer_term_gate("whitespace", "the")
+    out["term_simple"] = _analyzer_term_gate("simple", "merge")
+    out["term_classic"] = _analyzer_term_gate("classic", "merge")
+
+    def bool_stop_tok(spark, sf_dir):
+        from lucenenet_spark.operators.search import IndexSearcher
+
+        s = IndexSearcher(
+            spark, es.ensure_analyzer_index(spark, sf_dir, "stop")
+        )
+        return s.search(parse("+batch scan", analyzer=s.analyzer), 15)
+
+    out["bool_stop_tok"] = bool_stop_tok
 
     def synonym_or(spark, sf_dir):
         # query-time synonyms (SolrSynonymParser expand=true group):
@@ -935,6 +1005,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _term_stats_top(word_delimiter_udf())(spark, sf_dir)
 
     out["word_delim_top"] = word_delim_top
+
+    def classic_tokens_top(spark, sf_dir):
+        # ClassicTokenizer grammar over a derived punctuated text whose
+        # token decomposition is known analytically (the SQL oracle emits
+        # the same list from the same source columns): APOSTROPHE+filter,
+        # ACRONYM dots, COMPANY, HOST, NUM, stop filtering all exercised
+        from lucenenet_spark.functions.analysis import tokenize_udf
+
+        d = _docs(spark, sf_dir)
+        derived = F.concat(
+            F.col("lang"), F.lit("'s U.S.A. "),
+            F.col("lang"), F.lit("@"), F.col("lang"),
+            F.lit(" www."), F.col("source"), F.lit(".com the 5000 v1-"),
+            F.col("lang"), F.lit(" 1.2.3 batch"),
+        )
+        ex = d.select(
+            "doc_id",
+            F.explode(tokenize_udf("classic")(derived)).alias("term"),
+        )
+        return (
+            ex.groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.count("*").alias("ttf"),
+            )
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(20)
+        )
+
+    out["classic_tokens_top"] = classic_tokens_top
+
+    def keyword_tokens_top(spark, sf_dir):
+        # KeywordAnalyzer: the whole text is ONE token (no case fold, no
+        # cap) — term stats group full texts
+        from lucenenet_spark.functions.analysis import tokenize_udf
+
+        return _term_stats_top(tokenize_udf("keyword"))(spark, sf_dir)
+
+    out["keyword_tokens_top"] = keyword_tokens_top
 
     CLS_TEXT_KNN = "batch stream scan merge small table hash batch stream batch"
     CLS_TEXT_NB = "batch stream scan merge small"
@@ -1558,6 +1667,10 @@ _NEW_THIS_ROUND: list[str] = [
     "suggest_infix", "suggest_blended",
     "filter_chain_top", "filter_pattern_top", "keyword_repeat_top",
     "word_delim_top",
+    "term_whitespace", "term_simple", "term_classic", "bool_stop_tok",
+    "classic_tokens_top", "keyword_tokens_top",
+    "terms_filter", "field_value_filter", "bool_filter",
+    "chained_filter_xor",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -1761,6 +1874,38 @@ LIMIT 30"""
         k=15,
         extra_where="docid IN (SELECT docid FROM docs WHERE role = 'user')",
     )
+    # Filter family (round 5n): docid-set algebra, constant scores
+    out["terms_filter"] = f"""{P},
+ids AS (
+  SELECT docid FROM docs WHERE role = 'tool'
+  UNION
+  SELECT docid FROM posting WHERE term = '{MID}'
+)
+SELECT docid, CAST(CAST(1.5 AS DOUBLE) AS REAL) AS score
+FROM ids ORDER BY docid ASC LIMIT 20"""
+    out["field_value_filter"] = es.boolean_sql(
+        should=[HOT],
+        k=15,
+        extra_where="docid IN (SELECT docid FROM docs WHERE tool IS NOT NULL)",
+    )
+    out["bool_filter"] = f"""{P},
+ids AS (
+  SELECT docid FROM posting WHERE term IN ('{MID}', '{T3}')
+  EXCEPT
+  SELECT docid FROM docs WHERE tool IS NOT NULL
+)
+SELECT docid, CAST(CAST(1.0 AS DOUBLE) AS REAL) AS score
+FROM ids ORDER BY docid ASC LIMIT 25"""
+    out["chained_filter_xor"] = f"""{P},
+a AS (SELECT DISTINCT docid FROM posting WHERE term = '{HOT}'),
+b AS (SELECT DISTINCT docid FROM posting WHERE term = '{MID}'),
+ids AS (
+  (SELECT docid FROM a EXCEPT SELECT docid FROM b)
+  UNION
+  (SELECT docid FROM b EXCEPT SELECT docid FROM a)
+)
+SELECT docid, CAST(CAST(1.0 AS DOUBLE) AS REAL) AS score
+FROM ids ORDER BY docid ASC LIMIT 25"""
     out["fuzzy"] = es.fuzzy_sql("batc", 1, 20)
     out["term_tfidf"] = es.classic_term_sql(HOT, k=15)
     out["explain_bm25"] = es.explain_term_sql(MID, k=12)
@@ -1826,6 +1971,41 @@ LIMIT 30"""
     out["term_ascii_fold"] = es.term_sql(
         "merge", k=15, analyzer="standard:ascii"
     )
+    # core-tokenizer slots (round 5n): whitespace keeps stops indexed and
+    # in every norm; simple/stop tokenize letter runs only; classic ==
+    # standard on the [a-z0-9 ] corpus domain (see entry_support._toks_cte)
+    out["term_whitespace"] = es.term_sql("the", k=15, analyzer="whitespace")
+    out["term_simple"] = es.term_sql("merge", k=15, analyzer="simple")
+    out["term_classic"] = es.term_sql("merge", k=15, analyzer="classic")
+    out["bool_stop_tok"] = es.boolean_sql(
+        must=["batch"], should=["scan"], k=15, analyzer="stop"
+    )
+    # ClassicTokenizer grammar over the derived punctuated text: the token
+    # decomposition is known analytically from the same source columns —
+    # lang's APOSTROPHE strips 's, U.S.A. is an ACRONYM (dots removed),
+    # lang@lang a COMPANY, www.<source>.com a HOST, v1-<lang> a NUM,
+    # 1.2.3 a HOST, 'the' stop-filtered, 5000/batch plain ALPHANUM
+    out["classic_tokens_top"] = """WITH cdocs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS docid, lang, source
+  FROM documents
+),
+em AS (
+  SELECT docid,
+         unnest([lang, 'usa', lang || '@' || lang,
+                 'www.' || source || '.com', '5000',
+                 'v1-' || lang, '1.2.3', 'batch']) AS term
+  FROM cdocs
+)
+SELECT term, count(DISTINCT docid) AS df, count(*) AS ttf
+FROM em GROUP BY term ORDER BY df DESC, term ASC LIMIT 20"""
+    # KeywordAnalyzer: whole text = one token, no case fold, empty -> none
+    out["keyword_tokens_top"] = """WITH cdocs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS docid, text
+  FROM documents
+),
+em AS (SELECT docid, text AS term FROM cdocs WHERE COALESCE(text, '') <> '')
+SELECT term, count(DISTINCT docid) AS df, count(*) AS ttf
+FROM em GROUP BY term ORDER BY df DESC, term ASC LIMIT 20"""
     out["synonym_or"] = es.boolean_sql(should=["merge", "join"], k=15)
     out["synonym_phrase"] = es.phrase_sql(
         [["table", "value"], ["hash"]], k=15
