@@ -817,11 +817,101 @@ class IndexSearcher:
         """
         return self._apply_live_docs(self._scores_raw(q, prune_k))
 
+    def _filter_docids(self, f) -> DataFrame:
+        """Evaluate a Filter tree to its docid set (Search/Filter.cs
+        GetDocIdSet, distributed: every set op is a docid-keyed
+        join/union — never a driver-side bitset).
+
+        - TermsFilter: union of the (field, term) postings
+          (Lucene.Net.Queries/TermsFilter.cs)
+        - FieldValueFilter: docsWithField via the typed docs column
+          (Search/FieldValueFilter.cs)
+        - QueryWrapperFilter: inner query's matches, scores dropped
+          (Search/QueryWrapperFilter.cs)
+        - BooleanFilter: OR(shoulds) -> AndNot(nots; from ALL docs when no
+          should clause) -> And(musts) (Lucene.Net.Queries/BooleanFilter.cs)
+        - ChainedFilter: InitialResult + DoChain fold with per-filter
+          OR/AND/ANDNOT/XOR (Lucene.Net.Queries/ChainedFilter.cs)
+        """
+        from ..plans.query import (
+            CHAIN_AND,
+            CHAIN_ANDNOT,
+            CHAIN_XOR,
+            BooleanFilter,
+            ChainedFilter,
+            FieldValueFilter,
+            QueryWrapperFilter,
+            TermsFilter,
+        )
+
+        if isinstance(f, TermsFilter):
+            return self._docids_of_terms([tuple(p) for p in f.terms])
+        if isinstance(f, FieldValueFilter):
+            col = F.col(f.field)
+            cond = col.isNull() if f.negate else col.isNotNull()
+            return self.docs().filter(cond).select("docid")
+        if isinstance(f, QueryWrapperFilter):
+            return self._scores_raw(f.query, None).select("docid").distinct()
+        if isinstance(f, BooleanFilter):
+            res = None
+            for c in f.should:
+                d = self._filter_docids(c)
+                res = d if res is None else res.union(d)
+            if res is not None:
+                res = res.distinct()
+            for c in f.must_not:
+                if res is None:  # no SHOULD clauses: start from ALL docs
+                    res = self.docs().select("docid")
+                res = res.join(
+                    self._filter_docids(c), "docid", "left_anti"
+                )
+            for c in f.must:
+                d = self._filter_docids(c)
+                res = d if res is None else res.join(d, "docid", "left_semi")
+            if res is None:
+                return self.spark.range(0).select(F.col("id").alias("docid"))
+            return res
+        if isinstance(f, ChainedFilter):
+            logic = list(f.logic) or [0] * len(f.filters)
+            if len(logic) != len(f.filters):
+                raise ValueError("Invalid number of elements in logic array")
+            i = 0
+            if logic[0] == CHAIN_AND:
+                res = self._filter_docids(f.filters[0]).distinct()
+                i = 1
+            elif logic[0] == CHAIN_ANDNOT:
+                res = self.docs().select("docid").join(
+                    self._filter_docids(f.filters[0]), "docid", "left_anti"
+                )
+                i = 1
+            else:
+                res = self.spark.range(0).select(F.col("id").alias("docid"))
+            for j in range(i, len(f.filters)):
+                d = self._filter_docids(f.filters[j])
+                lg = logic[j]
+                if lg == CHAIN_AND:
+                    res = res.join(d, "docid", "left_semi")
+                elif lg == CHAIN_ANDNOT:
+                    res = res.join(d, "docid", "left_anti")
+                elif lg == CHAIN_XOR:
+                    both = res.join(d, "docid", "left_semi")
+                    res = (
+                        res.union(d).distinct().join(both, "docid", "left_anti")
+                    )
+                else:  # OR (and the reference's DEFAULT fallthrough)
+                    res = res.union(d).distinct()
+            return res
+        raise TypeError(f"unknown Filter {type(f).__name__}")
+
     def _scores_raw(self, q: Query, prune_k: int | None = None) -> DataFrame:
         if isinstance(q, FilteredQuery):
             # doc-side predicate: semi-join scores against the filtered docs
             # view — the predicate pushes down to the typed parquet columns
             passing = self.docs().filter(F.expr(q.where)).select("docid")
+            if q.filter is not None:
+                passing = passing.join(
+                    self._filter_docids(q.filter), "docid", "left_semi"
+                )
             # prune_k deliberately NOT propagated: block-max pruning bounds the
             # unfiltered top-k; a filter could surface docs below that θ
             return self._scores_raw(q.query, None).join(
@@ -861,12 +951,14 @@ class IndexSearcher:
             )
         if isinstance(q, ConstantScoreQuery):
             # ConstantScoreQuery.cs: matches exactly the docs the wrapped
-            # query matches, score = boost. Docid-union of the inner terms is
-            # only that set for a pure term disjunction (the FuzzyQuery
-            # rewrite shape) — anything else evaluates the inner query and
-            # keeps its docids.
+            # query (or filter) matches, score = boost. Docid-union of the
+            # inner terms is only that set for a pure term disjunction (the
+            # FuzzyQuery rewrite shape) — anything else evaluates the inner
+            # query and keeps its docids.
             inner = q.query
             const = F.lit(float(np.float32(q.boost))).cast("float").alias("score")
+            if q.filter is not None:
+                return self._filter_docids(q.filter).select("docid", const)
             pure_should = isinstance(inner, TermQuery) or (
                 isinstance(inner, BooleanQuery)
                 and not inner.must

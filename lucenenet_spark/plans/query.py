@@ -58,7 +58,10 @@ class PayloadTermQuery(Query):
 
 @dataclass(frozen=True)
 class ConstantScoreQuery(Query):
+    # exactly one of query/filter is set (ConstantScoreQuery.cs has both
+    # ctors; a wrapped filter scores every passing doc at boost)
     query: Query | None = None
+    filter: "Filter | None" = None
 
 
 @dataclass(frozen=True)
@@ -153,7 +156,8 @@ class MultiPhraseQuery(Query):
 
 @dataclass(frozen=True)
 class FilteredQuery(Query):
-    """Score `query`, keep only docs passing a doc-side SQL predicate.
+    """Score `query`, keep only docs passing a doc-side SQL predicate
+    and/or a structured Filter (below).
 
     Lucene's FilteredQuery + Filter (Search/FilteredQuery.cs); numeric/date
     ranges (NumericRangeQuery.cs) are the native case: the predicate pushes
@@ -162,6 +166,76 @@ class FilteredQuery(Query):
 
     query: Query | None = None
     where: str = "true"
+    filter: "Filter | None" = None
+
+
+# -- Filter family (docid sets, no scoring) ----------------------------------
+
+
+@dataclass(frozen=True)
+class Filter:
+    """Abstract docid-set producer (Search/Filter.cs). Consumed by
+    FilteredQuery(filter=...) and ConstantScoreQuery(filter=...)."""
+
+
+@dataclass(frozen=True)
+class TermsFilter(Filter):
+    """Docs containing ANY of the given (field, term) pairs
+    (Lucene.Net.Queries/TermsFilter.cs — duplicate terms and multiple
+    fields allowed; the result is the union of the postings)."""
+
+    terms: tuple[tuple[str, str], ...] = ()
+
+
+@dataclass(frozen=True)
+class FieldValueFilter(Filter):
+    """Docs that have a value for `field` (docsWithField bits); negate=True
+    keeps the docs WITHOUT one (Search/FieldValueFilter.cs). Fields are the
+    doc-side keyword/typed columns (role, tool, ts, ...)."""
+
+    field: str = ""
+    negate: bool = False
+
+
+@dataclass(frozen=True)
+class QueryWrapperFilter(Filter):
+    """The docs an arbitrary query matches, scores discarded
+    (Search/QueryWrapperFilter.cs)."""
+
+    query: Query | None = None
+
+
+@dataclass(frozen=True)
+class BooleanFilter(Filter):
+    """Boolean composition of filters (Lucene.Net.Queries/BooleanFilter.cs):
+    SHOULD filters OR together, the result is AndNot'd with every MUST_NOT
+    filter (starting from ALL docs when no SHOULD clause exists), then
+    And'd with every MUST filter. The reference's null-DocIdSet vs
+    empty-set distinction is structural here: "no should clauses" is the
+    only state that lets MUST_NOT start from the full doc space, which is
+    result-equivalent for set-valued child filters (an all-empty SHOULD
+    union zeroes every later intersection either way)."""
+
+    must: tuple[Filter, ...] = ()
+    should: tuple[Filter, ...] = ()
+    must_not: tuple[Filter, ...] = ()
+
+
+# ChainedFilter logic constants (Lucene.Net.Queries/ChainedFilter.cs:45-52)
+CHAIN_OR, CHAIN_AND, CHAIN_ANDNOT, CHAIN_XOR = 0, 1, 2, 3
+
+
+@dataclass(frozen=True)
+class ChainedFilter(Filter):
+    """Sequential chain with per-filter logic ops
+    (Lucene.Net.Queries/ChainedFilter.cs): the accumulator starts empty;
+    a leading AND seeds it with the first filter, a leading ANDNOT with its
+    complement (InitialResult); each remaining filter folds in with
+    OR/AND/ANDNOT/XOR (DoChain). `logic` empty means OR for every filter
+    (the DEFAULT arm)."""
+
+    filters: tuple[Filter, ...] = ()
+    logic: tuple[int, ...] = ()
 
 
 # -- MultiTermQuery family: rewritten against the terms dict -----------------
