@@ -1045,6 +1045,175 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["keyword_tokens_top"] = keyword_tokens_top
 
+    # -- misc token filters, wave 2 (round 5n) --------------------------------
+    # The [a-z ] corpus has no Scandinavian digraphs / digits / hyphens,
+    # so each gate derives a text deterministically (the SQL oracle runs
+    # the IDENTICAL derivation on the same source columns) and the filter
+    # then transforms it for real.
+    def _derived_stats_top(udf, derived):
+        def run(spark, sf_dir):
+            d = _docs(spark, sf_dir)
+            ex = d.select(
+                "doc_id", F.explode(udf(derived(d))).alias("term")
+            )
+            return (
+                ex.groupBy("term")
+                .agg(
+                    F.countDistinct("doc_id").alias("df"),
+                    F.count("*").alias("ttf"),
+                )
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(20)
+            )
+
+        return run
+
+    def _scand_text(d):
+        # a->ae / o->oo seed substitute+delete pairs everywhere; the
+        # literal suffix exercises the translate arm and uppercase pairs
+        return F.concat(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "a", "ae"), "o", "oo"
+            ),
+            F.lit(" blåbærsyltetøj räksmörgås Oo AE"),
+        )
+
+    def _digits_text(d):
+        # 5000 -> <NUM>, 7x / <lang>42 -> <ALPHANUM>, per-doc length digits
+        return F.concat(
+            F.col("text"), F.lit(" 5000 7x "), F.col("lang"), F.lit("42 "),
+            F.length(F.col("text")).cast("string"),
+        )
+
+    def scandinavian_fold_top(spark, sf_dir):
+        from lucenenet_spark.functions.miscfilters2 import (
+            scandinavian_fold_udf,
+        )
+
+        return _derived_stats_top(scandinavian_fold_udf(), _scand_text)(
+            spark, sf_dir
+        )
+
+    def scandinavian_norm_top(spark, sf_dir):
+        from lucenenet_spark.functions.miscfilters2 import (
+            scandinavian_norm_udf,
+        )
+
+        return _derived_stats_top(scandinavian_norm_udf(), _scand_text)(
+            spark, sf_dir
+        )
+
+    def capitalization_top(spark, sf_dir):
+        # KeywordTokenizer + CapitalizationFilter over the UPPERCASED text:
+        # word 0 gets ucfirst, every later word is fully lowercased
+        from lucenenet_spark.functions.miscfilters2 import capitalization_udf
+
+        return _derived_stats_top(
+            capitalization_udf(), lambda d: F.upper(F.col("text"))
+        )(spark, sf_dir)
+
+    def hyphenated_top(spark, sf_dir):
+        # 's ' -> '- ' makes s-final words hyphen-final (consecutive ones
+        # accumulate); the appended ' end-' token is the stream-final
+        # dangler that gets its hyphen restored
+        from lucenenet_spark.functions.miscfilters2 import hyphenated_udf
+
+        return _derived_stats_top(
+            hyphenated_udf(),
+            lambda d: F.concat(
+                F.regexp_replace(F.col("text"), "s ", "- "), F.lit(" end-")
+            ),
+        )(spark, sf_dir)
+
+    def type_token_num_top(spark, sf_dir):
+        from lucenenet_spark.functions.miscfilters2 import type_token_udf
+
+        return _derived_stats_top(
+            type_token_udf(frozenset({"<NUM>"})), _digits_text
+        )(spark, sf_dir)
+
+    def pattern_capture_top(spark, sf_dir):
+        from lucenenet_spark.functions.miscfilters2 import pattern_capture_udf
+
+        return _derived_stats_top(
+            pattern_capture_udf(("^([a-z]+)([0-9]+)$",), True), _digits_text
+        )(spark, sf_dir)
+
+    def keep_word_top(spark, sf_dir):
+        from lucenenet_spark.functions.miscfilters2 import keep_word_udf
+
+        return _term_stats_top(
+            keep_word_udf(frozenset({"the", "batch", "scan", "merge"}))
+        )(spark, sf_dir)
+
+    out["scandinavian_fold_top"] = scandinavian_fold_top
+    out["scandinavian_norm_top"] = scandinavian_norm_top
+    out["capitalization_top"] = capitalization_top
+    out["hyphenated_top"] = hyphenated_top
+    out["type_token_num_top"] = type_token_num_top
+    out["pattern_capture_top"] = pattern_capture_top
+    out["keep_word_top"] = keep_word_top
+
+    # -- CharFilter stage + path tokenizers + auto stop (round 5o) -----------
+    def mapping_cf_top(spark, sf_dir):
+        # greedy longest-match over a->aa seeded text; mappings chosen
+        # alphabet-disjoint so the oracle's chained regexp_replace equals
+        # the single-pass scan (see charfilters.py docstring)
+        from lucenenet_spark.functions.charfilters import mapping_filter_udf
+
+        return _derived_stats_top(
+            mapping_filter_udf({"aa": "x", "b": "yy"}),
+            lambda d: F.regexp_replace(F.col("text"), "a", "aa"),
+        )(spark, sf_dir)
+
+    def pattern_cf_top(spark, sf_dir):
+        # whole-text regex with group refs: join word pairs with '_'
+        # (changes the token multiset, so the stats gate sees it)
+        from lucenenet_spark.functions.charfilters import (
+            pattern_replace_filter_udf,
+        )
+
+        return _term_stats_top(
+            pattern_replace_filter_udf(
+                "([a-z]+) ([a-z]+)", "\\1_\\2", analyzer="whitespace"
+            )
+        )(spark, sf_dir)
+
+    def _path_col(d):
+        return F.concat(
+            F.col("lang"), F.lit("/"), F.col("source"), F.lit("/")
+        )
+
+    def path_hier_top(spark, sf_dir):
+        from lucenenet_spark.functions.pathtok import path_hierarchy_udf
+
+        return _derived_stats_top(path_hierarchy_udf(), _path_col)(
+            spark, sf_dir
+        )
+
+    def path_hier_rev_top(spark, sf_dir):
+        from lucenenet_spark.functions.pathtok import path_hierarchy_udf
+
+        return _derived_stats_top(path_hierarchy_udf(reverse=True), _path_col)(
+            spark, sf_dir
+        )
+
+    def auto_stop_or(spark, sf_dir):
+        # QueryAutoStopWordAnalyzer: 50% df threshold stops the common
+        # terms (df ~0.8*maxDoc); only the planted rare 'dup' term survives
+        from lucenenet_spark.operators.autostop import auto_stop_search
+
+        s = _searcher(spark, sf_dir)
+        return auto_stop_search(
+            s, [HOT, MID, "dup"], k=15, max_percent_docs=0.5
+        )
+
+    out["mapping_cf_top"] = mapping_cf_top
+    out["pattern_cf_top"] = pattern_cf_top
+    out["path_hier_top"] = path_hier_top
+    out["path_hier_rev_top"] = path_hier_rev_top
+    out["auto_stop_or"] = auto_stop_or
+
     CLS_TEXT_KNN = "batch stream scan merge small table hash batch stream batch"
     CLS_TEXT_NB = "batch stream scan merge small"
 
@@ -1671,6 +1840,11 @@ _NEW_THIS_ROUND: list[str] = [
     "classic_tokens_top", "keyword_tokens_top",
     "terms_filter", "field_value_filter", "bool_filter",
     "chained_filter_xor",
+    "scandinavian_fold_top", "scandinavian_norm_top", "capitalization_top",
+    "hyphenated_top", "type_token_num_top", "pattern_capture_top",
+    "keep_word_top",
+    "mapping_cf_top", "pattern_cf_top", "path_hier_top", "path_hier_rev_top",
+    "auto_stop_or",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -2006,6 +2180,141 @@ FROM em GROUP BY term ORDER BY df DESC, term ASC LIMIT 20"""
 em AS (SELECT docid, text AS term FROM cdocs WHERE COALESCE(text, '') <> '')
 SELECT term, count(DISTINCT docid) AS df, count(*) AS ttf
 FROM em GROUP BY term ORDER BY df DESC, term ASC LIMIT 20"""
+    # misc token filters, wave 2 (round 5n): identical text derivations,
+    # whitespace tokens via duckdb_tokens_sql, then the analytic mirror
+    from lucenenet_spark.functions.analysis import duckdb_tokens_sql
+    from lucenenet_spark.functions.miscfilters2 import (
+        scandinavian_fold_sql,
+        scandinavian_norm_cte,
+    )
+
+    _WS = duckdb_tokens_sql("dtext", "whitespace")
+    _SCAND_DTEXT = (
+        "regexp_replace(regexp_replace(text, 'a', 'ae', 'g'), 'o', 'oo', "
+        "'g') || ' blåbærsyltetøj räksmörgås Oo AE'"
+    )
+    _DIGITS_DTEXT = (
+        "text || ' 5000 7x ' || lang || '42 ' || CAST(length(text) AS "
+        "VARCHAR)"
+    )
+    _STATS = """SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM em GROUP BY term ORDER BY df DESC, term ASC LIMIT 20"""
+    out["scandinavian_fold_top"] = f"""WITH sdocs AS (
+  SELECT doc_id, {_SCAND_DTEXT} AS dtext FROM documents
+),
+stoks AS (SELECT doc_id, unnest({_WS}) AS tok FROM sdocs),
+em AS (SELECT doc_id, {scandinavian_fold_sql('tok')} AS term FROM stoks)
+{_STATS}"""
+    out["scandinavian_norm_top"] = f"""WITH RECURSIVE sdocs AS (
+  SELECT doc_id, {_SCAND_DTEXT} AS dtext FROM documents
+),
+rawtoks AS (SELECT doc_id, unnest({_WS}) AS tok FROM sdocs),
+{scandinavian_norm_cte('rawtoks')},
+em AS (
+  SELECT r.doc_id, m.norm AS term FROM rawtoks r JOIN normmap m USING (tok)
+)
+{_STATS}"""
+    # keyword token of UPPER(text) through CapitalizationFilter: word 0
+    # ucfirst, later words lowercased; on the single-space [a-z ] corpus
+    # that is exactly ucfirst of the original text
+    out["capitalization_top"] = f"""WITH em AS (
+  SELECT doc_id, upper(substr(text, 1, 1)) || substr(text, 2) AS term
+  FROM documents WHERE COALESCE(text, '') <> ''
+)
+{_STATS}"""
+    # hyphen merge as a window fold: group = # of non-hyphen-final tokens
+    # strictly before (parts + their closer share one group); a group
+    # with no closer is the stream-final dangler, hyphen restored
+    out["hyphenated_top"] = f"""WITH hdocs AS (
+  SELECT doc_id,
+         regexp_replace(text, 's ', '- ', 'g') || ' end-' AS dtext
+  FROM documents
+),
+htoks AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS ord, unnest(toks) AS tok
+  FROM (SELECT doc_id, {_WS} AS toks FROM hdocs)
+),
+marked AS (
+  SELECT doc_id, ord, tok,
+         COALESCE(sum(CASE WHEN NOT ends_with(tok, '-') THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS grp
+  FROM htoks
+),
+em AS (
+  SELECT doc_id,
+         string_agg(
+           CASE WHEN ends_with(tok, '-')
+                THEN substr(tok, 1, len(tok) - 1) ELSE tok END,
+           '' ORDER BY ord)
+         || CASE WHEN bool_and(ends_with(tok, '-')) THEN '-' ELSE '' END
+           AS term
+  FROM marked GROUP BY doc_id, grp
+)
+{_STATS}"""
+    out["type_token_num_top"] = f"""WITH ndocs AS (
+  SELECT doc_id, {_DIGITS_DTEXT} AS dtext FROM documents
+),
+ntoks AS (SELECT doc_id, unnest({_WS}) AS tok FROM ndocs),
+em AS (
+  SELECT doc_id, tok AS term FROM ntoks
+  WHERE regexp_matches(tok, '^[0-9]+$')
+)
+{_STATS}"""
+    out["pattern_capture_top"] = f"""WITH ndocs AS (
+  SELECT doc_id, {_DIGITS_DTEXT} AS dtext FROM documents
+),
+ntoks AS (SELECT doc_id, unnest({_WS}) AS tok FROM ndocs),
+em AS (
+  SELECT doc_id, tok AS term FROM ntoks
+  UNION ALL
+  SELECT doc_id, regexp_extract(tok, '^([a-z]+)([0-9]+)$', 1) AS term
+  FROM ntoks WHERE regexp_matches(tok, '^[a-z]+[0-9]+$')
+  UNION ALL
+  SELECT doc_id, regexp_extract(tok, '^([a-z]+)([0-9]+)$', 2) AS term
+  FROM ntoks WHERE regexp_matches(tok, '^[a-z]+[0-9]+$')
+)
+{_STATS}"""
+    out["keep_word_top"] = f"""WITH kdocs AS (
+  SELECT doc_id, text AS dtext FROM documents
+),
+ktoks AS (SELECT doc_id, unnest({_WS}) AS tok FROM kdocs),
+em AS (
+  SELECT doc_id, tok AS term FROM ktoks
+  WHERE tok IN ('the', 'batch', 'scan', 'merge')
+)
+{_STATS}"""
+    # CharFilter stage + path tokenizers + auto stop (round 5o)
+    out["mapping_cf_top"] = f"""WITH mdocs AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text, 'a', 'aa',
+           'g'), 'aa', 'x', 'g'), 'b', 'yy', 'g') AS dtext
+  FROM documents
+),
+em AS (SELECT doc_id, unnest({_WS}) AS term FROM mdocs)
+{_STATS}"""
+    out["pattern_cf_top"] = f"""WITH pdocs AS (
+  SELECT doc_id,
+         regexp_replace(text, '([a-z]+) ([a-z]+)', '\\1_\\2', 'g') AS dtext
+  FROM documents
+),
+em AS (SELECT doc_id, unnest({_WS}) AS term FROM pdocs)
+{_STATS}"""
+    out["path_hier_top"] = f"""WITH em AS (
+  SELECT doc_id,
+         unnest([lang, lang || '/' || source,
+                 lang || '/' || source || '/']) AS term
+  FROM documents
+)
+{_STATS}"""
+    out["path_hier_rev_top"] = f"""WITH em AS (
+  SELECT doc_id,
+         unnest([lang || '/' || source || '/', source || '/']) AS term
+  FROM documents
+)
+{_STATS}"""
+    out["auto_stop_or"] = es.boolean_sql(should=["dup"], k=15)
     out["synonym_or"] = es.boolean_sql(should=["merge", "join"], k=15)
     out["synonym_phrase"] = es.phrase_sql(
         [["table", "value"], ["hash"]], k=15
