@@ -1214,6 +1214,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["path_hier_rev_top"] = path_hier_rev_top
     out["auto_stop_or"] = auto_stop_or
 
+    # -- misc filters wave 3 + WordBreakSpellChecker (round 5p) --------------
+    def stemmer_override_top(spark, sf_dir):
+        # keyword marker protects 'query' from Porter; override maps
+        # 'value' -> 'VAL' (and protects it); the rest stem normally
+        from lucenenet_spark.functions.miscfilters3 import (
+            stemmer_override_udf,
+        )
+
+        return _term_stats_top(
+            stemmer_override_udf(
+                {"value": "VAL"}, keyword_set=frozenset({"query"})
+            )
+        )(spark, sf_dir)
+
+    def codepoint_limit_top(spark, sf_dir):
+        from lucenenet_spark.functions.miscfilters3 import codepoint_limit_udf
+
+        return _term_stats_top(codepoint_limit_udf(2, 6, 5))(spark, sf_dir)
+
+    _WB_SCHEMA = (
+        "rank int, word_idx int, word string, freq bigint, score int"
+    )
+
+    def _wb_rows(spark, sw):
+        rows = [
+            (ri, wi, w.string, w.freq, w.score)
+            for ri, words in enumerate(sw)
+            for wi, w in enumerate(words)
+        ]
+        return spark.createDataFrame(rows, _WB_SCHEMA)
+
+    def word_break_2(spark, sf_dir):
+        from lucenenet_spark.operators.wordbreak import WordBreakSpellChecker
+
+        wb = WordBreakSpellChecker(_searcher(spark, sf_dir))
+        return _wb_rows(spark, wb.suggest_word_breaks("batchstream", 5))
+
+    def word_break_3(spark, sf_dir):
+        from lucenenet_spark.operators.wordbreak import WordBreakSpellChecker
+
+        wb = WordBreakSpellChecker(_searcher(spark, sf_dir), max_changes=2)
+        return _wb_rows(spark, wb.suggest_word_breaks("keyrowdata", 5))
+
+    def word_combine(spark, sf_dir):
+        from lucenenet_spark.operators.wordbreak import WordBreakSpellChecker
+
+        wb = WordBreakSpellChecker(_searcher(spark, sf_dir))
+        cs = wb.suggest_word_combinations(["ba", "tch"], 5)
+        rows = [
+            (w.string, w.freq, w.score, idxs[0], idxs[-1]) for w, idxs in cs
+        ]
+        return spark.createDataFrame(
+            rows, "word string, freq bigint, score int, idx0 int, idx1 int"
+        )
+
+    out["stemmer_override_top"] = stemmer_override_top
+    out["codepoint_limit_top"] = codepoint_limit_top
+    out["word_break_2"] = word_break_2
+    out["word_break_3"] = word_break_3
+    out["word_combine"] = word_combine
+
     CLS_TEXT_KNN = "batch stream scan merge small table hash batch stream batch"
     CLS_TEXT_NB = "batch stream scan merge small"
 
@@ -1845,6 +1906,8 @@ _NEW_THIS_ROUND: list[str] = [
     "keep_word_top",
     "mapping_cf_top", "pattern_cf_top", "path_hier_top", "path_hier_rev_top",
     "auto_stop_or",
+    "stemmer_override_top", "codepoint_limit_top", "word_break_2",
+    "word_break_3", "word_combine",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -2315,6 +2378,116 @@ em AS (SELECT doc_id, unnest({_WS}) AS term FROM pdocs)
 )
 {_STATS}"""
     out["auto_stop_or"] = es.boolean_sql(should=["dup"], k=15)
+    # misc filters wave 3 + WordBreakSpellChecker (round 5p)
+    out["stemmer_override_top"] = f"""{P},
+rawtoks AS (SELECT docid, unnest(tokens) AS tok FROM toks),
+{es._porter_sql_pipeline()},
+em AS (
+  SELECT r.docid AS doc_id,
+         CASE WHEN r.tok = 'query' THEN r.tok
+              WHEN r.tok = 'value' THEN 'VAL'
+              ELSE m.stem END AS term
+  FROM rawtoks r JOIN stemmap m ON r.tok = m.tok
+)
+{_STATS}"""
+    out["codepoint_limit_top"] = f"""WITH cldocs AS (
+  SELECT doc_id, text AS dtext FROM documents
+),
+cltoks AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS ord, unnest(toks) AS tok
+  FROM (SELECT doc_id, {_WS} AS toks FROM cldocs)
+),
+em AS (
+  SELECT doc_id, tok AS term FROM cltoks
+  WHERE ord <= 5 AND len(tok) BETWEEN 2 AND 6
+)
+{_STATS}"""
+    # word breaks: enumerate every split point, keep those whose parts all
+    # have df >= 1, rank fewest-words then max part-df desc (the
+    # NUM_CHANGES_THEN_MAX_FREQUENCY queue order), emit per-word rows
+    out["word_break_2"] = f"""{P},
+tdf AS (SELECT term, count(DISTINCT docid) AS df FROM posting GROUP BY term),
+splits AS (
+  SELECT CAST(i AS INT) AS i,
+         substr('batchstream', 1, CAST(i AS INT)) AS l,
+         substr('batchstream', CAST(i AS INT) + 1) AS r
+  FROM generate_series(1, 10) t(i)
+),
+ok AS (
+  SELECT s.i, s.l, s.r, dl.df AS dfl, dr.df AS dfr
+  FROM splits s
+  JOIN tdf dl ON dl.term = s.l JOIN tdf dr ON dr.term = s.r
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY greatest(dfl, dfr) DESC, i) - 1
+         AS INT) AS rank, * FROM ok
+)
+SELECT rank, CAST(0 AS INT) AS word_idx, l AS word,
+       CAST(dfl AS BIGINT) AS freq, CAST(1 AS INT) AS score FROM ranked
+UNION ALL
+SELECT rank, CAST(1 AS INT), r, CAST(dfr AS BIGINT), CAST(1 AS INT)
+FROM ranked"""
+    out["word_break_3"] = f"""{P},
+tdf AS (SELECT term, count(DISTINCT docid) AS df FROM posting GROUP BY term),
+two AS (
+  SELECT CAST(i AS INT) AS i,
+         substr('keyrowdata', 1, CAST(i AS INT)) AS a,
+         substr('keyrowdata', CAST(i AS INT) + 1) AS b
+  FROM generate_series(1, 9) t(i)
+),
+two_ok AS (
+  SELECT s.i, s.a, s.b, da.df AS dfa, db.df AS dfb
+  FROM two s JOIN tdf da ON da.term = s.a JOIN tdf db ON db.term = s.b
+),
+three AS (
+  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+         substr('keyrowdata', 1, CAST(i AS INT)) AS a,
+         substr('keyrowdata', CAST(i AS INT) + 1,
+                CAST(j AS INT) - CAST(i AS INT)) AS b,
+         substr('keyrowdata', CAST(j AS INT) + 1) AS c
+  FROM generate_series(1, 9) t(i), generate_series(1, 9) u(j)
+  WHERE j > i
+),
+three_ok AS (
+  SELECT s.i, s.j, s.a, s.b, s.c, da.df AS dfa, db.df AS dfb, dc.df AS dfc
+  FROM three s
+  JOIN tdf da ON da.term = s.a JOIN tdf db ON db.term = s.b
+  JOIN tdf dc ON dc.term = s.c
+  WHERE da.df >= 1
+),
+sugg AS (
+  SELECT 2 AS n, i, 0 AS j, a, b, CAST(NULL AS VARCHAR) AS c,
+         dfa, dfb, CAST(NULL AS BIGINT) AS dfc,
+         greatest(dfa, dfb) AS fmax
+  FROM two_ok
+  UNION ALL
+  SELECT 3, i, j, a, b, c, dfa, dfb, dfc, greatest(dfa, dfb, dfc)
+  FROM three_ok
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY n ASC, fmax DESC, i, j) - 1
+         AS INT) AS rank, * FROM sugg
+)
+SELECT rank, CAST(0 AS INT) AS word_idx, a AS word,
+       CAST(dfa AS BIGINT) AS freq, CAST(n - 1 AS INT) AS score FROM ranked
+UNION ALL
+SELECT rank, CAST(1 AS INT), b, CAST(dfb AS BIGINT), CAST(n - 1 AS INT)
+FROM ranked
+UNION ALL
+SELECT rank, CAST(2 AS INT), c, CAST(dfc AS BIGINT), CAST(n - 1 AS INT)
+FROM ranked WHERE n = 3"""
+    out["word_combine"] = f"""{P},
+tdf AS (SELECT term, count(DISTINCT docid) AS df FROM posting GROUP BY term),
+dfq AS (
+  SELECT
+    (SELECT COALESCE(max(df), 0) FROM tdf WHERE term = 'ba') AS df_left,
+    (SELECT COALESCE(max(df), 0) FROM tdf WHERE term = 'tch') AS df_right,
+    (SELECT COALESCE(max(df), 0) FROM tdf WHERE term = 'batch') AS df_comb
+)
+SELECT 'batch' AS word, CAST(df_comb AS BIGINT) AS freq,
+       CAST(1 AS INT) AS score, CAST(0 AS INT) AS idx0, CAST(1 AS INT) AS idx1
+FROM dfq
+WHERE least(df_left, df_right) = 0 AND df_comb >= 1"""
     out["synonym_or"] = es.boolean_sql(should=["merge", "join"], k=15)
     out["synonym_phrase"] = es.phrase_sql(
         [["table", "value"], ["hash"]], k=15
