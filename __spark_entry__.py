@@ -1275,6 +1275,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["word_break_3"] = word_break_3
     out["word_combine"] = word_combine
 
+    # -- compound words + Sandbox fuzzy (round 5q) ----------------------------
+    COMPOUND_DICT = ("cust", "mer", "win", "dow", "stream", "able")
+
+    def compound_top(spark, sf_dir):
+        from lucenenet_spark.functions.compound import compound_udf
+
+        return _term_stats_top(compound_udf(frozenset(COMPOUND_DICT)))(
+            spark, sf_dir
+        )
+
+    def fuzzy_like_this_top(spark, sf_dir):
+        from lucenenet_spark.operators.fuzzylike import fuzzy_like_this
+
+        return fuzzy_like_this(
+            _searcher(spark, sf_dir), "sost batc", 15,
+            min_similarity=0.4, prefix_length=0,
+        )
+
+    def slow_fuzzy(spark, sf_dir):
+        from lucenenet_spark.operators.fuzzylike import slow_fuzzy_query
+
+        return slow_fuzzy_query(
+            _searcher(spark, sf_dir), "windoww", 0.5, 0, k=15
+        )
+
+    out["compound_top"] = compound_top
+    out["fuzzy_like_this_top"] = fuzzy_like_this_top
+    out["slow_fuzzy"] = slow_fuzzy
+
     CLS_TEXT_KNN = "batch stream scan merge small table hash batch stream batch"
     CLS_TEXT_NB = "batch stream scan merge small"
 
@@ -1908,6 +1937,7 @@ _NEW_THIS_ROUND: list[str] = [
     "auto_stop_or",
     "stemmer_override_top", "codepoint_limit_top", "word_break_2",
     "word_break_3", "word_combine",
+    "compound_top", "fuzzy_like_this_top", "slow_fuzzy",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -2488,6 +2518,142 @@ SELECT 'batch' AS word, CAST(df_comb AS BIGINT) AS freq,
        CAST(1 AS INT) AS score, CAST(0 AS INT) AS idx0, CAST(1 AS INT) AS idx1
 FROM dfq
 WHERE least(df_left, df_right) = 0 AND df_comb >= 1"""
+    # compound words + Sandbox fuzzy (round 5q)
+    _CDICT = ("cust", "mer", "win", "dow", "stream", "able")
+    _CVALS = ", ".join(f"('{w}')" for w in _CDICT)
+    out["compound_top"] = f"""WITH cwdocs AS (
+  SELECT doc_id, text AS dtext FROM documents
+),
+cwtoks AS (SELECT doc_id, unnest({_WS}) AS tok FROM cwdocs),
+dwords(w) AS (VALUES {_CVALS}),
+em AS (
+  SELECT doc_id, tok AS term FROM cwtoks
+  UNION ALL
+  SELECT t.doc_id, t.tok[CAST(g.i AS INT) : CAST(g.i AS INT) + len(d.w) - 1]
+         AS term
+  FROM cwtoks t
+  CROSS JOIN dwords d
+  CROSS JOIN generate_series(1, 24) g(i)
+  WHERE len(t.tok) >= 5
+    AND CAST(g.i AS INT) + len(d.w) - 1 <= len(t.tok)
+    AND substr(t.tok, CAST(g.i AS INT), len(d.w)) = d.w
+)
+{_STATS}"""
+
+    import numpy as _np
+
+    def _flt_variant_cte(idx: int, src: str, min_sim: float) -> str:
+        """Per-source-term variant derivation: automaton-path boost chain
+        (maxEdits <= 2), f32 step for step, top-10 by (boost, term), idf
+        with source-df-else-integer-mean fallback."""
+        n = len(src)
+        max_ed = int((1.0 - min_sim) * n)
+        assert max_ed <= 2  # gate terms chosen on the automaton path
+        ms = float(_np.float32(min_sim))
+        scale = float(
+            _np.float32(
+                _np.float32(1.0) / (_np.float32(1.0) - _np.float32(min_sim))
+            )
+        )
+        return f"""cand{idx} AS (
+  SELECT term, df, levenshtein(term, '{src}') AS ed FROM tstats
+  WHERE length(term) BETWEEN {n - max_ed} AND {n + max_ed}
+),
+acc{idx} AS (
+  SELECT term, df, ed,
+         CASE WHEN ed = 0 THEN CAST(1.0 AS REAL)
+              ELSE CAST(CAST(CAST(1.0 AS REAL)
+                   - CAST(CAST(ed AS REAL)
+                          / CAST(least(length(term), {n}) AS REAL) AS REAL)
+                   AS REAL)
+                   - CAST(CAST({ms!r} AS DOUBLE) AS REAL) AS REAL)
+         END AS premul
+  FROM cand{idx}
+  WHERE ed <= {max_ed}
+    AND (ed = 0 OR
+         CAST(CAST(1.0 AS REAL)
+              - CAST(CAST(ed AS REAL)
+                     / CAST(least(length(term), {n}) AS REAL) AS REAL)
+              AS REAL) > CAST(CAST({ms!r} AS DOUBLE) AS REAL))
+),
+boost{idx} AS (
+  SELECT term, df,
+         CASE WHEN ed = 0 THEN CAST(1.0 AS REAL)
+              ELSE CAST(premul * CAST(CAST({scale!r} AS DOUBLE) AS REAL)
+                   AS REAL)
+         END AS b
+  FROM acc{idx}
+),
+dfu{idx} AS (
+  SELECT CASE
+    WHEN (SELECT COALESCE(max(df), 0) FROM tstats WHERE term = '{src}') > 0
+    THEN (SELECT max(df) FROM tstats WHERE term = '{src}')
+    ELSE (SELECT sum(df) // count(*) FROM boost{idx})
+  END AS df_use
+),
+fin{idx} AS (
+  SELECT term,
+         CAST(CAST(b * b AS REAL)
+              * CAST(ln(CAST((SELECT max_doc FROM fstats) AS DOUBLE)
+                        / CAST((SELECT df_use FROM dfu{idx}) + 1 AS DOUBLE))
+                     + 1.0 AS REAL) AS REAL) AS boost
+  FROM (SELECT term, b FROM boost{idx} ORDER BY b DESC, term LIMIT 10)
+)"""
+
+    out["fuzzy_like_this_top"] = f"""{P},
+{_flt_variant_cte(0, 'sost', 0.4)},
+{_flt_variant_cte(1, 'batc', 0.4)},
+pool AS (
+  SELECT term, boost FROM (
+    SELECT term, boost FROM fin0 UNION ALL SELECT term, boost FROM fin1
+  ) ORDER BY boost DESC, term LIMIT 50
+),
+matched AS (
+  SELECT DISTINCT p.docid, q.term, q.boost
+  FROM posting p JOIN pool q ON p.term = q.term
+)
+SELECT docid,
+       list_reduce(list(boost ORDER BY term), (x, y) -> CAST(x + y AS REAL))
+         AS score
+FROM matched GROUP BY docid
+ORDER BY score DESC, docid ASC
+LIMIT 15"""
+
+    # linear-path SlowFuzzyQuery: maxEdits = int(.5*7) = 3 > 2, so the
+    # similarity denominator is prefix + min(post-prefix lengths)
+    out["slow_fuzzy"] = f"""{P},
+scand AS (
+  SELECT term, levenshtein(term, 'windoww') AS ed FROM tstats
+  WHERE length(term) BETWEEN 4 AND 10
+),
+sacc AS (
+  SELECT term,
+         CAST(CAST(CAST(1.0 AS REAL)
+              - CAST(CAST(ed AS REAL)
+                     / CAST(least(length(term), 7) AS REAL) AS REAL)
+              AS REAL)
+              - CAST(0.5 AS REAL) AS REAL) AS premul
+  FROM scand
+  WHERE CAST(CAST(1.0 AS REAL)
+             - CAST(CAST(ed AS REAL)
+                    / CAST(least(length(term), 7) AS REAL) AS REAL)
+             AS REAL) > CAST(0.5 AS REAL)
+),
+sboost AS (
+  SELECT term, CAST(premul * CAST(2.0 AS REAL) AS REAL) AS b
+  FROM (SELECT * FROM sacc ORDER BY CAST(premul * CAST(2.0 AS REAL) AS REAL)
+        DESC, term LIMIT 50)
+),
+smatched AS (
+  SELECT DISTINCT p.docid, q.term, q.b
+  FROM posting p JOIN sboost q ON p.term = q.term
+)
+SELECT docid,
+       list_reduce(list(b ORDER BY term), (x, y) -> CAST(x + y AS REAL))
+         AS score
+FROM smatched GROUP BY docid
+ORDER BY score DESC, docid ASC
+LIMIT 15"""
     out["synonym_or"] = es.boolean_sql(should=["merge", "join"], k=15)
     out["synonym_phrase"] = es.phrase_sql(
         [["table", "value"], ["hash"]], k=15
