@@ -1304,6 +1304,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fuzzy_like_this_top"] = fuzzy_like_this_top
     out["slow_fuzzy"] = slow_fuzzy
 
+    # -- suggest lookup family (round 5r): entries = whitespace vocab with
+    # df weights; the lookups run driver-side on the collected dict (the
+    # reference builds its FST/TST in memory the same way)
+    def _lookup_entries(spark, sf_dir):
+        from lucenenet_spark.functions.analysis import tokenize_udf
+
+        d = _docs(spark, sf_dir)
+        rows = (
+            d.select(
+                "doc_id",
+                F.explode(tokenize_udf("whitespace")(F.col("text"))).alias(
+                    "term"
+                ),
+            )
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def _rank_df(spark, pairs):
+        return spark.createDataFrame(
+            [(i, k, int(v)) for i, (k, v) in enumerate(pairs)],
+            "rank int, key string, value bigint",
+        )
+
+    def fst_completion_top(spark, sf_dir):
+        from lucenenet_spark.operators.fstlookup import (
+            fst_completion_build,
+            fst_completion_lookup,
+        )
+
+        table = fst_completion_build(
+            list(_lookup_entries(spark, sf_dir).items()), buckets=10
+        )
+        return _rank_df(spark, fst_completion_lookup(table, "s", 4))
+
+    def wfst_lookup_top(spark, sf_dir):
+        from lucenenet_spark.operators.fstlookup import wfst_lookup
+
+        return _rank_df(
+            spark, wfst_lookup(_lookup_entries(spark, sf_dir), "s", 4)
+        )
+
+    def tst_lookup_top(spark, sf_dir):
+        from lucenenet_spark.operators.fstlookup import tst_lookup
+
+        return _rank_df(
+            spark, tst_lookup(_lookup_entries(spark, sf_dir), "s", 4)
+        )
+
+    def jaspell_popular_top(spark, sf_dir):
+        from lucenenet_spark.operators.fstlookup import jaspell_lookup
+
+        return _rank_df(
+            spark,
+            jaspell_lookup(
+                _lookup_entries(spark, sf_dir), "s", 2,
+                only_more_popular=True,
+            ),
+        )
+
+    out["fst_completion_top"] = fst_completion_top
+    out["wfst_lookup_top"] = wfst_lookup_top
+    out["tst_lookup_top"] = tst_lookup_top
+    out["jaspell_popular_top"] = jaspell_popular_top
+
     CLS_TEXT_KNN = "batch stream scan merge small table hash batch stream batch"
     CLS_TEXT_NB = "batch stream scan merge small"
 
@@ -1938,6 +2005,8 @@ _NEW_THIS_ROUND: list[str] = [
     "stemmer_override_top", "codepoint_limit_top", "word_break_2",
     "word_break_3", "word_combine",
     "compound_top", "fuzzy_like_this_top", "slow_fuzzy",
+    "fst_completion_top", "wfst_lookup_top", "tst_lookup_top",
+    "jaspell_popular_top",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -2654,6 +2723,51 @@ SELECT docid,
 FROM smatched GROUP BY docid
 ORDER BY score DESC, docid ASC
 LIMIT 15"""
+    # suggest lookup family (round 5r): whitespace vocab with df weights
+    _LKV = f"""lkdocs AS (SELECT doc_id, text AS dtext FROM documents),
+lktoks AS (SELECT doc_id, unnest({_WS}) AS tok FROM lkdocs),
+vocab AS (
+  SELECT tok AS term, count(DISTINCT doc_id) AS df
+  FROM lktoks GROUP BY tok
+)"""
+    # FSTCompletionLookup bucket discretization: line = rank in (weight,
+    # term) order; an equal-weight run reuses its FIRST line's bucket
+    out["fst_completion_top"] = f"""WITH {_LKV},
+lined AS (
+  SELECT term, df,
+         row_number() OVER (ORDER BY df, term) - 1 AS line,
+         count(*) OVER () AS n
+  FROM vocab
+),
+bucketed AS (
+  SELECT term,
+         CAST(min(line) OVER (PARTITION BY df) * 10 // n AS BIGINT)
+           AS bucket
+  FROM lined
+)
+SELECT CAST(row_number() OVER (ORDER BY bucket DESC, term) - 1 AS INT)
+         AS rank,
+       term AS key, bucket AS value
+FROM bucketed WHERE term LIKE 's%'
+ORDER BY rank LIMIT 4"""
+    out["wfst_lookup_top"] = f"""WITH {_LKV}
+SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS INT) AS rank,
+       term AS key, CAST(df AS BIGINT) AS value
+FROM vocab WHERE term LIKE 's%'
+ORDER BY rank LIMIT 4"""
+    out["tst_lookup_top"] = f"""WITH {_LKV}
+SELECT CAST(row_number() OVER (ORDER BY term) - 1 AS INT) AS rank,
+       term AS key, CAST(df AS BIGINT) AS value
+FROM vocab WHERE term LIKE 's%'
+ORDER BY rank LIMIT 4"""
+    # Jaspell onlyMorePopular: rank the first num*2 ALPHABETICAL matches
+    out["jaspell_popular_top"] = f"""WITH {_LKV},
+slice AS (
+  SELECT term, df FROM vocab WHERE term LIKE 's%' ORDER BY term LIMIT 4
+)
+SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS INT) AS rank,
+       term AS key, CAST(df AS BIGINT) AS value
+FROM slice ORDER BY rank LIMIT 2"""
     out["synonym_or"] = es.boolean_sql(should=["merge", "join"], k=15)
     out["synonym_phrase"] = es.phrase_sql(
         [["table", "value"], ["hash"]], k=15
