@@ -1371,6 +1371,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["tst_lookup_top"] = tst_lookup_top
     out["jaspell_popular_top"] = jaspell_popular_top
 
+    # -- classic SpellChecker (round 5s) --------------------------------------
+    def _spell_rows(spark, rows):
+        return spark.createDataFrame(
+            [(i, w, float(s), int(f)) for i, (w, s, f) in enumerate(rows)],
+            "rank int, word string, score float, freq bigint",
+        )
+
+    def spell_classic_lev(spark, sf_dir):
+        from lucenenet_spark.operators.spellchecker import (
+            suggest_similar_scored,
+        )
+
+        return _spell_rows(
+            spark,
+            suggest_similar_scored(
+                _searcher(spark, sf_dir), "batck", 5, accuracy=0.2
+            ),
+        )
+
+    def spell_classic_dl(spark, sf_dir):
+        from lucenenet_spark.operators.spellchecker import (
+            suggest_similar_scored,
+        )
+
+        return _spell_rows(
+            spark,
+            suggest_similar_scored(
+                _searcher(spark, sf_dir), "stble", 5,
+                distance="lucene_levenshtein", accuracy=0.2,
+            ),
+        )
+
+    out["spell_classic_lev"] = spell_classic_lev
+    out["spell_classic_dl"] = spell_classic_dl
+
     CLS_TEXT_KNN = "batch stream scan merge small table hash batch stream batch"
     CLS_TEXT_NB = "batch stream scan merge small"
 
@@ -2007,6 +2042,7 @@ _NEW_THIS_ROUND: list[str] = [
     "compound_top", "fuzzy_like_this_top", "slow_fuzzy",
     "fst_completion_top", "wfst_lookup_top", "tst_lookup_top",
     "jaspell_popular_top",
+    "spell_classic_lev", "spell_classic_dl",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -2768,6 +2804,52 @@ slice AS (
 SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS INT) AS rank,
        term AS key, CAST(df AS BIGINT) AS value
 FROM slice ORDER BY rank LIMIT 2"""
+
+    # classic SpellChecker (round 5s): candidates share >= 1 ngram of the
+    # word (gram sizes by word length), score = f32 distance, accuracy
+    # floor, (score desc, freq desc, term asc) total order
+    def _spell_sql(word: str, dist_expr: str, accuracy: float, k: int) -> str:
+        lo = 2 if len(word) == 5 else (3 if len(word) > 5 else 1)
+        hi = 3 if len(word) == 5 else (4 if len(word) > 5 else 2)
+        grams = sorted(
+            {
+                word[i : i + ng]
+                for ng in range(lo, hi + 1)
+                for i in range(len(word) - ng + 1)
+            }
+        )
+        shares = " OR ".join(f"contains(term, '{g}')" for g in grams)
+        return f"""{P},
+tdf AS (SELECT term, count(DISTINCT docid) AS df FROM posting GROUP BY term),
+cands AS (
+  SELECT term, df FROM tdf WHERE ({shares}) AND term <> '{word}'
+),
+scoredw AS (
+  SELECT term, df, {dist_expr} AS score FROM cands
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, df DESC, term) - 1
+       AS INT) AS rank,
+       term AS word, score, CAST(df AS BIGINT) AS freq
+FROM scoredw
+WHERE score >= CAST(CAST({accuracy!r} AS DOUBLE) AS REAL)
+ORDER BY rank LIMIT {k}"""
+
+    out["spell_classic_lev"] = _spell_sql(
+        "batck",
+        "CAST(CAST(1.0 AS REAL) - CAST(CAST(levenshtein(term, 'batck') "
+        "AS REAL) / CAST(greatest(length(term), 5) AS REAL) AS REAL) "
+        "AS REAL)",
+        0.2,
+        5,
+    )
+    out["spell_classic_dl"] = _spell_sql(
+        "stble",
+        "CAST(CAST(1.0 AS REAL) - CAST(CAST(damerau_levenshtein(term, "
+        "'stble') AS REAL) / CAST(least(length(term), 5) AS REAL) AS REAL) "
+        "AS REAL)",
+        0.2,
+        5,
+    )
     out["synonym_or"] = es.boolean_sql(should=["merge", "join"], k=15)
     out["synonym_phrase"] = es.phrase_sql(
         [["table", "value"], ["hash"]], k=15
