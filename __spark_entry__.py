@@ -1406,6 +1406,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["spell_classic_lev"] = spell_classic_lev
     out["spell_classic_dl"] = spell_classic_dl
 
+    # -- PatternTokenizer + TeeSink + HighFreqTerms (round 5t) ----------------
+    def pattern_tok_split(spark, sf_dir):
+        # whole-text split on 'a' runs: tokens keep spaces inside
+        from lucenenet_spark.functions.patterntok import (
+            pattern_tokenizer_udf,
+        )
+
+        return _term_stats_top(pattern_tokenizer_udf("a+", -1))(
+            spark, sf_dir
+        )
+
+    def pattern_tok_group(spark, sf_dir):
+        from lucenenet_spark.functions.patterntok import (
+            pattern_tokenizer_udf,
+        )
+
+        return _term_stats_top(pattern_tokenizer_udf("([a-z]+)r", 1))(
+            spark, sf_dir
+        )
+
+    def tee_sink_top(spark, sf_dir):
+        # one analysis pass feeding three sinks; stats per (sink, term)
+        from lucenenet_spark.functions.teesink import tee_sink_udf
+
+        d = _docs(spark, sf_dir)
+        derived = F.concat(
+            F.col("text"), F.lit(" 20240101 7x "), F.col("lang"),
+            F.lit("42 "), F.length(F.col("text")).cast("string"),
+        )
+        s = d.select("doc_id", tee_sink_udf()(derived).alias("s"))
+        parts = [
+            s.select(
+                "doc_id",
+                F.lit(name).alias("sink"),
+                F.explode(F.col(f"s.{name}")).alias("term"),
+            )
+            for name in ("dates", "ranged", "typed")
+        ]
+        u = parts[0].unionAll(parts[1]).unionAll(parts[2])
+        return (
+            u.groupBy("sink", "term")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.count("*").alias("ttf"),
+            )
+            .orderBy(F.desc("df"), F.asc("sink"), F.asc("term"))
+            .limit(25)
+        )
+
+    def high_freq_terms_ttf(spark, sf_dir):
+        # Misc/HighFreqTerms.cs with the TotalTermFreqComparer; ties
+        # break by term (our defined order — the reference queue's tie
+        # order is heap-dependent)
+        s = _searcher(spark, sf_dir)
+        return (
+            s._stat_rows()
+            .filter(F.col("field") == "text")
+            .groupBy("term")
+            .agg(
+                F.sum("count").alias("df"),
+                F.sum("sum_tf").alias("ttf"),
+            )
+            .orderBy(F.desc("ttf"), F.asc("term"))
+            .limit(20)
+        )
+
+    out["pattern_tok_split"] = pattern_tok_split
+    out["pattern_tok_group"] = pattern_tok_group
+    out["tee_sink_top"] = tee_sink_top
+    out["high_freq_terms_ttf"] = high_freq_terms_ttf
+
     CLS_TEXT_KNN = "batch stream scan merge small table hash batch stream batch"
     CLS_TEXT_NB = "batch stream scan merge small"
 
@@ -2043,6 +2114,8 @@ _NEW_THIS_ROUND: list[str] = [
     "fst_completion_top", "wfst_lookup_top", "tst_lookup_top",
     "jaspell_popular_top",
     "spell_classic_lev", "spell_classic_dl",
+    "pattern_tok_split", "pattern_tok_group", "tee_sink_top",
+    "high_freq_terms_ttf",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -2850,6 +2923,47 @@ ORDER BY rank LIMIT {k}"""
         0.2,
         5,
     )
+    # PatternTokenizer + TeeSink + HighFreqTerms (round 5t)
+    out["pattern_tok_split"] = f"""WITH em AS (
+  SELECT doc_id, unnest(
+    list_filter(string_split_regex(text, 'a+'), t -> t <> '')
+  ) AS term
+  FROM documents
+)
+{_STATS}"""
+    out["pattern_tok_group"] = f"""WITH em AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '([a-z]+)r', 1)) AS term
+  FROM documents
+)
+{_STATS}"""
+    out["tee_sink_top"] = f"""WITH tsdocs AS (
+  SELECT doc_id,
+         text || ' 20240101 7x ' || lang || '42 '
+              || CAST(length(text) AS VARCHAR) AS dtext
+  FROM documents
+),
+tstoks AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS ord, unnest(toks) AS tok
+  FROM (SELECT doc_id, {_WS} AS toks FROM tsdocs)
+),
+em AS (
+  SELECT doc_id, 'dates' AS sink, tok AS term FROM tstoks
+  WHERE try_strptime(tok, '%Y%m%d') IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 'ranged', tok FROM tstoks WHERE ord BETWEEN 2 AND 3
+  UNION ALL
+  SELECT doc_id, 'typed', tok FROM tstoks
+  WHERE regexp_matches(tok, '^[0-9]+$')
+)
+SELECT sink, term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM em GROUP BY sink, term
+ORDER BY df DESC, sink ASC, term ASC LIMIT 25"""
+    out["high_freq_terms_ttf"] = f"""{P},
+tt AS (SELECT docid, unnest(tokens) AS tok FROM toks)
+SELECT tok AS term, count(DISTINCT docid) AS df, count(*) AS ttf
+FROM tt GROUP BY tok
+ORDER BY ttf DESC, term ASC LIMIT 20"""
     out["synonym_or"] = es.boolean_sql(should=["merge", "join"], k=15)
     out["synonym_phrase"] = es.phrase_sql(
         [["table", "value"], ["hash"]], k=15
