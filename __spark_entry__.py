@@ -1477,6 +1477,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["tee_sink_top"] = tee_sink_top
     out["high_freq_terms_ttf"] = high_freq_terms_ttf
 
+    def html_strip_top(spark, sf_dir):
+        # block div -> newline, inline b stripped bare, entity decoded,
+        # comment (holding `source`!) gone, script element swallowed —
+        # the oracle reconstructs the stripped text analytically
+        from lucenenet_spark.functions.htmlstrip import html_strip_udf
+
+        return _derived_stats_top(
+            html_strip_udf(),
+            lambda d: F.concat(
+                F.lit('<div class="x">'), F.col("text"),
+                F.lit("</div> <b>"), F.col("lang"),
+                F.lit("</b> &amp; <!-- "), F.col("source"),
+                F.lit(" --> <script>var x=1;</script> tail"),
+            ),
+        )(spark, sf_dir)
+
+    out["html_strip_top"] = html_strip_top
+
     CLS_TEXT_KNN = "batch stream scan merge small table hash batch stream batch"
     CLS_TEXT_NB = "batch stream scan merge small"
 
@@ -2115,7 +2133,7 @@ _NEW_THIS_ROUND: list[str] = [
     "jaspell_popular_top",
     "spell_classic_lev", "spell_classic_dl",
     "pattern_tok_split", "pattern_tok_group", "tee_sink_top",
-    "high_freq_terms_ttf",
+    "high_freq_terms_ttf", "html_strip_top",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -2964,6 +2982,15 @@ tt AS (SELECT docid, unnest(tokens) AS tok FROM toks)
 SELECT tok AS term, count(DISTINCT docid) AS df, count(*) AS ttf
 FROM tt GROUP BY tok
 ORDER BY ttf DESC, term ASC LIMIT 20"""
+    out["html_strip_top"] = f"""WITH hsdocs AS (
+  SELECT doc_id, text AS dtext, lang FROM documents
+),
+em AS (
+  SELECT doc_id, unnest({_WS}) AS term FROM hsdocs
+  UNION ALL
+  SELECT doc_id, unnest([lang, '&', 'tail']) FROM hsdocs
+)
+{_STATS}"""
     out["synonym_or"] = es.boolean_sql(should=["merge", "join"], k=15)
     out["synonym_phrase"] = es.phrase_sql(
         [["table", "value"], ["hash"]], k=15
