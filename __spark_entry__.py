@@ -1495,6 +1495,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["html_strip_top"] = html_strip_top
 
+    # -- Filter family wave 2 (round 5v) ---------------------------------------
+    from lucenenet_spark.plans.query import (
+        DocTermOrdsRangeFilter,
+        FieldCacheRangeFilter,
+        FieldCacheTermsFilter,
+        NumericRangeFilter,
+        PrefixFilter,
+    )
+
+    out["prefix_filter"] = topk(
+        FilteredQuery(
+            query=TermQuery(term=HOT),
+            filter=PrefixFilter(field="text", prefix="sc"),
+        ),
+        k=15,
+    )
+    out["numeric_range_filter"] = topk(
+        ConstantScoreQuery(
+            filter=NumericRangeFilter("turn_idx", 1, 2, True, False)
+        ),
+        k=25,
+    )
+    out["fieldcache_terms_filter"] = topk(
+        ConstantScoreQuery(
+            filter=FieldCacheTermsFilter("role", ("user", "tool")),
+            boost=1.5,
+        ),
+        k=25,
+    )
+    out["fieldcache_range_filter"] = topk(
+        ConstantScoreQuery(
+            filter=FieldCacheRangeFilter("role", "t", "v", True, False)
+        ),
+        k=25,
+    )
+    out["doc_term_ords_range"] = topk(
+        ConstantScoreQuery(
+            filter=DocTermOrdsRangeFilter("labels", "src3", "src6", True, True)
+        ),
+        k=25,
+    )
+
     CLS_TEXT_KNN = "batch stream scan merge small table hash batch stream batch"
     CLS_TEXT_NB = "batch stream scan merge small"
 
@@ -2134,6 +2176,8 @@ _NEW_THIS_ROUND: list[str] = [
     "spell_classic_lev", "spell_classic_dl",
     "pattern_tok_split", "pattern_tok_group", "tee_sink_top",
     "high_freq_terms_ttf", "html_strip_top",
+    "prefix_filter", "numeric_range_filter", "fieldcache_terms_filter",
+    "fieldcache_range_filter", "doc_term_ords_range",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -2991,6 +3035,33 @@ em AS (
   SELECT doc_id, unnest([lang, '&', 'tail']) FROM hsdocs
 )
 {_STATS}"""
+    # Filter family wave 2 (round 5v)
+    out["prefix_filter"] = es.boolean_sql(
+        should=[HOT],
+        k=15,
+        extra_where=(
+            "docid IN (SELECT DISTINCT docid FROM posting "
+            "WHERE term LIKE 'sc%')"
+        ),
+    )
+    out["numeric_range_filter"] = f"""{P}
+SELECT docid, CAST(CAST(1.0 AS DOUBLE) AS REAL) AS score
+FROM docs WHERE turn_idx >= 1 AND turn_idx < 2
+ORDER BY docid ASC LIMIT 25"""
+    out["fieldcache_terms_filter"] = f"""{P}
+SELECT docid, CAST(CAST(1.5 AS DOUBLE) AS REAL) AS score
+FROM docs WHERE role IN ('user', 'tool')
+ORDER BY docid ASC LIMIT 25"""
+    out["fieldcache_range_filter"] = f"""{P}
+SELECT docid, CAST(CAST(1.0 AS DOUBLE) AS REAL) AS score
+FROM docs WHERE role >= 't' AND role < 'v'
+ORDER BY docid ASC LIMIT 25"""
+    out["doc_term_ords_range"] = f"""{P}
+SELECT docid, CAST(CAST(1.0 AS DOUBLE) AS REAL) AS score
+FROM docs
+WHERE (role >= 'src3' AND role <= 'src6')
+   OR (tool >= 'src3' AND tool <= 'src6')
+ORDER BY docid ASC LIMIT 25"""
     out["synonym_or"] = es.boolean_sql(should=["merge", "join"], k=15)
     out["synonym_phrase"] = es.phrase_sql(
         [["table", "value"], ["hash"]], k=15

@@ -205,6 +205,8 @@ class IndexSearcher:
         }
         # (field, term) -> (df, max_block_bound); one pruned scan per term
         self._stats_cache: dict[tuple[str, str], tuple[int, float]] = {}
+        # CachingWrapperFilter's per-searcher docid-set cache
+        self._filter_cache: dict = {}
         # below this many candidate postings, block-max pruning costs more
         # (2 extra jobs) than the decode it saves — scan-and-score instead
         self.prune_min_postings = prune_min_postings
@@ -838,14 +840,68 @@ class IndexSearcher:
             CHAIN_ANDNOT,
             CHAIN_XOR,
             BooleanFilter,
+            CachingWrapperFilter,
             ChainedFilter,
+            DocTermOrdsRangeFilter,
+            FieldCacheRangeFilter,
+            FieldCacheTermsFilter,
             FieldValueFilter,
+            NumericRangeFilter,
+            PrefixFilter,
             QueryWrapperFilter,
             TermsFilter,
         )
 
         if isinstance(f, TermsFilter):
             return self._docids_of_terms([tuple(p) for p in f.terms])
+        if isinstance(f, PrefixFilter):
+            # MultiTermQueryWrapperFilter over the prefix enum: terms-dict
+            # range pushdown, then decode docids (never a term collect)
+            blocks = self.postings().filter(F.col("field") == f.field).filter(
+                (F.col("term") >= f.prefix)
+                & (F.col("term") < f.prefix + "￿")
+            )
+            return self._decode_docids(blocks)
+        if isinstance(f, (NumericRangeFilter, FieldCacheRangeFilter)):
+            col = F.col(f.field)
+            cond = F.lit(True)
+            if f.lower is not None:
+                cond = cond & (
+                    (col >= f.lower) if f.include_lower else (col > f.lower)
+                )
+            if f.upper is not None:
+                cond = cond & (
+                    (col <= f.upper) if f.include_upper else (col < f.upper)
+                )
+            return self.docs().filter(cond).select("docid")
+        if isinstance(f, FieldCacheTermsFilter):
+            return (
+                self.docs()
+                .filter(F.col(f.field).isin(list(f.terms)))
+                .select("docid")
+            )
+        if isinstance(f, DocTermOrdsRangeFilter):
+            blocks = self.postings().filter(F.col("field") == f.field)
+            if f.lower is not None:
+                blocks = blocks.filter(
+                    (F.col("term") >= f.lower)
+                    if f.include_lower
+                    else (F.col("term") > f.lower)
+                )
+            if f.upper is not None:
+                blocks = blocks.filter(
+                    (F.col("term") <= f.upper)
+                    if f.include_upper
+                    else (F.col("term") < f.upper)
+                )
+            return self._decode_docids(blocks)
+        if isinstance(f, CachingWrapperFilter):
+            key = f.filter
+            cached = self._filter_cache.get(key)
+            if cached is None:
+                cached = self._filter_docids(key).cache()
+                self._filter_cache[key] = cached
+            return cached
         if isinstance(f, FieldValueFilter):
             col = F.col(f.field)
             cond = col.isNull() if f.negate else col.isNotNull()

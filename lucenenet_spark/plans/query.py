@@ -221,6 +221,72 @@ class BooleanFilter(Filter):
     must_not: tuple[Filter, ...] = ()
 
 
+@dataclass(frozen=True)
+class PrefixFilter(Filter):
+    """PrefixQuery as a filter (Search/PrefixFilter.cs — a
+    MultiTermQueryWrapperFilter over the prefix terms enum)."""
+
+    field: str = "text"
+    prefix: str = ""
+
+
+@dataclass(frozen=True)
+class NumericRangeFilter(Filter):
+    """NumericRangeQuery as a filter (Search/NumericRangeFilter.cs):
+    docs whose numeric/timestamp column sits in the (optionally open,
+    optionally exclusive) range."""
+
+    field: str = "turn_idx"
+    lower: object = None
+    upper: object = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
+class FieldCacheTermsFilter(Filter):
+    """Docs whose SINGLE-VALUED field value is one of `terms`
+    (Search/FieldCacheTermsFilter.cs — the field-cache ord lookup is a
+    column membership test here)."""
+
+    field: str = "role"
+    terms: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class FieldCacheRangeFilter(Filter):
+    """String range over a single-valued column
+    (Search/FieldCacheRangeFilter.cs NewStringRange): term-ordinal
+    comparison == lexicographic column comparison."""
+
+    field: str = "role"
+    lower: str | None = None
+    upper: str | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
+class DocTermOrdsRangeFilter(Filter):
+    """Multi-valued keyword-field range (Search/DocTermOrdsRangeFilter.cs):
+    docs with ANY indexed value of `field` inside the term range."""
+
+    field: str = "labels"
+    lower: str | None = None
+    upper: str | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
+class CachingWrapperFilter(Filter):
+    """Caches the wrapped filter's docid set
+    (Search/CachingWrapperFilter.cs); here the set DataFrame is
+    persisted so repeated queries reuse it."""
+
+    filter: "Filter | None" = None
+
+
 # ChainedFilter logic constants (Lucene.Net.Queries/ChainedFilter.cs:45-52)
 CHAIN_OR, CHAIN_AND, CHAIN_ANDNOT, CHAIN_XOR = 0, 1, 2, 3
 
