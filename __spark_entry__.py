@@ -1537,6 +1537,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=25,
     )
 
+    # NGramPhraseQuery (round 5v): the rewrite drops the redundant middle
+    # gram — scored exactly as the positioned two-term phrase
+    from lucenenet_spark.plans.query import NGramPhraseQuery
+
+    out["ngram_phrase"] = topk(
+        NGramPhraseQuery(n=2, terms=(HOT, MID, T3)), k=15
+    )
+
     CLS_TEXT_KNN = "batch stream scan merge small table hash batch stream batch"
     CLS_TEXT_NB = "batch stream scan merge small"
 
@@ -2177,7 +2185,7 @@ _NEW_THIS_ROUND: list[str] = [
     "pattern_tok_split", "pattern_tok_group", "tee_sink_top",
     "high_freq_terms_ttf", "html_strip_top",
     "prefix_filter", "numeric_range_filter", "fieldcache_terms_filter",
-    "fieldcache_range_filter", "doc_term_ords_range",
+    "fieldcache_range_filter", "doc_term_ords_range", "ngram_phrase",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -3062,6 +3070,7 @@ FROM docs
 WHERE (role >= 'src3' AND role <= 'src6')
    OR (tool >= 'src3' AND tool <= 'src6')
 ORDER BY docid ASC LIMIT 25"""
+    out["ngram_phrase"] = es.phrase_sql([HOT, T3], offsets=[0, 2], k=15)
     out["synonym_or"] = es.boolean_sql(should=["merge", "join"], k=15)
     out["synonym_phrase"] = es.phrase_sql(
         [["table", "value"], ["hash"]], k=15

@@ -53,6 +53,7 @@ from ..plans.query import (
     FuzzyQuery,
     MatchAllQuery,
     MultiPhraseQuery,
+    NGramPhraseQuery,
     PayloadTermQuery,
     PhraseQuery,
     PrefixQuery,
@@ -682,6 +683,31 @@ class IndexSearcher:
             )
         elif isinstance(q, CommonTermsQuery):
             return self._rewrite_common_terms(q)
+        elif isinstance(q, NGramPhraseQuery):
+            # NGramPhraseQuery.cs Rewrite: slop=0, n>=2, >=3 terms at
+            # consecutive positions -> keep every n-th term plus the last
+            # (positions preserved); otherwise behave as a plain phrase
+            positions = q.offsets
+            consecutive = all(
+                positions[i - 1] + 1 == positions[i]
+                for i in range(1, len(positions))
+            )
+            if q.slop != 0 or q.n < 2 or len(q.terms) < 3 or not consecutive:
+                return PhraseQuery(
+                    boost=q.boost, terms=q.terms, positions=q.positions,
+                    slop=q.slop, field=q.field,
+                )
+            last = len(q.terms) - 1
+            keep = [
+                i for i in range(len(q.terms)) if i % q.n == 0 or i >= last
+            ]
+            return PhraseQuery(
+                boost=q.boost,
+                terms=tuple(q.terms[i] for i in keep),
+                positions=tuple(positions[i] for i in keep),
+                slop=0,
+                field=q.field,
+            )
         elif isinstance(q, PhraseQuery) and len(q.terms) == 1:
             # 1-term phrase rewrites to TermQuery (PhraseQuery.cs Rewrite)
             return TermQuery(term=q.terms[0], field=q.field, boost=q.boost)

@@ -123,6 +123,18 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class NGramPhraseQuery(PhraseQuery):
+    """PhraseQuery over an n-gram analyzed field
+    (Search/NGramPhraseQuery.cs): with slop=0, n >= 2, >= 3 terms at
+    consecutive positions, the rewrite keeps only every n-th term plus
+    the last (positions preserved) — overlapping n-grams make the
+    dropped terms redundant for matching, and Lucene accepts the
+    (idf-sum) score change as part of the optimization."""
+
+    n: int = 2
+
+
+@dataclass(frozen=True)
 class MultiPhraseQuery(Query):
     """Generalized phrase: a SET of alternative terms per position slot
     (Search/MultiPhraseQuery.cs — "Microsoft app*" style synonym phrases).
