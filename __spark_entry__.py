@@ -1545,6 +1545,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         NGramPhraseQuery(n=2, terms=(HOT, MID, T3)), k=15
     )
 
+    def wikipedia_top(spark, sf_dir):
+        # wiki markup derived from the corpus columns: a category, plain
+        # text, italics, an external link with anchor, a heading, and a
+        # citation — the oracle reconstructs the token multiset
+        from lucenenet_spark.functions.wikipedia import wikipedia_udf
+
+        return _derived_stats_top(
+            wikipedia_udf(),
+            lambda d: F.concat(
+                F.lit("[[Category:"), F.col("lang"), F.lit("]] "),
+                F.col("text"), F.lit(" ''"), F.col("source"),
+                F.lit("'' [http://"), F.col("source"), F.lit(".com "),
+                F.col("lang"), F.lit("] ==head h2== <ref>cite "),
+                F.col("lang"), F.lit("</ref>"),
+            ),
+        )(spark, sf_dir)
+
+    out["wikipedia_top"] = wikipedia_top
+
     CLS_TEXT_KNN = "batch stream scan merge small table hash batch stream batch"
     CLS_TEXT_NB = "batch stream scan merge small"
 
@@ -2186,6 +2205,7 @@ _NEW_THIS_ROUND: list[str] = [
     "high_freq_terms_ttf", "html_strip_top",
     "prefix_filter", "numeric_range_filter", "fieldcache_terms_filter",
     "fieldcache_range_filter", "doc_term_ords_range", "ngram_phrase",
+    "wikipedia_top",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -3071,6 +3091,18 @@ WHERE (role >= 'src3' AND role <= 'src6')
    OR (tool >= 'src3' AND tool <= 'src6')
 ORDER BY docid ASC LIMIT 25"""
     out["ngram_phrase"] = es.phrase_sql([HOT, T3], offsets=[0, 2], k=15)
+    out["wikipedia_top"] = f"""WITH wkdocs AS (
+  SELECT doc_id, text AS dtext, lang, source FROM documents
+),
+em AS (
+  SELECT doc_id, unnest({_WS}) AS term FROM wkdocs
+  UNION ALL
+  SELECT doc_id,
+         unnest([lang, source, 'http://' || source || '.com', lang,
+                 'head', 'h2', 'cite', lang]) AS term
+  FROM wkdocs
+)
+{_STATS}"""
     out["synonym_or"] = es.boolean_sql(should=["merge", "join"], k=15)
     out["synonym_phrase"] = es.phrase_sql(
         [["table", "value"], ["hash"]], k=15
