@@ -1564,6 +1564,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["wikipedia_top"] = wikipedia_top
 
+    # -- ValueSource tree (round 5w): composed f32 chains under
+    # FunctionQuery; scale() is the two-pass (corpus min/max) source
+    def vs_reciprocal(spark, sf_dir):
+        from lucenenet_spark.functions import valuesource as V
+
+        vs = V.product(
+            V.reciprocal(V.field("turn_idx"), 1.0, 1000.0, 1.0),
+            V.const(2.0),
+        )
+        return _searcher(spark, sf_dir).function_score(vs.spark, k=25)
+
+    def vs_scale(spark, sf_dir):
+        from lucenenet_spark.functions import valuesource as V
+
+        s = _searcher(spark, sf_dir)
+        vs = V.sum_(
+            V.scale(V.field("turn_idx"), 0.0, 1.0, s), V.const(0.5)
+        )
+        return s.function_score(vs.spark, k=25)
+
+    out["vs_reciprocal"] = vs_reciprocal
+    out["vs_scale"] = vs_scale
+
     CLS_TEXT_KNN = "batch stream scan merge small table hash batch stream batch"
     CLS_TEXT_NB = "batch stream scan merge small"
 
@@ -2205,7 +2228,7 @@ _NEW_THIS_ROUND: list[str] = [
     "high_freq_terms_ttf", "html_strip_top",
     "prefix_filter", "numeric_range_filter", "fieldcache_terms_filter",
     "fieldcache_range_filter", "doc_term_ords_range", "ngram_phrase",
-    "wikipedia_top",
+    "wikipedia_top", "vs_reciprocal", "vs_scale",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -3091,6 +3114,32 @@ WHERE (role >= 'src3' AND role <= 'src6')
    OR (tool >= 'src3' AND tool <= 'src6')
 ORDER BY docid ASC LIMIT 25"""
     out["ngram_phrase"] = es.phrase_sql([HOT, T3], offsets=[0, 2], k=15)
+    # ValueSource tree (round 5w): the composer emits the DuckDB-side f32
+    # chain; scale()'s corpus min/max is replicated as a subquery chain
+    from lucenenet_spark.functions import valuesource as V
+
+    _vsr = V.product(
+        V.reciprocal(V.field("turn_idx", "d.turn_idx"), 1.0, 1000.0, 1.0),
+        V.const(2.0),
+    )
+    out["vs_reciprocal"] = f"""{P}
+SELECT d.docid AS docid, {_vsr.duck} AS score
+FROM docs d ORDER BY score DESC, docid ASC LIMIT 25"""
+    out["vs_scale"] = f"""{P},
+mm AS (
+  SELECT CAST(min(turn_idx) AS REAL) AS mn,
+         CAST(max(turn_idx) AS REAL) AS mx
+  FROM docs
+)
+SELECT d.docid AS docid,
+  CAST(CAST(CAST(CAST(CAST(d.turn_idx AS REAL) - mm.mn AS REAL)
+       * CAST(CAST(CAST(CAST(1.0 AS DOUBLE) AS REAL)
+                   - CAST(CAST(0.0 AS DOUBLE) AS REAL) AS REAL)
+              / CAST(mm.mx - mm.mn AS REAL) AS REAL) AS REAL)
+       + CAST(CAST(0.0 AS DOUBLE) AS REAL) AS REAL)
+  + CAST(CAST(0.5 AS DOUBLE) AS REAL) AS REAL) AS score
+FROM docs d CROSS JOIN mm
+ORDER BY score DESC, docid ASC LIMIT 25"""
     out["wikipedia_top"] = f"""WITH wkdocs AS (
   SELECT doc_id, text AS dtext, lang, source FROM documents
 ),
