@@ -2148,6 +2148,145 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         TermQuery(term=HOT), "tool", keep="first", mode="fast", k=15
     )
 
+    # -- Spatial module (Lucene.Net.Spatial, round 5y) — geohash/quad
+    # RecursivePrefixTreeStrategy intersects + disjoint, PointVectorStrategy
+    # circle, distance / grid-quantized-distance sort, reciprocal-distance
+    # function score. The spatial gate index (es.ensure_spatial_index)
+    # carries the cell-token chains as keyword fields and lon/lat as
+    # numeric doc columns.
+    def geo_query(make_q, k=15, searcher_fn=None):
+        def run(spark, sf_dir):
+            from lucenenet_spark.operators.search import IndexSearcher
+
+            s = IndexSearcher(spark, es.ensure_spatial_index(spark, sf_dir))
+            return make_q(s, k)
+
+        return run
+
+    def _rpt_search(strategy_fn, args_text):
+        from lucenenet_spark.operators.spatial import parse_spatial_args
+
+        def make(s, k):
+            return s.search(
+                strategy_fn().make_query(parse_spatial_args(args_text)), k
+            )
+
+        return make
+
+    SPATIAL_RECT = "ENVELOPE(-60.0, -20.0, 35.0, 5.0)"  # minX maxX maxY minY
+    SPATIAL_CIRCLE = (10.0, 20.0, 25.5)
+    SPATIAL_PT = (12.25, -33.5)
+    out["spatial_rpt_rect"] = geo_query(
+        _rpt_search(es.geo_strategy, f"Intersects({SPATIAL_RECT})")
+    )
+    out["spatial_rpt_disjoint"] = geo_query(
+        _rpt_search(es.geo_strategy, f"IsDisjointTo({SPATIAL_RECT})")
+    )
+    out["spatial_quad_rect"] = geo_query(
+        _rpt_search(es.quad_strategy, f"Intersects({SPATIAL_RECT})")
+    )
+
+    def _pv_circle(s, k):
+        from lucenenet_spark.operators.spatial import (
+            PointVectorStrategy,
+            parse_spatial_args,
+        )
+
+        cx, cy, r = SPATIAL_CIRCLE
+        return s.search(
+            PointVectorStrategy().make_query(
+                parse_spatial_args(f"Intersects(BUFFER(POINT({cx} {cy}), {r}))")
+            ),
+            k,
+        )
+
+    out["spatial_pv_circle"] = geo_query(_pv_circle)
+
+    def _dist_sort(s, k):
+        from lucenenet_spark.operators.spatial import distance_topk
+        from lucenenet_spark.plans.query import SpatialDistanceSpec
+
+        return distance_topk(
+            s, SpatialDistanceSpec(from_x=SPATIAL_PT[0], from_y=SPATIAL_PT[1]), k
+        )
+
+    out["spatial_dist_sort"] = geo_query(_dist_sort)
+
+    def _dist_grid(s, k):
+        from lucenenet_spark.functions.geo import Point
+        from lucenenet_spark.operators.spatial import distance_topk
+
+        spec = es.geo_strategy().make_distance_value_source(
+            Point(SPATIAL_PT[0], SPATIAL_PT[1])
+        )
+        return distance_topk(s, spec, k)
+
+    out["spatial_dist_grid"] = geo_query(_dist_grid)
+
+    def _recip(s, k):
+        from lucenenet_spark.functions.geo import Circle
+        from lucenenet_spark.operators.spatial import (
+            PointVectorStrategy,
+            recip_distance_topk,
+        )
+
+        return recip_distance_topk(
+            s, PointVectorStrategy(), Circle(*SPATIAL_CIRCLE), k
+        )
+
+    out["spatial_recip"] = geo_query(_recip)
+
+    # ord / reverse-ord value sources (round 5z): the terms-index ordinal
+    # of the doc's keyword value through FunctionQuery; 'tool' is NULL on
+    # 2/3 of docs, exercising the missing -> -1 (and reverse -> end) arm
+    def _vs_ord(spark, sf_dir):
+        from lucenenet_spark.functions.valuesource import ord_source
+
+        s = _searcher(spark, sf_dir)
+        return s.function_score(ord_source("tool", s).spark, k=15)
+
+    def _vs_rord(spark, sf_dir):
+        from lucenenet_spark.functions.valuesource import reverse_ord
+
+        s = _searcher(spark, sf_dir)
+        return s.function_score(reverse_ord("tool", s).spark, k=15)
+
+    out["vs_ord"] = _vs_ord
+    out["vs_reverse_ord"] = _vs_rord
+
+    # Quality benchmark (Lucene.Net.Benchmark/Quality, round 5z): TREC
+    # judge + QualityStats per query — three term queries, judgments =
+    # "the term occurs AND turn_idx < 2" (a deterministic qrel set both
+    # sides derive independently)
+    def _quality_trec(spark, sf_dir):
+        from lucenenet_spark.operators import quality as Q
+        from lucenenet_spark.plans.query import FilteredQuery, TermsFilter
+
+        s = _searcher(spark, sf_dir)
+        qterms = [("q1", HOT), ("q2", MID), ("q3", T3)]
+        jd = None
+        for qid, t in qterms:
+            rel = s.search(
+                FilteredQuery(
+                    query=ConstantScoreQuery(
+                        filter=TermsFilter(terms=(("text", t),))
+                    ),
+                    where="turn_idx < 2",
+                ),
+                k=1 << 30,
+                prune=False,
+            ).select(
+                F.lit(qid).alias("query_id"),
+                F.col("docid").cast("string").alias("doc_name"),
+            )
+            jd = rel if jd is None else jd.unionByName(rel)
+        stats = Q.quality_benchmark(
+            s, {qid: TermQuery(term=t) for qid, t in qterms}, jd, k=20
+        )
+        return stats.orderBy("query_id")
+
+    out["quality_trec"] = _quality_trec
+
     # analyzer parity on a planted punctuated corpus (UAX#29 word-break
     # joins the pure-[a-z0-9 ] transcript corpus never exercises)
     out["analyze_uax29"] = lambda s, d: es.analyze_uax29(s)
@@ -2229,6 +2368,9 @@ _NEW_THIS_ROUND: list[str] = [
     "prefix_filter", "numeric_range_filter", "fieldcache_terms_filter",
     "fieldcache_range_filter", "doc_term_ords_range", "ngram_phrase",
     "wikipedia_top", "vs_reciprocal", "vs_scale",
+    "spatial_rpt_rect", "spatial_rpt_disjoint", "spatial_quad_rect",
+    "spatial_pv_circle", "spatial_dist_sort", "spatial_dist_grid",
+    "spatial_recip", "vs_ord", "vs_reverse_ord", "quality_trec",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -3584,4 +3726,46 @@ SELECT s.docid, s.s AS score
 FROM scored s JOIN kept k ON s.docid = k.docid
 WHERE s.term = '{HOT}'
 ORDER BY score DESC, s.docid ASC LIMIT 15"""
+
+    # -- Spatial module (round 5y). Detail levels are frozen literals (4 =
+    # geohash level for the gate rect at distErrPct 0.025, 10 = quad level);
+    # tests/test_spatial.py asserts they equal the strategy's
+    # GetLevelForDistance derivation, keeping the oracle non-circular.
+    from lucenenet_spark.functions.geo import Circle as _GeoCircle
+
+    out["spatial_rpt_rect"] = es.spatial_rect_sql(
+        -60.0, -20.0, 5.0, 35.0, 4, 15
+    )
+    out["spatial_rpt_disjoint"] = es.spatial_rect_sql(
+        -60.0, -20.0, 5.0, 35.0, 4, 15, disjoint=True
+    )
+    out["spatial_quad_rect"] = es.spatial_rect_sql(
+        -60.0, -20.0, 5.0, 35.0, 10, 15, tree="quad"
+    )
+    out["spatial_pv_circle"] = es.spatial_circle_sql(10.0, 20.0, 25.5, 15)
+    out["spatial_dist_sort"] = es.spatial_distance_sort_sql(12.25, -33.5, 15)
+    out["spatial_dist_grid"] = es.spatial_distance_sort_sql(
+        12.25, -33.5, 15, grid_level=7
+    )
+    out["spatial_recip"] = es.spatial_recip_sql(_GeoCircle(10.0, 20.0, 25.5), 15)
+
+    # ord / reverse-ord value sources: the oracle derives the ordinal table
+    # INDEPENDENTLY with a window function over distinct values (the engine
+    # resolves it from the terms dictionary into a CASE)
+    _ORDS = """ords AS (
+  SELECT v, row_number() OVER (ORDER BY v) - 1 AS o
+  FROM (SELECT DISTINCT tool AS v FROM docs WHERE tool IS NOT NULL)
+)"""
+    out["vs_ord"] = f"""{P},
+{_ORDS}
+SELECT d.docid, CAST(COALESCE(o.o, -1) AS REAL) AS score
+FROM docs d LEFT JOIN ords o ON d.tool = o.v
+ORDER BY score DESC, d.docid ASC LIMIT 15"""
+    out["vs_reverse_ord"] = f"""{P},
+{_ORDS}
+SELECT d.docid,
+       CAST((SELECT count(*) FROM ords) - COALESCE(o.o, -1) - 1 AS REAL) AS score
+FROM docs d LEFT JOIN ords o ON d.tool = o.v
+ORDER BY score DESC, d.docid ASC LIMIT 15"""
+    out["quality_trec"] = es.quality_trec_sql([HOT, MID, T3], k=20)
     return _prioritize(out)

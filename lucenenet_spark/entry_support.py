@@ -47,9 +47,49 @@ K1, B = 1.2, 0.75
 # ---------------------------------------------------------------------------
 
 
-def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+# -- spatial gate corpus (Lucene.Net.Spatial) --------------------------------
+# Deterministic point per doc, derived with integer arithmetic + one double
+# division so the DuckDB oracle reproduces the exact f64 values:
+#   lon in [-170, 170) step 0.01, lat in [-70, 70) step 0.01
+LON_EXPR = "CAST((doc_id * 104729) % 34000 AS DOUBLE) / 100.0 - 170.0"
+LAT_EXPR = "CAST((doc_id * 7919) % 14000 AS DOUBLE) / 100.0 - 70.0"
+GEO_MAX_LEVELS = 7  # geohash tree depth for the gate index
+QUAD_MAX_LEVELS = 11  # quad tree depth for the gate index
+
+
+def geo_strategy():
+    """The gate RecursivePrefixTreeStrategy (geohash, field 'geo')."""
+    from .functions.geo import GeohashPrefixTree
+    from .operators.spatial import RecursivePrefixTreeStrategy
+
+    return RecursivePrefixTreeStrategy(
+        GeohashPrefixTree(GEO_MAX_LEVELS), "geo"
+    )
+
+
+def quad_strategy():
+    """The gate RecursivePrefixTreeStrategy (quad tree, field 'geoq')."""
+    from .functions.geo import QuadPrefixTree
+    from .operators.spatial import RecursivePrefixTreeStrategy
+
+    return RecursivePrefixTreeStrategy(
+        QuadPrefixTree(QUAD_MAX_LEVELS), "geoq"
+    )
+
+
+def transcripts_from_documents(
+    spark: SparkSession, sf_dir: str, with_geo: bool = False
+) -> DataFrame:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return docs.select(
+    # the spatial gate corpus (with_geo): the transcript shape + a point per
+    # turn (lon/lat DoubleFields) + the two prefix-tree token chains
+    # (PrefixTreeStrategy.CreateIndexableFields)
+    geo_cols = (
+        [F.expr(LON_EXPR).alias("lon"), F.expr(LAT_EXPR).alias("lat")]
+        if with_geo
+        else []
+    )
+    out = docs.select(
         F.format_string("conv-%08d", F.expr("CAST(doc_id DIV 4 AS BIGINT)")).alias("conv_id"),
         (F.col("doc_id") % 4).cast("int").alias("turn_idx"),
         F.element_at(
@@ -61,12 +101,18 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"
         ).alias("ts"),
+        *geo_cols,
     ).withColumn(
         # multi-valued keyword field (SortedSet shape): [role] or
         # [role, tool] — exercises the array<string> keyword-indexing path
         "labels",
         F.array_compact(F.array("role", "tool")),
     )
+    if with_geo:
+        out = out.withColumn(
+            "geo", geo_strategy().indexable_terms("lon", "lat")
+        ).withColumn("geoq", quad_strategy().indexable_terms("lon", "lat"))
+    return out
 
 
 _INDEX_CACHE: dict[str, str] = {}
@@ -106,6 +152,49 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
         keyword_fields=("role", "tool", "labels"),
     ).build(transcripts_from_documents(spark, sf_dir), build_id=f"gate-{tag}")
     _INDEX_CACHE[sf_dir] = out
+    return out
+
+
+_GEO_INDEX_CACHE: dict[str, str] = {}
+
+
+def ensure_spatial_index(spark: SparkSession, sf_dir: str) -> str:
+    """The spatial gate index: the geohash + quad cell chains as
+    multi-valued keyword fields (PrefixTreeStrategy FIELD_TYPE is
+    DOCS_ONLY/omitNorms) and the lon/lat DoubleField pair as numeric doc
+    columns (PointVectorStrategy). Separate from the main gate index so
+    the benchmark's build-throughput measurement stays comparable across
+    rounds."""
+    if sf_dir in _GEO_INDEX_CACHE:
+        return _GEO_INDEX_CACHE[sf_dir]
+    from .operators.index_build import IndexBuilder
+
+    _add_pyfiles(spark)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join("/tmp/lucenenet_entry", f"idxgeo_{tag}")
+    mpath = os.path.join(out, "_manifest.json")
+    if os.path.exists(mpath):
+        import json
+        import shutil
+
+        with open(mpath) as f:
+            m = json.load(f)
+        if (
+            m.get("format_version") != 5
+            or "geoq" not in m.get("fields", {})
+            or m.get("numeric_fields") != ["lon", "lat"]
+        ):
+            shutil.rmtree(out, ignore_errors=True)
+    IndexBuilder(
+        spark, out, k1=K1, b=B, n_buckets=8, n_segments=8, salt_target=2000,
+        index_options="docs_freqs",
+        keyword_fields=("role", "geo", "geoq"),
+        numeric_fields=("lon", "lat"),
+    ).build(
+        transcripts_from_documents(spark, sf_dir, with_geo=True),
+        build_id=f"geo-{tag}",
+    )
+    _GEO_INDEX_CACHE[sf_dir] = out
     return out
 
 
@@ -4696,6 +4785,196 @@ topk AS (
 )
 SELECT cls, CAST(count(*) AS DOUBLE) / {k} AS score FROM topk
 GROUP BY cls ORDER BY score DESC, cls ASC LIMIT 1"""
+
+
+# -- spatial oracles (Lucene.Net.Spatial) -------------------------------------
+# The oracle re-derives the MATCH SEMANTICS analytically from the raw
+# lon/lat values: a doc matches an Intersects grid filter iff its
+# detail-level grid cell relates non-disjoint to the query shape (the match
+# set IntersectsPrefixTreeFilter.Visit/VisitScanned collects — engine-side
+# the same set is reached through cover-token postings, so the two paths
+# share no code: the engine walks terms, the oracle computes cell bounds
+# from scratch with the arithmetic cell-identity form).
+
+
+def geo_prelude() -> str:
+    return f"""WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS docid,
+         {LON_EXPR} AS lon,
+         {LAT_EXPR} AS lat
+  FROM documents
+)"""
+
+
+CONST_SCORE = "CAST(CAST(1.0 AS DOUBLE) AS REAL)"
+
+
+def _cell_bounds_sql(level: int, tree: str = "geohash") -> tuple[str, ...]:
+    """(minx, maxx, miny, maxy) SQL over docs.lon/docs.lat: the doc's
+    level-`level` grid cell, arithmetic cell-identity form (ties to the
+    lower lon cell; quad lat ties to the upper cell — functions/geo.py)."""
+    if tree == "quad":
+        n = 1 << level
+        nx = ny = n
+        iy = (
+            f"LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * {float(ny)!r}),"
+            f" 0), {ny - 1})"
+        )
+    else:
+        from .functions.geo import _gh_bits
+
+        xb, yb = _gh_bits(level)
+        nx, ny = 1 << xb, 1 << yb
+        iy = (
+            f"LEAST(GREATEST(CEIL((lat + 90.0) / 180.0 * {float(ny)!r}) - 1,"
+            f" 0), {ny - 1})"
+        )
+    ix = (
+        f"LEAST(GREATEST(CEIL((lon + 180.0) / 360.0 * {float(nx)!r}) - 1,"
+        f" 0), {nx - 1})"
+    )
+    w, h = 360.0 / nx, 180.0 / ny
+    minx = f"(-180.0 + ({ix}) * {w!r})"
+    maxx = f"(-180.0 + (({ix}) + 1) * {w!r})"
+    miny = f"(-90.0 + ({iy}) * {h!r})"
+    maxy = f"(-90.0 + (({iy}) + 1) * {h!r})"
+    return minx, maxx, miny, maxy
+
+
+def spatial_rect_sql(
+    min_x: float, max_x: float, min_y: float, max_y: float,
+    level: int, k: int, disjoint: bool = False, tree: str = "geohash",
+) -> str:
+    """Intersects(rect) over a prefix-tree point index: doc matches iff its
+    detail-level cell rect is NON-disjoint with the query rect (touching
+    edges intersect — spatial4j relate_range). disjoint=True inverts
+    (DisjointSpatialFilter). Constant score 1.0f, docid order."""
+    minx, maxx, miny, maxy = _cell_bounds_sql(level, tree)
+    cond = (
+        f"NOT ({maxx} < {min_x!r} OR {minx} > {max_x!r}"
+        f" OR {maxy} < {min_y!r} OR {miny} > {max_y!r})"
+    )
+    if disjoint:
+        cond = f"NOT ({cond})"
+    return f"""{geo_prelude()}
+SELECT docid, {CONST_SCORE} AS score
+FROM docs WHERE {cond}
+ORDER BY docid ASC LIMIT {k}"""
+
+
+def spatial_circle_sql(cx: float, cy: float, radius: float, k: int) -> str:
+    """PointVectorStrategy circle: ValueSourceFilter 0 <= haversine-degrees
+    <= radius, inclusive double bounds (Util/ValueSourceFilter.cs:75)."""
+    from .operators.spatial import distance_sql
+    from .plans.query import SpatialDistanceSpec
+
+    d = distance_sql(SpatialDistanceSpec(from_x=cx, from_y=cy))
+    return f"""{geo_prelude()}
+SELECT docid, {CONST_SCORE} AS score
+FROM docs WHERE {d} >= 0.0 AND {d} <= {radius!r}
+ORDER BY docid ASC LIMIT {k}"""
+
+
+def spatial_distance_sort_sql(
+    cx: float, cy: float, k: int, grid_level: int = 0
+) -> str:
+    """Top-k nearest by the f32 distance value source (SingleVal), docid
+    tiebreak; grid_level > 0 quantizes doc points to their indexed cell
+    center (ShapeFieldCacheDistanceValueSource)."""
+    from .operators.spatial import distance_sql
+    from .plans.query import SpatialDistanceSpec
+
+    d = distance_sql(
+        SpatialDistanceSpec(from_x=cx, from_y=cy, grid_level=grid_level)
+    )
+    return f"""{geo_prelude()}
+SELECT docid, CAST({d} AS REAL) AS score
+FROM docs
+ORDER BY score ASC, docid ASC LIMIT {k}"""
+
+
+def spatial_recip_sql(query_shape, k: int) -> str:
+    """MakeRecipDistanceValueSource through FunctionQuery: score =
+    f32(c / (1*f32(dist) + c)), c = 0.1 * bbox diagonal — every doc
+    matches (FunctionQuery), score desc."""
+    from .operators.spatial import PointVectorStrategy, recip_distance_vs
+
+    vs, _spec = recip_distance_vs(PointVectorStrategy(), query_shape)
+    return f"""{geo_prelude()}
+SELECT docid, {vs.duck} AS score
+FROM docs
+ORDER BY score DESC, docid ASC LIMIT {k}"""
+
+
+def quality_trec_sql(terms: list[str], k: int = 20) -> str:
+    """QualityStats oracle (Lucene.Net.Benchmark/Quality): per query qN =
+    single-term BM25 top-k, judged against 'term occurs AND turn_idx < 2'.
+    Re-derives numPoints/numGood/maxGood/recall/avp/mrr/p@5,10,20 with
+    window functions — QualityStats.AddResult's running precision, the
+    1/rank-only-when-<=5 MRR, and GetPrecisionAt's
+    (numPoints*pAt[numPoints])/n tail extension in that exact double
+    operation order."""
+    ranked = "\nUNION ALL\n".join(
+        f"""  SELECT * FROM (
+    SELECT 'q{i+1}' AS query_id, docid,
+           row_number() OVER (ORDER BY s{i} DESC, docid ASC) AS rank
+    FROM pivoted WHERE s{i} IS NOT NULL
+  ) WHERE rank <= {k}"""
+        for i in range(len(terms))
+    )
+    rel = "\nUNION ALL\n".join(
+        f"""  SELECT 'q{i+1}' AS query_id, p.docid
+  FROM posting p JOIN docs d ON p.docid = d.docid
+  WHERE p.term = '{t}' AND d.turn_idx < 2"""
+        for i, t in enumerate(terms)
+    )
+
+    def p_at(n: int) -> str:
+        at = f"max(CASE WHEN rank = {n} THEN CAST(cg AS DOUBLE) / {float(n)!r} END)"
+        tail = (
+            f"(CAST(max(rank) AS DOUBLE) * (CAST(sum(g) AS DOUBLE)"
+            f" / CAST(max(rank) AS DOUBLE))) / {float(n)!r}"
+        )
+        return f"COALESCE({at}, {tail}) AS p_at_{n}"
+
+    return f"""{prelude()},
+pivoted AS (
+  {_pivot(terms)}
+),
+ranked AS (
+{ranked}
+),
+rel AS (
+{rel}
+),
+marked AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN rel.docid IS NOT NULL THEN 1 ELSE 0 END AS g
+  FROM ranked r
+  LEFT JOIN rel ON r.query_id = rel.query_id AND r.docid = rel.docid
+),
+c AS (
+  SELECT query_id, rank, g,
+         sum(g) OVER (PARTITION BY query_id ORDER BY rank) AS cg
+  FROM marked
+),
+mg AS (SELECT query_id, count(*) AS max_good FROM rel GROUP BY query_id)
+SELECT c.query_id,
+       max(rank) AS num_points,
+       sum(g) AS num_good,
+       any_value(mg.max_good) AS max_good,
+       CAST(sum(g) AS DOUBLE) / CAST(any_value(mg.max_good) AS DOUBLE) AS recall,
+       COALESCE(sum(CASE WHEN g = 1 THEN CAST(cg AS DOUBLE) / CAST(rank AS DOUBLE) END), 0.0)
+         / CAST(any_value(mg.max_good) AS DOUBLE) AS avp,
+       COALESCE(CASE WHEN min(CASE WHEN g = 1 THEN rank END) <= 5
+                THEN 1.0 / CAST(min(CASE WHEN g = 1 THEN rank END) AS DOUBLE) END,
+                0.0) AS mrr,
+       {p_at(5)},
+       {p_at(10)},
+       {p_at(20)}
+FROM c JOIN mg ON c.query_id = mg.query_id
+GROUP BY c.query_id
+ORDER BY c.query_id ASC"""
 
 
 def kw_term_sql(field: str, value: str, k: int = 10, cond: str | None = None) -> str:

@@ -158,6 +158,46 @@ def scale(x: VS, min_target: float, max_target: float, searcher) -> VS:
     )
 
 
+def _sorted_field_terms(field_name: str, searcher) -> list[str]:
+    """The field's terms-index value list (FieldCache.GetTermsIndex over
+    the top-level reader — our index IS one logical top-level segment):
+    one metadata-only stats scan, driver-side sorted collect — the same
+    memory shape as FieldCache building the terms index in RAM."""
+    from pyspark.sql import functions as F
+
+    return sorted(
+        r["term"]
+        for r in searcher.term_stats()
+        .filter(F.col("field") == field_name)
+        .select("term")
+        .distinct()
+        .collect()
+    )
+
+
+def _ord_case(field_name: str, terms: list[str]) -> str:
+    whens = " ".join(f"WHEN '{t}' THEN {i}" for i, t in enumerate(terms))
+    return f"(CASE {field_name} {whens} ELSE -1 END)"
+
+
+def ord_source(field_name: str, searcher) -> VS:
+    """OrdFieldSource.cs (round 5z): the doc value's ordinal in the sorted
+    terms index; missing value -> -1 (SortedDocValues.GetOrd). The per-doc
+    value resolves through a CASE over the resolved term list — constants
+    embedded in both dialects like ScaleFloatFunction's weight."""
+    case = _ord_case(field_name, _sorted_field_terms(field_name, searcher))
+    return VS(case, case)
+
+
+def reverse_ord(field_name: str, searcher) -> VS:
+    """ReverseOrdFieldSource.cs: end - ord - 1 over the same terms index
+    (a missing value's -1 ord maps to end, the reference's arithmetic)."""
+    terms = _sorted_field_terms(field_name, searcher)
+    case = _ord_case(field_name, terms)
+    expr = f"({len(terms)} - {case} - 1)"
+    return VS(expr, expr)
+
+
 def num_docs(searcher) -> VS:
     return const(float(searcher.max_doc))
 

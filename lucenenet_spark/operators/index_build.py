@@ -385,6 +385,7 @@ class IndexBuilder:
         max_partial_postings: int = _MAX_PARTIAL_POSTINGS,
         max_partial_positions: int = _MAX_PARTIAL_POSITIONS,
         norm_spec: str = "standard",
+        numeric_fields: tuple[str, ...] = (),
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -397,6 +398,17 @@ class IndexBuilder:
         self.block_size = block_size
         self.top_terms = top_terms_per_partition
         self.keyword_fields = tuple(keyword_fields)
+        # numeric doc-value columns (DoubleField / NumericDocValuesField —
+        # Lucene.Net/Document/DoubleField.cs): stored as typed double
+        # columns on the staging doc rows, surfaced by the docs view for
+        # pushed-down range predicates and value sources (the spatial
+        # PointVectorStrategy's x/y pair is the canonical user)
+        for nf in numeric_fields:
+            if nf in _STAGING_COLS:
+                raise ValueError(
+                    f"numeric field {nf!r} collides with a staging column"
+                )
+        self.numeric_fields = tuple(numeric_fields)
         # IndexOptions (FieldInfo.cs:315-356): DOCS_AND_FREQS skips the
         # positions payload entirely (~30-45% smaller index; phrase/span
         # queries then raise); default keeps positions; the _offsets level
@@ -515,12 +527,18 @@ class IndexBuilder:
             {"build_id": build_id, "source": "transcripts", "clustered": clustered}
         )
 
+        numeric_fields = self.numeric_fields
+        staging_ddl = STAGING_DDL + "".join(
+            f", {nf} double" for nf in numeric_fields
+        )
+        staging_cols = [c.strip().split()[0] for c in staging_ddl.split(",")]
+
         def _frame(cols: dict, n: int) -> pd.DataFrame:
-            data = {c: cols.get(c) for c in _STAGING_COLS}
+            data = {c: cols.get(c) for c in staging_cols}
             for c, v in data.items():
                 if v is None:
                     data[c] = pd.Series([None] * n, dtype="object")
-            return pd.DataFrame(data)[_STAGING_COLS]
+            return pd.DataFrame(data)[staging_cols]
 
         keyword_fields = self.keyword_fields
         with_positions = self.index_options != "docs_freqs"
@@ -748,6 +766,7 @@ class IndexBuilder:
                         "ts": pdf["ts"],
                         "field_length": lengths,
                         "norm_byte": norm_bytes.astype(np.int16),
+                        **{nf: pdf[nf] for nf in numeric_fields},
                     },
                     n,
                 )
@@ -886,9 +905,12 @@ class IndexBuilder:
                 kf for kf in self.keyword_fields
                 if kf not in base_cols and kf in src.columns
             ]
+            missing = [nf for nf in numeric_fields if nf not in src.columns]
+            if missing:
+                raise ValueError(f"numeric fields missing from input: {missing}")
             staged = (
-                src.select(*base_cols, *extra_kw)
-                .mapInPandas(ingest_partition, STAGING_DDL)
+                src.select(*base_cols, *extra_kw, *numeric_fields)
+                .mapInPandas(ingest_partition, staging_ddl)
             )
             staged.write.mode("overwrite").parquet(self._p("staging"))
 
@@ -984,7 +1006,7 @@ class IndexBuilder:
         return (
             self.spark.read.parquet(self._p("staging"))
             .filter(F.col("local_rank") >= 0)
-            .select(self._docid_expr(offsets), *DOC_COLS)
+            .select(self._docid_expr(offsets), *DOC_COLS, *self.numeric_fields)
         )
 
     # -- stage 2: encode postings (the single explode shuffle) ----------------
@@ -1193,6 +1215,7 @@ class IndexBuilder:
             "payload_provider": self.payload_provider,
             "analyzer": self.analyzer,
             "norm_spec": self.norm_spec,
+            "numeric_fields": list(self.numeric_fields),
             "fields": stats_info.get("fields"),
             "k1": self.k1,
             "b": self.b,
@@ -1265,6 +1288,7 @@ def docs_view(spark: SparkSession, manifest: dict) -> DataFrame:
             .select(
                 (F.element_at(m, F.col("pid")) + F.col("local_rank")).alias("docid"),
                 *DOC_COLS,
+                *(manifest.get("numeric_fields") or []),
             )
         )
         out = df if out is None else out.unionByName(df)

@@ -43,6 +43,19 @@ from .index_build import (
 )
 
 
+def _merged_numeric_fields(segments) -> list[str]:
+    """Numeric doc-value columns of the merged index. Like the analyzer,
+    the numeric field set is an IndexWriter-level invariant: segments of
+    one index always agree, so a mismatch is a caller error, not a merge
+    case (FieldInfos dv-type consistency checks raise the same way)."""
+    sets = {tuple(s["manifest"].get("numeric_fields") or []) for s in segments}
+    if len(sets) > 1:
+        raise ValueError(
+            f"cannot merge segments with different numeric fields: {sorted(sets)}"
+        )
+    return list(sets.pop())
+
+
 def _remap(docids: np.ndarray, deleted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """DocMap (MergeState.cs:40-102): keep-mask + renumbered ids.
 
@@ -214,6 +227,7 @@ def merge_segments(
         # below); postings get the same remap during decode
         from .index_build import DOC_COLS, docs_view
 
+        num_fields = _merged_numeric_fields(segments)
         for s in segments:
             df = docs_view(spark, s["manifest"])
             if s["docbase"]:
@@ -231,7 +245,11 @@ def merge_segments(
                 "new_docid", F.pandas_udf(remap_docid, "double")(F.col("docid"))
             )
             .filter(F.col("new_docid").isNotNull())
-            .select(F.col("new_docid").cast("long").alias("docid"), *DOC_COLS)
+            .select(
+                F.col("new_docid").cast("long").alias("docid"),
+                *DOC_COLS,
+                *num_fields,
+            )
         )
         import os as _os
 
@@ -419,6 +437,7 @@ def merge_segments(
         "index_options": index_options,
         "payload_provider": payload_provider,
         "analyzer": analyzer,
+        "numeric_fields": _merged_numeric_fields(segments),
         "fields": fields,
         "k1": k1,
         "b": b,

@@ -876,8 +876,27 @@ class IndexSearcher:
             PrefixFilter,
             QueryWrapperFilter,
             TermsFilter,
+            ValueSourceFilter,
         )
 
+        if isinstance(f, ValueSourceFilter):
+            # Lucene.Net.Spatial/Util/ValueSourceFilter.cs: docs of the
+            # starting filter whose double value source value sits in the
+            # INCLUSIVE [min, max] window. The circle arm of
+            # PointVectorStrategy: bbox ranges prune first (pushed-down
+            # numeric predicates), then the vectorized haversine UDF runs
+            # over the survivors only.
+            from .spatial import distance_column
+
+            base = self.docs()
+            if f.filter is not None:
+                base = base.join(
+                    self._filter_docids(f.filter), "docid", "left_semi"
+                )
+            v = distance_column(f.source)
+            return base.filter(
+                (v >= F.lit(f.min)) & (v <= F.lit(f.max))
+            ).select("docid")
         if isinstance(f, TermsFilter):
             return self._docids_of_terms([tuple(p) for p in f.terms])
         if isinstance(f, PrefixFilter):

@@ -299,6 +299,37 @@ class CachingWrapperFilter(Filter):
     filter: "Filter | None" = None
 
 
+@dataclass(frozen=True)
+class SpatialDistanceSpec:
+    """Geodesic distance value source (Lucene.Net.Spatial):
+    Vector/DistanceValueSource.cs when grid_level == 0 (exact doc point
+    from the x/y numeric columns), Util/ShapeFieldCacheDistanceValueSource
+    when grid_level > 0 (doc point quantized to its indexed grid-cell
+    center — PointPrefixTreeFieldCacheProvider decodes the maxLevels
+    term). Degrees times `multiplier`, double-valued."""
+
+    x_col: str = "lon"
+    y_col: str = "lat"
+    from_x: float = 0.0
+    from_y: float = 0.0
+    multiplier: float = 1.0
+    grid_level: int = 0
+    grid: str = "geohash"  # or "quad"
+
+
+@dataclass(frozen=True)
+class ValueSourceFilter(Filter):
+    """Docs of `filter` whose value-source value sits in [min, max]
+    (Lucene.Net.Spatial/Util/ValueSourceFilter.cs:75 — inclusive double
+    bounds); filter=None starts from all docs. The only value source a
+    filter wraps in the reference's spatial module is the distance."""
+
+    filter: "Filter | None" = None
+    source: SpatialDistanceSpec | None = None
+    min: float = 0.0
+    max: float = 0.0
+
+
 # ChainedFilter logic constants (Lucene.Net.Queries/ChainedFilter.cs:45-52)
 CHAIN_OR, CHAIN_AND, CHAIN_ANDNOT, CHAIN_XOR = 0, 1, 2, 3
 

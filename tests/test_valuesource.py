@@ -64,3 +64,28 @@ def test_scale_two_pass(searcher):
     for d, v in got.items():
         assert v == f32(f32(f32(f32(t[d]) - mn) * sc) + f32(0.0))
     assert min(got.values()) == f32(0.0) and max(got.values()) == f32(1.0)
+
+
+def test_ord_and_reverse_ord(searcher):
+    # OrdFieldSource / ReverseOrdFieldSource (round 5z): ordinal in the
+    # sorted terms index; missing value -> -1 / end (the reference's
+    # end - (-1) - 1 arithmetic)
+    terms = sorted(
+        r["term"]
+        for r in searcher.term_stats()
+        .filter(F.col("field") == "tool")
+        .select("term")
+        .distinct()
+        .collect()
+    )
+    rank = {t: i for i, t in enumerate(terms)}
+    tools = {r["docid"]: r["tool"] for r in searcher.docs().collect()}
+    got = _eval(searcher, V.ord_source("tool", searcher))
+    assert any(v is None for v in tools.values())  # the missing arm is live
+    for d, v in got.items():
+        want = rank.get(tools[d], -1)
+        assert v == f32(want)
+    got = _eval(searcher, V.reverse_ord("tool", searcher))
+    end = len(terms)
+    for d, v in got.items():
+        assert v == f32(end - rank.get(tools[d], -1) - 1)
