@@ -1366,10 +1366,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    # Jaspell MatchAlmost arm (usePrefix=false, editDistance=2): stored
+    # keys of the query's exact length at exactly-2 lowercase-Hamming
+    # mismatches, in the trie walk's lexicographic order; onlyMorePopular
+    # re-ranks the num*2 walk slice by weight
+    def jaspell_almost_top(spark, sf_dir):
+        from lucenenet_spark.operators.fstlookup import jaspell_lookup
+
+        return _rank_df(
+            spark,
+            jaspell_lookup(
+                _lookup_entries(spark, sf_dir), "sant", 2,
+                only_more_popular=True, use_prefix=False,
+            ),
+        )
+
+    def jaspell_almost_alpha(spark, sf_dir):
+        from lucenenet_spark.operators.fstlookup import jaspell_lookup
+
+        return _rank_df(
+            spark,
+            jaspell_lookup(
+                _lookup_entries(spark, sf_dir), "sant", 3,
+                use_prefix=False,
+            ),
+        )
+
     out["fst_completion_top"] = fst_completion_top
     out["wfst_lookup_top"] = wfst_lookup_top
     out["tst_lookup_top"] = tst_lookup_top
     out["jaspell_popular_top"] = jaspell_popular_top
+    out["jaspell_almost_top"] = jaspell_almost_top
+    out["jaspell_almost_alpha"] = jaspell_almost_alpha
 
     # -- classic SpellChecker (round 5s) --------------------------------------
     def _spell_rows(spark, rows):
@@ -2287,6 +2315,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["quality_trec"] = _quality_trec
 
+    # Index-level phonetic analyzer chains (round 5z2): PhoneticFilter
+    # appended to the standard chain at INDEX time — inject emits the code
+    # as the anchor with the original as a posInc-0 overlap (norm length
+    # discounts overlaps; sumTotalTermFreq counts both), replace rewrites
+    # the token. A TermQuery on a CODE term scores BM25 over the code's
+    # real postings.
+    def term_phonetic_index(spark, sf_dir):
+        from lucenenet_spark.operators.search import IndexSearcher
+
+        s = IndexSearcher(
+            spark,
+            es.ensure_analyzer_index(
+                spark, sf_dir, "standard:phonetic=soundex"
+            ),
+        )
+        # soundex("batch") = B320 — the code term collides batch/badge/...
+        return s.search(TermQuery(term="B320"), 15)
+
+    out["term_phonetic_index"] = term_phonetic_index
+
+    def term_phonetic_replace(spark, sf_dir):
+        from lucenenet_spark.operators.search import IndexSearcher
+
+        s = IndexSearcher(
+            spark,
+            es.ensure_analyzer_index(
+                spark, sf_dir, "standard:phonetic=metaphone,replace"
+            ),
+        )
+        # metaphone("batch") = "BX"
+        return s.search(TermQuery(term="BX"), 15)
+
+    out["term_phonetic_replace"] = term_phonetic_replace
+
     # analyzer parity on a planted punctuated corpus (UAX#29 word-break
     # joins the pure-[a-z0-9 ] transcript corpus never exercises)
     out["analyze_uax29"] = lambda s, d: es.analyze_uax29(s)
@@ -2371,6 +2433,8 @@ _NEW_THIS_ROUND: list[str] = [
     "spatial_rpt_rect", "spatial_rpt_disjoint", "spatial_quad_rect",
     "spatial_pv_circle", "spatial_dist_sort", "spatial_dist_grid",
     "spatial_recip", "vs_ord", "vs_reverse_ord", "quality_trec",
+    "term_phonetic_index", "term_phonetic_replace",
+    "jaspell_almost_top", "jaspell_almost_alpha",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -3132,6 +3196,28 @@ slice AS (
 SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS INT) AS rank,
        term AS key, CAST(df AS BIGINT) AS value
 FROM slice ORDER BY rank LIMIT 2"""
+    # Jaspell MatchAlmost (usePrefix=false): same-length, exactly-2
+    # mismatched positions vs 'sant', walk (lex) order; popular mode ranks
+    # the num*2 walk slice by weight
+    _ALMOST_CAND = """cand AS (
+  SELECT term, df FROM vocab
+  WHERE length(term) = 4
+    AND (CASE WHEN substr(term,1,1)<>'s' THEN 1 ELSE 0 END
+       + CASE WHEN substr(term,2,1)<>'a' THEN 1 ELSE 0 END
+       + CASE WHEN substr(term,3,1)<>'n' THEN 1 ELSE 0 END
+       + CASE WHEN substr(term,4,1)<>'t' THEN 1 ELSE 0 END) = 2
+)"""
+    out["jaspell_almost_top"] = f"""WITH {_LKV},
+{_ALMOST_CAND},
+slice AS (SELECT term, df FROM cand ORDER BY term LIMIT 4)
+SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS INT) AS rank,
+       term AS key, CAST(df AS BIGINT) AS value
+FROM slice ORDER BY rank LIMIT 2"""
+    out["jaspell_almost_alpha"] = f"""WITH {_LKV},
+{_ALMOST_CAND}
+SELECT CAST(row_number() OVER (ORDER BY term) - 1 AS INT) AS rank,
+       term AS key, CAST(df AS BIGINT) AS value
+FROM cand ORDER BY rank LIMIT 3"""
 
     # classic SpellChecker (round 5s): candidates share >= 1 ngram of the
     # word (gram sizes by word length), score = f32 distance, accuracy
@@ -3768,4 +3854,8 @@ SELECT d.docid,
 FROM docs d LEFT JOIN ords o ON d.tool = o.v
 ORDER BY score DESC, d.docid ASC LIMIT 15"""
     out["quality_trec"] = es.quality_trec_sql([HOT, MID, T3], k=20)
+    out["term_phonetic_index"] = es.phonetic_term_sql("soundex", "B320", 15)
+    out["term_phonetic_replace"] = es.phonetic_term_sql(
+        "metaphone", "BX", 15, inject=False
+    )
     return _prioritize(out)

@@ -4906,6 +4906,107 @@ FROM docs
 ORDER BY score DESC, docid ASC LIMIT {k}"""
 
 
+def phonetic_prelude(encoder: str, inject: bool = True) -> str:
+    """Shared WITH-clause for a PHONETIC-ANALYZED index (round 5z2):
+    PhoneticFilter appended to the standard chain at INDEX time. The
+    emitted stream `em` doubles matched tokens in inject mode (the code
+    is the anchor, the original a posInc-0 overlap), so:
+      lens   (norm fieldLength) = the ORIGINAL token count — overlaps are
+             discounted (FieldInvertState.NumOverlap, BM25Similarity.cs:
+             156-160 discountOverlaps=true)
+      fstats sumTotalTermFreq / avgdl count EVERY emitted token
+             (CollectionStatistics over real postings)
+      posting/tstats/weights score over the emitted stream.
+    The rest of the arithmetic is prelude()'s, step for step in REAL."""
+    from .functions import phonetic as ph
+
+    cte = {
+        "soundex": ph.soundex_cte,
+        "refined_soundex": ph.refined_soundex_cte,
+        "caverphone2": ph.caverphone2_cte,
+        "nysiis": ph.nysiis_cte,
+        "metaphone": ph.metaphone_cte,
+        "cologne": ph.cologne_cte,
+        "match_rating": ph.match_rating_cte,
+        "caverphone1": ph.caverphone1_cte,
+    }[encoder]("vocab")
+    if inject:
+        em = """em AS (
+  SELECT t.docid, e.ph AS term FROM tt t JOIN encv e ON t.tok = e.tok
+  WHERE e.ph IS NOT NULL AND e.ph <> '' AND e.ph <> t.tok
+  UNION ALL
+  SELECT t.docid, t.tok AS term FROM tt t
+)"""
+    else:
+        em = """em AS (
+  SELECT t.docid,
+         CASE WHEN e.ph IS NOT NULL AND e.ph <> '' AND e.ph <> t.tok
+              THEN e.ph ELSE t.tok END AS term
+  FROM tt t JOIN encv e ON t.tok = e.tok
+)"""
+    rec = "RECURSIVE " if encoder in ("nysiis", "metaphone", "cologne") else ""
+    return f"""WITH {rec}docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS docid,
+         doc_id,
+         'conv-' || lpad(CAST(doc_id // 4 AS VARCHAR), 8, '0') AS conv_id,
+         CAST(doc_id % 4 AS INT) AS turn_idx,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         CASE WHEN CAST(doc_id % 3 AS INT) = 2 THEN source END AS tool,
+         text
+  FROM documents
+),
+{_toks_cte("standard")},
+tt AS (SELECT docid, unnest(tokens) AS tok FROM toks),
+vocab AS (SELECT DISTINCT tok FROM tt),
+{cte},
+{em},
+lens AS (SELECT docid, len(tokens) AS fl FROM toks),
+fstats AS (
+  SELECT (SELECT count(*) FROM lens) AS max_doc,
+         count(*) AS sum_ttf,
+         CAST(CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM lens) AS DOUBLE) AS REAL) AS avgdl
+  FROM em
+),
+posting AS (
+  SELECT docid, term, count(*) AS tf FROM em GROUP BY docid, term
+),
+tstats AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM posting GROUP BY term),
+normv(lo, hi, byte, nt, dt) AS (
+  VALUES
+    {_norm_values_rows()}
+),
+ncache AS (
+  SELECT l.docid,
+         CAST({K1_32} * CAST({ONE_MINUS_B_32} + CAST(CAST({B_32} * v.nt AS REAL) / f.avgdl AS REAL) AS REAL) AS REAL) AS nc
+  FROM lens l
+  JOIN normv v ON l.fl >= v.lo AND l.fl <= v.hi
+  CROSS JOIN fstats f
+),
+weights AS (
+  SELECT t.term,
+         CAST(CAST(ln(CAST(1.0 AS DOUBLE) + (CAST(f.max_doc AS DOUBLE) - CAST(t.df AS DOUBLE) + 0.5) / (CAST(t.df AS DOUBLE) + 0.5)) AS REAL) * {K1P1_32} AS REAL) AS w
+  FROM tstats t CROSS JOIN fstats f
+),
+scored AS (
+  SELECT p.docid, p.term, p.tf,
+         CAST(CAST(w.w * CAST(p.tf AS REAL) AS REAL) / CAST(CAST(p.tf AS REAL) + n.nc AS REAL) AS REAL) AS s
+  FROM posting p
+  JOIN weights w ON p.term = w.term
+  JOIN ncache n ON p.docid = n.docid
+)"""
+
+
+def phonetic_term_sql(
+    encoder: str, term: str, k: int = 15, inject: bool = True
+) -> str:
+    """Top-k BM25 TermQuery over the phonetic-analyzed index."""
+    return f"""{phonetic_prelude(encoder, inject)}
+SELECT docid, s AS score FROM scored
+WHERE term = '{term}'
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+
+
 def quality_trec_sql(terms: list[str], k: int = 20) -> str:
     """QualityStats oracle (Lucene.Net.Benchmark/Quality): per query qN =
     single-term BM25 top-k, judged against 'term occurs AND turn_idx < 2'.

@@ -236,6 +236,10 @@ def split_analyzer(analyzer: str):
     both in the name lets the string-typed analyzer plumbing (manifest,
     parse, NRT, merge) carry them with no schema change.
     """
+    if ":phonetic=" in analyzer:
+        # ":phonetic=<encoder>[,replace]" — PhoneticFilter appended to the
+        # chain (see phonetic_spec); stripped here so the base resolves
+        analyzer = analyzer.partition(":phonetic=")[0]
     excl = frozenset()
     if ":excl=" in analyzer:
         analyzer, _, rest = analyzer.partition(":excl=")
@@ -243,6 +247,63 @@ def split_analyzer(analyzer: str):
     if analyzer.endswith(":ascii"):
         analyzer = analyzer[: -len(":ascii")]
     return analyzer, excl
+
+
+def phonetic_spec(analyzer: str) -> tuple[str, bool] | None:
+    """Parse the ":phonetic=<encoder>[,replace]" suffix — this engine's
+    encoding of PhoneticFilter appended to the analyzer chain
+    (Lucene.Net.Analysis.Phonetic/PhoneticFilter.cs). Returns
+    (encoder, inject) or None. Inject mode emits the PHONETIC first with
+    the original's position increment and the ORIGINAL as a posInc-0
+    overlap at the same position (IncrementToken's save/restore order);
+    replace mode rewrites the token (original kept when the code is
+    empty or equal)."""
+    if ":phonetic=" not in analyzer:
+        return None
+    spec = analyzer.partition(":phonetic=")[2]
+    enc, _, mode = spec.partition(",")
+    if mode not in ("", "replace"):
+        raise ValueError(f"unknown phonetic mode {mode!r}")
+    return enc, mode != "replace"
+
+
+def analyzer_has_overlaps(analyzer: str) -> bool:
+    """True when the chain can emit posInc-0 overlap tokens (phonetic
+    inject) — the builder then discounts overlaps from the norm length
+    (FieldInvertState.NumOverlap; BM25Similarity.cs:156-160
+    discountOverlaps default true) while sumTotalTermFreq keeps counting
+    every emitted token."""
+    spec = phonetic_spec(analyzer)
+    return spec is not None and spec[1]
+
+
+def overlap_expand(analyzer: str):
+    """The chain's same-position expansion stage: token -> emitted list
+    (anchor first; the rest are posInc-0 overlaps). None when the chain
+    has no such stage. PhoneticFilter semantics: empty/equal codes pass
+    the original through; encode failures too."""
+    spec = phonetic_spec(analyzer)
+    if spec is None:
+        return None
+    enc_name, inject = spec
+    from .phonetic import ENCODERS
+
+    enc = ENCODERS[enc_name]
+    memo: dict[str, str | None] = {}  # encode cost ∝ vocabulary
+
+    def expand(t: str) -> list[str]:
+        if t not in memo:
+            try:
+                v = enc(t)
+            except Exception:
+                v = None
+            memo[t] = v if v and v != t else None
+        ph = memo[t]
+        if ph is None:
+            return [t]
+        return [ph, t] if inject else [ph]
+
+    return expand
 
 
 def has_ascii_fold(analyzer: str) -> bool:
@@ -256,6 +317,16 @@ def validate_analyzer(analyzer: str) -> None:
     base, _excl = split_analyzer(analyzer)
     if base not in ANALYZERS:
         raise ValueError(f"unknown analyzer {analyzer!r} ({'|'.join(ANALYZERS)})")
+    spec = phonetic_spec(analyzer)
+    if spec is not None:
+        from .phonetic import ENCODERS
+
+        if spec[0] not in ENCODERS:
+            raise ValueError(f"unknown phonetic encoder {spec[0]!r}")
+        if base == "cjk" or base in _CORE_TOKENIZER_BASES:
+            # the cjk stream stage and the core-tokenizer span chains
+            # don't carry the phonetic expansion — reject loudly
+            raise ValueError(f":phonetic= is not supported with {base}")
     if has_ascii_fold(analyzer) and (
         base in ("cjk", "hindi") or base in _CORE_TOKENIZER_BASES
     ):
@@ -727,6 +798,7 @@ def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
     stream = stream_filter(analyzer)
     norm = _norm_fn(analyzer, pre)
     drops = _long_drop(analyzer)
+    ov = overlap_expand(analyzer)
     out = []
     for tok, s, e in _raw_matches(text, analyzer):
         if drops and e - s > MAX_TOKEN_LENGTH:
@@ -735,7 +807,11 @@ def tokenize_text(text: str | None, analyzer: str = "standard") -> list[str]:
         for sub in (stream(low) if stream else (low,)):
             if sub in stop:
                 continue
-            out.append(stemf(sub) if stemf else sub)
+            emitted = stemf(sub) if stemf else sub
+            if ov is None:
+                out.append(emitted)
+            else:
+                out.extend(ov(emitted))
     return out
 
 
@@ -763,14 +839,23 @@ def tokenize_with_positions(
     toks: list[str] = []
     poss: list[int] = []
     if stream is None:
+        ov = overlap_expand(analyzer)
         for i, (tok, s, e) in enumerate(_raw_matches(text, analyzer)):
             if drops and e - s > MAX_TOKEN_LENGTH:
                 continue
             low = norm(tok)
             if low in stop:
                 continue
-            toks.append(stemf(low) if stemf else low)
-            poss.append(i)
+            emitted = stemf(low) if stemf else low
+            if ov is None:
+                toks.append(emitted)
+                poss.append(i)
+            else:
+                # same-position expansion (PhoneticFilter): anchor first,
+                # overlaps share the slot
+                for x in ov(emitted):
+                    toks.append(x)
+                    poss.append(i)
         return toks, poss
     # stream path (cjk): each EMITTED token consumes one position slot —
     # a skipped raw token consumes the slots its expansion would have
@@ -811,16 +896,21 @@ def tokenize_with_offsets(
     drops = _long_drop(analyzer)
     it = _raw_matches(text, analyzer)
     if stream is None:
+        ov = overlap_expand(analyzer)
         for i, (tok, ms, me) in enumerate(it):
             if drops and me - ms > MAX_TOKEN_LENGTH:
                 continue
             low = norm(tok)
             if low in stop:
                 continue
-            toks.append(stemf(low) if stemf else low)
-            poss.append(i)
-            starts.append(ms)
-            ends.append(me)
+            emitted = stemf(low) if stemf else low
+            # same-position expansion: overlaps clone the original's
+            # offsets (PhoneticFilter CaptureState/RestoreState)
+            for x in (ov(emitted) if ov else (emitted,)):
+                toks.append(x)
+                poss.append(i)
+                starts.append(ms)
+                ends.append(me)
         return toks, poss, starts, ends
     slot = 0
     for tok, ms, me in it:
@@ -876,6 +966,23 @@ def _tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
         def stemf(x):  # noqa: E306 - identity for the standard chain
             return x
     if stream is None:
+        ov = overlap_expand(analyzer)
+        if ov is not None:
+            return pd.Series(
+                [
+                    [
+                        x
+                        for tok in findall(t)
+                        if len(tok) <= maxlen
+                        and (low := norm(tok)) not in stop
+                        for x in ov(stemf(low))
+                    ]
+                    if isinstance(t, str) and t
+                    else []
+                    for t in texts
+                ],
+                index=texts.index,
+            )
         return pd.Series(
             [
                 [

@@ -22,8 +22,24 @@ observable contracts are ordering + weight semantics, ported exactly:
     LookupPriorityQueue, else the first num alphabetically.
   * JaspellLookup (usePrefix arm): like TST but the trie is asked for
     only num*2 matches when onlyMorePopular — the queue ranks that
-    alphabetical PREFIX SLICE, a reference quirk kept here. The
-    MatchAlmost arm raises (Jaspell's fuzzy trie walk is out of scope).
+    alphabetical PREFIX SLICE, a reference quirk kept here.
+  * JaspellLookup (MatchAlmost arm, usePrefix=false): the trie's fuzzy
+    walk (JaspellTernarySearchTrie.cs MatchAlmostRecursion, upTo=false)
+    returns stored keys of EXACTLY the query's length that mismatch the
+    query in EXACTLY matchAlmostDiff character positions (Hamming, no
+    insert/delete — only the EQKID edge advances charIndex), where a
+    "mismatch" compares CULTURE-LOWERCASED chars
+    (CompareCharsAlphabetically: TextInfo.ToLower(a) - ToLower(b)).
+    Enumeration order is the walk's in-order (LOKID, node, EQKID,
+    HIKID) which for a BST is lexicographic on the lowercased key —
+    independent of trie shape/insertion order — and the walk halts
+    mid-enumeration once numReturnValues keys are collected, so
+    truncation keeps the lexicographically FIRST count keys. Because
+    Put routes by the same lowercased compare, keys that are
+    lowercase-equal collapse onto one node: the FIRST-inserted surface
+    form survives (GetKey rebuilds from creation-time splitchars) and
+    the LAST-inserted value wins (GetOrCreateNode(key).data = value).
+    JaspellLookup hardcodes MatchAlmostDiff = 2 (editDistance).
 """
 from __future__ import annotations
 
@@ -129,23 +145,59 @@ def tst_lookup(
     return matches[:num]
 
 
+def _jaspell_collapse(entries: dict[str, int]) -> dict[str, tuple[str, int]]:
+    """lowercased key -> (surface, value) per the trie's Put routing:
+    lowercase-equal keys share one node — first surface, last value."""
+    out: dict[str, tuple[str, int]] = {}
+    for k, w in entries.items():
+        lk = k.lower()
+        out[lk] = (out[lk][0] if lk in out else k, w)
+    return out
+
+
+def jaspell_match_almost(
+    entries: dict[str, int],
+    key: str,
+    count: int | None,
+    diff: int = 2,
+) -> list[tuple[str, int]]:
+    """JaspellTernarySearchTrie.MatchAlmost(key, count) as its observable
+    contract (see module docstring): same-length stored keys at EXACTLY
+    `diff` lowercase-Hamming mismatches, lexicographic on the lowercased
+    key, truncated mid-walk at count (count None/-1 = unlimited). Pairs
+    carry the trie value (JaspellLookup.DoLookup fetches it via Get)."""
+    lkey = key.lower()
+    nodes = _jaspell_collapse(entries)
+    res: list[tuple[str, int]] = []
+    for lk in sorted(nodes):
+        if count is not None and count >= 0 and len(res) >= count:
+            break
+        if len(lk) != len(lkey):
+            continue
+        if sum(a != b for a, b in zip(lk, lkey)) == diff:
+            res.append(nodes[lk])
+    return res
+
+
 def jaspell_lookup(
     entries: dict[str, int],
     key: str,
     num: int,
     only_more_popular: bool = False,
     use_prefix: bool = True,
+    match_almost_diff: int = 2,
 ) -> list[tuple[str, int]]:
-    """[(completion, weight)] per JaspellLookup.DoLookup (prefix arm)."""
-    if not use_prefix:
-        raise NotImplementedError(
-            "Jaspell MatchAlmost (fuzzy trie walk) is out of scope"
-        )
+    """[(completion, weight)] per JaspellLookup.DoLookup: the prefix arm
+    (usePrefix=true, the reference's construction default) or the
+    MatchAlmost arm (usePrefix=false, editDistance=2)."""
     count = num * 2 if only_more_popular else num
-    slice_ = sorted(
-        ((k, w) for k, w in entries.items() if k.startswith(key)),
-        key=lambda kw: kw[0].encode("utf-8"),
-    )[:count]
+    if use_prefix:
+        slice_ = sorted(
+            ((k, w) for k, w in entries.items() if k.startswith(key)),
+            key=lambda kw: kw[0].encode("utf-8"),
+        )[:count]
+    else:
+        slice_ = jaspell_match_almost(entries, key, count, match_almost_diff)
     if only_more_popular:
         return sorted(
             slice_, key=lambda kw: (-kw[1], kw[0].encode("utf-8"))

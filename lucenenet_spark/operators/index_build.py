@@ -66,7 +66,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.analysis import tokenize_with_offsets, tokenize_with_positions
+from ..functions.analysis import (
+    analyzer_has_overlaps,
+    tokenize_with_offsets,
+    tokenize_with_positions,
+)
 from ..oracle import norm_cache
 from .codec import BLOCK_SIZE, encode_posting_list
 
@@ -545,6 +549,7 @@ class IndexBuilder:
         with_offsets = self.index_options == "docs_freqs_positions_offsets"
         with_payloads = self.payload_provider == "position_float"
         analyzer = self.analyzer
+        has_overlaps = analyzer_has_overlaps(analyzer)
         norm_spec = self.norm_spec
         max_partial_postings = self.max_partial_postings
         max_partial_positions = self.max_partial_positions
@@ -618,6 +623,7 @@ class IndexBuilder:
                     lo = [str(first_key[0]), first_key[1]]
                 hi = [str(prev_key[0]), prev_key[1]]
                 lengths = np.empty(n, dtype=np.int32)
+                totals = np.empty(n, dtype=np.int32)
                 term_flat: list[str] = []
                 pos_flat: list[int] = []
                 off_flat: list[int] = []  # interleaved [start, end-start]
@@ -628,7 +634,18 @@ class IndexBuilder:
                         )
                     else:
                         toks, poss = tokenize_with_positions(text, analyzer)
-                    lengths[i] = len(toks)
+                    totals[i] = len(toks)
+                    if has_overlaps and toks:
+                        # norm fieldLength discounts posInc-0 overlap
+                        # tokens (FieldInvertState.NumOverlap;
+                        # BM25Similarity.cs:156-160 discountOverlaps) —
+                        # anchors = position-change count; sumTotalTermFreq
+                        # below keeps counting every emitted token
+                        lengths[i] = 1 + sum(
+                            1 for a, b in zip(poss, poss[1:]) if b != a
+                        )
+                    else:
+                        lengths[i] = len(toks)
                     term_flat.extend(toks)
                     if with_positions:
                         pos_flat.extend(poss)
@@ -644,7 +661,8 @@ class IndexBuilder:
                     )
                     uniques = np.asarray(uniques)
                     d_arr = np.repeat(
-                        np.arange(n, dtype=np.int64) + rank, lengths.astype(np.int64)
+                        np.arange(n, dtype=np.int64) + rank,
+                        totals.astype(np.int64),
                     )
                     ov = np.empty((0, 2), dtype=np.int32)
                     pay = np.empty(0, dtype=">f4")
@@ -753,8 +771,8 @@ class IndexBuilder:
                                 b"",
                             )
                         )
-                sum_len += int(lengths.sum())
-                doc_count += int((lengths > 0).sum())
+                sum_len += int(totals.sum())
+                doc_count += int((totals > 0).sum())
                 yield _frame(
                     {
                         "pid": np.full(n, pid, dtype=np.int32),
