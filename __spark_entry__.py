@@ -315,6 +315,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["phonetic_dmetaphone_top"] = _dmetaphone_top(True)
     out["phonetic_dmetaphone_replace"] = _dmetaphone_top(False)
 
+    # Daitch-Mokotoff (round 5z4): the filter arm runs the non-branching
+    # Encode(); phonetic_dm_codes gates the full BRANCHING soundex() —
+    # all '|'-joined branch codes per distinct analyzed term
+    out["phonetic_dm_top"] = _phonetic_top("daitch_mokotoff", True)
+
+    def phonetic_dm_codes(spark, sf_dir):
+        from pyspark.sql.types import StringType
+
+        from lucenenet_spark.functions.analysis import tokenize_udf
+
+        def _dm_batch(col):
+            from lucenenet_spark.functions.dmsoundex import daitch_mokotoff
+
+            return col.map(daitch_mokotoff)
+
+        dm = F.pandas_udf(_dm_batch, StringType())
+
+        d = _docs(spark, sf_dir)
+        vocab = d.select(
+            F.explode(tokenize_udf("standard")(F.col("text"))).alias("term")
+        ).distinct()
+        return (
+            vocab.select("term", dm(F.col("term")).alias("dm"))
+            .orderBy("term")
+            .limit(40)
+        )
+
+    out["phonetic_dm_codes"] = phonetic_dm_codes
+
     def suggest_freetext(spark, sf_dir):
         from lucenenet_spark.operators.suggest import freetext_suggest
 
@@ -2435,6 +2464,7 @@ _NEW_THIS_ROUND: list[str] = [
     "spatial_recip", "vs_ord", "vs_reverse_ord", "quality_trec",
     "term_phonetic_index", "term_phonetic_replace",
     "jaspell_almost_top", "jaspell_almost_alpha",
+    "phonetic_dm_top", "phonetic_dm_codes",
 ]
 _LAST_GREEN_R02 = [
     "span_first", "span_near", "suggest_prefix", "spell_suggest",
@@ -2687,6 +2717,8 @@ FROM ids ORDER BY docid ASC LIMIT 25"""
     out["phonetic_caverphone1_top"] = es.phonetic_top_sql("caverphone1", False, 20)
     out["phonetic_dmetaphone_top"] = es.dmetaphone_top_sql(True, 20)
     out["phonetic_dmetaphone_replace"] = es.dmetaphone_top_sql(False, 20)
+    out["phonetic_dm_top"] = es.phonetic_top_sql("daitch_mokotoff", True, 20)
+    out["phonetic_dm_codes"] = es.dm_codes_sql(40)
     out["edge_ngram_top"] = es.edge_ngram_top_sql(1, 3, k=20)
     out["ngram_top"] = es.ngram_top_sql(2, 3, k=20)
     out["common_grams_top"] = es.common_grams_top_sql(20)

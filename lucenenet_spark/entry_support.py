@@ -5788,6 +5788,8 @@ def phonetic_top_sql(encoder: str, inject: bool = True, k: int = 20) -> str:
     functions.phonetic.phonetic_udf exactly."""
     from .functions import phonetic as ph
 
+    from .functions import dmsoundex as dms
+
     cte = {
         "soundex": ph.soundex_cte,
         "refined_soundex": ph.refined_soundex_cte,
@@ -5797,6 +5799,7 @@ def phonetic_top_sql(encoder: str, inject: bool = True, k: int = 20) -> str:
         "cologne": ph.cologne_cte,
         "match_rating": ph.match_rating_cte,
         "caverphone1": ph.caverphone1_cte,
+        "daitch_mokotoff": dms.dm_cte,
     }[encoder]("vocab")
     if inject:
         em = f"""em AS (
@@ -5822,6 +5825,21 @@ vocab AS (SELECT DISTINCT tok FROM tt),
 {em}
 SELECT term, count(DISTINCT docid) AS df, count(*) AS ttf
 FROM em GROUP BY term ORDER BY df DESC, term ASC LIMIT {k}"""
+
+
+def dm_codes_sql(k: int = 40) -> str:
+    """Full BRANCHING Daitch-Mokotoff soundex() per distinct analyzed
+    term — all branch codes '|'-joined in branch insertion order
+    (DaitchMokotoffSoundex.cs GetSoundex). The oracle unrolls the scan
+    to materialized per-step CTEs with window-based in-step branch
+    dedup (functions/dmsoundex.dm_branch_cte)."""
+    from .functions.dmsoundex import dm_branch_cte
+
+    return f"""{prelude()},
+tt AS (SELECT docid, unnest(tokens) AS tok FROM toks),
+vocab AS (SELECT DISTINCT tok FROM tt),
+{dm_branch_cte("vocab")}
+SELECT tok AS term, ph AS dm FROM encb ORDER BY term ASC LIMIT {k}"""
 
 
 def dmetaphone_top_sql(inject: bool = True, k: int = 20) -> str:

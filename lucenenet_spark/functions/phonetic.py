@@ -593,6 +593,12 @@ def match_rating_equals(name1: str, name2: str) -> bool:
     return count >= min_rating
 
 
+def _daitch_mokotoff_encode(token: str) -> str:
+    from .dmsoundex import daitch_mokotoff_encode
+
+    return daitch_mokotoff_encode(token)
+
+
 ENCODERS = {
     "soundex": soundex,
     "refined_soundex": refined_soundex,
@@ -602,6 +608,8 @@ ENCODERS = {
     "cologne": cologne_phonetic,
     "match_rating": match_rating_encode,
     "caverphone1": caverphone1,
+    # non-branching Encode(); the branching soundex() lives in dmsoundex
+    "daitch_mokotoff": _daitch_mokotoff_encode,
 }
 
 
